@@ -1,0 +1,446 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ParityFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Relational operator surface (SURVEY.md §2.2 Q1, Q6–Q31): scans,
+  * projections, filters, every join flavor, hash/rollup/cube aggregation,
+  * window functions, sort/top-k, set ops, and the scalar-function families
+  * (string/date/math/array/map/json). Each entry is a declarative
+  * DataFrame plan (Catalyst handles pushdown/pruning/join selection) with
+  * a DuckDB oracle for the driver's hash compare.
+  *
+  * Determinism rules: aggregates over doubles are round()'ed to fixed
+  * scale; every ORDER-sensitive operator has a total tie-break; timestamps
+  * leave the engine as epoch-ms BIGINT or formatted strings.
+  */
+object Relational {
+
+  def defs: ListMap[String, Q] = ListMap(
+
+    // ---- Q1/Q16: parquet scan + hash aggregate (TPC-H Q1 shape; flagship)
+    "q01_agg" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // ---- Q6/Q7: projection + filter with computed columns (pushdown check)
+    "q02_filter_project" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1 - l_discount) AS revenue
+             |FROM lineitem
+             |WHERE l_returnflag = 'R'
+             |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin),
+      headline = true),
+
+    // ---- Q8: broadcast hash join (small dim broadcast, explicitly hinted)
+    "q03_join_broadcast" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_spend"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total_spend
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      headline = true),
+
+    // ---- Q9: shuffle (sort-merge) join between the two fact tables
+    "q04_join_sortmerge" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        li.hint("merge")
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |  round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
+      headline = true),
+
+    // ---- Q10: left outer join with null-generating side aggregated
+    "q05_outer_join" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    // ---- Q11: left semi join (EXISTS)
+    "q06_semi_join" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders").filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin)),
+
+    // ---- Q11: left anti join (NOT EXISTS)
+    "q07_anti_join" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders").filter(col("o_orderstatus") === "P")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_acctbal"))
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin)),
+
+    // ---- Q12: theta / non-equi join (broadcast nested loop over a tiny
+    //      band table — the 3-row side is broadcast so no shuffle)
+    "q08_theta_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.0, 50000.0),
+          ("mid", 50000.0, 150000.0),
+          ("high", 150000.0, 1.0e18)).toDF("band", "lo", "hi")
+        Tables(s, d, "orders")
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      },
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('high', 150000.0, 1e18))
+             |SELECT band, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+             |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY band""".stripMargin)),
+
+    // ---- Q15: cross join
+    "q10_cross_join" -> Q(
+      (s, d) => {
+        Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
+          .select(col("r_name"), col("n_name"))
+      },
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    // ---- Q19: rollup with grouping indicators
+    "q11_rollup" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        val n = Tables(s, d, "nation")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spend"))
+          .select(
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            col("n"), col("spend"))
+      },
+      Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+             |  coalesce(c_mktsegment, 'ALL') AS segment,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin)),
+
+    // ---- Q20/Q23: ranking window → per-group top-k
+    "q12_window_topk" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables(s, d, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(rk AS INT) AS rk FROM (
+             |  SELECT o_custkey, o_orderkey, row_number() OVER (
+             |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders) WHERE rk <= 3""".stripMargin),
+      headline = true),
+
+    // ---- Q22: window aggregate with a running frame
+    "q13_window_running" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      },
+      Some("""SELECT o_orderkey, round(sum(o_totalprice) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+             |FROM orders""".stripMargin),
+      headline = true),
+
+    // ---- Q21: analytic window functions (lag/lead)
+    "q14_lag_lead" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables(s, d, "events")
+          .select(col("event_id"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+      },
+      Some("""SELECT event_id,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  lead(event_type, 1) OVER w AS next_type
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // ---- Q17: distinct aggregates
+    "q15_distinct_agg" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- Q18: approximate distinct (HLL) — no exact oracle by nature;
+    //      driver records the weaker rows-only check.
+    "q16_approx_distinct" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      },
+      None),
+
+    // ---- Q23: global sort + limit (TakeOrderedAndProject)
+    "q17_topk_global" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      headline = true),
+
+    // ---- Q24: set operations (distinct semantics in both engines)
+    "q18_setops" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        def keys(st: String) =
+          o.filter(col("o_orderstatus") === st).select(col("o_custkey"))
+        keys("F").intersect(keys("O")).except(keys("P"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin)),
+
+    // ---- Q26: string function family
+    "q19_strings" -> Q(
+      (s, d) => {
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 4).as("type4"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          levenshtein(col("p_brand"), lit("Brand#13")).as("lev"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          col("p_type").like("%ECO%").as("is_eco"))
+      },
+      Some("""SELECT p_partkey, lower(p_name) AS name_lc, upper(p_brand) AS brand_uc,
+             |  substr(p_type, 1, 4) AS type4,
+             |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             |  p_brand || '|' || p_type AS brand_type,
+             |  CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev,
+             |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+             |  p_type LIKE '%ECO%' AS is_eco
+             |FROM part""".stripMargin)),
+
+    // ---- Q27: date/time function family
+    "q20_datetime" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spend"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- Q28: math function family
+    "q21_math" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_quantity")).as("fl_qty"),
+            ceil(col("l_tax") * 100).as("ceil_tax"),
+            round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+            abs(col("l_discount") - lit(0.05)).as("abs_disc"),
+            round(pow(col("l_discount") + 1, 2), 6).as("pow_disc"),
+            pmod(col("l_partkey"), lit(7)).as("mod_part"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(floor(l_quantity) AS BIGINT) AS fl_qty,
+             |  CAST(ceil(l_tax * 100) AS BIGINT) AS ceil_tax,
+             |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+             |  abs(l_discount - 0.05) AS abs_disc,
+             |  round(pow(l_discount + 1, 2), 6) AS pow_disc,
+             |  l_partkey % 7 AS mod_part
+             |FROM lineitem WHERE l_orderkey < 100""".stripMargin)),
+
+    // ---- Q29: array / higher-order function family
+    "q22_arrays" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          element_at(toks, 1).as("first_token"),
+          size(array_distinct(toks)).as("n_distinct"),
+          array_contains(toks, "spark").as("has_spark"),
+          array_max(transform(toks, t => length(t))).as("max_token_len"),
+          size(filter(toks, t => length(t) > 4)).as("n_long"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |  string_split(text, ' ')[1] AS first_token,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+             |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+             |  CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'max') AS INT) AS max_token_len,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT) AS n_long
+             |FROM documents""".stripMargin)),
+
+    // ---- Q31: JSON functions over events.props
+    "q23_json" -> Q(
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+             |FROM events GROUP BY 1""".stripMargin),
+      headline = true),
+
+    // ---- Q7/Q26: conditionals + null handling
+    "q24_conditionals" -> Q(
+      (s, d) => {
+        val bucket = when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high")
+        Tables(s, d, "customer")
+          .groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("c_acctbal")), 2).as("avg_bal"),
+            count(nullif(col("c_mktsegment"), lit("BUILDING"))).as("n_not_building"))
+      },
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+             |  WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+             |  count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal,
+             |  count(nullif(c_mktsegment, 'BUILDING')) AS n_not_building
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // ---- Q19: cube
+    "q25_cube" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"))
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- Q24: union all preserved duplicates
+    "q26_union_all" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"), lit("was_f").as("tag"))
+        val b = o.filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey"), lit("big").as("tag"))
+        a.unionByName(b).groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT tag, count(*) AS n FROM (
+             |  SELECT o_custkey, 'was_f' AS tag FROM orders WHERE o_orderstatus = 'F'
+             |  UNION ALL
+             |  SELECT o_custkey, 'big' AS tag FROM orders WHERE o_totalprice > 300000)
+             |GROUP BY tag""".stripMargin)),
+
+    // ---- R15 generalized: audit-style summary (min/max/first activity)
+    "q27_audit_summary" -> Q(
+      (s, d) => {
+        Tables(s, d, "events")
+          .filter(col("event_type") === "error")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_err"),
+            epochMs(min(col("ts"))).as("first_ms"),
+            epochMs(max(col("ts"))).as("last_ms"),
+            round(sum(col("value")), 4).as("err_value"))
+      },
+      Some("""SELECT user_id, count(*) AS n_err,
+             |  epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms,
+             |  round(sum(value), 4) AS err_value
+             |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin))
+  )
+}
