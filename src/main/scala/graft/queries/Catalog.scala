@@ -8,7 +8,8 @@ import scala.collection.immutable.ListMap
 object Catalog {
   lazy val all: ListMap[String, Q] = {
     val families: Seq[ListMap[String, Q]] = Seq(
-      Relational.defs)
+      Relational.defs, Windowed.defs, AuditOps.defs,
+      Dedup.defs, Similarity.defs, TextAnalysis.defs, Multimodal.defs)
     val merged = families.foldLeft(ListMap.empty[String, Q])(_ ++ _)
     val n = families.map(_.size).sum
     require(merged.size == n, s"duplicate query names: ${n - merged.size}")

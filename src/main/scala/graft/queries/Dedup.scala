@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ParityFns._
+import graft.functions.VectorFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Deduplication family over the documents/embeddings tables: exact
+  * (hash-groupBy), MinHash+LSH band-bucketing, SimHash, exact n-gram
+  * Jaccard via inverted index, and embedding-cosine near-dup. Every
+  * stage is deterministic (md5-derived integer hashing, fixed permutation
+  * constants) so each query has a full DuckDB oracle replicating the
+  * algorithm, not just the output shape.
+  */
+object Dedup {
+
+  /** MinHash permutation constants (a, b) for h' = (a*h + b) mod P, with
+    * h already reduced mod P = 2^31-1 so products stay under 2^62.
+    * Generated from fixed multipliers; identical literals are
+    * interpolated into the DuckDB oracle, so both engines use the same
+    * permutations by construction.
+    */
+  val NumHashes = 32
+  val BandRows = 4                       // 8 bands × 4 rows
+  val NumBands: Int = NumHashes / BandRows
+  val seeds: IndexedSeq[(Long, Long)] = (0 until NumHashes).map { j =>
+    val a = (2654435761L * (2 * j + 1)) % P
+    val b = (40503L * (j + 7) * 104729L) % P
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** documents → (doc_id, sh: array<string> of distinct word 3-shingles),
+    * docs with <3 tokens dropped (no shingles ⇒ can't participate).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Shared DuckDB CTE prefix: tokenize → distinct 3-shingles per doc. */
+  private val shingleCte =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+      |      || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+      |  FROM tok
+      |  QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL)""".stripMargin
+
+  def defs: ListMap[String, Q] = ListMap(
+
+    // ---- Q39/Q25: exact dedup via hash-groupBy. Grouping on sha2(text)
+    //      rather than the raw text keeps shuffle keys 32 bytes at 100 TB.
+    "q40_dedup_exact" -> Q(
+      (s, d) => {
+        Tables(s, d, "documents")
+          .groupBy(sha2(col("text"), 256).as("__h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+          .select(col("keeper"), col("n_copies"))
+      },
+      Some("""SELECT min(doc_id) AS keeper, count(*) AS n_copies
+             |FROM documents GROUP BY text""".stripMargin),
+      headline = true),
+
+    // ---- Q40: MinHash + LSH near-dup. Signatures are computed per-doc
+    //      with higher-order functions (no 32× row blow-up); only the
+    //      band→bucket join shuffles, on (band, signature) keys.
+    //      Candidates are then verified with exact Jaccard.
+    "q41_dedup_minhash" -> Q(
+      (s, d) => {
+        val docs = shingled(s, d)
+        val hv = docs.withColumn("hv", transform(col("sh"), x => hashModP(x)))
+        val sig = hv.withColumn("sig", array(seeds.map { case (a, b) =>
+          aggregate(col("hv"), lit(P),
+            (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(P)))
+        }: _*))
+        val bandCols = (0 until NumBands).map { k =>
+          concat_ws("_",
+            transform(slice(col("sig"), k * BandRows + 1, BandRows), v => v.cast("string")))
+        }
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
+        val x = bands.as("x"); val y = bands.as("y")
+        val cand = x.join(y,
+            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), col("sh"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .withColumn("jac",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("jac") >= 0.7)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      },
+      Some {
+        val seedRows = seeds.zipWithIndex
+          .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+        // NB: shingleCte is concatenated AFTER stripMargin — running
+        // stripMargin over interpolated SQL would eat a '|' from '||'.
+        shingleCte + ",\n" + s"""hv AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % $P AS h FROM sh),
+           |seeds(j, a, b) AS (VALUES $seedRows),
+           |mh AS (SELECT doc_id, j, min((a*h + b) % $P) AS v
+           |       FROM hv CROSS JOIN seeds GROUP BY doc_id, j),
+           |sig AS (SELECT doc_id, j // $BandRows AS band,
+           |               string_agg(CAST(v AS VARCHAR), '_' ORDER BY j) AS bsig
+           |        FROM mh GROUP BY doc_id, j // $BandRows),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM sig x JOIN sig y ON x.band = y.band AND x.bsig = y.bsig
+           |           AND x.doc_id < y.doc_id),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c
+           |          JOIN sh p ON p.doc_id = c.doc_a
+           |          JOIN sh q ON q.doc_id = c.doc_b AND q.s = p.s
+           |          GROUP BY c.doc_a, c.doc_b)
+           |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+           |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+           |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7""".stripMargin
+      },
+      headline = true),
+
+    // ---- Q40 variant: SimHash — 32-bit signed-bit fingerprint weighted
+    //      by token frequency. Map-side partial aggregation absorbs the
+    //      (doc, token) and (doc, bit) group-bys at scale.
+    "q42_dedup_simhash" -> Q(
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        val th = tc.withColumn("h", hash32(col("w")))
+        val bits = th
+          .select(col("doc_id"), col("h"), col("cnt"),
+            explode(sequence(lit(0), lit(31))).as("j"))
+          .groupBy(col("doc_id"), col("j"))
+          .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), col("cnt"))
+            .otherwise(-col("cnt"))).as("sm"))
+        bits.groupBy(col("doc_id"))
+          .agg(sum(when(col("sm") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(lit(0L))).as("simhash"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |tc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+             |th AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,8) AS BIGINT) AS h, cnt FROM tc),
+             |bits AS (SELECT doc_id, j,
+             |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sm
+             |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+             |  GROUP BY doc_id, j)
+             |SELECT doc_id, CAST(sum(CASE WHEN sm > 0 THEN CAST(1 AS BIGINT) << j
+             |  ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits GROUP BY doc_id""".stripMargin),
+      headline = true),
+
+    // ---- Q40: exact n-gram Jaccard all-pairs via inverted-index join on
+    //      the shingle (never a cross join — pairs materialize only for
+    //      docs that actually share a shingle).
+    "q43_ngram_jaccard" -> Q(
+      (s, d) => {
+        val e = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
+        val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = e.as("a")
+          .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+        inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .filter(col("jac") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      },
+      Some(shingleCte + ",\n" + s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY a.doc_id, b.doc_id)
+              |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+              |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+              |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5""".stripMargin),
+      headline = true),
+
+    // ---- Q41 variant: embedding-cosine near-dup pairs. Brute-force
+    //      pair scan here (the LSH/IVF scale path lives in Similarity);
+    //      cosine is the exact dot/norm formula in both engines so the
+    //      threshold comparison sees identical doubles.
+    "q44_embed_neardup" -> Q(
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos", VectorFns.cosine(col("va"), col("vb")))
+          .filter(col("cos") >= 0.45)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin))
+  )
+}

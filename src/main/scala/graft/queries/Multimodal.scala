@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Multimodal-column surface (SURVEY.md §2.2 Q43): media as opaque
+  * `binary` columns carrying a typed metadata struct. The fixture corpus
+  * has no real media, so the "payload" is the UTF-8 encoding of the text
+  * column — the Spark-side plumbing (binary column, struct metadata,
+  * per-batch decode via mapPartitions) is real and is what's tested; the
+  * decoder itself is the deterministic stub in
+  * [[graft.operators.MediaPipeline]].
+  */
+object Multimodal {
+
+  def defs: ListMap[String, Q] = ListMap(
+
+    // ---- binary column + metadata struct construction and inspection
+    "q70_multimodal_meta" -> Q(
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("content"),
+            struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+          .select(col("doc_id"),
+            expr("octet_length(content)").as("n_bytes"),
+            col("meta.lang").as("lang"),
+            col("meta.source").as("source"),
+            col("meta.n_chars").as("n_chars"))
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  lang, source, n_chars
+             |FROM documents""".stripMargin))
+  )
+}

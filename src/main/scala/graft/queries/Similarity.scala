@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2.2 Q41): brute-force cosine top-k as the correctness
+  * baseline, and an IVF (inverted-file) variant as the scale path — the
+  * corpus is partitioned by nearest centroid and queries probe only their
+  * top-2 centroid partitions, cutting the scanned fraction to
+  * ~probes/centroids of the corpus. Centroid "training" is deterministic
+  * (first NumCentroids vectors) so the DuckDB oracle replicates the whole
+  * pipeline.
+  *
+  * Cosine is always computed as dot/(|a||b|) with double math and
+  * sequential fold order, which is bit-identical between Spark's
+  * zip_with+aggregate and DuckDB's list_dot_product.
+  */
+object Similarity {
+
+  val NumCentroids = 8
+  val NumQueries = 5
+  val TopK = 5
+  val Probes = 2
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+  /** SQL fragment: cosine between two DOUBLE-list columns. */
+  private def sqlCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  def defs: ListMap[String, Q] = ListMap(
+
+    // ---- brute-force cosine top-k: queries broadcast against the corpus
+    "q50_ann_brute" -> Q(
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+              |sc AS (SELECT q_id, e.vec_id AS n_id, ${sqlCos("qv", "e.v")} AS cos
+              |       FROM q JOIN e ON e.vec_id <> q.q_id)
+              |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin),
+      headline = true),
+
+    // ---- IVF: assign corpus to nearest centroid, probe top-2 per query
+    "q51_ann_ivf" -> Q(
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        // corpus → nearest centroid (cluster assignment)
+        val wAsg = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("c_id").asc)
+        val assign = e.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosine(col("v"), col("cv")))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id"), col("v"))
+        // queries → top-`Probes` centroids
+        val wProbe = Window.partitionBy(col("q_id"))
+          .orderBy(col("qcos").desc, col("c_id").asc)
+        val probes = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("qcos", cosine(col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= Probes)
+          .select(col("q_id"), col("qv"), col("c_id"))
+        // search only the probed partitions
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        probes.join(assign, "c_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= TopK)
+          .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+              |asg AS (SELECT vec_id, c_id, v FROM (
+              |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c) WHERE rn = 1),
+              |probes AS (SELECT q_id, qv, c_id FROM (
+              |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id, row_number() OVER (
+              |    PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries) WHERE rn <= $Probes),
+              |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${sqlCos("p.qv", "a.v")} AS cos
+              |       FROM probes p JOIN asg a ON a.c_id = p.c_id
+              |       WHERE a.vec_id <> p.q_id)
+              |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin),
+      headline = true)
+  )
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Text-analysis family over documents (SURVEY.md §2.2 Q42 + the
+  * training-data-pipeline mandate): language ID (stopword-marker
+  * heuristic), quality scoring, token counting (whitespace + regex
+  * lexer), and document fingerprinting (canonicalized token-set md5).
+  * Pure column expressions end to end — no UDFs in any of these paths.
+  */
+object TextAnalysis {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "les", "et"),
+    "de" -> Seq("der", "die", "und"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+
+  def defs: ListMap[String, Q] = ListMap(
+
+    // ---- language ID: argmax of per-language marker-word counts, with
+    //      fixed precedence (en > es > fr > de) on ties.
+    "q60_langid" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val scoreCols = Seq(col("doc_id"), col("lang")) ++
+          markers.map { case (l, ws) => markerCount(toks, ws).as(s"s_$l") }
+        val scored = Tables(s, d, "documents").select(scoreCols: _*)
+        val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de")
+        scored.select(col("doc_id"), pred.as("pred_lang"),
+          (pred === col("lang")).as("is_match"))
+      },
+      Some {
+        def cnt(ws: Seq[String]) = {
+          val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(string_split(text, ' '), t -> $cond))"
+        }
+        s"""WITH scored AS (SELECT doc_id, lang,
+           |  ${cnt(markers(0)._2)} AS s_en, ${cnt(markers(1)._2)} AS s_es,
+           |  ${cnt(markers(2)._2)} AS s_fr, ${cnt(markers(3)._2)} AS s_de
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+           |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+           |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
+           |  (CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+           |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+           |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS is_match
+           |FROM scored""".stripMargin
+      }),
+
+    // ---- quality score: length/stopword-ratio features → [0,1] score.
+    //      Intermediates stay unrounded so both engines compare the same
+    //      doubles; only the reported columns are rounded.
+    "q61_quality" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        val nStop = size(filter(toks, t => t === "the" || t === "a"))
+        val stopRatio = nStop.cast("double") / nTok
+        val score = least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio)
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          nTok.as("n_tokens"),
+          round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
+          round(stopRatio, 4).as("stopword_ratio"),
+          round(score, 4).as("quality"))
+      },
+      Some("""WITH f AS (SELECT doc_id, length(text) AS n_chars,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS sum_len,
+             |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,
+             |  round(sum_len * 1.0 / n_tokens, 4) AS avg_token_len,
+             |  round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+             |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS quality
+             |FROM f""".stripMargin),
+      headline = true),
+
+    // ---- token counting: whitespace tokens + a BPE-ish regex lexer
+    //      (letter runs / digit runs / single punctuation).
+    "q62_token_count" -> Q(
+      (s, d) => {
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("lex_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS lex_tokens
+             |FROM documents""".stripMargin)),
+
+    // ---- document fingerprint: md5 over the sorted distinct token set
+    //      (collision-key canonicalization — whitespace/order insensitive).
+    "q63_fingerprint" -> Q(
+      (s, d) => {
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+             |FROM documents""".stripMargin),
+      headline = true)
+  )
+}
