@@ -1,0 +1,100 @@
+package graft.config
+
+import java.nio.file.{Files, Paths}
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+/** Typed `a2.*` configuration surface, mirroring the reference's
+  * properties file (reference OraaudKafka.java:133-276, 317-373 — target
+  * broker validation, watched-path check, worker-count clamping, poll
+  * interval parse; KafkaSingleton.java:65-139 / KinesisSingleton.java:70-157
+  * for the per-sink keys). Validation is fail-fast `require`s instead of
+  * the reference's exit codes 1-6.
+  */
+final case class A2Config(
+    watchedPath: String,
+    targetBroker: String = "kafka",
+    workerCount: Int = A2Config.DefaultWorkers,
+    pollIntervalMs: Long = A2Config.DefaultPollMs,
+    settleDelayMs: Long = 2000L,
+    kafkaServers: Option[String] = None,
+    kafkaTopic: Option[String] = None,
+    kafkaClientId: Option[String] = None,
+    kafkaCompression: String = "gzip",
+    kafkaOptions: Map[String, String] = Map.empty,
+    kinesisSizeThreshold: Int = 512,
+    kinesisMaxConnections: Int = 1,
+    kinesisRequestTimeoutMs: Int = 30000,
+    kinesisMaxBufferedTimeMs: Int = 5000) {
+
+  require(targetBroker == "kafka" || targetBroker == "kinesis",
+    s"a2.target.broker must be kafka|kinesis, got '$targetBroker'") // exit 3
+  require(workerCount >= 1, "a2.worker.count must be >= 1")
+  require(pollIntervalMs > 0, "a2.locked.file.query.interval must be > 0")
+  if (targetBroker == "kafka") {
+    require(kafkaServers.isDefined && kafkaTopic.isDefined && kafkaClientId.isDefined,
+      "a2.kafka.servers, a2.kafka.topic, a2.kafka.client.id are mandatory for kafka")
+  }
+
+  /** Kafka sink options for `writeStream.format("kafka")` — every
+    * `a2.kafka.*` key maps 1:1 onto a `kafka.*` sink option
+    * (reference KafkaSingleton.java:116-139 pass-through list).
+    */
+  def kafkaSinkOptions: Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> kafkaServers.getOrElse(""),
+      "topic" -> kafkaTopic.getOrElse(""),
+      "kafka.client.id" -> kafkaClientId.getOrElse(""),
+      "kafka.compression.type" -> kafkaCompression) ++
+      kafkaOptions.map { case (k, v) => s"kafka.$k" -> v }
+}
+
+object A2Config {
+  /** Reference defaults/cap: OraaudKafka.java:66-68 (16 default, 150 max),
+    * :55 (1000 ms poll).
+    */
+  val DefaultWorkers = 16
+  val MaxWorkers = 150
+  val DefaultPollMs = 1000L
+
+  private val passThroughKafkaKeys = Seq(
+    "batch.size", "linger.ms", "acks", "max.request.size",
+    "buffer.memory", "retries", "security.protocol")
+
+  def fromProperties(props: Map[String, String]): A2Config = {
+    def get(k: String): Option[String] = props.get(k).map(_.trim).filter(_.nonEmpty)
+    // worker-count clamp mirrors OraaudKafka.java:355-373
+    val workers = get("a2.worker.count").map(_.toInt) match {
+      case Some(n) if n < 1 => DefaultWorkers
+      case Some(n) if n > MaxWorkers => MaxWorkers
+      case Some(n) => n
+      case None => DefaultWorkers
+    }
+    A2Config(
+      watchedPath = get("a2.watched.path").getOrElse(
+        throw new IllegalArgumentException("a2.watched.path is mandatory")), // exit 4
+      targetBroker = get("a2.target.broker").getOrElse("kafka").toLowerCase,
+      workerCount = workers,
+      pollIntervalMs = get("a2.locked.file.query.interval").map(_.toLong).getOrElse(DefaultPollMs),
+      settleDelayMs = get("a2.settle.delay.ms").map(_.toLong).getOrElse(2000L),
+      kafkaServers = get("a2.kafka.servers"),
+      kafkaTopic = get("a2.kafka.topic"),
+      kafkaClientId = get("a2.kafka.client.id"),
+      kafkaCompression = get("a2.kafka.compression.type").getOrElse("gzip"),
+      kafkaOptions = passThroughKafkaKeys
+        .flatMap(k => get(s"a2.kafka.$k").map(v => k -> v)).toMap,
+      kinesisSizeThreshold = get("a2.kinesis.file.size.threshold").map(_.toInt).getOrElse(512),
+      kinesisMaxConnections = get("a2.kinesis.max.connections").map(_.toInt).getOrElse(1),
+      kinesisRequestTimeoutMs = get("a2.kinesis.request.timeout").map(_.toInt).getOrElse(30000),
+      kinesisMaxBufferedTimeMs =
+        get("a2.kinesis.request.record.max.buffered.time").map(_.toInt).getOrElse(5000))
+  }
+
+  def fromFile(path: String): A2Config = {
+    val p = new Properties()
+    val in = Files.newInputStream(Paths.get(path))
+    try p.load(in) finally in.close()
+    fromProperties(p.asScala.toMap)
+  }
+}

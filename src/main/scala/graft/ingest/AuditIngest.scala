@@ -1,0 +1,124 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** Batch (R1) and streaming (R2–R16) audit-file ingest.
+  *
+  * Dataflow parity with the reference hot path (EP2, OraaudKafka):
+  * discover → pid parse → settle gate (SettleGate mover) → whole-file
+  * read → newline strip → completeness check → key/value frame → sink →
+  * delete-after-commit. The reference's queue-removal-before-ack loss bug
+  * (OraaudKafka.java:307, SURVEY §4.3) is structurally impossible here:
+  * the checkpointed source offset log only advances after foreachBatch
+  * returns, and the mirror write is made idempotent per batch.
+  */
+object AuditIngest {
+
+  /** R1 backlog scan as a batch read: binaryFile source, *.xml glob.
+    * Emits the envelope frame (key, value, pid, completeness, lineage).
+    */
+  def readBatch(spark: SparkSession, dir: String, host: String): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xml")
+      .load(dir)
+      .select(
+        col("path"),
+        decode(col("content"), "UTF-8").as("payload"),
+        col("modificationTime").as("mtime"),
+        col("length"))
+    AuditModel.envelope(raw, host)
+  }
+
+  /** R15 metrics: running files/bytes/time counters (reference
+    * CommonJobMgmt.java:21-30 AtomicLongs, exposed over JMX; here fed by
+    * `observe()` rows via a StreamingQueryListener).
+    */
+  final class IngestMetrics extends StreamingQueryListener {
+    val filesCount = new AtomicLong
+    val filesSize = new AtomicLong
+    val processingTimeMs = new AtomicLong
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val om = e.progress.observedMetrics
+      if (om.containsKey("audit_ingest")) {
+        val row = om.get("audit_ingest")
+        filesCount.addAndGet(row.getAs[Long]("n_files"))
+        filesSize.addAndGet(Option(row.getAs[java.lang.Long]("n_bytes")).map(_.toLong).getOrElse(0L))
+      }
+      processingTimeMs.addAndGet(
+        Option(e.progress.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+    }
+  }
+
+  /** Streaming ingest over the settled dir. Per microbatch:
+    *  - complete files → parquet "topic mirror" (partitioned by batch id,
+    *    overwritten on replay ⇒ idempotent / effectively exactly-once);
+    *  - malformed files → DLQ table with a reason column (R13 without the
+    *    reference's infinite requeue — the settle gate already ensured
+    *    the writer closed, so incomplete here means truncated-for-good);
+    *  - source files deleted only after both writes return (R14).
+    */
+  def startStream(
+      spark: SparkSession,
+      ingestDir: String, mirrorDir: String, dlqDir: String,
+      checkpointDir: String, host: String,
+      triggerMs: Long = 500, maxFilesPerTrigger: Int = 512,
+      deleteSource: Boolean = true): StreamingQuery = {
+
+    val raw = spark.readStream.format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.xml")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(ingestDir)
+      .select(
+        col("value").as("payload"),
+        col("_metadata.file_path").as("path"),
+        col("_metadata.file_modification_time").as("mtime"),
+        col("_metadata.file_size").as("length"))
+
+    val env = AuditModel.envelope(raw, host)
+      .observe("audit_ingest",
+        count(lit(1)).as("n_files"),
+        sum(col("src_bytes")).as("n_bytes"))
+
+    env.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(col("complete"))
+            .drop("complete")
+            .write.mode("overwrite")
+            .parquet(s"$mirrorDir/batch=$batchId")
+          b.filter(!col("complete"))
+            .withColumn("reason", lit("incomplete: missing </Audit> terminator"))
+            .write.mode("overwrite")
+            .parquet(s"$dlqDir/batch=$batchId")
+          if (deleteSource) {
+            b.select("src_file").collect().foreach { r =>
+              val p = r.getString(0).stripPrefix("file:")
+              Files.deleteIfExists(Paths.get(p)) // idempotent on replay
+            }
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** The (key, value) frame a Kafka sink would receive — the mirror holds
+    * the identical frame, so tests assert sink-contract parity without a
+    * broker (SURVEY §2.2 Q4). With a real cluster this becomes
+    * `.writeStream.format("kafka").options(cfg.kafkaSinkOptions)`.
+    */
+  def kafkaFrame(mirror: DataFrame): DataFrame =
+    mirror.select(col("key"), col("value"))
+}

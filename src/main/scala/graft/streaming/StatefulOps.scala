@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators (SURVEY.md §2.2 Q36/Q38):
+  * the reference's malformed-file requeue (R13, KafkaJob.java:81-88)
+  * generalized into a keyed retry ledger with max-attempts eviction —
+  * the reference retries forever; we cap and route to a DLQ — plus
+  * watermark-based late-data splitting.
+  */
+object StatefulOps {
+
+  final case class Attempt(key: String, ok: Boolean, ts: java.sql.Timestamp)
+  final case class LedgerState(attempts: Int)
+  final case class LedgerOut(key: String, attempts: Int, outcome: String)
+
+  /** Keyed retry ledger: emits `delivered` on first success, `dlq` once a
+    * key fails `maxAttempts` times. State is dropped on either terminal
+    * outcome, so the store stays bounded by in-flight keys only —
+    * the property that matters at 100 TB (state ∝ active keys, not
+    * history).
+    */
+  def retryLedger(attempts: Dataset[Attempt], maxAttempts: Int): Dataset[LedgerOut] = {
+    import attempts.sparkSession.implicits._
+    attempts
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Attempt], state: GroupState[LedgerState]) => {
+          val prior = state.getOption.getOrElse(LedgerState(0))
+          var n = prior.attempts
+          var out = List.empty[LedgerOut]
+          var done = false
+          rows.foreach { a =>
+            if (!done) {
+              if (a.ok) { out ::= LedgerOut(key, n + 1, "delivered"); done = true }
+              else {
+                n += 1
+                if (n >= maxAttempts) { out ::= LedgerOut(key, n, "dlq"); done = true }
+              }
+            }
+          }
+          if (done) state.remove() else state.update(LedgerState(n))
+          out.reverseIterator
+        })
+  }
+
+  /** Q38: split a watermarked stream into on-time and too-late branches
+    * inside foreachBatch — the late rows are exactly those the windowed
+    * aggregation upstream would silently drop; we route them to a DLQ
+    * table instead (R13's "requeue" made explicit and bounded).
+    */
+  def splitLate(batch: DataFrame, tsCol: String, watermark: java.sql.Timestamp): (DataFrame, DataFrame) = {
+    val onTime = batch.filter(col(tsCol) >= lit(watermark))
+    val late = batch.filter(col(tsCol) < lit(watermark))
+    (onTime, late)
+  }
+
+  /** Q33–Q35 in streaming form, used by the streaming spec: tumbling
+    * window + watermark over an event-shaped stream.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, lateness: String, win: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_val"))
+}
