@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Empirically 8g beats larger heaps here: this VM slows sharply when
+  // the JVM commits tens of GB (measured 3-20× on identical stages at
+  // -Xmx48g), so keep the heap small and let 32 threads share it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

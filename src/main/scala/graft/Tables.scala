@@ -17,6 +17,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Rebalance a scan before CPU-heavy per-row work (shingling, md5
+    * hashing, vector math). The fixture tables are single-row-group
+    * parquet files, so their scans yield ONE partition and per-row
+    * compute would serialize on one core regardless of cluster size; at
+    * full scale inputs arrive in many splits and this becomes a no-op.
+    * The round-robin shuffle moves only the scanned bytes, negligible
+    * next to the downstream compute it parallelizes.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

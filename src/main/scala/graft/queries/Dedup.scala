@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.ParityFns._
 import graft.functions.VectorFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
@@ -36,9 +36,23 @@ object Dedup {
     * docs with <3 tokens dropped (no shingles ⇒ can't participate).
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+    Tables.spread(Tables(s, d, "documents"))
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** All ordered pairs (fields `a` < `b`) from a SORTED array — the
+    * in-bucket candidate generator. Replaces a self-join: a bucket of k
+    * elements yields its k(k-1)/2 pairs in one pass with no second
+    * evaluation of the (expensive) upstream subtree and no extra shuffle.
+    * Same asymptotics as the join (pair count is quadratic in bucket size
+    * either way), but the input is evaluated once instead of twice.
+    * Elements may be structs (doc_id first so the sort orders by id);
+    * carrying the shingle payload through lets verification run join-free.
+    */
+  private def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** Shared DuckDB CTE prefix: tokenize → distinct 3-shingles per doc. */
   private val shingleCte =
@@ -84,18 +98,22 @@ object Dedup {
           concat_ws("_",
             transform(slice(col("sig"), k * BandRows + 1, BandRows), v => v.cast("string")))
         }
-        val bands = sig.select(col("doc_id"),
+        // Carry the shingle set through the band shuffle (≈NumBands× the
+        // doc payload) so candidate verification needs NO join back to
+        // the corpus — the whole scan→shingle→sig subtree is evaluated
+        // exactly once.
+        val bands = sig.select(col("doc_id"), col("sh"),
           posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
-        val x = bands.as("x"); val y = bands.as("y")
-        val cand = x.join(y,
-            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val sets = docs.select(col("doc_id"), col("sh"))
-        cand
-          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        bands
+          .groupBy(col("band"), col("bsig"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(sortedPairs(col("ids"))).as("p"))
+          .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+            col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
+          // a pair can match in several bands — verify it once
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
           .withColumn("jac",
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b"))))
@@ -133,7 +151,7 @@ object Dedup {
     //      (doc, token) and (doc, bit) group-bys at scale.
     "q42_dedup_simhash" -> Q(
       (s, d) => {
-        val tok = Tables(s, d, "documents")
+        val tok = Tables.spread(Tables(s, d, "documents"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         val tc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
         val th = tc.withColumn("h", hash32(col("w")))
@@ -164,15 +182,20 @@ object Dedup {
     //      docs that actually share a shingle).
     "q43_ngram_jaccard" -> Q(
       (s, d) => {
-        val e = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
-        val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = e.as("a")
-          .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // Carry each doc's shingle COUNT through the inverted index (one
+        // int per posting) so the Jaccard denominator needs no join back
+        // to the corpus: one evaluation of the shingle subtree, two
+        // shuffles total (posting-list groupBy, pair groupBy).
+        val docs = shingled(s, d)
+        val e = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+          explode(col("sh")).as("s"))
+        e.groupBy(col("s"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(sortedPairs(col("ids"))).as("p"))
+          .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+            col("p.a.n").as("na"), col("p.b.n").as("nb"))
           .agg(count(lit(1)).as("c"))
-        inter
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
           .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
           .filter(col("jac") >= 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
@@ -192,7 +215,7 @@ object Dedup {
     //      threshold comparison sees identical doubles.
     "q44_embed_neardup" -> Q(
       (s, d) => {
-        val e = Tables(s, d, "embeddings")
+        val e = Tables.spread(Tables(s, d, "embeddings"))
           .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))

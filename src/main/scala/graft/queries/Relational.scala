@@ -427,6 +427,43 @@ object Relational {
              |  SELECT o_custkey, 'big' AS tag FROM orders WHERE o_totalprice > 300000)
              |GROUP BY tag""".stripMargin)),
 
+    // ---- Q30: map function family (props JSON → MapType, then key/value
+    //      ops; map_concat adds a synthetic key to exercise construction)
+    "q28_maps" -> Q(
+      (s, d) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
+        Tables(s, d, "events").select(
+          col("event_id"),
+          size(map_keys(m)).as("n_keys"),
+          array_contains(map_keys(m), "k").as("has_k"),
+          element_at(m, "k").as("k_val"),
+          size(map_concat(m, map(lit("x"), lit(-1)))).as("n_concat"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+             |  list_contains(json_keys(props), 'k') AS has_k,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+             |  CAST(len(json_keys(props)) + 1 AS INT) AS n_concat
+             |FROM events""".stripMargin)),
+
+    // ---- Q19: GROUPING SETS via the SQL surface (rollup/cube's general
+    //      form; also exercises spark.sql over registered views)
+    "q29_grouping_sets" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                |  coalesce(o_orderpriority, 'ALL') AS priority,
+                |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
+                |FROM orders_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
     // ---- R15 generalized: audit-style summary (min/max/first activity)
     "q27_audit_summary" -> Q(
       (s, d) => {

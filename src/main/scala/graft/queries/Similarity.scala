@@ -29,7 +29,7 @@ object Similarity {
   val Probes = 2
 
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings")
+    Tables.spread(Tables(s, d, "embeddings"))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
   /** SQL fragment: cosine between two DOUBLE-list columns. */

@@ -32,7 +32,7 @@ object TextAnalysis {
         val toks = split(col("text"), " ")
         val scoreCols = Seq(col("doc_id"), col("lang")) ++
           markers.map { case (l, ws) => markerCount(toks, ws).as(s"s_$l") }
-        val scored = Tables(s, d, "documents").select(scoreCols: _*)
+        val scored = Tables.spread(Tables(s, d, "documents")).select(scoreCols: _*)
         val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
             && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
@@ -71,7 +71,7 @@ object TextAnalysis {
         val nStop = size(filter(toks, t => t === "the" || t === "a"))
         val stopRatio = nStop.cast("double") / nTok
         val score = least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio)
-        Tables(s, d, "documents").select(
+        Tables.spread(Tables(s, d, "documents")).select(
           col("doc_id"),
           length(col("text")).as("n_chars"),
           nTok.as("n_tokens"),
@@ -109,7 +109,7 @@ object TextAnalysis {
     //      (collision-key canonicalization — whitespace/order insensitive).
     "q63_fingerprint" -> Q(
       (s, d) => {
-        Tables(s, d, "documents").select(
+        Tables.spread(Tables(s, d, "documents")).select(
           col("doc_id"),
           md5(concat_ws(" ",
             array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))

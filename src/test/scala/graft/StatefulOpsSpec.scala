@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{Attempt, LedgerOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Q36 stateful streaming: the retry ledger (R13 generalized with
+  * max-attempts eviction) driven through MemoryStream microbatches.
+  */
+class StatefulOpsSpec extends SparkSuite {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("retry ledger: delivery, dlq after max attempts, state dropped on terminal outcome") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[Attempt]
+    val q = StatefulOps.retryLedger(in.toDS(), maxAttempts = 3)
+      .writeStream.format("memory").queryName("ledger")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a fails twice (stays in flight), b succeeds immediately
+      in.addData(
+        Attempt("a", ok = false, ts(1)), Attempt("a", ok = false, ts(2)),
+        Attempt("b", ok = true, ts(1)))
+      q.processAllAvailable()
+      val r1 = spark.table("ledger").as[LedgerOut].collect()
+      assert(r1.toSet == Set(LedgerOut("b", 1, "delivered")))
+
+      // batch 2: a's third failure → dlq; c delivered on 2nd attempt
+      in.addData(
+        Attempt("a", ok = false, ts(3)),
+        Attempt("c", ok = false, ts(3)), Attempt("c", ok = true, ts(4)))
+      q.processAllAvailable()
+      val r2 = spark.table("ledger").as[LedgerOut].collect().toSet
+      assert(r2 == Set(
+        LedgerOut("b", 1, "delivered"),
+        LedgerOut("a", 3, "dlq"),
+        LedgerOut("c", 2, "delivered")))
+
+      // batch 3: a reappears AFTER terminal outcome — state was dropped,
+      // so it counts from zero again (bounded-state property)
+      in.addData(Attempt("a", ok = true, ts(5)))
+      q.processAllAvailable()
+      val r3 = spark.table("ledger").as[LedgerOut].collect()
+      assert(r3.count(o => o.key == "a" && o.outcome == "delivered" && o.attempts == 1) == 1)
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StatefulOps.windowedCounts(events, "ts", "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("wins")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(35), "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first two windows
+      in.addData((ts(300), "click", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("wins")
+        .select("w_start", "event_type", "n", "sum_val").as[(Timestamp, String, Long, Double)]
+        .collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(30), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("splitLate routes rows strictly before the watermark to the late branch") {
+    import spark.implicits._
+    val batch = Seq((ts(1), "x"), (ts(10), "y"), (ts(20), "z"))
+      .toDF("ts", "k")
+    val (onTime, late) = StatefulOps.splitLate(batch, "ts", ts(10))
+    assert(onTime.select("k").as[String].collect().toSet == Set("y", "z"))
+    assert(late.select("k").as[String].collect().toSet == Set("x"))
+  }
+}
