@@ -1,0 +1,29 @@
+package graft.plans
+
+import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers the engine's native Catalyst
+  * expressions so they are callable from both the Column API
+  * (`call_function`) and SQL. Wire up with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - sequential-fold dot product of two array<double>"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - single-pass cosine similarity of two array<double>"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}

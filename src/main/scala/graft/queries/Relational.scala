@@ -478,6 +478,68 @@ object Relational {
       Some("""SELECT user_id, count(*) AS n_err,
              |  epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms,
              |  round(sum(value), 4) AS err_value
-             |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin))
+             |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin)),
+
+    // ---- Q44: typed UDAF via Aggregator (quantity-weighted mean price;
+    //      partial aggregation via reduce/merge, so it map-side combines
+    //      like any built-in agg)
+    "q36_udaf_wavg" -> Q(
+      (s, d) => {
+        val wavg = udaf(graft.functions.Aggregators.WeightedAvg,
+          org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.WPoint])
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- Q44: UDTF-style generator via typed Dataset.flatMap (documents
+    //      → one row per token with its 1-based position)
+    "q37_udtf_tokens" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            text.split(" ").iterator.zipWithIndex.map { case (t, i) => (id, i + 1, t) }
+          }
+          .toDF("doc_id", "pos", "token")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
+             |  unnest(string_split(text, ' ')) AS token
+             |FROM documents""".stripMargin)),
+
+    // ---- Q13: range/interval join — events against literal weekly
+    //      windows; the 5-row window table broadcasts so the non-equi
+    //      condition never shuffles the fact side
+    "q38_range_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val wins = (1 to 5).map { i =>
+          (s"w$i", s"2024-01-${"%02d".format(1 + (i - 1) * 7)}",
+            if (i == 5) "2024-02-01" else s"2024-01-${"%02d".format(1 + i * 7)}")
+        }.toDF("win", "lo", "hi")
+          .select(col("win"), col("lo").cast("timestamp"), col("hi").cast("timestamp"))
+        Tables(s, d, "events")
+          .join(broadcast(wins), col("ts") >= col("lo") && col("ts") < col("hi"))
+          .groupBy(col("win"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
+      },
+      Some {
+        val rows = (1 to 5).map { i =>
+          val lo = "2024-01-%02d".format(1 + (i - 1) * 7)
+          val hi = if (i == 5) "2024-02-01" else "2024-01-%02d".format(1 + i * 7)
+          s"('w$i', TIMESTAMP '$lo', TIMESTAMP '$hi')"
+        }.mkString(", ")
+        s"""WITH wins(win, lo, hi) AS (VALUES $rows)
+           |SELECT win, count(*) AS n, round(sum(value), 4) AS sum_val
+           |FROM events JOIN wins ON ts >= lo AND ts < hi
+           |GROUP BY win""".stripMargin
+      })
   )
 }

@@ -48,7 +48,7 @@ object Similarity {
           .orderBy(col("cos").desc, col("n_id").asc)
         e.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine(col("qv"), col("v")).as("cos"))
+            cosine(s, col("qv"), col("v")).as("cos"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= TopK)
           .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
@@ -73,7 +73,7 @@ object Similarity {
         val wAsg = Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("c_id").asc)
         val assign = e.crossJoin(broadcast(cents))
-          .withColumn("ccos", cosine(col("v"), col("cv")))
+          .withColumn("ccos", cosine(s, col("v"), col("cv")))
           .withColumn("rn", row_number().over(wAsg))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("c_id"), col("v"))
@@ -83,7 +83,7 @@ object Similarity {
         val probes = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
           .crossJoin(broadcast(cents))
-          .withColumn("qcos", cosine(col("qv"), col("cv")))
+          .withColumn("qcos", cosine(s, col("qv"), col("cv")))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= Probes)
           .select(col("q_id"), col("qv"), col("c_id"))
@@ -93,7 +93,7 @@ object Similarity {
         probes.join(assign, "c_id")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine(col("qv"), col("v")).as("cos"))
+            cosine(s, col("qv"), col("v")).as("cos"))
           .withColumn("rk", row_number().over(wTop))
           .filter(col("rk") <= TopK)
           .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))

@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+
+/** Native codegen vector expressions vs the interpreted HOF formulation:
+  * must agree bit-for-bit (same sequential fold), and handle NULL /
+  * length-mismatch the same way.
+  */
+class VectorExprSpec extends SparkSuite {
+
+  test("native dot and cosine are bit-identical to the HOF formulation") {
+    val e = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+    val pairs = e.select(col("vec_id").as("ida"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("idb"), col("v").as("vb")),
+        col("ida") === col("idb") - 1)
+    val diff = pairs.select(
+        VectorFns.dot(spark, col("va"), col("vb")).as("d_native"),
+        VectorFns.dotHof(col("va"), col("vb")).as("d_hof"),
+        VectorFns.cosine(spark, col("va"), col("vb")).as("c_native"),
+        VectorFns.cosineHof(col("va"), col("vb")).as("c_hof"))
+      .filter(col("d_native") =!= col("d_hof") || col("c_native") =!= col("c_hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("native expressions are registered and usable from SQL") {
+    assert(VectorFns.nativeAvailable(spark))
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c," +
+        " graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("null and length-mismatch semantics match zip_with padding") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS mismatch," +
+        " graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nul").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
