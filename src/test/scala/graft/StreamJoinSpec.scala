@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** SURVEY.md §2.2 Q37: stream-static enrichment and stream-stream join
+  * within a watermark, and Q25's streaming exact dedup
+  * (dropDuplicatesWithinWatermark).
+  */
+class StreamJoinSpec extends SparkSuite {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("stream-static join enriches a stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val enriched = in.toDF().toDF("ts", "user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 1L, 10.0), (ts(2), 2L, 20.0), (ts(3), 9L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (9L, None)))
+    } finally q.stop()
+  }
+
+  test("stream-stream inner join correlates within the watermark window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "item").withWatermark("c_ts", "10 seconds")
+    val v = views.toDF().toDF("v_ts", "v_item").withWatermark("v_ts", "10 seconds")
+    val joined = c.join(v,
+      col("item") === col("v_item") &&
+        col("v_ts") >= col("c_ts") && col("v_ts") <= col("c_ts") + expr("interval 5 seconds"))
+    val q = joined.writeStream.format("memory").queryName("joined")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((ts(10), 1L), (ts(10), 2L))
+      views.addData((ts(12), 1L), (ts(30), 2L)) // 2L's view is outside +5s
+      q.processAllAvailable()
+      clicks.addData((ts(100), 99L)); views.addData((ts(100), 98L)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("joined").select("item").as[Long].collect().toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a keyed stream across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String)]
+    val deduped = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      in.addData((ts(4), "a"), (ts(5), "c")) // "a" still within watermark → dropped
+      q.processAllAvailable()
+      val ks = spark.table("deduped").select("k").as[String].collect().toSeq.sorted
+      assert(ks == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+}
