@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.config.A2Config
+import graft.functions.Gzip
+import graft.sinks.ShipSinks
+import org.apache.spark.sql.functions._
+
+/** R17 config load/validation parity and the R11/R12 sink seams. */
+class ConfigSinkSpec extends SparkSuite {
+
+  private val base = Map(
+    "a2.watched.path" -> "/tmp/audit",
+    "a2.kafka.servers" -> "broker:9092",
+    "a2.kafka.topic" -> "audit",
+    "a2.kafka.client.id" -> "graft-1")
+
+  test("kafka config maps a2.* keys 1:1 onto sink options") {
+    val cfg = A2Config.fromProperties(base ++ Map(
+      "a2.kafka.batch.size" -> "65536", "a2.kafka.linger.ms" -> "50"))
+    val opts = cfg.kafkaSinkOptions
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("topic") == "audit")
+    assert(opts("kafka.compression.type") == "gzip") // reference default on
+    assert(opts("kafka.batch.size") == "65536")
+    assert(opts("kafka.linger.ms") == "50")
+  }
+
+  test("worker count clamps like the reference (default 16, cap 150)") {
+    assert(A2Config.fromProperties(base + ("a2.worker.count" -> "0")).workerCount == 16)
+    assert(A2Config.fromProperties(base + ("a2.worker.count" -> "500")).workerCount == 150)
+    assert(A2Config.fromProperties(base + ("a2.worker.count" -> "32")).workerCount == 32)
+  }
+
+  test("validation fails fast on bad broker / missing mandatory keys") {
+    intercept[IllegalArgumentException] {
+      A2Config.fromProperties(base + ("a2.target.broker" -> "pulsar"))
+    }
+    intercept[IllegalArgumentException] {
+      A2Config.fromProperties(Map("a2.watched.path" -> "/tmp/x")) // no kafka keys
+    }
+    intercept[IllegalArgumentException] {
+      A2Config.fromProperties(base - "a2.watched.path")
+    }
+  }
+
+  test("properties file round-trip") {
+    val f = Files.createTempFile("a2", ".conf")
+    Files.writeString(f,
+      "a2.watched.path=/tmp/audit\na2.worker.count=32\n" +
+        "a2.kafka.servers=b:9092\na2.kafka.topic=t\na2.kafka.client.id=c\n" +
+        "a2.locked.file.query.interval=512\n")
+    val cfg = A2Config.fromFile(f.toString)
+    assert(cfg.workerCount == 32 && cfg.pollIntervalMs == 512L)
+  }
+
+  test("kinesis frame gzips only above the threshold, round-trips") {
+    import spark.implicits._
+    val cfg = A2Config.fromProperties(base + ("a2.target.broker" -> "kinesis")
+      - "a2.kafka.servers" - "a2.kafka.topic" - "a2.kafka.client.id")
+    val df = Seq(("k1", "small"), ("k2", "y" * 2000)).toDF("key", "value")
+    val out = ShipSinks.kinesisFrame(df, cfg)
+      .select(col("key"), col("value")).as[(String, Array[Byte])].collect().toMap
+    assert(!Gzip.isCompressed(out("k1")))
+    assert(Gzip.isCompressed(out("k2")))
+    assert(new String(Gzip.decompress(out("k2")), "UTF-8") == "y" * 2000)
+  }
+}
