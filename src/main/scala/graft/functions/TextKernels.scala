@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the native text-dedup expressions. Each is the
+  * exact algorithm of the HOF formulation it replaces (and of the DuckDB
+  * oracle SQL), just evaluated as straight-line Java instead of
+  * per-element interpreted lambdas:
+  *
+  * - shingles3: whitespace tokens → distinct word 3-shingles in
+  *   first-occurrence order (= split + transform/slice/concat_ws +
+  *   array_distinct).
+  * - hashModP: md5 hex → first 15 hex chars as a 60-bit integer → mod
+  *   P=2^31-1 (= conv(substring(md5(x),1,15),16,10) % P).
+  * - minhashSig: 32 permutations (a·h+b) mod P folded to their minima
+  *   over a doc's shingle hashes (= 32 aggregate(..., least) HOFs).
+  */
+object TextKernels {
+
+  val P: Long = ParityFns.P
+  val NumHashes = 32
+
+  /** Canonical permutation constants, shared with the DuckDB oracle
+    * (interpolated as literals there).
+    */
+  val seeds: IndexedSeq[(Long, Long)] = (0 until NumHashes).map { j =>
+    val a = (2654435761L * (2 * j + 1)) % P
+    val b = (40503L * (j + 7) * 104729L) % P
+    (if (a == 0) 1L else a, b)
+  }
+  private val seedA: Array[Long] = seeds.map(_._1).toArray
+  private val seedB: Array[Long] = seeds.map(_._2).toArray
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5 as a long (60 bits), mod P. Equals the
+    * column formulation `conv(substring(md5(x),1,15),16,10) % P`: 15 hex
+    * digits are the first 7.5 bytes, i.e. the big-endian first-8-bytes
+    * value shifted right one nibble.
+    */
+  def hashModP(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v >>> 4) % P
+  }
+
+  /** Distinct word 3-shingles in first-occurrence order. Tokenization is
+    * `split(text, " ")` with Spark's limit=-1 semantics (trailing empty
+    * tokens kept), so parity with the HOF path holds even on irregular
+    * spacing.
+    */
+  def shingles3(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature (32 longs) from a shingle array: min over
+    * shingles of (a_j·hashModP(s) + b_j) mod P, init P — identical fold
+    * result to the 32-aggregate HOF formulation.
+    */
+  def minhashSig(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val sig = Array.fill[Long](NumHashes)(P)
+    var i = 0
+    while (i < n) {
+      val h = hashModP(shingles.getUTF8String(i))
+      var j = 0
+      while (j < NumHashes) {
+        val v = (seedA(j) * h + seedB(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

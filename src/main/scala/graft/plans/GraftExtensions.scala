@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, Shingles3}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - single-pass cosine similarity of two array<double>"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles3"),
+      info("graft_shingles3", "graft_shingles3(text) - distinct word 3-shingles of a string"),
+      (children: Seq[Expression]) => Shingles3(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles) - 32-permutation MinHash signature"),
+      (children: Seq[Expression]) => MinHashSig(children.head)))
   }
 }

@@ -23,22 +23,28 @@ object Dedup {
     * interpolated into the DuckDB oracle, so both engines use the same
     * permutations by construction.
     */
-  val NumHashes = 32
+  val NumHashes: Int = graft.functions.TextKernels.NumHashes
   val BandRows = 4                       // 8 bands × 4 rows
   val NumBands: Int = NumHashes / BandRows
-  val seeds: IndexedSeq[(Long, Long)] = (0 until NumHashes).map { j =>
-    val a = (2654435761L * (2 * j + 1)) % P
-    val b = (40503L * (j + 7) * 104729L) % P
-    (if (a == 0) 1L else a, b)
-  }
+  /** Canonical permutation constants — defined next to the native kernel
+    * so the codegen path, HOF fallback, and DuckDB oracle all share them.
+    */
+  val seeds: IndexedSeq[(Long, Long)] = graft.functions.TextKernels.seeds
+
+  private def native(s: SparkSession): Boolean =
+    s.catalog.functionExists("graft_shingles3")
 
   /** documents → (doc_id, sh: array<string> of distinct word 3-shingles),
     * docs with <3 tokens dropped (no shingles ⇒ can't participate).
+    * Native kernel when registered; bit-identical HOF fallback otherwise.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val sh = if (native(s)) call_function("graft_shingles3", col("text"))
+             else shingles3(col("text"))
     Tables.spread(Tables(s, d, "documents"))
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** All ordered pairs (fields `a` < `b`) from a SORTED array — the
     * in-bucket candidate generator. Replaces a self-join: a bucket of k
@@ -89,11 +95,17 @@ object Dedup {
     "q41_dedup_minhash" -> Q(
       (s, d) => {
         val docs = shingled(s, d)
-        val hv = docs.withColumn("hv", transform(col("sh"), x => hashModP(x)))
-        val sig = hv.withColumn("sig", array(seeds.map { case (a, b) =>
-          aggregate(col("hv"), lit(P),
-            (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(P)))
-        }: _*))
+        // 32-permutation signature: one native kernel pass when
+        // registered, else the 32-aggregate HOF fold (same result).
+        val sig = if (native(s))
+          docs.withColumn("sig", call_function("graft_minhash", col("sh")))
+        else {
+          val hv = docs.withColumn("hv", transform(col("sh"), x => hashModP(x)))
+          hv.withColumn("sig", array(seeds.map { case (a, b) =>
+            aggregate(col("hv"), lit(P),
+              (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(P)))
+          }: _*)).drop("hv")
+        }
         val bandCols = (0 until NumBands).map { k =>
           concat_ws("_",
             transform(slice(col("sig"), k * BandRows + 1, BandRows), v => v.cast("string")))
