@@ -34,6 +34,28 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → BIGINT SimHash fingerprint (zero-shuffle form of the
+  * token/bit group-by formulation).
+  */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.TextKernels.simhash($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
 /** shingles array<string> → array<long> MinHash signature (32 perms). */
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

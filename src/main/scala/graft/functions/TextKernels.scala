@@ -74,6 +74,49 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** First 8 hex chars of md5 as a long in [0, 2^32) — the column
+    * formulation `conv(substring(md5(x),1,8),16,10)`.
+    */
+  def hash32(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 4) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** SimHash fingerprint: per-token md5-based 32-bit hash, bit sums
+    * weighted by token frequency, sign → bit. One pass per row — the
+    * relational formulation needs two full-data shuffles ((doc, token)
+    * and (doc, bit) group-bys); this needs none, which is the difference
+    * at 100 TB. Integer bit-sums commute, so map iteration order cannot
+    * change the result.
+    */
+  def simhash(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { counts.merge(toks(i), 1L, _ + _); i += 1 }
+    val acc = new Array[Long](32)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = hash32(UTF8String.fromString(e.getKey))
+      val cnt = e.getValue
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) acc(j) += cnt else acc(j) -= cnt
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (acc(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
   /** MinHash signature (32 longs) from a shingle array: min over
     * shingles of (a_j·hashModP(s) + b_j) mod P, init P — identical fold
     * result to the 32-aggregate HOF formulation.

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, Shingles3}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, Shingles3, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(shingles) - 32-permutation MinHash signature"),
       (children: Seq[Expression]) => MinHashSig(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(text) - 32-bit frequency-weighted SimHash fingerprint"),
+      (children: Seq[Expression]) => SimHash(children.head)))
   }
 }

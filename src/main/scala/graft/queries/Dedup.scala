@@ -162,7 +162,12 @@ object Dedup {
     //      by token frequency. Map-side partial aggregation absorbs the
     //      (doc, token) and (doc, bit) group-bys at scale.
     "q42_dedup_simhash" -> Q(
-      (s, d) => {
+      (s, d) => if (native(s)) {
+        // zero-shuffle scalar form — the two group-bys below exist only
+        // to express the same fingerprint relationally
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
+      } else {
         val tok = Tables.spread(Tables(s, d, "documents"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         val tc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))

@@ -46,6 +46,28 @@ class TextKernelSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("native simhash equals the relational (token/bit group-by) formulation") {
+    import spark.implicits._
+    val docs = Tables(spark, sf(), "documents")
+    val native = docs.select(col("doc_id"),
+        call_function("graft_simhash", col("text")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val th = tc.withColumn("h", ParityFns.hash32(col("w")))
+    val relational = th
+      .select(col("doc_id"), col("h"), col("cnt"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as("sm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sm") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(lit(0L))).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == relational)
+  }
+
   test("empty and short texts yield empty shingle arrays") {
     val r = spark.sql(
       "SELECT size(graft_shingles3('a b')) AS s1, size(graft_shingles3('')) AS s2").head()
