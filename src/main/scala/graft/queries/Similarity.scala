@@ -69,14 +69,18 @@ object Similarity {
         val e = vecs(s, d)
         val cents = e.filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        // corpus → nearest centroid (cluster assignment)
-        val wAsg = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("c_id").asc)
+        // corpus → nearest centroid (cluster assignment). Argmax via a
+        // struct-max aggregation instead of a ranking window: partial
+        // (map-side) aggregation collapses the 8×corpus candidate rows
+        // BEFORE the shuffle, where the window formulation shuffles them
+        // all. Tie-break matches the oracle's (ccos DESC, c_id ASC):
+        // max of (ccos, -c_id) picks highest ccos then lowest c_id.
         val assign = e.crossJoin(broadcast(cents))
           .withColumn("ccos", cosine(s, col("v"), col("cv")))
-          .withColumn("rn", row_number().over(wAsg))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_id"), col("v"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_cid"))).as("m"),
+            first(col("v")).as("v"))
+          .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
         // queries → top-`Probes` centroids
         val wProbe = Window.partitionBy(col("q_id"))
           .orderBy(col("qcos").desc, col("c_id").asc)

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.StatefulOps
 import graft.streaming.StatefulOps.{Attempt, LedgerOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Q36 stateful streaming: the retry ledger (R13 generalized with
@@ -71,6 +72,32 @@ class StatefulOpsSpec extends SparkSuite {
         .collect().toSet
       assert(rows.contains((ts(0), "click", 2L, 3.0)))
       assert(rows.contains((ts(30), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session window groups events separated by < gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String)]
+    val sessions = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts 100s apart → two sessions for u1
+      in.addData((ts(10), "u1"), (ts(20), "u1"), (ts(120), "u1"))
+      q.processAllAvailable()
+      in.addData((ts(500), "zz")) // advance watermark to close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("s_start", "user", "n").as[(Timestamp, String, Long)]
+        .collect().filter(_._2 == "u1").toSet
+      assert(rows == Set((ts(10), "u1", 2L), (ts(120), "u1", 1L)))
     } finally q.stop()
   }
 
