@@ -32,6 +32,22 @@ object Multimodal {
       },
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
              |  lang, source, n_chars
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- batched decode → feature frame (the stubbed-codec pipeline as
+    //      a catalog entry; rows-only check — the 16-bucket byte
+    //      histogram has no tractable SQL oracle, its determinism is
+    //      asserted in FunctionsSpec instead)
+    "q71_media_features" -> Q(
+      (s, d) => {
+        val media = graft.operators.MediaPipeline.documentsAsMedia(
+          Tables.spread(Tables(s, d, "documents")))
+        graft.operators.MediaPipeline.extractFeatures(media)
+          .toDF()
+          .select(col("id"), col("kind"), col("n_bytes"),
+            element_at(col("histogram"), 7).as("bucket6"),
+            col("fake_width"), col("fake_height"))
+      },
+      None)
   )
 }

@@ -27,6 +27,7 @@ object Similarity {
   val NumQueries = 5
   val TopK = 5
   val Probes = 2
+  val NumPlanes = 8
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables(s, d, "embeddings"))
@@ -119,6 +120,53 @@ object Similarity {
               |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
               |  SELECT *, row_number() OVER (PARTITION BY q_id
               |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- LSH-bucketed ANN: sign of dot against NumPlanes deterministic
+    //      "hyperplanes" (corpus vectors NumCentroids..NumCentroids+7 —
+    //      no RNG, so the oracle replicates the buckets exactly) → 8-bit
+    //      bucket id; queries search ONLY their own bucket, ~1/2^8 of
+    //      the corpus in expectation. Bucket assignment broadcasts the
+    //      planes and map-side combines the sign bits before its shuffle.
+    "q52_ann_lsh" -> Q(
+      (s, d) => {
+        val e = vecs(s, d)
+        val planes = e
+          .filter(col("vec_id") >= NumCentroids && col("vec_id") < NumCentroids + NumPlanes)
+          .select(col("vec_id").as("p_id"), col("v").as("pv"))
+        val asg = e.crossJoin(broadcast(planes))
+          .select(col("vec_id"), col("v"),
+            (when(dot(s, col("v"), col("pv")) > 0, lit(1L)).otherwise(lit(0L)) *
+              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p_id - $NumCentroids AS INT))")).as("term"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("term")).as("bucket"), first(col("v")).as("v"))
+        val q = asg.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        q.join(asg, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine(s, col("qv"), col("v")).as("cos"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= TopK)
+          .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |p AS (SELECT vec_id AS p_id, v AS pv FROM e
+              |      WHERE vec_id >= $NumCentroids AND vec_id < ${NumCentroids + NumPlanes}),
+              |asg AS (SELECT e.vec_id,
+              |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN 1 ELSE 0 END
+              |      * (CAST(1 AS BIGINT) << CAST(p.p_id - $NumCentroids AS INT))) AS BIGINT) AS bucket
+              |  FROM e CROSS JOIN p GROUP BY e.vec_id),
+              |q AS (SELECT a.vec_id AS q_id, e.v AS qv, a.bucket
+              |      FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < $NumQueries),
+              |c AS (SELECT a.vec_id, e.v, a.bucket FROM asg a JOIN e ON e.vec_id = a.vec_id),
+              |sc AS (SELECT q.q_id, c.vec_id AS n_id, ${sqlCos("q.qv", "c.v")} AS cos
+              |       FROM q JOIN c ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+              |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin))
   )
 }

@@ -117,6 +117,21 @@ object TextAnalysis {
       Some("""SELECT doc_id,
              |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
              |FROM documents""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- corpus term frequency: top-20 tokens (classic tf; partial
+    //      aggregation absorbs the explode before the shuffle)
+    "q64_tf_topterms" -> Q(
+      (s, d) => {
+        Tables.spread(Tables(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token").asc)
+          .limit(20)
+      },
+      Some("""SELECT token, count(*) AS tf FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin))
   )
 }
