@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(text) - 32-bit frequency-weighted SimHash fingerprint"),
       (children: Seq[Expression]) => SimHash(children.head)))
+    e.injectOptimizerRule(_ => RewriteVectorHofs)
   }
 }

@@ -33,6 +33,28 @@ class VectorExprSpec extends SparkSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("optimizer rule rewrites HOF dot/cosine into the native expressions") {
+    val e = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+      .limit(20)
+    val pairs = e.select(col("vec_id").as("ida"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("idb"), col("v").as("vb")),
+        col("ida") === col("idb") - 1)
+    // written with the portable HOF forms — no call_function anywhere
+    val df = pairs.select(
+      VectorFns.cosineHof(col("va"), col("vb")).as("c"),
+      VectorFns.dotHof(col("va"), col("vb")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_cosine"), optimized)
+    assert(optimized.contains("graft_dot"), optimized)
+    assert(!optimized.contains("aggregate("), optimized)
+    // and the rewritten plan still computes the same values
+    val viaNative = pairs.select(
+      VectorFns.cosine(spark, col("va"), col("vb")).as("c"),
+      VectorFns.dot(spark, col("va"), col("vb")).as("d"))
+    assert(df.collect().map(_.toSeq).toSeq == viaNative.collect().map(_.toSeq).toSeq)
+  }
+
   test("null and length-mismatch semantics match zip_with padding") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS mismatch," +
