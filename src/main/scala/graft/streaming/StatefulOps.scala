@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming operators (SURVEY.md §2.2 Q36/Q38):
   * the reference's malformed-file requeue (R13, KafkaJob.java:81-88)
@@ -44,6 +44,51 @@ object StatefulOps {
           if (done) state.remove() else state.update(LedgerState(n))
           out.reverseIterator
         })
+  }
+
+  final case class FileObs(file: String, size: Long)
+  final case class SettledFile(file: String, size: Long, polls: Int)
+  final case class SizeSeen(size: Long, polls: Int)
+
+  /** R5 as modern arbitrary state (transformWithState, the Q36
+    * `transformWithState` half): per-file poll observations stream in;
+    * a file is emitted as settled once its size is unchanged between two
+    * consecutive polls (the portable analogue of "the writer closed
+    * it"). State is one (size, polls) pair per in-flight file, removed
+    * on emission — bounded by open files, not history. Requires the
+    * RocksDB state store provider.
+    */
+  final class SettleProcessor extends StatefulProcessor[String, FileObs, SettledFile] {
+    @transient private var seen: ValueState[SizeSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[SizeSeen](
+        "seen", Encoders.product[SizeSeen], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[FileObs], timers: TimerValues): Iterator[SettledFile] = {
+      var out = List.empty[SettledFile]
+      rows.foreach { obs =>
+        val prior = Option(seen.get())
+        prior match {
+          case Some(SizeSeen(sz, polls)) if sz == obs.size =>
+            out ::= SettledFile(key, sz, polls + 1)
+            seen.clear()
+          case Some(SizeSeen(_, polls)) =>
+            seen.update(SizeSeen(obs.size, polls + 1))
+          case None =>
+            seen.update(SizeSeen(obs.size, 1))
+        }
+      }
+      out.reverseIterator
+    }
+  }
+
+  /** Wire [[SettleProcessor]] over a keyed observation stream. */
+  def settleLedger(obs: Dataset[FileObs]): Dataset[SettledFile] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.file)
+      .transformWithState(new SettleProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Q38: split a watermarked stream into on-time and too-late branches

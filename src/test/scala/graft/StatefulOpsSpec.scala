@@ -75,6 +75,40 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState settle ledger emits files once size is stable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StatefulOps.{FileObs, SettledFile}
+
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[FileObs]
+    val q = StatefulOps.settleLedger(in.toDS())
+      .writeStream.format("memory").queryName("settled")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // poll 1: a growing, b first seen
+      in.addData(FileObs("a.xml", 100), FileObs("b.xml", 50))
+      q.processAllAvailable()
+      assert(spark.table("settled").count() == 0)
+      // poll 2: a still growing, b stable → b settles after 2 polls
+      in.addData(FileObs("a.xml", 180), FileObs("b.xml", 50))
+      q.processAllAvailable()
+      // poll 3: a stable now
+      in.addData(FileObs("a.xml", 180))
+      q.processAllAvailable()
+      val rows = spark.table("settled").as[SettledFile].collect().toSet
+      assert(rows == Set(SettledFile("b.xml", 50, 2), SettledFile("a.xml", 180, 3)))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session window groups events separated by < gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
