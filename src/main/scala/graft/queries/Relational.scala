@@ -514,6 +514,25 @@ object Relational {
              |  unnest(string_split(text, ' ')) AS token
              |FROM documents""".stripMargin)),
 
+    // ---- skew mitigation: two-stage salted aggregation. A handful of
+    //      hot keys (event_type has ~4 values over the whole corpus)
+    //      would hash a 100 TB shuffle onto 4 reducers; salting fans the
+    //      partial aggregation over 16×keys reducers, then the final
+    //      stage combines 16 rows per key. Result identical to a plain
+    //      groupBy (sums reassociate; doubles rounded like every other
+    //      aggregate here).
+    "q39_salted_agg" -> Q(
+      (s, d) => {
+        Tables(s, d, "events")
+          .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(16)))
+          .groupBy(col("event_type"), col("__salt"))
+          .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 4).as("sum_val"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_val
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- Q13: range/interval join — events against literal weekly
     //      windows; the 5-row window table broadcasts so the non-equi
     //      condition never shuffles the fact side
