@@ -514,6 +514,37 @@ object Relational {
              |  unnest(string_split(text, ' ')) AS token
              |FROM documents""".stripMargin)),
 
+    // ---- Q19 completeness: grouping_id over a cube
+    "q67_grouping_id" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("gid"))
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- Q17 completeness: collect_set (order-canonicalized to a string
+    //      so the hash compare is deterministic in both engines)
+    "q68_collect_set" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") < 200)
+          .groupBy(col("l_orderkey"))
+          .agg(concat_ws(",",
+            sort_array(collect_set(col("l_suppkey")))).as("supp_set"))
+      },
+      Some("""SELECT l_orderkey,
+             |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_set
+             |FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey""".stripMargin)),
+
     // ---- skew mitigation: two-stage salted aggregation. A handful of
     //      hot keys (event_type has ~4 values over the whole corpus)
     //      would hash a 100 TB shuffle onto 4 reducers; salting fans the

@@ -92,6 +92,34 @@ object Windowed {
              |SELECT user_id, epoch_ms(min(ts)) AS s_start,
              |  count(*) AS n_events, round(sum(value), 4) AS sum_val
              |FROM sess GROUP BY user_id, sid""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
+    //      and first/last over explicit frames
+    "q66_window_ranks" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(dense_rank() OVER w AS INT) AS drk,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS prk,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  first_value(o_totalprice) OVER w AS first_price,
+             |  last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND UNBOUNDED FOLLOWING) AS last_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
   )
 }
