@@ -114,7 +114,8 @@ object Relational {
       Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
              |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-             |GROUP BY c_custkey""".stripMargin)),
+             |GROUP BY c_custkey""".stripMargin),
+      headline = true),
 
     // ---- Q11: left semi join (EXISTS)
     "q06_semi_join" -> Q(
@@ -189,7 +190,8 @@ object Relational {
              |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |  JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin)),
+             |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin),
+      headline = true),
 
     // ---- Q20/Q23: ranking window → per-group top-k
     "q12_window_topk" -> Q(
@@ -495,7 +497,8 @@ object Relational {
       Some("""SELECT l_returnflag,
              |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
              |  count(*) AS n
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      headline = true),
 
     // ---- Q44: UDTF-style generator via typed Dataset.flatMap (documents
     //      → one row per token with its 1-based position)
@@ -562,7 +565,8 @@ object Relational {
           .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 4).as("sum_val"))
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_val
-             |FROM events GROUP BY event_type""".stripMargin)),
+             |FROM events GROUP BY event_type""".stripMargin),
+      headline = true),
 
     // ---- Q13: range/interval join — events against literal weekly
     //      windows; the 5-row window table broadcasts so the non-equi
@@ -590,6 +594,7 @@ object Relational {
            |SELECT win, count(*) AS n, round(sum(value), 4) AS sum_val
            |FROM events JOIN wins ON ts >= lo AND ts < hi
            |GROUP BY win""".stripMargin
-      })
+      },
+      headline = true)
   )
 }

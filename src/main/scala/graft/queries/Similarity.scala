@@ -167,6 +167,7 @@ object Similarity {
               |       FROM q JOIN c ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
               |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
               |  SELECT *, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin))
+              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin),
+      headline = true)
   )
 }

@@ -58,7 +58,8 @@ object TextAnalysis {
            |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
            |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS is_match
            |FROM scored""".stripMargin
-      }),
+      },
+      headline = true),
 
     // ---- quality score: length/stopword-ratio features → [0,1] score.
     //      Intermediates stay unrounded so both engines compare the same
@@ -132,6 +133,7 @@ object TextAnalysis {
       },
       Some("""SELECT token, count(*) AS tf FROM (
              |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-             |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin))
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin),
+      headline = true)
   )
 }

@@ -89,6 +89,29 @@ class IngestSpec extends SparkSuite {
       .collect().toSet == Set("SCOTT", "HR"))
   }
 
+  test("ingest latency: file appearance → mirror commit (BASELINE target ≤ 2 s)") {
+    val ingest = tmpDir("lat_in"); val mirror = tmpDir("lat_mir")
+    val dlq = tmpDir("lat_dlq"); val ckpt = tmpDir("lat_ckpt")
+    val q = AuditIngest.startStream(spark, ingest.toString, mirror.toString,
+      dlq.toString, ckpt.toString, Host, triggerMs = 500)
+    try {
+      q.processAllAvailable() // drain the empty initial batch
+      val t0 = System.nanoTime()
+      writeXml(ingest, "orcl_ora_777_1.xml", complete = true)
+      var seen = false
+      while (!seen && (System.nanoTime() - t0) < 30e9) {
+        Thread.sleep(50)
+        seen = try spark.read.parquet(mirror.toString).count() > 0
+        catch { case _: Throwable => false }
+      }
+      val latencyMs = (System.nanoTime() - t0) / 1e6
+      info(f"file→mirror latency: $latencyMs%.0f ms (target ≤ 2000 ms on quiet hardware)")
+      assert(seen, "file never reached the mirror")
+      // loose bound: CI noise-tolerant; the measured value is the evidence
+      assert(latencyMs < 30000)
+    } finally q.stop()
+  }
+
   test("batch backlog scan (R1) produces the same envelope") {
     val dir = tmpDir("backlog")
     writeXml(dir, "orcl_ora_555_7.xml", complete = true)
