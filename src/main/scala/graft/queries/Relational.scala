@@ -548,6 +548,43 @@ object Relational {
              |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_set
              |FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey""".stripMargin)),
 
+    // ---- pivot: long → wide with an explicit (deterministic) value list
+    "q72_pivot" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_orderstatus").as("status"),
+            coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("high"),
+            coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+            coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("unspec"),
+            coalesce(col("5-LOW"), lit(0L)).as("low"))
+      },
+      Some("""SELECT o_orderstatus AS status,
+             |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+             |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+             |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+             |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspec,
+             |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- unpivot/melt: wide → long
+    "q73_unpivot" -> Q(
+      (s, d) => {
+        Tables(s, d, "customer")
+          .unpivot(
+            Array(col("c_custkey")),
+            Array(col("c_acctbal").as("acctbal"), col("c_nationkey").cast("double").as("nation")),
+            "metric", "val")
+      },
+      Some("""SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'nation' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+             |FROM customer""".stripMargin)),
+
     // ---- skew mitigation: two-stage salted aggregation. A handful of
     //      hot keys (event_type has ~4 values over the whole corpus)
     //      would hash a 100 TB shuffle onto 4 reducers; salting fans the
