@@ -548,6 +548,26 @@ object Relational {
              |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_set
              |FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey""".stripMargin)),
 
+    // ---- Q31 completeness: to_json / json_tuple round-trip. Each engine
+    //      parses its OWN serialization, so the compare is on parsed
+    //      values — engine-specific JSON formatting can't diverge it.
+    "q74_json_roundtrip" -> Q(
+      (s, d) => {
+        val j = to_json(struct(
+          col("event_type").as("t"), pmod(col("user_id"), lit(97)).as("v")))
+        Tables(s, d, "events")
+          .withColumn("j", j)
+          .select(col("event_id"),
+            json_tuple(col("j"), "t", "v").as(Seq("t", "v")))
+          .select(col("event_id"), col("t"), col("v").cast("long").as("v"))
+      },
+      Some("""WITH w AS (SELECT event_id,
+             |    to_json(struct_pack(t := event_type, v := user_id % 97)) AS j
+             |  FROM events)
+             |SELECT event_id, json_extract_string(j, '$.t') AS t,
+             |  CAST(json_extract_string(j, '$.v') AS BIGINT) AS v
+             |FROM w""".stripMargin)),
+
     // ---- pivot: long → wide with an explicit (deterministic) value list
     "q72_pivot" -> Q(
       (s, d) => {

@@ -57,6 +57,34 @@ class StreamJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left outer join emits unmatched rows after watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "item").withWatermark("c_ts", "5 seconds")
+    val v = views.toDF().toDF("v_ts", "v_item").withWatermark("v_ts", "5 seconds")
+    val joined = c.join(v,
+      col("item") === col("v_item") &&
+        col("v_ts") >= col("c_ts") && col("v_ts") <= col("c_ts") + expr("interval 5 seconds"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("louter")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((ts(10), 1L), (ts(10), 2L))
+      views.addData((ts(12), 1L))
+      q.processAllAvailable()
+      clicks.addData((ts(200), 99L)); views.addData((ts(200), 98L))
+      q.processAllAvailable()
+      val rows = spark.table("louter")
+        .select(col("item"), col("v_item").isNull.as("unmatched"))
+        .as[(Long, Boolean)].collect().toSet
+      assert(rows.contains((1L, false))) // matched within interval
+      assert(rows.contains((2L, true)))  // emitted as null-padded after close
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups a keyed stream across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
