@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, Shingles3, SimHash}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, MisraGriesTopK, Shingles3, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-extension entry point: registers the engine's native Catalyst
   * expressions so they are callable from both the Column API
@@ -37,6 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(text) - 32-bit frequency-weighted SimHash fingerprint"),
       (children: Seq[Expression]) => SimHash(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_mg_candidates"),
+      info("graft_mg_candidates",
+        "graft_mg_candidates(token, capacity) - Misra-Gries heavy-hitter candidate set"),
+      (children: Seq[Expression]) => {
+        val cap = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mg_candidates capacity must be an int literal, got $other")
+        }
+        MisraGriesTopK(children.head, cap)
+      }))
     e.injectOptimizerRule(_ => RewriteVectorHofs)
   }
 }

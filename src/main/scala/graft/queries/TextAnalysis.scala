@@ -134,6 +134,30 @@ object TextAnalysis {
       Some("""SELECT token, count(*) AS tf FROM (
              |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- heavy hitters at scale: Misra–Gries sketch → candidate set →
+    //      exact recount of candidates only. The sketch bounds state by
+    //      its capacity (not the token domain), and the exact pass makes
+    //      the answer deterministic — identical to the plain top-k the
+    //      oracle computes, by the MG frequency guarantee.
+    "q65_heavy_hitters" -> Q(
+      (s, d) => {
+        def toks = Tables.spread(Tables(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("token"))
+        val cand =
+          if (s.catalog.functionExists("graft_mg_candidates"))
+            toks.agg(call_function("graft_mg_candidates", col("token"), lit(4096)).as("c"))
+              .select(explode(col("c")).as("token"))
+          else toks.distinct() // fallback: exact candidate set
+        toks.join(broadcast(cand), Seq("token"), "left_semi")
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token").asc)
+          .limit(10)
+      },
+      Some("""SELECT token, count(*) AS tf FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 10""".stripMargin))
   )
 }
