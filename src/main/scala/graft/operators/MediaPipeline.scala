@@ -56,4 +56,37 @@ object MediaPipeline {
         lit("text/plain").as("kind"))
       .as[MediaRow]
   }
+
+  // ---- STUB codec verbs: each has the real Spark-side shape (schema,
+  // partition-local batching, deterministic output) with the actual
+  // codec call replaced by a byte-level fake, clearly marked. On a
+  // cluster with codecs installed only the marked line changes.
+
+  /** "Resize": deterministic byte-domain downsample to `target` bytes
+    * (stride sampling — stands in for pixel-domain resampling).
+    */
+  def resize(media: Dataset[MediaRow], target: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = r.content.length
+      val out =
+        if (n <= target) r.content
+        else Array.tabulate(target)(i => r.content((i.toLong * n / target).toInt)) // STUB: real impl = image resample
+      r.copy(content = out)
+    })
+  }
+
+  /** "Frame sample": split the payload into fixed-size pseudo-frames and
+    * keep every `stride`-th one (stands in for video frame extraction).
+    * Output schema carries (id, frame_no, frame bytes).
+    */
+  final case class MediaFrame(id: Long, frame_no: Int, frame: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.content.grouped(frameBytes).zipWithIndex // STUB: real impl = container demux
+        .collect { case (f, i) if i % stride == 0 => MediaFrame(r.id, i, f) }
+    }
+  }
 }

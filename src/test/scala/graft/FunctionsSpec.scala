@@ -76,6 +76,21 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("media resize bounds payloads; frame sampling keeps every stride-th frame") {
+    val docs = Tables(spark, sf(), "documents").limit(20)
+    val media = MediaPipeline.documentsAsMedia(docs)
+    val resized = MediaPipeline.resize(media, 64).collect()
+    assert(resized.forall(_.content.length <= 64))
+    // resize is deterministic: same input → same bytes
+    val again = MediaPipeline.resize(media, 64).collect()
+    assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+
+    val frames = MediaPipeline.sampleFrames(media, frameBytes = 32, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_no % 2 == 0))
+    assert(frames.forall(_.frame.length <= 32))
+  }
+
   // ---- Q43 media decode plumbing
   test("media pipeline extracts deterministic features in bounded batches") {
     val docs = Tables(spark, sf(), "documents").limit(100)
