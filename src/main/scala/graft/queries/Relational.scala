@@ -548,6 +548,43 @@ object Relational {
              |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_set
              |FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey""".stripMargin)),
 
+    // ---- exact percentiles (interpolated, same definition as DuckDB's
+    //      quantile_cont; deterministic because the sort is total)
+    "q75_percentiles" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+            round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+            round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+             |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- statistical aggregates (rounded to absorb summation-order ulps)
+    "q76_stats" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             |  round(var_samp(l_quantity), 4) AS var_qty,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- Q31 completeness: to_json / json_tuple round-trip. Each engine
     //      parses its OWN serialization, so the compare is on parsed
     //      values — engine-specific JSON formatting can't diverge it.
