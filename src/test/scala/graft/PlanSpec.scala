@@ -52,4 +52,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_cosine"))
     assert(!p.contains("zip_with"))
   }
+
+  // Whole-catalog audit: expensive join strategies may appear ONLY where
+  // the query's semantics require them. An accidental cartesian (from a
+  // dropped join condition) or nested loop (from a non-equi rewrite
+  // regression) anywhere else is a 100 TB outage, caught here at build.
+  private val intentionalCross = Set("q10_cross_join")
+  private val intentionalNestedLoop = Set(
+    "q08_theta_join", "q38_range_join",   // band/range conditions
+    "q44_embed_neardup",                  // all-pairs by design
+    "q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh", // broadcast corpus×queries
+    "q10_cross_join")
+
+  test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
+    val offenders = Catalog.all.keys.flatMap { name =>
+      val p = plan(name)
+      val cartesian = p.contains("CartesianProduct") && !intentionalCross(name)
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !intentionalNestedLoop(name)
+      if (cartesian || bnlj) Some(s"$name: cartesian=$cartesian bnlj=$bnlj") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
