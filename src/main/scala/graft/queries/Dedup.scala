@@ -89,9 +89,10 @@ object Dedup {
       headline = true),
 
     // ---- Q40: MinHash + LSH near-dup. Signatures are computed per-doc
-    //      with higher-order functions (no 32× row blow-up); only the
-    //      band→bucket join shuffles, on (band, signature) keys.
-    //      Candidates are then verified with exact Jaccard.
+    //      in one pass (native kernel / HOF fallback — no 32× row
+    //      blow-up); candidates come from per-bucket pair generation
+    //      after one (band, signature) shuffle, then exact-Jaccard
+    //      verification, join-free.
     "q41_dedup_minhash" -> Q(
       (s, d) => {
         val docs = shingled(s, d)
