@@ -642,6 +642,67 @@ object Relational {
              |SELECT c_custkey, 'nation' AS metric, CAST(c_nationkey AS DOUBLE) AS val
              |FROM customer""".stripMargin)),
 
+    // ---- Q26 extended string family
+    "q77_strings2" -> Q(
+      (s, d) => {
+        Tables(s, d, "part").filter(col("p_partkey") <= 500).select(
+          col("p_partkey"),
+          translate(col("p_brand"), "#", "-").as("brand_t"),
+          repeat(col("p_brand"), 2).as("brand2"),
+          reverse(col("p_brand")).as("brand_rev"),
+          instr(col("p_type"), "BRUSHED").as("pos_brushed"),
+          expr("left(p_name, 5)").as("name_l5"),
+          expr("right(p_type, 4)").as("type_r4"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+          ltrim(rtrim(concat(lit("  "), col("p_brand"), lit("  ")))).as("brand_trim"))
+      },
+      Some("""SELECT p_partkey,
+             |  translate(p_brand, '#', '-') AS brand_t,
+             |  repeat(p_brand, 2) AS brand2,
+             |  reverse(p_brand) AS brand_rev,
+             |  CAST(instr(p_type, 'BRUSHED') AS INT) AS pos_brushed,
+             |  left(p_name, 5) AS name_l5,
+             |  right(p_type, 4) AS type_r4,
+             |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+             |  ltrim(rtrim('  ' || p_brand || '  ')) AS brand_trim
+             |FROM part WHERE p_partkey <= 500""".stripMargin)),
+
+    // ---- bitwise aggregates
+    "q78_bit_aggs" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("bit_and(l_linenumber)").as("band"),
+            expr("bit_or(l_linenumber)").as("bor"),
+            expr("bit_xor(l_linenumber)").as("bxor"))
+      },
+      Some("""SELECT l_returnflag,
+             |  bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor,
+             |  bit_xor(l_linenumber) AS bxor
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- argmax/argmin + boolean/conditional aggregates (max_by keyed
+    //      on the unique o_orderkey so ties cannot occur)
+    "q79_arg_aggs" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            max_by(col("o_orderpriority"), col("o_orderkey")).as("last_prio"),
+            min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"),
+            count_if(col("o_totalprice") > 200000).as("n_big"),
+            expr("bool_or(o_totalprice > 400000)").as("any_huge"),
+            expr("bool_and(o_totalprice > 0)").as("all_positive"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  arg_max(o_orderpriority, o_orderkey) AS last_prio,
+             |  arg_min(o_orderpriority, o_orderkey) AS first_prio,
+             |  count(*) FILTER (o_totalprice > 200000) AS n_big,
+             |  bool_or(o_totalprice > 400000) AS any_huge,
+             |  bool_and(o_totalprice > 0) AS all_positive
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // ---- skew mitigation: two-stage salted aggregation. A handful of
     //      hot keys (event_type has ~4 values over the whole corpus)
     //      would hash a 100 TB shuffle onto 4 reducers; salting fans the
