@@ -642,6 +642,41 @@ object Relational {
              |SELECT c_custkey, 'nation' AS metric, CAST(c_nationkey AS DOUBLE) AS val
              |FROM customer""".stripMargin)),
 
+    // ---- Q24 completeness: INTERSECT ALL / EXCEPT ALL (bag semantics)
+    "q80_setops_all" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+        val n = li.filter(col("l_returnflag") === "N").select(col("l_suppkey"))
+        a.intersectAll(n).groupBy(col("l_suppkey")).agg(count(lit(1)).as("multiplicity"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS multiplicity FROM (
+             |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+             |  INTERSECT ALL
+             |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N')
+             |GROUP BY l_suppkey""".stripMargin)),
+
+    // ---- Q27 extended date/time family
+    "q81_datetime2" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders").filter(col("o_orderkey") <= 500).select(
+          col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          quarter(col("o_orderdate")).as("qtr"),
+          (dayofweek(col("o_orderdate"))).as("dow"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+             |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+             |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
+
     // ---- Q26 extended string family
     "q77_strings2" -> Q(
       (s, d) => {
