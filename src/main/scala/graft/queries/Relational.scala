@@ -642,6 +642,60 @@ object Relational {
              |SELECT c_custkey, 'nation' AS metric, CAST(c_nationkey AS DOUBLE) AS val
              |FROM customer""".stripMargin)),
 
+    // ---- SQL subquery surface: correlated scalar subquery (Catalyst
+    //      rewrites it to an aggregate + join under the hood)
+    "q82_scalar_subquery" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders_sq")
+        s.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+                |FROM orders_sq o
+                |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_sq
+                |                          WHERE o_orderstatus = o.o_orderstatus)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+             |FROM orders o
+             |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders
+             |                          WHERE o_orderstatus = o.o_orderstatus)""".stripMargin)),
+
+    // ---- IN / NOT IN subqueries (semi/anti-join rewrites from SQL)
+    "q83_in_subquery" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders_in")
+        Tables(s, d, "customer").createOrReplaceTempView("customer_in")
+        s.sql("""SELECT count(*) AS n_neg_cust_orders,
+                |  (SELECT count(*) FROM orders_in
+                |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_in)) AS n_orphans
+                |FROM orders_in
+                |WHERE o_custkey IN (SELECT c_custkey FROM customer_in WHERE c_acctbal < 0)""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_neg_cust_orders,
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+             |FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin)),
+
+    // ---- CTE chain through the SQL surface
+    "q84_cte" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_cte")
+        s.sql("""WITH rev AS (
+                |  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS r
+                |  FROM lineitem_cte GROUP BY l_orderkey),
+                |ranked AS (
+                |  SELECT l_orderkey, r, row_number() OVER (ORDER BY r DESC, l_orderkey) AS rk
+                |  FROM rev)
+                |SELECT l_orderkey, round(r, 2) AS revenue, CAST(rk AS INT) AS rk
+                |FROM ranked WHERE rk <= 25""".stripMargin)
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS r
+             |  FROM lineitem GROUP BY l_orderkey),
+             |ranked AS (
+             |  SELECT l_orderkey, r, row_number() OVER (ORDER BY r DESC, l_orderkey) AS rk
+             |  FROM rev)
+             |SELECT l_orderkey, round(r, 2) AS revenue, CAST(rk AS INT) AS rk
+             |FROM ranked WHERE rk <= 25""".stripMargin)),
+
     // ---- Q24 completeness: INTERSECT ALL / EXCEPT ALL (bag semantics)
     "q80_setops_all" -> Q(
       (s, d) => {
