@@ -58,9 +58,40 @@ object A2Config {
   val MaxWorkers = 150
   val DefaultPollMs = 1000L
 
-  private val passThroughKafkaKeys = Seq(
+  private[config] val passThroughKafkaKeys = Seq(
     "batch.size", "linger.ms", "acks", "max.request.size",
-    "buffer.memory", "retries", "security.protocol")
+    "buffer.memory", "retries", "security.protocol",
+    // production broker security surface (KafkaSingleton.java:94-105 is
+    // the reference subset; keystore/endpoint keys cover mutual TLS)
+    "ssl.truststore.location", "ssl.truststore.password",
+    "ssl.keystore.location", "ssl.keystore.password", "ssl.key.password",
+    "ssl.endpoint.identification.algorithm",
+    "sasl.mechanism", "sasl.jaas.config", "sasl.kerberos.service.name")
+
+  /** The reference's dedicated security property names
+    * (KafkaSingleton.java:94-105): `a2.kafka.security.protocol` =
+    * SSL|SASL_SSL expands into the producer's ssl/sasl keys, with
+    * the truststore under `a2.kafka.security.truststore.*` and the JAAS
+    * line under `a2.security.jaas.config` (SASL mechanism fixed PLAIN).
+    * Returned un-prefixed; `kafkaSinkOptions` adds the `kafka.` prefix.
+    */
+  private def securityOptions(get: String => Option[String]): Map[String, String] = {
+    def trust: Map[String, String] = Seq("location", "password").map { k =>
+      s"ssl.truststore.$k" -> get(s"a2.kafka.security.truststore.$k").getOrElse(
+        throw new IllegalArgumentException(
+          s"a2.kafka.security.truststore.$k is mandatory when a2.kafka.security.protocol is set"))
+    }.toMap
+    get("a2.kafka.security.protocol").map(_.toUpperCase) match {
+      case Some("SSL") =>
+        Map("security.protocol" -> "SSL") ++ trust
+      case Some("SASL_SSL") =>
+        Map("security.protocol" -> "SASL_SSL", "sasl.mechanism" -> "PLAIN") ++ trust ++
+          Map("sasl.jaas.config" -> get("a2.security.jaas.config").getOrElse(
+            throw new IllegalArgumentException(
+              "a2.security.jaas.config is mandatory for SASL_SSL")))
+      case _ => Map.empty // other protocols ride the generic passthrough
+    }
+  }
 
   def fromProperties(props: Map[String, String]): A2Config = {
     def get(k: String): Option[String] = props.get(k).map(_.trim).filter(_.nonEmpty)
@@ -83,7 +114,8 @@ object A2Config {
       kafkaClientId = get("a2.kafka.client.id"),
       kafkaCompression = get("a2.kafka.compression.type").getOrElse("gzip"),
       kafkaOptions = passThroughKafkaKeys
-        .flatMap(k => get(s"a2.kafka.$k").map(v => k -> v)).toMap,
+        .flatMap(k => get(s"a2.kafka.$k").map(v => k -> v)).toMap ++
+        securityOptions(get), // canonical security mapping wins on overlap
       kinesisSizeThreshold = get("a2.kinesis.file.size.threshold").map(_.toInt).getOrElse(512),
       kinesisMaxConnections = get("a2.kinesis.max.connections").map(_.toInt).getOrElse(1),
       kinesisRequestTimeoutMs = get("a2.kinesis.request.timeout").map(_.toInt).getOrElse(30000),

@@ -15,10 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Semantics match the HOF formulation exactly: sequential left-fold
   * summation (bit-identical doubles, which the DuckDB oracle's
-  * `list_dot_product` also uses), NULL if either array is NULL or
-  * lengths differ (zip_with pads with NULL, poisoning the sum, in the
-  * HOF version). Array elements are assumed non-NULL (embedding
-  * columns).
+  * `list_dot_product` also uses), NULL if either array is NULL, lengths
+  * differ, or ANY element is NULL (zip_with/the lambda product poison
+  * the fold with NULL in the HOF version). When both input types carry
+  * `containsNull = false` the per-element null check is elided at
+  * codegen time, so typed embedding columns keep the tight loop.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -36,21 +37,42 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  /** Per-element accumulation + finish, as Java source fragments for
-    * codegen AND a Scala closure pair for interpreted eval.
+  /** True iff either input's element type admits NULL slots — decides
+    * (statically, at plan time) whether the element null check is
+    * emitted at all.
     */
-  protected def evalArrays(x: ArrayData, y: ArrayData): Double
+  protected final def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
 
-  /** Java loop body; `$a`/`$b` are ArrayData vars, result into `$out`.
-    * All locals must come from `ctx.freshName` — the same expression can
-    * appear several times in one codegen context.
+  /** Fold over non-null arrays of equal length; java.lang.Double or null
+    * (a NULL element reproduces the HOF's poisoned fold).
     */
-  protected def genLoop(ctx: CodegenContext, a: String, b: String, n: String, out: String): String
+  protected def evalArrays(x: ArrayData, y: ArrayData, checkNulls: Boolean): Any
+
+  /** Java loop body; `$a`/`$b` are ArrayData vars, result into `$out`,
+    * element-NULL poisoning into `$isNull`. All locals must come from
+    * `ctx.freshName` — the same expression can appear several times in
+    * one codegen context.
+    */
+  protected def genLoop(ctx: CodegenContext, a: String, b: String, n: String,
+                        out: String, isNull: String): String
+
+  /** Per-iteration guard: sets `$poison` and exits the loop when either
+    * slot is NULL; empty string when the types prove nulls impossible.
+    */
+  protected final def nullGuard(a: String, b: String, i: String, poison: String): String =
+    if (elementsNullable)
+      s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $poison = true; break; }"
+    else ""
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null else evalArrays(x, y)
+    if (x.numElements() != y.numElements()) null
+    else evalArrays(x, y, elementsNullable)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,7 +83,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
          |  ${ev.isNull} = true;
          |} else {
          |  final int $n = $a.numElements();
-         |  ${genLoop(ctx, a, b, n, ev.value)}
+         |  ${genLoop(ctx, a, b, n, ev.value, ev.isNull)}
          |}
        """.stripMargin
     })
@@ -71,18 +93,27 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_dot"
 
-  override protected def evalArrays(x: ArrayData, y: ArrayData): Double = {
+  override protected def evalArrays(x: ArrayData, y: ArrayData, checkNulls: Boolean): Any = {
     var s = 0.0; var i = 0; val n = x.numElements()
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
-  override protected def genLoop(ctx: CodegenContext, a: String, b: String, n: String, out: String): String = {
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, n: String,
+                                 out: String, isNull: String): String = {
     val s = ctx.freshName("s"); val i = ctx.freshName("i")
+    val poison = ctx.freshName("poison")
     s"""
        |double $s = 0.0;
-       |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
-       |$out = $s;
+       |boolean $poison = false;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  ${nullGuard(a, b, i, poison)}
+       |  $s += $a.getDouble($i) * $b.getDouble($i);
+       |}
+       |if ($poison) { $isNull = true; } else { $out = $s; }
      """.stripMargin
   }
 
@@ -96,9 +127,10 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_cosine"
 
-  override protected def evalArrays(x: ArrayData, y: ArrayData): Double = {
+  override protected def evalArrays(x: ArrayData, y: ArrayData, checkNulls: Boolean): Any = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = x.numElements()
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -106,17 +138,22 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def genLoop(ctx: CodegenContext, a: String, b: String, n: String, out: String): String = {
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, n: String,
+                                 out: String, isNull: String): String = {
     val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
     val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
     val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+    val poison = ctx.freshName("poison")
     s"""
        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |boolean $poison = false;
        |for (int $i = 0; $i < $n; $i++) {
+       |  ${nullGuard(a, b, i, poison)}
        |  final double $xi = $a.getDouble($i); final double $yi = $b.getDouble($i);
        |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
        |}
-       |$out = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       |if ($poison) { $isNull = true; }
+       |else { $out = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
      """.stripMargin
   }
 

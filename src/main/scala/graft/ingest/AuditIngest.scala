@@ -1,6 +1,5 @@
 package graft.ingest
 
-import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -15,7 +14,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   * delete-after-commit. The reference's queue-removal-before-ack loss bug
   * (OraaudKafka.java:307, SURVEY §4.3) is structurally impossible here:
   * the checkpointed source offset log only advances after foreachBatch
-  * returns, and the mirror write is made idempotent per batch.
+  * returns, the mirror write is made idempotent per batch, and source
+  * deletion is the file source's own post-commit `cleanSource=delete`
+  * sweep — files are removed only after the commit log records their
+  * batch, so no crash window can orphan an unshipped file.
   */
 object AuditIngest {
 
@@ -63,7 +65,14 @@ object AuditIngest {
     *  - malformed files → DLQ table with a reason column (R13 without the
     *    reference's infinite requeue — the settle gate already ensured
     *    the writer closed, so incomplete here means truncated-for-good);
-    *  - source files deleted only after both writes return (R14).
+    *  - source files deleted only AFTER the batch is committed (R14),
+    *    via the file source's own `cleanSource=delete`: the source
+    *    removes batch N's files when it commits N — at batch N+1
+    *    construction, strictly after the commit log records N — so a
+    *    crash mid-batch always replays from still-present files, and a
+    *    crash after commit leaves at worst a stale file that is never
+    *    redelivered (seen-file log) and is swept on the next committed
+    *    batch after restart. No driver-side collect in the commit path.
     */
   def startStream(
       spark: SparkSession,
@@ -76,6 +85,7 @@ object AuditIngest {
       .option("wholetext", "true")
       .option("pathGlobFilter", "*.xml")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", if (deleteSource) "delete" else "off")
       .load(ingestDir)
       .select(
         col("value").as("payload"),
@@ -102,12 +112,6 @@ object AuditIngest {
             .withColumn("reason", lit("incomplete: missing </Audit> terminator"))
             .write.mode("overwrite")
             .parquet(s"$dlqDir/batch=$batchId")
-          if (deleteSource) {
-            b.select("src_file").collect().foreach { r =>
-              val p = r.getString(0).stripPrefix("file:")
-              Files.deleteIfExists(Paths.get(p)) // idempotent on replay
-            }
-          }
         } finally b.unpersist()
         ()
       }

@@ -28,17 +28,20 @@ object SettleGate {
   /** R5a port — /proc scan (OpenFileSystemV.java:32-56): the file is
     * locked iff /proc/<pid> exists and one of the fd symlinks under
     * /proc/<pid>/fd resolves to the file. Dead PID or permission denial
-    * ⇒ not locked.
+    * ⇒ not locked. The comparison is component-wise Path.startsWith —
+    * matching the reference exactly — so a sibling sharing the name as a
+    * string prefix (foo.xml vs foo.xml.tmp) is NOT a match.
     */
   object ProcFdChecker extends LockChecker {
     def isLocked(pid: String, fileName: String): Boolean = {
       val proc = Path.of("/proc", pid)
       if (!Files.exists(proc)) return false
       val fdDir = proc.resolve("fd")
+      val target = Path.of(fileName)
       Try {
         val s = Files.list(fdDir)
         try s.iterator().asScala.exists { fd =>
-          Try(Files.readSymbolicLink(fd).toString.startsWith(fileName))
+          Try(Files.readSymbolicLink(fd).startsWith(target))
             .getOrElse(false)
         } finally s.close()
       }.getOrElse(false) // AccessDeniedException ⇒ not locked (ref :52-55)

@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *     ⇒ graft_cosine(a, b)
   *
   * Both rewrites are bit-exact: the kernels fold left in the same order
-  * as the lambda fold, and null/length-mismatch semantics coincide (a
-  * length mismatch poisons the HOF sum with null; the kernel returns
-  * null). The guards only fire on the exact shapes above — `(acc, v) ->
-  * v + acc` would reassociate doubles and is left untouched.
+  * as the lambda fold, and null/length-mismatch semantics coincide — a
+  * length mismatch OR a NULL element poisons the HOF sum with null, and
+  * the kernels reproduce both (the per-element null check is emitted
+  * only when an input type has containsNull = true, so typed embedding
+  * columns keep the tight loop). The guards only fire on the exact
+  * shapes above — `(acc, v) -> v + acc` would reassociate doubles and
+  * is left untouched.
   */
 object RewriteVectorHofs extends Rule[LogicalPlan] {
 

@@ -440,7 +440,9 @@ object Relational {
           size(map_keys(m)).as("n_keys"),
           array_contains(map_keys(m), "k").as("has_k"),
           element_at(m, "k").as("k_val"),
-          size(map_concat(m, map(lit("x"), lit(-1)))).as("n_concat"))
+          // collision-proof synthetic key: with mapKeyDedupPolicy=EXCEPTION
+          // (the default) a key already present in props would throw
+          size(map_concat(m, map(lit("__graft_x"), lit(-1)))).as("n_concat"))
       },
       Some("""SELECT event_id,
              |  CAST(len(json_keys(props)) AS INT) AS n_keys,

@@ -141,6 +141,13 @@ object TextAnalysis {
     //      its capacity (not the token domain), and the exact pass makes
     //      the answer deterministic — identical to the plain top-k the
     //      oracle computes, by the MG frequency guarantee.
+    //      PRECONDITION: MG(capacity c) only guarantees candidates ⊇
+    //      {tokens with frequency > N/(c+1)}; the oracle-equality here
+    //      holds because every true top-10 token in the fixture corpus
+    //      clears N/4097 (MisraGriesSpec "candidates cover exact top-10"
+    //      verifies this superset on the actual corpus). On a flatter
+    //      distribution, size capacity ≥ N/f_min − 1 from a corpus
+    //      frequency bound before trusting the recount.
     "q65_heavy_hitters" -> Q(
       (s, d) => {
         def toks = Tables.spread(Tables(s, d, "documents"))

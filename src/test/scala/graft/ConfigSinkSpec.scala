@@ -27,6 +27,47 @@ class ConfigSinkSpec extends SparkSuite {
     assert(opts("kafka.linger.ms") == "50")
   }
 
+  test("SSL security keys expand like KafkaSingleton.java:94-105") {
+    val cfg = A2Config.fromProperties(base ++ Map(
+      "a2.kafka.security.protocol" -> "ssl",
+      "a2.kafka.security.truststore.location" -> "/etc/tls/trust.jks",
+      "a2.kafka.security.truststore.password" -> "secret"))
+    val opts = cfg.kafkaSinkOptions
+    assert(opts("kafka.security.protocol") == "SSL")
+    assert(opts("kafka.ssl.truststore.location") == "/etc/tls/trust.jks")
+    assert(opts("kafka.ssl.truststore.password") == "secret")
+    assert(!opts.contains("kafka.sasl.mechanism"))
+  }
+
+  test("SASL_SSL adds PLAIN mechanism and the JAAS line") {
+    val cfg = A2Config.fromProperties(base ++ Map(
+      "a2.kafka.security.protocol" -> "SASL_SSL",
+      "a2.kafka.security.truststore.location" -> "/etc/tls/trust.jks",
+      "a2.kafka.security.truststore.password" -> "secret",
+      "a2.security.jaas.config" ->
+        "org.apache.kafka.common.security.plain.PlainLoginModule required username=\"u\" password=\"p\";"))
+    val opts = cfg.kafkaSinkOptions
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") == "PLAIN")
+    assert(opts("kafka.sasl.jaas.config").contains("PlainLoginModule"))
+    assert(opts("kafka.ssl.truststore.password") == "secret")
+    // missing truststore fails fast like the reference's NPE-on-put
+    intercept[IllegalArgumentException] {
+      A2Config.fromProperties(base + ("a2.kafka.security.protocol" -> "SSL"))
+    }
+  }
+
+  test("generic ssl/sasl producer keys pass through 1:1") {
+    val cfg = A2Config.fromProperties(base ++ Map(
+      "a2.kafka.ssl.keystore.location" -> "/etc/tls/key.jks",
+      "a2.kafka.ssl.keystore.password" -> "kp",
+      "a2.kafka.sasl.kerberos.service.name" -> "kafka"))
+    val opts = cfg.kafkaSinkOptions
+    assert(opts("kafka.ssl.keystore.location") == "/etc/tls/key.jks")
+    assert(opts("kafka.ssl.keystore.password") == "kp")
+    assert(opts("kafka.sasl.kerberos.service.name") == "kafka")
+  }
+
   test("worker count clamps like the reference (default 16, cap 150)") {
     assert(A2Config.fromProperties(base + ("a2.worker.count" -> "0")).workerCount == 16)
     assert(A2Config.fromProperties(base + ("a2.worker.count" -> "500")).workerCount == 150)

@@ -71,20 +71,35 @@ class IngestSpec extends SparkSuite {
     assert(d.count() == 1)
     assert(d.head().getAs[String]("src_file").endsWith("orcl_ora_300_3.xml"))
 
-    // R14: sources removed only after both writes committed
+    // R14: cleanSource=delete removes batch N's files when the source
+    // commits N — at batch N+1 construction, strictly after the commit
+    // log records N. Feed a batch N+1 and watch batch 0's files go.
+    assert(Files.exists(ingest.resolve("orcl_ora_100_1.xml")),
+      "batch-0 files must survive until their commit is recorded")
+    writeXml(ingest, "orcl_ora_400_4.xml", complete = true)
+    val q1b = AuditIngest.startStream(spark, ingest.toString, mirror.toString,
+      dlq.toString, ckpt.toString, Host, triggerMs = 100)
+    try {
+      q1b.processAllAvailable()
+      var waited = 0
+      while (Files.exists(ingest.resolve("orcl_ora_100_1.xml")) && waited < 15000) {
+        Thread.sleep(100); waited += 100
+      }
+    } finally q1b.stop()
     assert(!Files.exists(ingest.resolve("orcl_ora_100_1.xml")))
     assert(!Files.exists(ingest.resolve("orcl_ora_300_3.xml")))
+    assert(spark.read.parquet(mirror.toString).count() == 3)
 
     // checkpoint restart: no new files ⇒ nothing redelivered
     val q2 = AuditIngest.startStream(spark, ingest.toString, mirror.toString,
       dlq.toString, ckpt.toString, Host, triggerMs = 100)
     try q2.processAllAvailable() finally q2.stop()
-    assert(spark.read.parquet(mirror.toString).count() == 2)
+    assert(spark.read.parquet(mirror.toString).count() == 3)
 
     // Q32: the mirrored payload parses into §1.2 audit records
     val recs = AuditModel.parseAuditXml(
       spark.read.parquet(mirror.toString), "value")
-    assert(recs.count() == 4) // 2 files × 2 AuditRecords
+    assert(recs.count() == 6) // 3 complete files × 2 AuditRecords
     assert(recs.select("rec.DB_User").as[String](spark.implicits.newStringEncoder)
       .collect().toSet == Set("SCOTT", "HR"))
   }

@@ -61,4 +61,32 @@ class VectorExprSpec extends SparkSuite {
         " graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nul").head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("NULL array elements poison the result exactly like the HOF fold") {
+    import spark.implicits._
+    // containsNull = true element type: the kernels must return NULL
+    // (the HOF's null-poisoned sum), not NPE or read 0
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(2.0), Some(3.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    val rows = df.select(
+        VectorFns.dotHof(col("a"), col("b")).as("d_hof"),
+        VectorFns.cosineHof(col("a"), col("b")).as("c_hof"),
+        call_function("graft_dot", col("a"), col("b")).as("d_native"),
+        call_function("graft_cosine", col("a"), col("b")).as("c_native"))
+      .collect()
+    val withNull = rows(0)
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1) &&
+      withNull.isNullAt(2) && withNull.isNullAt(3))
+    val clean = rows(1)
+    assert(clean.getDouble(0) == clean.getDouble(2))
+    assert(clean.getDouble(1) == clean.getDouble(3))
+    // and the auto-rewrite of the HOF shape over nullable-element arrays
+    // stays value-identical (it may rewrite — the kernel now reproduces
+    // the NULL result)
+    val viaRewrite = df.select(VectorFns.dotHof(col("a"), col("b")).as("d")).collect()
+    assert(viaRewrite(0).isNullAt(0))
+    assert(viaRewrite(1).getDouble(0) == clean.getDouble(0))
+  }
 }
