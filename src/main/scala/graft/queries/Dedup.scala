@@ -31,6 +31,17 @@ object Dedup {
     */
   val seeds: IndexedSeq[(Long, Long)] = graft.functions.TextKernels.seeds
 
+  /** q44 embedding-LSH parameters: hyperplanes are the corpus vectors
+    * [EmbPlaneBase, EmbPlaneBase + EmbNumPlanes) — deterministic, so the
+    * DuckDB oracle reproduces the buckets bit-for-bit. EmbBandBits sign
+    * bits per band ⇒ 2^EmbBandBits buckets per band; scale it with
+    * corpus size to keep buckets bounded.
+    */
+  val EmbPlaneBase: Int = Similarity.NumCentroids // shared plane region with q52
+  val EmbBandBits = 4
+  val EmbBands = 8
+  val EmbNumPlanes: Int = EmbBands * EmbBandBits
+
   private def native(s: SparkSession): Boolean =
     s.catalog.functionExists("graft_shingles3")
 
@@ -197,58 +208,122 @@ object Dedup {
 
     // ---- Q40: exact n-gram Jaccard all-pairs via inverted-index join on
     //      the shingle (never a cross join — pairs materialize only for
-    //      docs that actually share a shingle).
+    //      docs that actually share a shingle). Ultra-common shingles
+    //      (df > DfCap — stopword runs) are dropped from the index, the
+    //      standard guard against quadratic posting-list buckets at
+    //      100 TB; signal shingles stay exact (fixture max df 25 ≪ cap,
+    //      so the capped and uncapped results coincide — DedupCapSpec
+    //      exercises the engaged cap).
     "q43_ngram_jaccard" -> Q(
-      (s, d) => {
-        // Carry each doc's shingle COUNT through the inverted index (one
-        // int per posting) so the Jaccard denominator needs no join back
-        // to the corpus: one evaluation of the shingle subtree, two
-        // shuffles total (posting-list groupBy, pair groupBy).
-        val docs = shingled(s, d)
-        val e = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-          explode(col("sh")).as("s"))
-        e.groupBy(col("s"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(sortedPairs(col("ids"))).as("p"))
-          .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-            col("p.a.n").as("na"), col("p.b.n").as("nb"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .filter(col("jac") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-      },
-      Some(shingleCte + ",\n" + s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              |          GROUP BY a.doc_id, b.doc_id)
-              |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
-              |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
-              |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5""".stripMargin),
+      (s, d) => ngramJaccard(s, d, DfCap),
+      Some(ngramJaccardOracle(DfCap)),
       headline = true),
 
-    // ---- Q41 variant: embedding-cosine near-dup pairs. Brute-force
-    //      pair scan here (the LSH/IVF scale path lives in Similarity);
-    //      cosine is the exact dot/norm formula in both engines so the
-    //      threshold comparison sees identical doubles.
+    // ---- Q41 variant: embedding-cosine near-dup pairs, LSH-bucketed —
+    //      multi-band hyperplane signatures (EmbBands bands ×
+    //      EmbBandBits sign bits, planes = deterministic corpus vectors
+    //      so the oracle replicates the buckets exactly), in-bucket pair
+    //      generation via sortedPairs (never an all-pairs join), exact
+    //      cosine verify. Recall vs brute force is the standard LSH
+    //      band tradeoff and is measured in EmbedNeardupSpec (the brute
+    //      formulation lives there as the small-scale cross-check).
+    //      At 100 TB: EmbBandBits sizes the bucket count (2^bits per
+    //      band) — raise it with corpus size so buckets stay bounded;
+    //      4 bits fits the fixture corpus (~n/16 per bucket).
     "q44_embed_neardup" -> Q(
       (s, d) => {
         val e = Tables.spread(Tables(s, d, "embeddings"))
           .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
-        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-        a.join(b, col("id_a") < col("id_b"))
+        val planes = e
+          .filter(col("vec_id") >= EmbPlaneBase && col("vec_id") < EmbPlaneBase + EmbNumPlanes)
+          .select(col("vec_id").as("p_id"), col("v").as("pv"))
+        // corpus×planes fan-out collapses to corpus×bands rows by
+        // map-side combine BEFORE the shuffle (same shape as q51/q52)
+        val sig = e.crossJoin(broadcast(planes))
+          .select(col("vec_id"), col("v"),
+            expr(s"CAST((p_id - $EmbPlaneBase) DIV $EmbBandBits AS INT)").as("band"),
+            (when(VectorFns.dot(s, col("v"), col("pv")) > 0, lit(1L)).otherwise(lit(0L)) *
+              expr(s"shiftleft(CAST(1 AS BIGINT), CAST((p_id - $EmbPlaneBase) % $EmbBandBits AS INT))"))
+              .as("term"))
+          .groupBy(col("vec_id"), col("band"))
+          .agg(sum(col("term")).as("bsig"), first(col("v")).as("v"))
+        // in-bucket pairs; vectors ride the band shuffle so verification
+        // is join-free (q41's documented payload-vs-join tradeoff)
+        sig.groupBy(col("band"), col("bsig"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(sortedPairs(col("ids"))).as("p"))
+          .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"),
+            col("p.a.v").as("va"), col("p.b.v").as("vb"))
+          // a pair can collide in several bands — verify once
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
           .withColumn("cos", VectorFns.cosine(s, col("va"), col("vb")))
           .filter(col("cos") >= 0.45)
           .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       },
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(list_dot_product(a.v, b.v) /
-             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-             |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE list_dot_product(a.v, b.v) /
-             |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin))
+      Some(s"""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |p AS (SELECT vec_id AS p_id, v AS pv FROM e
+             |      WHERE vec_id >= $EmbPlaneBase AND vec_id < ${EmbPlaneBase + EmbNumPlanes}),
+             |bits AS (SELECT e.vec_id, CAST((p.p_id - $EmbPlaneBase) // $EmbBandBits AS INT) AS band,
+             |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << CAST((p.p_id - $EmbPlaneBase) % $EmbBandBits AS INT))
+             |      ELSE 0 END) AS BIGINT) AS bsig
+             |  FROM e CROSS JOIN p GROUP BY e.vec_id, (p.p_id - $EmbPlaneBase) // $EmbBandBits),
+             |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             |         FROM bits x JOIN bits y ON x.band = y.band AND x.bsig = y.bsig
+             |           AND x.vec_id < y.vec_id),
+             |sc AS (SELECT c.id_a, c.id_b,
+             |    list_dot_product(a.v, b.v) /
+             |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
+             |SELECT id_a, id_b, round(cos, 4) AS cos FROM sc WHERE cos >= 0.45""".stripMargin))
   )
+
+  /** q43's document-frequency cap: shingles appearing in more than DfCap
+    * documents are dropped from the inverted index — they are stopword
+    * runs carrying no dedup signal, and their posting lists are the
+    * quadratic pair buckets that kill the job at 100 TB. Far above any
+    * fixture df (max 25 at sf0.1), so capped ≡ uncapped on test data.
+    */
+  val DfCap = 1000
+
+  /** q43's shared builder — `dfCap` bounds every posting list (and so
+    * every quadratic pair bucket) at dfCap entries. Carry each doc's
+    * shingle COUNT through the inverted index (one int per posting) so
+    * the Jaccard denominator needs no join back to the corpus: one
+    * evaluation of the shingle subtree, two shuffles total (posting-list
+    * groupBy, pair groupBy).
+    */
+  def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val docs = shingled(s, d)
+    val e = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("s"))
+    e.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** The DuckDB mirror of [[ngramJaccard]] with the identical df cap
+    * (intersections count only shingles with 2 ≤ df ≤ cap; denominators
+    * stay the full per-doc shingle counts).
+    */
+  def ngramJaccardOracle(dfCap: Int): String =
+    shingleCte + ",\n" + s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          JOIN keep k ON k.s = a.s
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5""".stripMargin
 }

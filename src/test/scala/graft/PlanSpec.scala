@@ -60,8 +60,8 @@ class PlanSpec extends SparkSuite {
   private val intentionalCross = Set("q10_cross_join")
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
-    "q44_embed_neardup",                  // all-pairs by design
-    "q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh", // broadcast corpus×queries
+    // broadcast corpus×(tiny queries/planes side) — linear in corpus:
+    "q44_embed_neardup", "q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh",
     "q10_cross_join")
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
