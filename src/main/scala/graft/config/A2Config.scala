@@ -26,10 +26,15 @@ final case class A2Config(
     kinesisSizeThreshold: Int = 512,
     kinesisMaxConnections: Int = 1,
     kinesisRequestTimeoutMs: Int = 30000,
-    kinesisMaxBufferedTimeMs: Int = 5000) {
+    kinesisMaxBufferedTimeMs: Int = 5000,
+    workDir: Option[String] = None,
+    mirrorPath: Option[String] = None) {
 
-  require(targetBroker == "kafka" || targetBroker == "kinesis",
-    s"a2.target.broker must be kafka|kinesis, got '$targetBroker'") // exit 3
+  // "mirror" is an engine extension over the reference's kafka|kinesis
+  // (OraaudKafka.java:141-150): a broker-less parquet sink carrying the
+  // identical (key, value) frame, for test/offline operation.
+  require(Set("kafka", "kinesis", "mirror")(targetBroker),
+    s"a2.target.broker must be kafka|kinesis|mirror, got '$targetBroker'") // exit 3
   require(workerCount >= 1, "a2.worker.count must be >= 1")
   require(pollIntervalMs > 0, "a2.locked.file.query.interval must be > 0")
   if (targetBroker == "kafka") {
@@ -48,6 +53,17 @@ final case class A2Config(
       "kafka.client.id" -> kafkaClientId.getOrElse(""),
       "kafka.compression.type" -> kafkaCompression) ++
       kafkaOptions.map { case (k, v) => s"kafka.$k" -> v }
+
+  /** Agent working directories (graft.Agent): the settle-gate target the
+    * stream actually watches, checkpoint, DLQ, and (mirror target only)
+    * the parquet mirror — all under one work dir so a single `a2.*` key
+    * relocates the agent's mutable state off the watched volume.
+    */
+  def agentWorkDir: String = workDir.getOrElse(s"$watchedPath/.graft")
+  def settledDir: String = s"$agentWorkDir/settled"
+  def checkpointDir: String = s"$agentWorkDir/checkpoint"
+  def dlqDir: String = s"$agentWorkDir/dlq"
+  def mirrorDir: String = mirrorPath.getOrElse(s"$agentWorkDir/mirror")
 }
 
 object A2Config {
@@ -89,7 +105,15 @@ object A2Config {
           Map("sasl.jaas.config" -> get("a2.security.jaas.config").getOrElse(
             throw new IllegalArgumentException(
               "a2.security.jaas.config is mandatory for SASL_SSL")))
-      case _ => Map.empty // other protocols ride the generic passthrough
+      case Some(other) =>
+        // the reference silently ignores anything but SSL|SASL_SSL here
+        // (KafkaSingleton.java:94-105); a typo like 'SASLSSL' would then
+        // skip the mandatory truststore/JAAS validation entirely — fail
+        // fast instead. PLAINTEXT-style protocols belong on the generic
+        // passthrough key a2.kafka.security.protocol is not.
+        throw new IllegalArgumentException(
+          s"a2.kafka.security.protocol must be SSL|SASL_SSL, got '$other'")
+      case None => Map.empty
     }
   }
 
@@ -120,7 +144,9 @@ object A2Config {
       kinesisMaxConnections = get("a2.kinesis.max.connections").map(_.toInt).getOrElse(1),
       kinesisRequestTimeoutMs = get("a2.kinesis.request.timeout").map(_.toInt).getOrElse(30000),
       kinesisMaxBufferedTimeMs =
-        get("a2.kinesis.request.record.max.buffered.time").map(_.toInt).getOrElse(5000))
+        get("a2.kinesis.request.record.max.buffered.time").map(_.toInt).getOrElse(5000),
+      workDir = get("a2.agent.work.dir"),
+      mirrorPath = get("a2.mirror.path"))
   }
 
   def fromFile(path: String): A2Config = {

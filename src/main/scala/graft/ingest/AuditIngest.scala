@@ -36,11 +36,26 @@ object AuditIngest {
     AuditModel.envelope(raw, host)
   }
 
+  /** JMX surface mirroring the reference's CommonJobMgmtMBean.java:16-23:
+    * running counters plus derived elapsed/transfer durations in the same
+    * "Xdays Yhrs Zmin Wsec." rendering (CommonJobMgmt.java:32-70).
+    */
+  trait IngestMetricsMBean {
+    def getElapsedTimeMillis: Long
+    def getElapsedTime: String
+    def getFilesCount: Long
+    def getFilesSize: Long
+    def getTransferTimeMillis: Long
+    def getTransferTime: String
+  }
+
   /** R15 metrics: running files/bytes/time counters (reference
     * CommonJobMgmt.java:21-30 AtomicLongs, exposed over JMX; here fed by
-    * `observe()` rows via a StreamingQueryListener).
+    * `observe()` rows via a StreamingQueryListener and registered as a
+    * standard MBean by [[registerMBean]]).
     */
-  final class IngestMetrics extends StreamingQueryListener {
+  final class IngestMetrics extends StreamingQueryListener with IngestMetricsMBean {
+    private val startTimeMillis = System.currentTimeMillis()
     val filesCount = new AtomicLong
     val filesSize = new AtomicLong
     val processingTimeMs = new AtomicLong
@@ -57,6 +72,29 @@ object AuditIngest {
       processingTimeMs.addAndGet(
         Option(e.progress.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
     }
+
+    private def fmt(millis: Long): String = {
+      val d = java.time.Duration.ofMillis(millis)
+      s"${d.toDays}days ${d.toHours % 24}hrs ${d.toMinutes % 60}min ${d.getSeconds % 60}sec."
+    }
+    override def getElapsedTimeMillis: Long = System.currentTimeMillis() - startTimeMillis
+    override def getElapsedTime: String = fmt(getElapsedTimeMillis)
+    override def getFilesCount: Long = filesCount.get()
+    override def getFilesSize: Long = filesSize.get()
+    override def getTransferTimeMillis: Long = processingTimeMs.get()
+    override def getTransferTime: String = fmt(getTransferTimeMillis)
+  }
+
+  /** Register the metrics under the reference's naming shape
+    * (CommonJobSingleton.java:52-54). Returns the ObjectName for
+    * unregistration; idempotent per name (re-register replaces).
+    */
+  def registerMBean(m: IngestMetrics, name: String = "oraaudit"): javax.management.ObjectName = {
+    val on = new javax.management.ObjectName(s"graft.ingest:type=IngestMetrics,name=$name")
+    val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+    if (mbs.isRegistered(on)) mbs.unregisterMBean(on)
+    mbs.registerMBean(m, on)
+    on
   }
 
   /** Streaming ingest over the settled dir. Per microbatch:
@@ -71,15 +109,24 @@ object AuditIngest {
     *    construction, strictly after the commit log records N — so a
     *    crash mid-batch always replays from still-present files, and a
     *    crash after commit leaves at worst a stale file that is never
-    *    redelivered (seen-file log) and is swept on the next committed
-    *    batch after restart. No driver-side collect in the commit path.
+    *    redelivered (seen-file log). The cleaner only sweeps a batch's
+    *    own files, so a deletion lost to a crash between commit and
+    *    sweep can leave that file on disk indefinitely — no data loss,
+    *    just accumulation; janitor with maxFileAge-style cleanup if the
+    *    ingest dir must stay empty. No driver-side collect in the
+    *    commit path.
+    *
+    * `ship` overrides the complete-branch sink (default: parquet mirror
+    * under mirrorDir/batch=N) — the seam graft.Agent uses to route the
+    * same stream to Kafka or the Kinesis transport.
     */
   def startStream(
       spark: SparkSession,
       ingestDir: String, mirrorDir: String, dlqDir: String,
       checkpointDir: String, host: String,
       triggerMs: Long = 500, maxFilesPerTrigger: Int = 512,
-      deleteSource: Boolean = true): StreamingQuery = {
+      deleteSource: Boolean = true,
+      ship: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
 
     val raw = spark.readStream.format("text")
       .option("wholetext", "true")
@@ -104,10 +151,12 @@ object AuditIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          b.filter(col("complete"))
-            .drop("complete")
-            .write.mode("overwrite")
-            .parquet(s"$mirrorDir/batch=$batchId")
+          val complete = b.filter(col("complete")).drop("complete")
+          ship match {
+            case Some(f) => f(complete, batchId)
+            case None =>
+              complete.write.mode("overwrite").parquet(s"$mirrorDir/batch=$batchId")
+          }
           b.filter(!col("complete"))
             .withColumn("reason", lit("incomplete: missing </Audit> terminator"))
             .write.mode("overwrite")
