@@ -184,6 +184,165 @@ object Dedup {
     */
   val DfCap = 1000
 
+  /** q41/q44's LSH band-bucket cap: each (band, signature) bucket
+    * contributes pairs from at most BucketCap members (the first by id
+    * after the deterministic bucket sort) — the duplicate-heavy-corpus
+    * guard. An uncapped bucket of k near-identical docs generates
+    * k(k-1)/2 pairs with shingle/vector payloads riding the shuffle;
+    * the cap bounds that at BucketCap²/2 per bucket. Unlike q43's DfCap
+    * the bucket is truncated, not dropped — a mega-bucket still yields
+    * its first-BucketCap duplicates rather than silently losing all of
+    * them. Far above every fixture bucket (max ≈ dozens at sf0.1), so
+    * capped ≡ uncapped on test data; both DuckDB oracles mirror the cap
+    * (row_number per bucket ≤ cap) so hash-parity holds even if a
+    * bucket ever exceeds it. DedupCapSpec exercises the engaged cap.
+    */
+  val BucketCap = 200
+
+  /** q41's shared builder — MinHash+LSH near-dup pairs with band buckets
+    * size-capped at `cap` (the [[BucketCap]] guard). Signatures are
+    * computed per-doc in one pass (native kernel / HOF fallback);
+    * candidates come from per-bucket pair generation after one
+    * (band, signature) shuffle; exact-Jaccard verification is join-free
+    * because the shingle set rides the band shuffle.
+    */
+  def minhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val docs = shingled(s, d)
+    // 32-permutation signature: one native kernel pass when registered,
+    // else the 32-aggregate HOF fold (same result by construction).
+    val sig = if (native(s))
+      docs.withColumn("sig", call_function("graft_minhash", col("sh")))
+    else {
+      val hv = docs.withColumn("hv", transform(col("sh"), x => hashModP(x)))
+      hv.withColumn("sig", array(seeds.map { case (a, b) =>
+        aggregate(col("hv"), lit(P),
+          (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(P)))
+      }: _*)).drop("hv")
+    }
+    val bandCols = (0 until NumBands).map { k =>
+      concat_ws("_",
+        transform(slice(col("sig"), k * BandRows + 1, BandRows), v => v.cast("string")))
+    }
+    // Carry the shingle set through the band shuffle (≈NumBands× the
+    // doc payload) so candidate verification needs NO join back to
+    // the corpus — the whole scan→shingle→sig subtree is evaluated
+    // exactly once.
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
+    bands
+      .groupBy(col("band"), col("bsig"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))),
+        1, cap).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
+      // a pair can match in several bands — verify it once
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** The DuckDB mirror of [[minhashPairs]] with the identical bucket cap
+    * (candidates restricted to the first `cap` doc_ids per (band, bsig)
+    * bucket, same deterministic by-id order as the Spark bucket sort).
+    */
+  def minhashOracle(cap: Int): String = {
+    val seedRows = seeds.zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    // NB: shingleCte is concatenated AFTER stripMargin — running
+    // stripMargin over interpolated SQL would eat a '|' from '||'.
+    shingleCte + ",\n" + s"""hv AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % $P AS h FROM sh),
+       |seeds(j, a, b) AS (VALUES $seedRows),
+       |mh AS (SELECT doc_id, j, min((a*h + b) % $P) AS v
+       |       FROM hv CROSS JOIN seeds GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, j // $BandRows AS band,
+       |               string_agg(CAST(v AS VARCHAR), '_' ORDER BY j) AS bsig
+       |        FROM mh GROUP BY doc_id, j // $BandRows),
+       |rk AS (SELECT doc_id, band, bsig,
+       |         row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS r
+       |       FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM rk x JOIN rk y ON x.band = y.band AND x.bsig = y.bsig
+       |           AND x.doc_id < y.doc_id
+       |         WHERE x.r <= $cap AND y.r <= $cap),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c
+       |          JOIN sh p ON p.doc_id = c.doc_a
+       |          JOIN sh q ON q.doc_id = c.doc_b AND q.s = p.s
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+       |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+       |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7""".stripMargin
+  }
+
+  /** q44's shared builder — embedding-cosine near-dup pairs, LSH-bucketed
+    * with the same `cap` guard as [[minhashPairs]]. Multi-band hyperplane
+    * signatures (planes = deterministic corpus vectors so the oracle
+    * replicates the buckets exactly); corpus×planes fan-out collapses to
+    * corpus×bands rows by map-side combine BEFORE the shuffle (same
+    * shape as q51/q52); vectors ride the band shuffle so exact-cosine
+    * verification is join-free.
+    */
+  def embedNeardup(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val e = Tables.spread(Tables(s, d, "embeddings"))
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+    val planes = e
+      .filter(col("vec_id") >= EmbPlaneBase && col("vec_id") < EmbPlaneBase + EmbNumPlanes)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"))
+    val sig = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("v"),
+        expr(s"CAST((p_id - $EmbPlaneBase) DIV $EmbBandBits AS INT)").as("band"),
+        (when(VectorFns.dot(s, col("v"), col("pv")) > 0, lit(1L)).otherwise(lit(0L)) *
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST((p_id - $EmbPlaneBase) % $EmbBandBits AS INT))"))
+          .as("term"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("term")).as("bsig"), first(col("v")).as("v"))
+    sig.groupBy(col("band"), col("bsig"))
+      .agg(slice(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+        1, cap).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"),
+        col("p.a.v").as("va"), col("p.b.v").as("vb"))
+      // a pair can collide in several bands — verify once
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
+      .withColumn("cos", VectorFns.cosine(s, col("va"), col("vb")))
+      .filter(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** The DuckDB mirror of [[embedNeardup]] with the identical bucket cap
+    * (first `cap` vec_ids per (band, bsig) bucket, by-id order).
+    */
+  def embedNeardupOracle(cap: Int): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |p AS (SELECT vec_id AS p_id, v AS pv FROM e
+       |      WHERE vec_id >= $EmbPlaneBase AND vec_id < ${EmbPlaneBase + EmbNumPlanes}),
+       |bits AS (SELECT e.vec_id, CAST((p.p_id - $EmbPlaneBase) // $EmbBandBits AS INT) AS band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST((p.p_id - $EmbPlaneBase) % $EmbBandBits AS INT))
+       |      ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM e CROSS JOIN p GROUP BY e.vec_id, (p.p_id - $EmbPlaneBase) // $EmbBandBits),
+       |rk AS (SELECT vec_id, band, bsig,
+       |         row_number() OVER (PARTITION BY band, bsig ORDER BY vec_id) AS r
+       |       FROM bits),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM rk x JOIN rk y ON x.band = y.band AND x.bsig = y.bsig
+       |           AND x.vec_id < y.vec_id
+       |         WHERE x.r <= $cap AND y.r <= $cap),
+       |sc AS (SELECT c.id_a, c.id_b,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
+       |SELECT id_a, id_b, round(cos, 4) AS cos FROM sc WHERE cos >= 0.45""".stripMargin
+
   /** q43's shared builder — `dfCap` bounds every posting list (and so
     * every quadratic pair bucket) at dfCap entries. Carry each doc's
     * shingle COUNT through the inverted index (one int per posting) so

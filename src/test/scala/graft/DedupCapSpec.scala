@@ -3,9 +3,10 @@ package graft
 import graft.queries.Dedup
 import org.apache.spark.sql.functions._
 
-/** q43's document-frequency cap: with the cap engaged every posting
-  * list feeding pair generation is bounded, only capped shingles drop
-  * out, and the production cap (DfCap) is a no-op at fixture scale.
+/** The dedup-family scale guards, exercised while ENGAGED (not just at
+  * their fixture-scale no-op settings): q43's document-frequency cap and
+  * q41/q44's LSH band-bucket cap on synthetic duplicate-heavy corpora
+  * where the uncapped pair count is quadratic in cluster size.
   */
 class DedupCapSpec extends SparkSuite {
 
@@ -32,5 +33,91 @@ class DedupCapSpec extends SparkSuite {
 
     // the production DfCap sits far above every fixture df ⇒ identical
     assert(pairs(Dedup.DfCap) == uncapped)
+  }
+
+  /** A duplicate cluster of k identical documents: every band buckets all
+    * k together, so uncapped pair generation is exactly k(k-1)/2 — the
+    * blow-up BucketCap exists to bound.
+    */
+  private def dupDocsDir(k: Int): String = {
+    val dir = tmpDir("dedupcap-docs").toString
+    val session = spark; import session.implicits._
+    val dup = (1L to k.toLong).map(i => (i, "the quick brown fox jumps over the lazy dog again"))
+    val distinct = (200L to 205L).map(i =>
+      (i, s"totally unrelated document number $i with its own words entirely"))
+    (dup ++ distinct).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q41 bucket cap engaged: k-duplicate cluster bounded at cap(cap-1)/2") {
+    val k = 30; val cap = 5
+    val dir = dupDocsDir(k)
+    def run(c: Int): Set[(Long, Long)] =
+      Dedup.minhashPairs(spark, dir, c).select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(Int.MaxValue)
+    val capped = run(cap)
+    // identical texts ⇒ identical signatures ⇒ one mega-bucket per band
+    assert(uncapped.size == k * (k - 1) / 2, s"expected full clique, got ${uncapped.size}")
+    assert(capped.size == cap * (cap - 1) / 2, s"cap must bound the clique, got ${capped.size}")
+    assert(capped.subsetOf(uncapped))
+    // truncation, not drop: the first-by-id cap members are still flagged
+    assert(capped == (for { a <- 1L to cap.toLong; b <- a + 1 to cap.toLong } yield (a, b)).toSet)
+    // the production cap sits above this cluster ⇒ no-op here
+    assert(run(Dedup.BucketCap) == uncapped)
+  }
+
+  test("q44 bucket cap engaged: identical-vector cluster bounded at cap(cap-1)/2") {
+    val k = 30; val cap = 5
+    val dir = tmpDir("dedupcap-embed").toString
+    val session = spark; import session.implicits._
+    val dim = 8
+    // plane region [EmbPlaneBase, EmbPlaneBase + EmbNumPlanes) must exist
+    // in the corpus; seeded integer-valued planes are deterministic AND
+    // exact in float arithmetic, so the in-test signature mirror below
+    // cannot drift from the engine by a rounding ulp
+    val rnd = new scala.util.Random(42)
+    val planes = (Dedup.EmbPlaneBase.toLong until (Dedup.EmbPlaneBase + Dedup.EmbNumPlanes).toLong)
+      .map(i => (i, Array.fill(dim)((rnd.nextInt(7) - 3).toFloat)))
+    val cluster = (100L until (100 + k).toLong)
+      .map(i => (i, Array.tabulate(dim)(j => (j + 1).toFloat)))
+    (planes ++ cluster).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    def run(c: Int): Set[(Long, Long)] =
+      Dedup.embedNeardup(spark, dir, c)
+        .filter(col("id_a") >= 100 && col("id_b") >= 100)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(Int.MaxValue)
+    val capped = run(cap)
+    assert(uncapped.size == k * (k - 1) / 2, s"expected full clique, got ${uncapped.size}")
+
+    // Plane rows (vec_id 8–39 < the cluster's 100+) can share the
+    // cluster's band bucket and, sorting first, occupy slice slots.
+    // The planes are formula vectors, so mirror the signature math in
+    // plain Scala and predict the surviving cluster prefix exactly.
+    val planeVecs = planes.map { case (i, a) => i -> a.map(_.toDouble) }.toMap
+    val cv = Array.tabulate(dim)(j => (j + 1).toDouble)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def bsig(v: Array[Double], band: Int): Long =
+      (0 until Dedup.EmbBandBits).map { bit =>
+        val pid = Dedup.EmbPlaneBase + band * Dedup.EmbBandBits + bit
+        if (dot(v, planeVecs(pid)) > 0) 1L << bit else 0L
+      }.sum
+    val clusterSlots = (0 until Dedup.EmbBands).map { b =>
+      val cb = bsig(cv, b)
+      val planesInBucket = planeVecs.count { case (_, pv) => bsig(pv, b) == cb }
+      (cap - planesInBucket).max(0)
+    }
+    val prefixLen = clusterSlots.max.min(k)
+    info(s"cluster slots per band after plane crowding: $clusterSlots → prefix $prefixLen")
+    assert(prefixLen >= 2 && prefixLen < k, "fixture must engage the cap yet keep some dupes")
+    assert(capped == (for { a <- 100L until (100 + prefixLen).toLong
+                            b <- a + 1 until (100 + prefixLen).toLong } yield (a, b)).toSet,
+      s"capped result must be the predicted ${prefixLen}-prefix clique, got ${capped.size} pairs")
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size)
+    assert(run(Dedup.BucketCap) == uncapped)
   }
 }

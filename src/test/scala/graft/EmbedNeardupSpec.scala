@@ -32,7 +32,7 @@ class EmbedNeardupSpec extends SparkSuite {
     val recall = bucketed.size.toDouble / brute.size
     info(f"LSH recall at sf0.001: ${bucketed.size}/${brute.size} = $recall%.2f " +
       s"(${graft.queries.Dedup.EmbBands} bands × ${graft.queries.Dedup.EmbBandBits} bits)")
-    assert(recall >= 0.4, f"recall collapsed: $recall%.2f")
+    assert(recall >= 0.6, f"recall below documented floor (Dedup.scala q44 doc): $recall%.2f")
   }
 
   test("q44 plan has no all-pairs join — only the tiny plane broadcast") {
