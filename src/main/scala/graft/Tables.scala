@@ -27,7 +27,9 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // leaf-file count is a metadata lookup; df.rdd.getNumPartitions would
+    // force an RDD lineage materialization on the driver per query build
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -74,9 +74,11 @@ object A2Config {
   val MaxWorkers = 150
   val DefaultPollMs = 1000L
 
+  // NB: security.protocol is NOT in this list — it is the canonical
+  // security key, owned (and validated) by securityOptions below
   private[config] val passThroughKafkaKeys = Seq(
     "batch.size", "linger.ms", "acks", "max.request.size",
-    "buffer.memory", "retries", "security.protocol",
+    "buffer.memory", "retries",
     // production broker security surface (KafkaSingleton.java:94-105 is
     // the reference subset; keystore/endpoint keys cover mutual TLS)
     "ssl.truststore.location", "ssl.truststore.password",
@@ -105,14 +107,19 @@ object A2Config {
           Map("sasl.jaas.config" -> get("a2.security.jaas.config").getOrElse(
             throw new IllegalArgumentException(
               "a2.security.jaas.config is mandatory for SASL_SSL")))
+      case Some(plain @ ("PLAINTEXT" | "SASL_PLAINTEXT")) =>
+        // valid Kafka protocols the reference tolerates
+        // (KafkaSingleton.java:94-105 ignores non-SSL values): no
+        // truststore/JAAS expansion, the value passes through verbatim
+        // (SASL_PLAINTEXT users supply sasl.* via the generic
+        // a2.kafka.* passthrough keys)
+        Map("security.protocol" -> plain)
       case Some(other) =>
-        // the reference silently ignores anything but SSL|SASL_SSL here
-        // (KafkaSingleton.java:94-105); a typo like 'SASLSSL' would then
-        // skip the mandatory truststore/JAAS validation entirely — fail
-        // fast instead. PLAINTEXT-style protocols belong on the generic
-        // passthrough key a2.kafka.security.protocol is not.
+        // the reference silently ignores unknown values here, so a typo
+        // like 'SASLSSL' would skip the mandatory truststore/JAAS
+        // validation entirely — fail fast instead
         throw new IllegalArgumentException(
-          s"a2.kafka.security.protocol must be SSL|SASL_SSL, got '$other'")
+          s"a2.kafka.security.protocol must be PLAINTEXT|SSL|SASL_PLAINTEXT|SASL_SSL, got '$other'")
       case None => Map.empty
     }
   }
@@ -126,10 +133,11 @@ object A2Config {
       case Some(n) => n
       case None => DefaultWorkers
     }
+    val broker = get("a2.target.broker").getOrElse("kafka").toLowerCase
     A2Config(
       watchedPath = get("a2.watched.path").getOrElse(
         throw new IllegalArgumentException("a2.watched.path is mandatory")), // exit 4
-      targetBroker = get("a2.target.broker").getOrElse("kafka").toLowerCase,
+      targetBroker = broker,
       workerCount = workers,
       pollIntervalMs = get("a2.locked.file.query.interval").map(_.toLong).getOrElse(DefaultPollMs),
       settleDelayMs = get("a2.settle.delay.ms").map(_.toLong).getOrElse(2000L),
@@ -137,9 +145,13 @@ object A2Config {
       kafkaTopic = get("a2.kafka.topic"),
       kafkaClientId = get("a2.kafka.client.id"),
       kafkaCompression = get("a2.kafka.compression.type").getOrElse("gzip"),
+      // security mapping is kafka-only: the reference never reads kafka
+      // settings for other brokers, so a kinesis/mirror config carrying a
+      // leftover a2.kafka.security.* key must not fail at startup
       kafkaOptions = passThroughKafkaKeys
         .flatMap(k => get(s"a2.kafka.$k").map(v => k -> v)).toMap ++
-        securityOptions(get), // canonical security mapping wins on overlap
+        (if (broker == "kafka") securityOptions(get) // canonical mapping wins on overlap
+         else Map.empty),
       kinesisSizeThreshold = get("a2.kinesis.file.size.threshold").map(_.toInt).getOrElse(512),
       kinesisMaxConnections = get("a2.kinesis.max.connections").map(_.toInt).getOrElse(1),
       kinesisRequestTimeoutMs = get("a2.kinesis.request.timeout").map(_.toInt).getOrElse(30000),

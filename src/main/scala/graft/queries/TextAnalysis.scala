@@ -152,11 +152,16 @@ object TextAnalysis {
       (s, d) => {
         def toks = Tables.spread(Tables(s, d, "documents"))
           .select(explode(split(col("text"), " ")).as("token"))
+        // No silent degradation: the exact-distinct "fallback" would be
+        // precisely the unbounded-state scan the sketch exists to avoid
+        // at 100 TB. The extension is registered by Verify, Bench, Agent
+        // and every spec session; a stripped session must fail loudly.
+        require(s.catalog.functionExists("graft_mg_candidates"),
+          "q65_heavy_hitters needs the graft_mg_candidates native aggregate — " +
+            "build the session with GraftExtensions")
         val cand =
-          if (s.catalog.functionExists("graft_mg_candidates"))
-            toks.agg(call_function("graft_mg_candidates", col("token"), lit(4096)).as("c"))
-              .select(explode(col("c")).as("token"))
-          else toks.distinct() // fallback: exact candidate set
+          toks.agg(call_function("graft_mg_candidates", col("token"), lit(4096)).as("c"))
+            .select(explode(col("c")).as("token"))
         toks.join(broadcast(cand), Seq("token"), "left_semi")
           .groupBy(col("token"))
           .agg(count(lit(1)).as("tf"))

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   */
 class AgentSpec extends SparkSuite {
 
-  private def writeXml(dir: Path, name: String, complete: Boolean = true): Unit = {
+  private def writeXml(dir: Path, name: String, complete: Boolean = true,
+                       sqlPad: Int = 0): Unit = {
+    val sql = "SELECT 1 FROM dual" + ("/* " + "x" * sqlPad + " */").take(if (sqlPad > 0) sqlPad else 0)
     val body =
-      """<?xml version="1.0" encoding="UTF-8"?>
+      s"""<?xml version="1.0" encoding="UTF-8"?>
         |<Audit>
         | <AuditRecord><Audit_Type>1</Audit_Type><Session_Id>7</Session_Id>
         |  <DB_User>SCOTT</DB_User><Action>3</Action><Returncode>0</Returncode>
-        |  <Sql_Text>SELECT 1 FROM dual</Sql_Text></AuditRecord>
+        |  <Sql_Text>$sql</Sql_Text></AuditRecord>
         |</Audit>
         |""".stripMargin
     Files.writeString(dir.resolve(name), if (complete) body else body.take(body.length / 2))
@@ -86,18 +88,27 @@ class AgentSpec extends SparkSuite {
 
   test("kinesis agent: seam receives the conditional-gzip binary frame") {
     val watched = tmpDir("agent_kin"); val work = tmpDir("agent_kin_work")
-    writeXml(watched, "orcl_ora_201_1.xml")
+    writeXml(watched, "orcl_ora_201_1.xml")                 // ~280 B < threshold
+    writeXml(watched, "orcl_ora_202_2.xml", sqlPad = 600)   // > 512 B threshold
     val cfg = A2Config.fromFile(confFile(watched, work, "kinesis").toString)
     val r = Agent.start(spark, cfg) // default transport = parquet mirror of the frame
     try {
       assert(await() {
-        Try2(spark.read.parquet(cfg.mirrorDir).count()).getOrElse(0L) == 1L
+        Try2(spark.read.parquet(cfg.mirrorDir).count()).getOrElse(0L) == 2L
       })
-      val row = spark.read.parquet(cfg.mirrorDir).select("key", "value").head()
-      val bytes = row.getAs[Array[Byte]]("value")
-      // > 512-byte threshold ⇒ gzip magic (KinesisJob.java:66-73 parity)
-      assert(graft.functions.Gzip.isCompressed(bytes) ||
-        new String(bytes, "UTF-8").endsWith("</Audit>"))
+      def frame(file: String): Array[Byte] =
+        spark.read.parquet(cfg.mirrorDir)
+          .filter(col("key").endsWith(file)).select("value")
+          .head().getAs[Array[Byte]]("value")
+      // KinesisJob.java:66-73 parity: ≤ threshold ships plain text…
+      val small = frame("orcl_ora_201_1.xml")
+      assert(!graft.functions.Gzip.isCompressed(small))
+      assert(new String(small, "UTF-8").endsWith("</Audit>"))
+      // …while > threshold takes the gzip branch and round-trips
+      val big = frame("orcl_ora_202_2.xml")
+      assert(graft.functions.Gzip.isCompressed(big),
+        s"${big.length}-byte frame over the ${cfg.kinesisSizeThreshold}-byte threshold must gzip")
+      assert(new String(graft.functions.Gzip.decompress(big), "UTF-8").endsWith("</Audit>"))
     } finally Agent.stop(r, spark)
   }
 
@@ -111,9 +122,17 @@ class AgentSpec extends SparkSuite {
   test("agent config rejects unknown security protocol instead of silently passing") {
     intercept[IllegalArgumentException] {
       A2Config.fromProperties(Map(
-        "a2.watched.path" -> "/tmp/x", "a2.target.broker" -> "mirror",
+        "a2.watched.path" -> "/tmp/x",
+        "a2.kafka.servers" -> "b:9092", "a2.kafka.topic" -> "t",
+        "a2.kafka.client.id" -> "c",
         "a2.kafka.security.protocol" -> "SASLSSL"))
     }
+    // …but a non-kafka broker never reads kafka security keys (reference
+    // parity), so a leftover key must not fail a mirror/kinesis agent
+    val cfg = A2Config.fromProperties(Map(
+      "a2.watched.path" -> "/tmp/x", "a2.target.broker" -> "mirror",
+      "a2.kafka.security.protocol" -> "SASLSSL"))
+    assert(!cfg.kafkaOptions.contains("security.protocol"))
   }
 
   private def Try2[T](f: => T): scala.util.Try[T] = scala.util.Try(f)

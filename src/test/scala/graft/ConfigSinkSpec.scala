@@ -57,6 +57,24 @@ class ConfigSinkSpec extends SparkSuite {
     }
   }
 
+  test("PLAINTEXT and SASL_PLAINTEXT pass through verbatim, no truststore demanded") {
+    val plain = A2Config.fromProperties(base + ("a2.kafka.security.protocol" -> "plaintext"))
+    assert(plain.kafkaSinkOptions("kafka.security.protocol") == "PLAINTEXT")
+    assert(!plain.kafkaSinkOptions.contains("kafka.ssl.truststore.location"))
+    val sasl = A2Config.fromProperties(base ++ Map(
+      "a2.kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "a2.kafka.sasl.mechanism" -> "SCRAM-SHA-512"))
+    assert(sasl.kafkaSinkOptions("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(sasl.kafkaSinkOptions("kafka.sasl.mechanism") == "SCRAM-SHA-512")
+  }
+
+  test("non-kafka broker ignores leftover kafka security keys (reference parity)") {
+    val cfg = A2Config.fromProperties(base ++ Map(
+      "a2.target.broker" -> "kinesis",
+      "a2.kafka.security.protocol" -> "SSL")) // no truststore — would throw for kafka
+    assert(cfg.kafkaOptions.isEmpty)
+  }
+
   test("generic ssl/sasl producer keys pass through 1:1") {
     val cfg = A2Config.fromProperties(base ++ Map(
       "a2.kafka.ssl.keystore.location" -> "/etc/tls/key.jks",

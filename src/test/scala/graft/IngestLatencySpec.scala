@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.ingest.AuditIngest
+import org.apache.spark.sql.functions._
+
+/** BASELINE.md's ingest-latency t-gate: with the default 500 ms trigger,
+  * a newly closed audit file must be committed to the sink within 2 s.
+  * A warm-up file absorbs one-time costs (stream start, codegen, parquet
+  * committer init) so the measured file sees steady-state latency — the
+  * number that matters for a long-running agent.
+  */
+class IngestLatencySpec extends SparkSuite {
+
+  private def xml(padBytes: Int): String =
+    "<?xml version=\"1.0\"?><Audit><AuditRecord><Audit_Type>1</Audit_Type>" +
+      "<Sql_Text>/* " + "x" * padBytes + " */</Sql_Text></AuditRecord></Audit>"
+
+  private def mirrorHas(dir: String, file: String): Boolean =
+    scala.util.Try(
+      spark.read.parquet(dir).filter(col("key").endsWith(file)).limit(1).count() == 1L
+    ).getOrElse(false)
+
+  test("file-close → sink-commit ≤ 2 s at the 500 ms default trigger") {
+    val ingest = tmpDir("lat_ingest"); val work = tmpDir("lat_work")
+    val mirror = s"$work/mirror"; val dlq = s"$work/dlq"; val ckpt = s"$work/ckpt"
+    val q = AuditIngest.startStream(spark, ingest.toString, mirror, dlq, ckpt,
+      host = "lathost", triggerMs = 500, deleteSource = false)
+    try {
+      def deliver(name: String, bytes: Int, deadlineMs: Long): Long = {
+        val tmp = Files.createTempFile("lat", ".tmp")
+        Files.writeString(tmp, xml(bytes))
+        // atomic move = the "file close" instant a settled dir observes
+        Files.move(tmp, ingest.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val t0 = System.nanoTime()
+        while (!mirrorHas(mirror, name)) {
+          assert((System.nanoTime() - t0) / 1e6 < deadlineMs,
+            s"$name not committed within $deadlineMs ms")
+          Thread.sleep(20)
+        }
+        (System.nanoTime() - t0) / 1000000
+      }
+      deliver("orcl_ora_900_1.xml", 1024, 30000)          // warm-up, generous
+      val lat = deliver("orcl_ora_901_2.xml", 1024 * 1024, 10000) // the 1 MB gate file
+      info(s"steady-state ingest latency for 1 MB file: $lat ms")
+      assert(lat <= 2000, s"t-gate: $lat ms > 2000 ms")
+    } finally q.stop()
+  }
+}
