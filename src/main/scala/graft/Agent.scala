@@ -38,14 +38,20 @@ object Agent {
   def hostName: String =
     Try(java.net.InetAddress.getLocalHost.getHostName).getOrElse("localhost")
 
-  /** Per-OS lock-checker dispatch (OraaudKafka.java:192-205). Only the
-    * /proc strategy is ported (R5a); every other OS falls back to the
-    * mtime settle gate alone — the documented R5b/R5c skips.
+  /** Per-OS lock-checker dispatch (OraaudKafka.java:192-205): /proc scan
+    * on SysV-style OSes (R5a), NIO tryLock on Windows (R5b), `ps`
+    * liveness elsewhere — FreeBSD, HP-UX, macOS (R5c). The reference's
+    * Windows arm tests `"WIN".contains(osName)`, which no real os.name
+    * ("WINDOWS 10"…) can satisfy, so its NIO checker is unreachable and
+    * Windows silently gets the `ps` probe; the prefix test here is the
+    * evident intent (the arm also sets the reference's isWinOs flag).
     */
   def lockCheckerForOs(osName: String): Option[SettleGate.LockChecker] =
     osName.toUpperCase match {
       case "AIX" | "LINUX" | "SOLARIS" | "SUNOS" => Some(SettleGate.ProcFdChecker)
-      case _ => None
+      case w if w.startsWith("WINDOWS") => Some(SettleGate.NioLockChecker)
+      case "" => None // os.name unset: mtime settle gate alone
+      case _ => Some(SettleGate.PsChecker)
     }
 
   /** Launch the full pipeline against an existing session. The watched

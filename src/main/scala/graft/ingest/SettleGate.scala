@@ -48,6 +48,48 @@ object SettleGate {
     }
   }
 
+  /** R5b port — java.nio exclusive-lock probe (OpenFileGenericNio.java:
+    * 32-50, the reference's Windows arm): locked iff an exclusive lock
+    * cannot be acquired — `tryLock` returns null when another process
+    * holds an OS lock (mandatory on Windows) and throws
+    * OverlappingFileLockException for a holder inside this JVM. The
+    * reference's lock()-then-tryLock sequence reduces to this same
+    * decision; an IO failure on open (Windows sharing violation) also
+    * counts as locked — a file we cannot open exclusively is not
+    * settled. `pid` is ignored, as in the reference.
+    */
+  object NioLockChecker extends LockChecker {
+    def isLocked(pid: String, fileName: String): Boolean =
+      try {
+        val raf = new java.io.RandomAccessFile(fileName, "rw")
+        try {
+          val lock = raf.getChannel.tryLock()
+          if (lock == null) true else { lock.release(); false }
+        } finally raf.close()
+      } catch {
+        case _: java.nio.channels.OverlappingFileLockException => true
+        case _: java.io.IOException => true
+      }
+  }
+
+  /** R5c port — `ps <pid>` liveness probe (OpenFileGenericX.java:30-43,
+    * the reference's HP-UX/macOS/BSD arm): the file counts as locked
+    * while the writing process is still alive — the file itself is never
+    * probed. Reference parity includes the prefix match (`ps` row
+    * startsWith pid), and a failed/absent `ps` means not locked, leaving
+    * the mtime settle gate as the only barrier — same as the reference's
+    * empty-output path.
+    */
+  object PsChecker extends LockChecker {
+    def isLocked(pid: String, fileName: String): Boolean =
+      Try {
+        val p = new ProcessBuilder("ps", pid).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        p.waitFor()
+        out.linesIterator.exists(_.trim.startsWith(pid))
+      }.getOrElse(false)
+  }
+
   /** Pure mtime heuristic — the default gate where no /proc is usable
     * (cluster executors, non-Linux): settled iff untouched for settleMs.
     */

@@ -115,8 +115,30 @@ class AgentSpec extends SparkSuite {
   test("per-OS lock-checker dispatch matches OraaudKafka.java:192-205") {
     assert(Agent.lockCheckerForOs("Linux").contains(SettleGate.ProcFdChecker))
     assert(Agent.lockCheckerForOs("SunOS").contains(SettleGate.ProcFdChecker))
-    assert(Agent.lockCheckerForOs("Windows 11").isEmpty) // R5b deliberate skip
-    assert(Agent.lockCheckerForOs("Mac OS X").isEmpty)   // R5c deliberate skip
+    assert(Agent.lockCheckerForOs("Windows 11").contains(SettleGate.NioLockChecker)) // R5b
+    assert(Agent.lockCheckerForOs("Mac OS X").contains(SettleGate.PsChecker))        // R5c
+    assert(Agent.lockCheckerForOs("FreeBSD").contains(SettleGate.PsChecker))
+  }
+
+  test("R5b NIO checker: locked while a lock is held, unlocked after release") {
+    val dir = tmpDir("nio_lock")
+    val f = dir.resolve("orcl_ora_1_1.xml")
+    Files.writeString(f, "<Audit></Audit>")
+    val raf = new java.io.RandomAccessFile(f.toFile, "rw")
+    val lock = raf.getChannel.lock()
+    try assert(SettleGate.NioLockChecker.isLocked("1", f.toString))
+    finally { lock.release(); raf.close() }
+    assert(!SettleGate.NioLockChecker.isLocked("1", f.toString))
+    // unopenable file ⇒ locked (Windows sharing-violation semantics)
+    assert(SettleGate.NioLockChecker.isLocked("1", s"$dir/absent/nope.xml"))
+  }
+
+  test("R5c ps checker: live pid locked, dead pid unlocked (reference liveness semantics)") {
+    val live = ProcessHandle.current().pid().toString
+    assert(SettleGate.PsChecker.isLocked(live, "/irrelevant/path.xml"))
+    val child = new ProcessBuilder("true").start()
+    child.waitFor()
+    assert(!SettleGate.PsChecker.isLocked(child.pid().toString, "/irrelevant/path.xml"))
   }
 
   test("agent config rejects unknown security protocol instead of silently passing") {
