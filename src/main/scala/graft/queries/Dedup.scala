@@ -84,6 +84,44 @@ object Dedup {
       |  FROM tok
       |  QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL)""".stripMargin
 
+  /** q42/q45's shared fingerprint: documents → (doc_id, simhash BIGINT,
+    * 32 bits used). Native zero-shuffle scalar kernel when registered;
+    * the relational form (two map-side-combined group-bys) is the
+    * bit-identical fallback.
+    */
+  private def simhashed(s: SparkSession, d: String): DataFrame =
+    if (native(s)) {
+      Tables.spread(Tables(s, d, "documents"))
+        .select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
+    } else {
+      val tok = Tables.spread(Tables(s, d, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      val th = tc.withColumn("h", hash32(col("w")))
+      val bits = th
+        .select(col("doc_id"), col("h"), col("cnt"),
+          explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), col("cnt"))
+          .otherwise(-col("cnt"))).as("sm"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("sm") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+          .otherwise(lit(0L))).as("simhash"))
+    }
+
+  /** DuckDB mirror of [[simhashed]], ending in relation `sh2(doc_id, simhash)`. */
+  private val simhashCte =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+      |th AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,8) AS BIGINT) AS h, cnt FROM tc),
+      |bits AS (SELECT doc_id, j,
+      |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sm
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+      |  GROUP BY doc_id, j),
+      |sh2 AS (SELECT doc_id, CAST(sum(CASE WHEN sm > 0 THEN CAST(1 AS BIGINT) << j
+      |  ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id)""".stripMargin
+
   def defs: ListMap[String, Q] = ListMap(
 
     // ---- Q39/Q25: exact dedup via hash-groupBy. Grouping on sha2(text)
@@ -114,36 +152,41 @@ object Dedup {
     //      by token frequency. Map-side partial aggregation absorbs the
     //      (doc, token) and (doc, bit) group-bys at scale.
     "q42_dedup_simhash" -> Q(
-      (s, d) => if (native(s)) {
-        // zero-shuffle scalar form — the two group-bys below exist only
-        // to express the same fingerprint relationally
-        Tables.spread(Tables(s, d, "documents"))
-          .select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
-      } else {
-        val tok = Tables.spread(Tables(s, d, "documents"))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val tc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-        val th = tc.withColumn("h", hash32(col("w")))
-        val bits = th
-          .select(col("doc_id"), col("h"), col("cnt"),
-            explode(sequence(lit(0), lit(31))).as("j"))
-          .groupBy(col("doc_id"), col("j"))
-          .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), col("cnt"))
-            .otherwise(-col("cnt"))).as("sm"))
-        bits.groupBy(col("doc_id"))
-          .agg(sum(when(col("sm") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-            .otherwise(lit(0L))).as("simhash"))
+      (s, d) => simhashed(s, d),
+      Some(simhashCte + "\nSELECT doc_id, simhash FROM sh2"),
+      headline = true),
+
+    // ---- Q40 variant: SimHash near-dup PAIRS — fingerprints banded into
+    //      4 × 8-bit bands, candidates from exact-band bucket joins
+    //      (BucketCap-guarded, never all-pairs), verified by Hamming
+    //      distance. EXACT at threshold ≤ 3 by pigeonhole: 3 flipped
+    //      bits cannot touch all 4 bands, so every qualifying pair
+    //      shares ≥ 1 exact band — which is why the DuckDB oracle can be
+    //      the brute all-pairs formulation and still hash-match the
+    //      banded plan.
+    "q45_simhash_hamming" -> Q(
+      (s, d) => {
+        val bands = simhashed(s, d).select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(b =>
+            expr(s"shiftright(simhash, ${b * 8}) & 255")): _*)).as(Seq("band", "bbits")))
+        bands
+          .groupBy(col("band"), col("bbits"))
+          .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
+            1, BucketCap).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(sortedPairs(col("ids"))).as("p"))
+          .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+            col("p.a.simhash").as("ha"), col("p.b.simhash").as("hb"))
+          .distinct() // a pair may share several bands
+          .withColumn("ham", expr("bit_count(ha ^ hb)"))
+          .filter(col("ham") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("ham"))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-             |tc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
-             |th AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,8) AS BIGINT) AS h, cnt FROM tc),
-             |bits AS (SELECT doc_id, j,
-             |    sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sm
-             |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
-             |  GROUP BY doc_id, j)
-             |SELECT doc_id, CAST(sum(CASE WHEN sm > 0 THEN CAST(1 AS BIGINT) << j
-             |  ELSE 0 END) AS BIGINT) AS simhash
-             |FROM bits GROUP BY doc_id""".stripMargin),
+      Some(simhashCte + """
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
+           |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
       headline = true),
 
     // ---- Q40: exact n-gram Jaccard all-pairs via inverted-index join on
