@@ -48,6 +48,50 @@ object Multimodal {
             element_at(col("histogram"), 7).as("bucket6"),
             col("fake_width"), col("fake_height"))
       },
-      None)
+      None),
+
+    // ---- frame-sample plumbing (MediaPipeline.sampleFrames): 64-byte
+    //      pseudo-frames, keep every 4th. Frame boundaries and sizes are
+    //      pure integer arithmetic, so the oracle is exact.
+    "q85_media_frames" -> Q(
+      (s, d) => {
+        val media = graft.operators.MediaPipeline.documentsAsMedia(
+          Tables.spread(Tables(s, d, "documents")))
+        graft.operators.MediaPipeline.sampleFrames(media, frameBytes = 64, stride = 4)
+          .toDF()
+          .select(col("id"), col("frame_no"),
+            expr("octet_length(frame)").as("frame_bytes"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS id,
+             |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS fno,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents)
+             |SELECT id, CAST(fno AS INT) AS frame_no,
+             |       CAST(least(64, n - fno * 64) AS INT) AS frame_bytes
+             |FROM f WHERE fno % 4 = 0""".stripMargin)),
+
+    // ---- resize plumbing (MediaPipeline.resize): stride-sample to 100
+    //      bytes. The fixture text is pure ASCII (byte i == char i+1), so
+    //      the oracle rebuilds the exact resized payload with substr and
+    //      the digest check is byte-level, not just size-level.
+    "q86_media_resize" -> Q(
+      (s, d) => {
+        val media = graft.operators.MediaPipeline.documentsAsMedia(
+          Tables.spread(Tables(s, d, "documents")))
+        graft.operators.MediaPipeline.resize(media, target = 100)
+          .toDF()
+          .select(col("id"), md5(col("content")).as("digest"),
+            expr("octet_length(content)").as("n_bytes"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+             |j AS (SELECT unnest(range(0, 100)) AS j),
+             |big AS (SELECT doc_id,
+             |    string_agg(substr(text, CAST((j * n) // 100 AS INT) + 1, 1), '' ORDER BY j) AS rz
+             |  FROM d, j WHERE n > 100 GROUP BY doc_id),
+             |rz AS (SELECT doc_id, rz FROM big
+             |       UNION ALL SELECT doc_id, text AS rz FROM d WHERE n <= 100)
+             |SELECT doc_id AS id, md5(rz) AS digest,
+             |       CAST(octet_length(encode(rz)) AS INT) AS n_bytes
+             |FROM rz""".stripMargin))
   )
 }
