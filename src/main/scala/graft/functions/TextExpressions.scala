@@ -56,6 +56,28 @@ case class SimHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → BIGINT 60-bit parity hash (q43's inverted-index key —
+  * the byte-level form of `conv(substring(md5(x),1,15),16,10)`).
+  */
+case class Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.TextKernels.hash60($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60 =
+    copy(child = newChild)
+}
+
 /** shingles array<string> → array<long> MinHash signature (32 perms). */
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -74,6 +74,20 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** First 15 hex chars of md5 as a long (60 bits) — the column
+    * formulation `conv(substring(md5(x),1,15),16,10)` without the hex
+    * round-trip (digest bytes → shift), ~3× cheaper per call.
+    */
+  def hash60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** First 8 hex chars of md5 as a long in [0, 2^32) — the column
     * formulation `conv(substring(md5(x),1,8),16,10)`.
     */

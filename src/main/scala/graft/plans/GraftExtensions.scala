@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, MisraGriesTopK, Shingles3, SimHash}
+import graft.functions.{CosineSimilarity, DotProduct, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(shingles) - 32-permutation MinHash signature"),
       (children: Seq[Expression]) => MinHashSig(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      info("graft_hash60", "graft_hash60(text) - 60-bit md5-prefix parity hash"),
+      (children: Seq[Expression]) => Hash60(children.head)))
     e.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(text) - 32-bit frequency-weighted SimHash fingerprint"),

@@ -391,12 +391,20 @@ object Dedup {
     * shingle COUNT through the inverted index (one int per posting) so
     * the Jaccard denominator needs no join back to the corpus: one
     * evaluation of the shingle subtree, two shuffles total (posting-list
-    * groupBy, pair groupBy).
+    * groupBy, pair groupBy). The index key is the 60-bit parity hash of
+    * the shingle, not the string: 8-byte shuffle keys instead of
+    * ~20–40-byte trigrams — the dominant byte saving at 100 TB — at a
+    * 2⁻⁶⁰-per-pair collision risk; the oracle hashes identically, so
+    * parity is unconditional. Denominators stay string-distinct counts
+    * (computed before hashing, both engines).
     */
   def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     val docs = shingled(s, d)
+    val hs = if (native(s)) call_function("graft_hash60", col("s0"))
+             else hash60(col("s0"))
     val e = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-      explode(col("sh")).as("s"))
+        explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("n"), hs.as("s"))
     e.groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
@@ -415,9 +423,10 @@ object Dedup {
     */
   def ngramJaccardOracle(dfCap: Int): String =
     shingleCte + ",\n" + s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
+        |hs AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS s FROM sh),
+        |keep AS (SELECT s FROM hs GROUP BY s HAVING count(*) <= $dfCap),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          FROM hs a JOIN hs b ON a.s = b.s AND a.doc_id < b.doc_id
         |          JOIN keep k ON k.s = a.s
         |          GROUP BY a.doc_id, b.doc_id)
         |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard

@@ -30,6 +30,16 @@ class TextKernelSpec extends SparkSuite {
     assert(fromCol.toSeq == fromKernel)
   }
 
+  test("native hash60 equals conv(substring(md5,1,15),16,10) on the corpus") {
+    val diff = Tables(spark, sf(), "documents")
+      .select(explode(ParityFns.shingles3(col("text"))).as("s"))
+      .select(
+        call_function("graft_hash60", col("s")).as("native"),
+        ParityFns.hash60(col("s")).as("column"))
+      .filter(col("native") =!= col("column"))
+    assert(diff.count() == 0)
+  }
+
   test("native minhash signature equals the 32-aggregate HOF fold") {
     import spark.implicits._
     val base = Tables(spark, sf(), "documents")
