@@ -45,16 +45,58 @@ object Dedup {
   private def native(s: SparkSession): Boolean =
     s.catalog.functionExists("graft_shingles3")
 
-  /** documents → (doc_id, sh: array<string> of distinct word 3-shingles),
-    * docs with <3 tokens dropped (no shingles ⇒ can't participate).
-    * Native kernel when registered; bit-identical HOF fallback otherwise.
+  /** The exact-dup collapse pre-pass shared by q41/q43 (standard for a
+    * production near-dup pipeline): one row per DISTINCT text with its
+    * sorted member doc_ids and representative (min id). The quadratic
+    * near-dup cores then run once per distinct text; [[expandPairs]]
+    * restores member-level pairs — identical text ⇒ identical shingle
+    * set ⇒ identical score, so collapse+expand is result-identical to
+    * the direct all-docs formulation while a k×-duplicated corpus costs
+    * O(d² + output) instead of O((kd)²).
     */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private def textGroups(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables(s, d, "documents"))
+      .groupBy(sha2(col("text"), 256))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        first(col("text")).as("text"))
+      .select(col("ids").getItem(0).as("doc_id"), col("ids"), col("text"))
+
+  /** distinct-text groups → (doc_id = rep, sh: distinct word 3-shingles),
+    * groups whose text has <3 tokens dropped (no shingles ⇒ can't
+    * participate). Native kernel when registered; bit-identical HOF
+    * fallback otherwise.
+    */
+  private def shingledReps(s: SparkSession, groups: DataFrame): DataFrame = {
     val sh = if (native(s)) call_function("graft_shingles3", col("text"))
              else shingles3(col("text"))
-    Tables.spread(Tables(s, d, "documents"))
-      .select(col("doc_id"), sh.as("sh"))
+    groups.select(col("doc_id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
+  }
+
+  /** Expand rep-level near-dup pairs (doc_a, doc_b, score) to member
+    * level: the cross product of the two member lists per inter-group
+    * pair, plus every intra-group pair at score exactly 1 for
+    * multi-member groups whose text shingles. The expansion cost is the
+    * OUTPUT size — no quadratic shuffle or compute survives the
+    * collapse.
+    */
+  private def expandPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+    val membership = groups.select(col("doc_id").as("rep"), col("ids"),
+      (size(split(col("text"), " ")) >= 3).as("hasShingles"))
+    val inter = repPairs
+      .join(membership.select(col("rep"), col("ids").as("ids_a")),
+        col("doc_a") === col("rep")).drop("rep")
+      .join(membership.select(col("rep"), col("ids").as("ids_b")),
+        col("doc_b") === col("rep")).drop("rep")
+      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("score"))
+      .select(col("a"), explode(col("ids_b")).as("b"), col("score"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("score"))
+    val intra = membership.filter(size(col("ids")) > 1 && col("hasShingles"))
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        lit(1.0).as("score"))
+    inter.unionByName(intra)
   }
 
   /** All ordered pairs (fields `a` < `b`) from a SORTED array — the
@@ -220,10 +262,12 @@ object Dedup {
   )
 
   /** q43's document-frequency cap: shingles appearing in more than DfCap
-    * documents are dropped from the inverted index — they are stopword
-    * runs carrying no dedup signal, and their posting lists are the
-    * quadratic pair buckets that kill the job at 100 TB. Far above any
-    * fixture df (max 25 at sf0.1), so capped ≡ uncapped on test data.
+    * DISTINCT texts (df is counted post-collapse — duplicate copies of a
+    * stopword-laden doc don't inflate it) are dropped from the inverted
+    * index — they are stopword runs carrying no dedup signal, and their
+    * posting lists are the quadratic pair buckets that kill the job at
+    * 100 TB. Far above any fixture df (max 25 at sf0.1), so capped ≡
+    * uncapped on test data.
     */
   val DfCap = 1000
 
@@ -242,15 +286,19 @@ object Dedup {
     */
   val BucketCap = 200
 
-  /** q41's shared builder — MinHash+LSH near-dup pairs with band buckets
-    * size-capped at `cap` (the [[BucketCap]] guard). Signatures are
-    * computed per-doc in one pass (native kernel / HOF fallback);
-    * candidates come from per-bucket pair generation after one
-    * (band, signature) shuffle; exact-Jaccard verification is join-free
-    * because the shingle set rides the band shuffle.
+  /** q41's shared builder — MinHash+LSH near-dup pairs over the
+    * exact-dup-collapsed corpus ([[textGroups]]), with band buckets
+    * size-capped at `cap` (the [[BucketCap]] guard — now guarding
+    * near-identical-but-distinct mega-buckets; exact duplicates never
+    * reach the buckets). Signatures are computed per-rep in one pass
+    * (native kernel / HOF fallback); candidates come from per-bucket
+    * pair generation after one (band, signature) shuffle; exact-Jaccard
+    * verification is join-free (shingles ride the band shuffle) and runs
+    * BEFORE the pair-dedup shuffle so no payload rides it.
     */
   def minhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val docs = shingled(s, d)
+    val groups = textGroups(s, d)
+    val docs = shingledReps(s, groups)
     // 32-permutation signature: one native kernel pass when registered,
     // else the 32-aggregate HOF fold (same result by construction).
     val sig = if (native(s))
@@ -272,22 +320,27 @@ object Dedup {
     // exactly once.
     val bands = sig.select(col("doc_id"), col("sh"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
-    bands
+    val repPairs = bands
       .groupBy(col("band"), col("bsig"))
       .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))),
         1, cap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
+      // Verify BEFORE the pair-dedup shuffle: jaccard is computed
+      // map-side per band occurrence (recomputed ≤ NumBands times for a
+      // pair matching several bands — pure CPU), so the dedup groupBy
+      // shuffles a 16-byte (ids, jac) row instead of two shingle arrays.
+      // On a duplicate-heavy corpus (k-clique buckets ⇒ k² pairs) the
+      // payload-through-dedup formulation shuffles GBs; this one doesn't.
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
-      // a pair can match in several bands — verify it once
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        (size(array_intersect(col("p.a.sh"), col("p.b.sh"))).cast("double") /
+          size(array_union(col("p.a.sh"), col("p.b.sh")))).as("jac"))
       .filter(col("jac") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      // a pair can match in several bands — keep it once
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("jac")).as("score"))
+    expandPairs(repPairs, groups)
+      .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("jaccard"))
   }
 
   /** The DuckDB mirror of [[minhashPairs]] with the identical bucket cap
@@ -350,13 +403,14 @@ object Dedup {
         1, cap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
+      // verify map-side per band occurrence (q41's payload-free-dedup
+      // shape): the pair-dedup shuffle carries (ids, cos), not vectors
       .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"),
-        col("p.a.v").as("va"), col("p.b.v").as("vb"))
-      // a pair can collide in several bands — verify once
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
-      .withColumn("cos", VectorFns.cosine(s, col("va"), col("vb")))
+        VectorFns.cosine(s, col("p.a.v"), col("p.b.v")).as("cos"))
       .filter(col("cos") >= 0.45)
+      // a pair can collide in several bands — keep it once
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("cos")).as("cos"))
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
@@ -399,13 +453,17 @@ object Dedup {
     * (computed before hashing, both engines).
     */
   def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    val docs = shingled(s, d)
+    // Exact-dup collapse first ([[textGroups]]): the inverted-index core
+    // runs once per DISTINCT text. ScaleProbe on an 8×-duplicated
+    // 40k-doc corpus: 91 s → 5 s, identical output (see NOTES.md).
+    val groups = textGroups(s, d)
+    val docs = shingledReps(s, groups)
     val hs = if (native(s)) call_function("graft_hash60", col("s0"))
              else hash60(col("s0"))
     val e = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("n"), hs.as("s"))
-    e.groupBy(col("s"))
+    val repPairs = e.groupBy(col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
       .select(explode(sortedPairs(col("ids"))).as("p"))
@@ -414,7 +472,9 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jac").as("score"))
+    expandPairs(repPairs, groups)
+      .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("jaccard"))
   }
 
   /** The DuckDB mirror of [[ngramJaccard]] with the identical df cap

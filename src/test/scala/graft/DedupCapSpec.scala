@@ -35,14 +35,22 @@ class DedupCapSpec extends SparkSuite {
     assert(pairs(Dedup.DfCap) == uncapped)
   }
 
-  /** A duplicate cluster of k identical documents: every band buckets all
-    * k together, so uncapped pair generation is exactly k(k-1)/2 — the
-    * blow-up BucketCap exists to bound.
+  /** A near-dup cluster of k DISTINCT texts with IDENTICAL shingle sets:
+    * rotations of a k-word cycle (wrapped by 2 words) all produce the
+    * same distinct-3-shingle set, so every band buckets all k together
+    * and uncapped pair generation is exactly k(k-1)/2 — the blow-up
+    * BucketCap exists to bound. Distinct texts matter: identical texts
+    * would be collapsed by the exact-dup pre-pass and expanded
+    * algebraically, never touching the buckets the cap guards.
     */
   private def dupDocsDir(k: Int): String = {
     val dir = tmpDir("dedupcap-docs").toString
     val session = spark; import session.implicits._
-    val dup = (1L to k.toLong).map(i => (i, "the quick brown fox jumps over the lazy dog again"))
+    val cycle = (0 until k).map(i => s"w$i")
+    val dup = (1L to k.toLong).map { i =>
+      val rot = cycle.drop(i.toInt - 1) ++ cycle.take(i.toInt - 1)
+      (i, (rot ++ rot.take(2)).mkString(" "))
+    }
     val distinct = (200L to 205L).map(i =>
       (i, s"totally unrelated document number $i with its own words entirely"))
     (dup ++ distinct).toDF("doc_id", "text")
