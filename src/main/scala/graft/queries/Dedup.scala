@@ -75,14 +75,19 @@ object Dedup {
 
   /** Expand rep-level near-dup pairs (doc_a, doc_b, score) to member
     * level: the cross product of the two member lists per inter-group
-    * pair, plus every intra-group pair at score exactly 1 for
-    * multi-member groups whose text shingles. The expansion cost is the
-    * OUTPUT size — no quadratic shuffle or compute survives the
-    * collapse.
+    * pair, plus every intra-group pair at `selfScore` (identical text ⇒
+    * the metric's identity value: jaccard 1, hamming 0) for multi-member
+    * groups passing `intraEligible` (q41/q43 exclude shingle-less texts,
+    * which the direct formulation also drops; q45 keeps everything). The
+    * expansion cost is the OUTPUT size — no quadratic shuffle or compute
+    * survives the collapse.
     */
-  private def expandPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+  private def expandPairs(repPairs: DataFrame, groups: DataFrame,
+                          selfScore: Column = lit(1.0),
+                          intraEligible: Column =
+                            size(split(col("text"), " ")) >= 3): DataFrame = {
     val membership = groups.select(col("doc_id").as("rep"), col("ids"),
-      (size(split(col("text"), " ")) >= 3).as("hasShingles"))
+      intraEligible.as("eligible"))
     val inter = repPairs
       .join(membership.select(col("rep"), col("ids").as("ids_a")),
         col("doc_a") === col("rep")).drop("rep")
@@ -92,10 +97,10 @@ object Dedup {
       .select(col("a"), explode(col("ids_b")).as("b"), col("score"))
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("score"))
-    val intra = membership.filter(size(col("ids")) > 1 && col("hasShingles"))
+    val intra = membership.filter(size(col("ids")) > 1 && col("eligible"))
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-        lit(1.0).as("score"))
+        selfScore.as("score"))
     inter.unionByName(intra)
   }
 
@@ -198,31 +203,39 @@ object Dedup {
       Some(simhashCte + "\nSELECT doc_id, simhash FROM sh2"),
       headline = true),
 
-    // ---- Q40 variant: SimHash near-dup PAIRS — fingerprints banded into
-    //      4 × 8-bit bands, candidates from exact-band bucket joins
-    //      (BucketCap-guarded, never all-pairs), verified by Hamming
-    //      distance. EXACT at threshold ≤ 3 by pigeonhole: 3 flipped
-    //      bits cannot touch all 4 bands, so every qualifying pair
-    //      shares ≥ 1 exact band — which is why the DuckDB oracle can be
-    //      the brute all-pairs formulation and still hash-match the
-    //      banded plan.
+    // ---- Q40 variant: SimHash near-dup PAIRS — exact-dup collapse
+    //      first, then fingerprints banded into 4 × 8-bit bands,
+    //      candidates from exact-band bucket joins (BucketCap-guarded,
+    //      never all-pairs), verified by Hamming distance BEFORE the
+    //      pair-dedup shuffle, members expanded back. EXACT at
+    //      threshold ≤ 3 by pigeonhole: 3 flipped bits cannot touch all
+    //      4 bands, so every qualifying pair shares ≥ 1 exact band —
+    //      which is why the DuckDB oracle can be the brute all-pairs
+    //      formulation and still hash-match the banded plan. (The
+    //      collapse also keeps that exactness on duplicate-heavy
+    //      corpora, where BucketCap truncation would otherwise bite.)
     "q45_simhash_hamming" -> Q(
       (s, d) => {
-        val bands = simhashed(s, d).select(col("doc_id"), col("simhash"),
+        val groups = textGroups(s, d)
+        val sigs = if (native(s))
+          groups.select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
+        else simhashed(s, d).join(groups.select(col("doc_id")), "doc_id")
+        val bands = sigs.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until 4).map(b =>
             expr(s"shiftright(simhash, ${b * 8}) & 255")): _*)).as(Seq("band", "bbits")))
-        bands
+        val repPairs = bands
           .groupBy(col("band"), col("bbits"))
           .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
             1, BucketCap).as("ids"))
           .filter(size(col("ids")) > 1)
           .select(explode(sortedPairs(col("ids"))).as("p"))
           .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-            col("p.a.simhash").as("ha"), col("p.b.simhash").as("hb"))
-          .distinct() // a pair may share several bands
-          .withColumn("ham", expr("bit_count(ha ^ hb)"))
+            expr("bit_count(p.a.simhash ^ p.b.simhash)").as("ham"))
           .filter(col("ham") <= 3)
-          .select(col("doc_a"), col("doc_b"), col("ham"))
+          .groupBy(col("doc_a"), col("doc_b")) // a pair may share several bands
+          .agg(first(col("ham")).as("score"))
+        expandPairs(repPairs, groups, selfScore = lit(0), intraEligible = lit(true))
+          .select(col("doc_a"), col("doc_b"), col("score").cast("int").as("ham"))
       },
       Some(simhashCte + """
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
