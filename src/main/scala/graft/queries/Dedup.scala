@@ -398,9 +398,20 @@ object Dedup {
     * verification is join-free.
     */
   def embedNeardup(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val e = Tables.spread(Tables(s, d, "embeddings"))
+    val e0 = Tables.spread(Tables(s, d, "embeddings"))
       .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
-    val planes = e
+    // exact-dup collapse on the vector bytes (q41/q43's textGroups
+    // design): signatures and buckets see one rep per distinct vector;
+    // member pairs are expanded back algebraically. Intra-pairs exclude
+    // zero vectors — their cosine is 0/0, which the direct formulation
+    // also drops.
+    val groups = e0.groupBy(col("v"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(col("ids").getItem(0).as("doc_id"), col("ids"), col("v"))
+    val e = groups.select(col("doc_id").as("vec_id"), col("v"))
+    // planes are corpus vectors ADDRESSED BY ID — always from the full
+    // corpus, not the reps (a plane's id may not be its group's rep)
+    val planes = e0
       .filter(col("vec_id") >= EmbPlaneBase && col("vec_id") < EmbPlaneBase + EmbNumPlanes)
       .select(col("vec_id").as("p_id"), col("v").as("pv"))
     val sig = e.crossJoin(broadcast(planes))
@@ -411,20 +422,23 @@ object Dedup {
           .as("term"))
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("term")).as("bsig"), first(col("v")).as("v"))
-    sig.groupBy(col("band"), col("bsig"))
+    val repPairs = sig.groupBy(col("band"), col("bsig"))
       .agg(slice(sort_array(collect_list(struct(col("vec_id"), col("v")))),
         1, cap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       // verify map-side per band occurrence (q41's payload-free-dedup
       // shape): the pair-dedup shuffle carries (ids, cos), not vectors
-      .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"),
+      .select(col("p.a.vec_id").as("doc_a"), col("p.b.vec_id").as("doc_b"),
         VectorFns.cosine(s, col("p.a.v"), col("p.b.v")).as("cos"))
       .filter(col("cos") >= 0.45)
       // a pair can collide in several bands — keep it once
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("cos")).as("cos"))
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("cos")).as("score"))
+    expandPairs(repPairs, groups,
+        intraEligible = exists(col("v"), x => x =!= 0.0))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        round(col("score"), 4).as("cos"))
   }
 
   /** The DuckDB mirror of [[embedNeardup]] with the identical bucket cap

@@ -76,7 +76,7 @@ class DedupCapSpec extends SparkSuite {
     assert(run(Dedup.BucketCap) == uncapped)
   }
 
-  test("q44 bucket cap engaged: identical-vector cluster bounded at cap(cap-1)/2") {
+  test("q44 bucket cap engaged: near-identical-vector cluster bounded at cap(cap-1)/2") {
     val k = 30; val cap = 5
     val dir = tmpDir("dedupcap-embed").toString
     val session = spark; import session.implicits._
@@ -85,11 +85,18 @@ class DedupCapSpec extends SparkSuite {
     // in the corpus; seeded integer-valued planes are deterministic AND
     // exact in float arithmetic, so the in-test signature mirror below
     // cannot drift from the engine by a rounding ulp
-    val rnd = new scala.util.Random(42)
+    val rnd = new scala.util.Random(1)
     val planes = (Dedup.EmbPlaneBase.toLong until (Dedup.EmbPlaneBase + Dedup.EmbNumPlanes).toLong)
       .map(i => (i, Array.fill(dim)((rnd.nextInt(7) - 3).toFloat)))
+    // DISTINCT near-identical vectors (a per-member 1e-4 jitter on one
+    // coordinate): identical vectors would be collapsed by the exact-dup
+    // pre-pass and never reach the buckets the cap guards. Sign
+    // stability: base dots are nonzero integers (asserted below) and the
+    // jitter shifts them by < 0.01, so every member shares the base
+    // vector's buckets.
     val cluster = (100L until (100 + k).toLong)
-      .map(i => (i, Array.tabulate(dim)(j => (j + 1).toFloat)))
+      .map(i => (i, Array.tabulate(dim)(j =>
+        if (j == 0) 1.0f + (i - 100) * 1e-4f else (j + 1).toFloat)))
     (planes ++ cluster).toDF("vec_id", "embedding")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     def run(c: Int): Set[(Long, Long)] =
@@ -109,6 +116,10 @@ class DedupCapSpec extends SparkSuite {
     val cv = Array.tabulate(dim)(j => (j + 1).toDouble)
     def dot(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
+    // jitter-proof signatures require every base dot to be a nonzero
+    // integer; if a future seed change breaks this, fail loudly here
+    assert(planeVecs.values.forall(pv => math.abs(dot(cv, pv)) >= 1.0),
+      "fixture planes must have nonzero integer dots with the cluster base")
     def bsig(v: Array[Double], band: Int): Long =
       (0 until Dedup.EmbBandBits).map { bit =>
         val pid = Dedup.EmbPlaneBase + band * Dedup.EmbBandBits + bit
