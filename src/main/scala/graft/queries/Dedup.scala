@@ -284,18 +284,20 @@ object Dedup {
     */
   val DfCap = 1000
 
-  /** q41/q44's LSH band-bucket cap: each (band, signature) bucket
+  /** q41/q44/q45's LSH band-bucket cap: each (band, signature) bucket
     * contributes pairs from at most BucketCap members (the first by id
-    * after the deterministic bucket sort) — the duplicate-heavy-corpus
-    * guard. An uncapped bucket of k near-identical docs generates
-    * k(k-1)/2 pairs with shingle/vector payloads riding the shuffle;
-    * the cap bounds that at BucketCap²/2 per bucket. Unlike q43's DfCap
-    * the bucket is truncated, not dropped — a mega-bucket still yields
-    * its first-BucketCap duplicates rather than silently losing all of
+    * after the deterministic bucket sort). EXACT duplicates never reach
+    * the buckets (the collapse pre-pass handles them exactly), so the
+    * cap guards the residual case: mega-buckets of near-identical-but-
+    * distinct members (boilerplate with varying fill), where k members
+    * would otherwise generate k(k-1)/2 pairs; the cap bounds that at
+    * BucketCap²/2 per bucket. Unlike q43's DfCap the bucket is
+    * truncated, not dropped — a mega-bucket still yields its
+    * first-BucketCap members' pairs rather than silently losing all of
     * them. Far above every fixture bucket (max ≈ dozens at sf0.1), so
-    * capped ≡ uncapped on test data; both DuckDB oracles mirror the cap
-    * (row_number per bucket ≤ cap) so hash-parity holds even if a
-    * bucket ever exceeds it. DedupCapSpec exercises the engaged cap.
+    * capped ≡ uncapped on test data — which is also when the oracles'
+    * full-corpus cap mirror coincides with the engine's rep-level cap.
+    * DedupCapSpec exercises the engaged cap on distinct-member cliques.
     */
   val BucketCap = 200
 
@@ -356,9 +358,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("jaccard"))
   }
 
-  /** The DuckDB mirror of [[minhashPairs]] with the identical bucket cap
-    * (candidates restricted to the first `cap` doc_ids per (band, bsig)
-    * bucket, same deterministic by-id order as the Spark bucket sort).
+  /** The DuckDB mirror of [[minhashPairs]]: full-corpus band buckets
+    * with the first-`cap`-by-id restriction. Identical to the engine
+    * whenever the cap is disengaged (always true at fixture scale —
+    * with the cap ENGAGED the engine caps rep-level buckets instead,
+    * and both sides are declared approximations; DedupCapSpec, not the
+    * oracle, pins the engaged behavior).
     */
   def minhashOracle(cap: Int): String = {
     val seedRows = seeds.zipWithIndex
@@ -441,8 +446,10 @@ object Dedup {
         round(col("score"), 4).as("cos"))
   }
 
-  /** The DuckDB mirror of [[embedNeardup]] with the identical bucket cap
-    * (first `cap` vec_ids per (band, bsig) bucket, by-id order).
+  /** The DuckDB mirror of [[embedNeardup]]: full-corpus buckets,
+    * first-`cap`-by-id — identical to the engine while the cap is
+    * disengaged (fixture scale); see [[minhashOracle]] for the engaged
+    * caveat.
     */
   def embedNeardupOracle(cap: Int): String =
     s"""WITH e AS (SELECT vec_id,
