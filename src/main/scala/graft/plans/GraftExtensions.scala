@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash}
+import graft.functions.{CosineSimilarity, DotProduct, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -53,6 +53,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_mg_candidates capacity must be an int literal, got $other")
         }
         MisraGriesTopK(children.head, cap)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(score, id, k) - bounded top-k by (score DESC, id ASC), map-side combinable"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an int literal, got $other")
+        }
+        TopKByScore(children(0), children(1), k)
       }))
     e.injectOptimizerRule(_ => RewriteVectorHofs)
   }

@@ -33,6 +33,26 @@ object Similarity {
     Tables.spread(Tables(s, d, "embeddings"))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
+  /** (q_id, n_id, cos) candidates → per-query top-k, rank 1..k by
+    * (cos DESC, n_id ASC). Native path: the graft_topk bounded-heap
+    * aggregate — partial aggregation collapses every partition's
+    * candidates to ≤ k rows BEFORE the per-query shuffle. Fallback: the
+    * ranking window (identical result; shuffles all candidates).
+    */
+  private def topkPerQuery(s: SparkSession, cand: DataFrame, k: Int): DataFrame =
+    if (s.catalog.functionExists("graft_topk")) {
+      cand.groupBy(col("q_id"))
+        .agg(call_function("graft_topk", col("cos"), col("n_id"), lit(k)).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("n_id"),
+          (col("pos") + 1).cast("int").as("rk"), round(col("t.score"), 4).as("cos"))
+    } else {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
+    }
+
   /** SQL fragment: cosine between two DOUBLE-list columns. */
   private def sqlCos(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -45,14 +65,9 @@ object Similarity {
         val e = vecs(s, d)
         val q = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id").asc)
-        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        topkPerQuery(s, e.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine(s, col("qv"), col("v")).as("cos"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= TopK)
-          .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
+            cosine(s, col("qv"), col("v")).as("cos")), TopK)
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -93,15 +108,10 @@ object Similarity {
           .filter(col("rn") <= Probes)
           .select(col("q_id"), col("qv"), col("c_id"))
         // search only the probed partitions
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id").asc)
-        probes.join(assign, "c_id")
+        topkPerQuery(s, probes.join(assign, "c_id")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine(s, col("qv"), col("v")).as("cos"))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= TopK)
-          .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
+            cosine(s, col("qv"), col("v")).as("cos")), TopK)
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -142,15 +152,10 @@ object Similarity {
           .agg(sum(col("term")).as("bucket"), first(col("v")).as("v"))
         val q = asg.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id").asc)
-        q.join(asg, Seq("bucket"))
+        topkPerQuery(s, q.join(asg, Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine(s, col("qv"), col("v")).as("cos"))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= TopK)
-          .select(col("q_id"), col("n_id"), col("rk"), round(col("cos"), 4).as("cos"))
+            cosine(s, col("qv"), col("v")).as("cos")), TopK)
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
