@@ -680,14 +680,17 @@ object Relational {
     "q84_cte" -> Q(
       (s, d) => {
         Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_cte")
+        // top-25 via ORDER BY + LIMIT (TakeOrderedAndProject — per
+        // -partition partial top-k, no global single-partition window);
+        // the rank window then runs over only the 25 survivors
         s.sql("""WITH rev AS (
                 |  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS r
                 |  FROM lineitem_cte GROUP BY l_orderkey),
-                |ranked AS (
-                |  SELECT l_orderkey, r, row_number() OVER (ORDER BY r DESC, l_orderkey) AS rk
-                |  FROM rev)
-                |SELECT l_orderkey, round(r, 2) AS revenue, CAST(rk AS INT) AS rk
-                |FROM ranked WHERE rk <= 25""".stripMargin)
+                |top AS (
+                |  SELECT l_orderkey, r FROM rev ORDER BY r DESC, l_orderkey LIMIT 25)
+                |SELECT l_orderkey, round(r, 2) AS revenue,
+                |  CAST(row_number() OVER (ORDER BY r DESC, l_orderkey) AS INT) AS rk
+                |FROM top""".stripMargin)
       },
       Some("""WITH rev AS (
              |  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS r
