@@ -73,4 +73,21 @@ class PlanSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("no unpartitioned window over unbounded input anywhere in the catalog") {
+    // An unpartitioned windowspec moves ALL rows to one partition — a
+    // 100 TB outage unless a LIMIT (TakeOrderedAndProject/GlobalLimit)
+    // bounds the input below it. Partitioned specs print their partition
+    // columns before the sort spec; unpartitioned ones open with a sort
+    // direction in the first comma group.
+    val unpartitioned = "windowspecdefinition\\((\\w+#\\d+L?) (ASC|DESC)".r
+    val offenders = Catalog.all.keys.flatMap { name =>
+      val p = plan(name)
+      val hasGlobalWindow = unpartitioned.unanchored.matches(p)
+      val bounded = p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit")
+      if (hasGlobalWindow && !bounded) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global single-partition windows over unbounded input: ${offenders.mkString(", ")}")
+  }
 }
