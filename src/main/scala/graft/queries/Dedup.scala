@@ -58,8 +58,14 @@ object Dedup {
     Tables.spread(Tables(s, d, "documents"))
       .groupBy(sha2(col("text"), 256))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-        first(col("text")).as("text"))
-      .select(col("ids").getItem(0).as("doc_id"), col("ids"), col("text"))
+        first(col("text")).as("text"),
+        // shingle-eligibility decided AT GROUP TIME so expansion-side
+        // consumers never reference text — Catalyst then prunes the
+        // (large) text column out of the membership re-evaluations,
+        // whose shuffles carry only (key, ids, eligible)
+        first(size(split(col("text"), " ")) >= 3).as("eligible"))
+      .select(col("ids").getItem(0).as("doc_id"), col("ids"), col("text"),
+        col("eligible"))
 
   /** distinct-text groups → (doc_id = rep, sh: distinct word 3-shingles),
     * groups whose text has <3 tokens dropped (no shingles ⇒ can't
@@ -84,8 +90,7 @@ object Dedup {
     */
   private def expandPairs(repPairs: DataFrame, groups: DataFrame,
                           selfScore: Column = lit(1.0),
-                          intraEligible: Column =
-                            size(split(col("text"), " ")) >= 3): DataFrame = {
+                          intraEligible: Column = col("eligible")): DataFrame = {
     val membership = groups.select(col("doc_id").as("rep"), col("ids"),
       intraEligible.as("eligible"))
     val inter = repPairs
@@ -412,7 +417,10 @@ object Dedup {
     // also drops.
     val groups = e0.groupBy(col("v"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .select(col("ids").getItem(0).as("doc_id"), col("ids"), col("v"))
+      .select(col("ids").getItem(0).as("doc_id"), col("ids"), col("v"),
+        // zero vectors have undefined cosine; decide here so the
+        // expansion side never carries v (see textGroups)
+        exists(col("v"), x => x =!= 0.0).as("eligible"))
     val e = groups.select(col("doc_id").as("vec_id"), col("v"))
     // planes are corpus vectors ADDRESSED BY ID — always from the full
     // corpus, not the reps (a plane's id may not be its group's rep)
@@ -440,8 +448,7 @@ object Dedup {
       // a pair can collide in several bands — keep it once
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("cos")).as("score"))
-    expandPairs(repPairs, groups,
-        intraEligible = exists(col("v"), x => x =!= 0.0))
+    expandPairs(repPairs, groups)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         round(col("score"), 4).as("cos"))
   }
