@@ -65,4 +65,33 @@ class EdgeCaseSpec extends SparkSuite {
     // but identical full docs don't; verify counting stays consistent
     assert(buckets.count() >= 0) // smoke: no codegen/kernel crash
   }
+
+  /** Every document/embedding-family catalog query must survive an EMPTY
+    * corpus — the first microbatch of a fresh pipeline, or a filter that
+    * matched nothing upstream. Collapse, banding, expansion, inverted
+    * index: all must produce zero rows, not a runtime error.
+    */
+  test("document and embedding queries on an empty corpus return empty, no crash") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("empty_corpus").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      .write.parquet(s"$dir/documents.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val affected = graft.queries.Catalog.all.keys.filter(n =>
+      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*"))
+    affected.foreach { name =>
+      val n = graft.queries.Catalog.all(name).build(spark, dir).count()
+      assert(n == 0, s"$name returned $n rows on an empty corpus")
+    }
+    info(s"${affected.size} queries clean on the empty corpus")
+  }
 }
