@@ -53,7 +53,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also write the object to a file: stdout goes through sbt, which
+    // prefixes "[info]" and interleaves log noise, so the driver's
+    // BENCH_r*.json records "parsed": null when it can only scrape the
+    // tail. A clean file is unambiguous.
+    val outPath = java.nio.file.Paths.get("out", "bench.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    println(s"[bench] json written to ${outPath.toAbsolutePath}")
     spark.stop()
   }
 }

@@ -35,9 +35,11 @@ object Multimodal {
              |FROM documents""".stripMargin)),
 
     // ---- batched decode → feature frame (the stubbed-codec pipeline as
-    //      a catalog entry; rows-only check — the 16-bucket byte
-    //      histogram has no tractable SQL oracle, its determinism is
-    //      asserted in FunctionsSpec instead)
+    //      a catalog entry). The stub payload is the UTF-8 encoding of
+    //      pure-ASCII text, so every selected column IS SQL-expressible:
+    //      bucket6 = histogram[6] = count of bytes with high nibble 6
+    //      (regexp byte class [\x60-\x6f]), fake_width/height = first two
+    //      bytes + 1 — an exact oracle, not rows-only.
     "q71_media_features" -> Q(
       (s, d) => {
         val media = graft.operators.MediaPipeline.documentsAsMedia(
@@ -48,7 +50,13 @@ object Multimodal {
             element_at(col("histogram"), 7).as("bucket6"),
             col("fake_width"), col("fake_height"))
       },
-      None),
+      Some("""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+             |SELECT doc_id AS id, 'text/plain' AS kind,
+             |  CAST(n AS INT) AS n_bytes,
+             |  CAST(len(regexp_extract_all(text, '[\x60-\x6f]')) AS BIGINT) AS bucket6,
+             |  CAST(CASE WHEN n >= 1 THEN ascii(substr(text, 1, 1)) + 1 ELSE 1 END AS INT) AS fake_width,
+             |  CAST(CASE WHEN n >= 2 THEN ascii(substr(text, 2, 1)) + 1 ELSE 1 END AS INT) AS fake_height
+             |FROM d""".stripMargin)),
 
     // ---- frame-sample plumbing (MediaPipeline.sampleFrames): 64-byte
     //      pseudo-frames, keep every 4th. Frame boundaries and sizes are

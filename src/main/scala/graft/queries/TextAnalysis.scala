@@ -38,8 +38,9 @@ object TextAnalysis {
           .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
           .when(col("s_fr") >= col("s_de"), "fr")
           .otherwise("de")
-        scored.select(col("doc_id"), pred.as("pred_lang"),
-          (pred === col("lang")).as("is_match"))
+        scored.select(col("doc_id"), pred.as("pred_lang"), col("lang"))
+          .select(col("doc_id"), col("pred_lang"),
+            (col("pred_lang") === col("lang")).as("is_match"))
       },
       Some {
         def cnt(ws: Seq[String]) = {
