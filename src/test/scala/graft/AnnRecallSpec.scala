@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Recall floors for the approximate ANN variants (q51 IVF, q52 LSH)
+  * against q50's brute-force exact top-k — the same pinned-quality
+  * pattern as EmbedNeardupSpec: approximate-by-design components carry a
+  * measured, frozen recall metric so a user tuning Probes/SigBits has a
+  * baseline instead of flying blind. Floors are frozen at 0.8 from the
+  * measured 0.96 at sf0.001 (see info() output), not aspirational.
+  */
+class AnnRecallSpec extends SparkSuite {
+
+  private def topkSet(name: String): Set[(Long, Long)] =
+    graft.queries.Catalog.all(name)
+      .build(spark, sf())
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val truth = topkSet("q50_ann_brute")
+
+  test("q51_ann_ivf recall vs brute-force ground truth") {
+    assert(truth.size == queries.Similarity.NumQueries * queries.Similarity.TopK,
+      s"brute-force truth must be full top-k, got ${truth.size}")
+    val ivf = topkSet("q51_ann_ivf")
+    val recall = (ivf & truth).size.toDouble / truth.size
+    info(f"IVF recall at sf0.001: ${(ivf & truth).size}/${truth.size} = $recall%.2f " +
+      s"(${queries.Similarity.Probes}/${queries.Similarity.NumCentroids} centroids probed)")
+    assert(recall >= 0.8, f"IVF recall below frozen floor 0.8: $recall%.2f")
+  }
+
+  test("q52_ann_lsh recall vs brute-force ground truth") {
+    val lsh = topkSet("q52_ann_lsh")
+    val recall = (lsh & truth).size.toDouble / truth.size
+    info(f"SRP-sketch recall at sf0.001: ${(lsh & truth).size}/${truth.size} = $recall%.2f " +
+      s"(${queries.Similarity.SigBits}-bit sketch, C=${queries.Similarity.HammingCandidates})")
+    assert(recall >= 0.8, f"LSH recall below frozen floor 0.8: $recall%.2f")
+  }
+}

@@ -19,8 +19,7 @@ class CatalogSpec extends SparkSuite {
   // Queries where an empty result at sf0.001 is legitimate (tiny corpus
   // may simply lack near-dup pairs above threshold).
   private val mayBeEmpty = Set(
-    "q41_dedup_minhash", "q43_ngram_jaccard", "q44_embed_neardup",
-    "q52_ann_lsh") // tiny sf: a query can be alone in its LSH bucket
+    "q41_dedup_minhash", "q43_ngram_jaccard", "q44_embed_neardup")
 
   Catalog.all.foreach { case (name, q) =>
     test(s"$name runs at sf0.001") {
