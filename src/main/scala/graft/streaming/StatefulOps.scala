@@ -111,4 +111,24 @@ object StatefulOps {
       .groupBy(window(col(tsCol), win), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_val"))
+
+  /** Q40 on the ingest stream: near-dup suppression by SimHash
+    * fingerprint equality. The fingerprint is the stateless per-row
+    * kernel (graft_simhash — q42's batch kernel, which streams as-is),
+    * so the only state is dropDuplicatesWithinWatermark's fingerprint
+    * set, bounded by the watermark horizon — state ∝ distinct
+    * fingerprints per horizon, not stream history. Word-permuted
+    * rewordings hash to the SAME fingerprint (SimHash is built from
+    * token counts, so it is order-free), so they dedup even though an
+    * exact-text dropDuplicates would pass them through.
+    */
+  def simhashDedup(docs: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame = {
+    require(docs.sparkSession.catalog.functionExists("graft_simhash"),
+      "simhashDedup needs the graft_simhash kernel: build the session " +
+        "with .withExtensions(new graft.plans.GraftExtensions)")
+    docs
+      .withColumn("simhash", call_function("graft_simhash", col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
 }
