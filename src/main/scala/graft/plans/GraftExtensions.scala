@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -66,6 +66,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKByScore(children(0), children(1), k)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_srpsig"),
+      info("graft_srpsig",
+        "graft_srpsig(v, bits) - sign-random-projection sketch of an array<double>"),
+      (children: Seq[Expression]) => {
+        val bits = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_srpsig bits must be an int literal, got $other")
+        }
+        SrpSignature(children.head, bits)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      info("graft_hamming",
+        "graft_hamming(a, b) - Hamming distance between two array<int> signatures"),
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
     e.injectOptimizerRule(_ => RewriteVectorHofs)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,24 @@ object Similarity {
     */
   val KMeansIters = 2
   val FixedPointScale = 1048576L
+
+  /** Interpreted-HOF reference formulations of the SRP signature and
+    * signature Hamming distance — the bit-identical fallbacks for the
+    * graft_srpsig / graft_hamming kernels, and the cross-check surface
+    * AnnRecallSpec compares the native path against. Only the mixer in
+    * [[planeSql]] and the sequential left-fold order matter for parity.
+    */
+  def srpSigHof(v: String): Column = expr(
+    s"""transform(sequence(0, ${SigBits - 1}), p ->
+       |  CASE WHEN aggregate(
+       |    transform(sequence(0, size($v) - 1), i -> element_at($v, i + 1) *
+       |      ${planeSql(s"p * size($v) + i")}),
+       |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0
+       |  THEN 1 ELSE 0 END)""".stripMargin)
+
+  def hammingHof(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b,
+       |  (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, z) -> acc + z)""".stripMargin)
 
   /** The DuckDB mirror of one Lloyd round, chained KMeansIters times:
     * a_k = assignment to c_{k-1}'s nearest centroid, m_k = fixed-point
@@ -190,7 +208,11 @@ object Similarity {
         }
         val seeds = e.filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        val cents = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next()
+        // persist the trained centroids (k rows — k·dim doubles, the one
+        // thing MLlib keeps driver-side too): both the corpus assignment
+        // and the query probes consume them, and without the cache each
+        // branch would re-run the whole Lloyd chain
+        val cents = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next().persist()
         val assign = assignTo(cents)
         // queries → top-`Probes` centroids
         val wProbe = Window.partitionBy(col("q_id"))
@@ -245,14 +267,13 @@ object Similarity {
       (s, d) => {
         val e = vecs(s, d)
         // per-row signature: no shuffle, no explode — SigBits × dim
-        // multiply-adds inside one codegen'd projection
-        val sigs = e.withColumn("sg", expr(
-          s"""transform(sequence(0, ${SigBits - 1}), p ->
-             |  CASE WHEN aggregate(
-             |    transform(sequence(0, size(v) - 1), i -> element_at(v, i + 1) *
-             |      ${planeSql("p * size(v) + i")}),
-             |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0
-             |  THEN 1 ELSE 0 END)""".stripMargin))
+        // multiply-adds inside one projection. Native kernel when the
+        // extension is registered (primitive loop); interpreted-HOF
+        // fallback otherwise — bit-identical (AnnRecallSpec asserts it).
+        val sigs = e.withColumn("sg",
+          if (s.catalog.functionExists("graft_srpsig"))
+            call_function("graft_srpsig", col("v"), lit(SigBits))
+          else srpSigHof("v"))
         val qsig = sigs.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sg").as("qsg"))
         // Hamming pass: corpus carries only (id, signature) — vectors
@@ -260,9 +281,10 @@ object Similarity {
         val hams = sigs.select(col("vec_id").as("n_id"), col("sg"))
           .join(broadcast(qsig.select(col("q_id"), col("qsg"))),
             col("n_id") =!= col("q_id"))
-          .select(col("q_id"), col("n_id"), expr(
-            """aggregate(zip_with(qsg, sg, (a, b) -> CASE WHEN a = b THEN 0 ELSE 1 END),
-              |  0, (x, y) -> x + y)""".stripMargin).as("ham"))
+          .select(col("q_id"), col("n_id"),
+            (if (s.catalog.functionExists("graft_hamming"))
+               call_function("graft_hamming", col("qsg"), col("sg"))
+             else hammingHof("qsg", "sg")).as("ham"))
         val cand =
           if (s.catalog.functionExists("graft_topk"))
             hams.groupBy(col("q_id"))

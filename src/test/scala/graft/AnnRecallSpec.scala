@@ -30,6 +30,23 @@ class AnnRecallSpec extends SparkSuite {
     assert(recall >= 0.8, f"IVF recall below frozen floor 0.8: $recall%.2f")
   }
 
+  test("native SRP signature and Hamming kernels are bit-identical to the HOF formulation") {
+    val e = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
+    val native = e.select(col("vec_id"),
+      call_function("graft_srpsig", col("v"), lit(queries.Similarity.SigBits)).as("sg"))
+    val hof = e.select(col("vec_id"), queries.Similarity.srpSigHof("v").as("sg"))
+    assert(native.except(hof).isEmpty && hof.except(native).isEmpty,
+      "graft_srpsig diverges from the interpreted-HOF signature")
+    val pairs = native.limit(20).toDF("id_a", "a")
+      .crossJoin(native.limit(20).toDF("id_b", "b"))
+    val diff = pairs.select(
+        call_function("graft_hamming", col("a"), col("b")).as("nh"),
+        queries.Similarity.hammingHof("a", "b").as("hh"))
+      .filter(col("nh") =!= col("hh"))
+    assert(diff.isEmpty, "graft_hamming diverges from the zip_with fold")
+  }
+
   test("q52_ann_lsh recall vs brute-force ground truth") {
     val lsh = topkSet("q52_ann_lsh")
     val recall = (lsh & truth).size.toDouble / truth.size
