@@ -9,7 +9,8 @@ object Catalog {
   lazy val all: ListMap[String, Q] = {
     val families: Seq[ListMap[String, Q]] = Seq(
       Relational.defs, Windowed.defs, AuditOps.defs,
-      Dedup.defs, Similarity.defs, TextAnalysis.defs, Multimodal.defs)
+      Dedup.defs, Similarity.defs, TextAnalysis.defs, Multimodal.defs,
+      Pipeline.defs)
     val merged = families.foldLeft(ListMap.empty[String, Q])(_ ++ _)
     val n = families.map(_.size).sum
     require(merged.size == n, s"duplicate query names: ${n - merged.size}")

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** The LLM training-data pipeline as ONE composed catalog query
+  * (SURVEY.md §2.2 Q39–Q43 end to end): cheap per-row quality/language
+  * gates FIRST (they prune before anything shuffles), exact dedup on the
+  * survivors (sha2 group keys — 32-byte shuffle rows, the q40 design),
+  * then the per-document analysis columns for the kept canonical docs.
+  * This is the composition a real corpus build runs; the oracle restates
+  * every stage in SQL, so a drift anywhere in the chain — a gate, the
+  * dedup tie-break, a token count — hash-mismatches.
+  *
+  * Stage order is the 100 TB design: the language/quality predicates are
+  * stateless projections evaluated in the scan stage, so the exact-dedup
+  * shuffle and everything after it only carries the surviving fraction.
+  */
+object Pipeline {
+
+  /** Gates: predicted-English (q60's argmax rule) and a minimum quality
+    * score (q61's formula). Thresholds chosen to keep a meaningful
+    * fraction of the fixture corpus on both sides of each gate.
+    */
+  val MinQuality = 0.35
+
+  def defs: ListMap[String, Q] = ListMap(
+
+    "q90_pipeline" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val nStop = size(filter(toks, t => t === "the" || t === "a"))
+        val stopRatio = nStop.cast("double") / nTok
+        val quality = least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio)
+        def cnt(ws: Seq[String]) = size(filter(toks, t => ws.map(t === _).reduce(_ || _)))
+        val sEn = cnt(Seq("the", "a", "of")); val sEs = cnt(Seq("el", "la", "de"))
+        val sFr = cnt(Seq("le", "les", "et")); val sDe = cnt(Seq("der", "die", "und"))
+        val isEnglish = sEn >= sEs && sEn >= sFr && sEn >= sDe
+        val gated = Tables.spread(Tables(s, d, "documents"))
+          .withColumn("quality", quality)
+          .filter(isEnglish && col("quality") >= MinQuality)
+        // exact dedup among survivors: canonical = min doc_id per text
+        // hash; n_dups records how many exact copies collapsed
+        val canon = gated
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"),
+            first(col("quality")).as("quality"))
+        // analysis columns for the kept docs: re-join text by canonical
+        // id instead of dragging the payload through the dedup shuffle
+        canon.join(gated.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            col("n_dups"),
+            round(col("quality"), 4).as("quality"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+              .as("lex_tokens"),
+            md5(concat_ws(" ",
+              array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, text,
+              |    len(string_split(text, ' ')) AS n_tokens,
+              |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop,
+              |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of')) AS s_en,
+              |    len(list_filter(string_split(text, ' '), t -> t = 'el' OR t = 'la' OR t = 'de')) AS s_es,
+              |    len(list_filter(string_split(text, ' '), t -> t = 'le' OR t = 'les' OR t = 'et')) AS s_fr,
+              |    len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'die' OR t = 'und')) AS s_de
+              |  FROM documents),
+              |gated AS (SELECT doc_id, text,
+              |    least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
+              |      * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) AS quality
+              |  FROM f
+              |  WHERE s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+              |    AND least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
+              |      * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) >= $MinQuality),
+              |canon AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
+              |    first(quality) AS quality
+              |  FROM gated GROUP BY sha256(text))
+              |SELECT c.doc_id, c.n_dups, round(c.quality, 4) AS quality,
+              |  CAST(len(regexp_extract_all(g.text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS lex_tokens,
+              |  md5(array_to_string(list_sort(list_distinct(string_split(lower(g.text), ' '))), ' ')) AS fp
+              |FROM canon c JOIN gated g ON g.doc_id = c.doc_id""".stripMargin),
+      headline = true)
+  )
+}

@@ -131,4 +131,31 @@ object StatefulOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("simhash")
   }
+
+  /** [[simhashDedup]]'s embedding-space sibling: near-dup suppression by
+    * SRP-sketch equality. Each vector gets a `bits`-wide
+    * sign-random-projection sketch (graft_srpsig — q52's stateless
+    * kernel) packed into one BIGINT dedup key, so state is one long per
+    * distinct sketch within the watermark horizon. Sketch equality is
+    * scale-INVARIANT (dot signs don't move under positive scaling), so
+    * rescaled or re-normalized re-embeddings of the same content dedup
+    * even though exact-value dedup would pass them through; genuinely
+    * different directions collide with probability ~2^-bits.
+    */
+  def srpDedup(docs: DataFrame, vecCol: String, tsCol: String, delay: String,
+               bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"srpDedup packs the sketch into one BIGINT, got $bits bits")
+    require(docs.sparkSession.catalog.functionExists("graft_srpsig"),
+      "srpDedup needs the graft_srpsig kernel: build the session " +
+        "with .withExtensions(new graft.plans.GraftExtensions)")
+    docs
+      .withColumn("srp_key", expr(
+        s"""aggregate(zip_with(
+           |  graft_srpsig(transform($vecCol, x -> CAST(x AS DOUBLE)), $bits),
+           |  sequence(0, ${bits - 1}),
+           |  (b, p) -> shiftleft(CAST(b AS BIGINT), p)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+          .stripMargin))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("srp_key")
+  }
 }

@@ -27,12 +27,36 @@ object ScaleProbe {
       val n = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
     }
-    time("q41_minhash_capped")(
-      queries.Dedup.minhashPairs(spark, dir, queries.Dedup.BucketCap).count())
-    time("q43_ngram_hashed")(
-      queries.Dedup.ngramJaccard(spark, dir, queries.Dedup.DfCap).count())
-    time("q45_simhash_banded")(
-      queries.Catalog.all("q45_simhash_hamming").build(spark, dir).count())
+    if (args.lift(1).contains("--ann")) {
+      // ANN probe: expand the dir's embeddings corpus k× (plain copies
+      // with fresh vec_ids — throughput probe, recall is pinned by
+      // AnnRecallSpec at fixture scale) and time the three ANN paths.
+      // What this measures at scale: all three are linear per query, but
+      // q50 pays a 512-byte cosine per corpus row, q52 pays a 32-byte
+      // Hamming per row + C exact cosines, q51 scans ~Probes/NumCentroids
+      // of the corpus after the (3-pass) training cost.
+      import org.apache.spark.sql.functions._
+      val k = args.lift(2).map(_.toInt).getOrElse(10)
+      val probeDir = s"/tmp/ann_probe_$k"
+      val src = Tables(spark, dir, "embeddings")
+      // copies occupy id blocks ABOVE the originals so vec_id<5 queries
+      // and vec_id<8 centroid seeds stay the original distinct vectors
+      val n = src.count()
+      src.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(k - 1))).as("i"))
+        .select((col("vec_id") + col("i") * n).as("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
+      Seq("q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh").foreach { q =>
+        time(s"$q@${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
+      }
+    } else {
+      time("q41_minhash_capped")(
+        queries.Dedup.minhashPairs(spark, dir, queries.Dedup.BucketCap).count())
+      time("q43_ngram_hashed")(
+        queries.Dedup.ngramJaccard(spark, dir, queries.Dedup.DfCap).count())
+      time("q45_simhash_banded")(
+        queries.Catalog.all("q45_simhash_hamming").build(spark, dir).count())
+    }
     spark.stop()
   }
 }

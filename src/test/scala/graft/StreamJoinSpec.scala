@@ -134,4 +134,27 @@ class StreamJoinSpec extends SparkSuite {
       assert(n == 3)
     } finally q.stop()
   }
+
+  test("streaming SRP dedup drops rescaled re-embeddings within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = Array.tabulate(16)(i => math.cos(i + 1).toFloat)
+    val in = MemoryStream[(Timestamp, Long, Array[Float])]
+    val deduped = graft.streaming.StatefulOps.srpDedup(
+      in.toDF().toDF("ts", "vec_id", "embedding"), "embedding", "ts", "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("srp_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 1L, v1), (ts(2), 2L, v2))
+      q.processAllAvailable()
+      // positive rescaling never flips a dot sign → identical sketch →
+      // dropped, where exact-value dedup would keep it
+      in.addData((ts(5), 5L, v1.map(_ * 1.25f)), (ts(6), 6L, v2))
+      q.processAllAvailable()
+      val ids = spark.table("srp_dedup").select("vec_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L), s"expected rescaled 5L and exact-dup 6L suppressed, got $ids")
+    } finally q.stop()
+  }
 }
