@@ -209,25 +209,31 @@ object Dedup {
       headline = true),
 
     // ---- Q40 variant: SimHash near-dup PAIRS — exact-dup collapse
-    //      first, then fingerprints banded into 4 × 8-bit bands,
-    //      candidates from exact-band bucket joins (BucketCap-guarded,
-    //      never all-pairs), verified by Hamming distance BEFORE the
-    //      pair-dedup shuffle, members expanded back. EXACT at
-    //      threshold ≤ 3 by pigeonhole: 3 flipped bits cannot touch all
-    //      4 bands, so every qualifying pair shares ≥ 1 exact band —
-    //      which is why the DuckDB oracle can be the brute all-pairs
-    //      formulation and still hash-match the banded plan. (The
-    //      collapse also keeps that exactness on duplicate-heavy
-    //      corpora, where BucketCap truncation would otherwise bite.)
+    //      first, then TWO-LEVEL banding: 4 × 8-bit byte bands × 4 ×
+    //      6-bit sub-bands of each byte's complementary 24 bits = 16
+    //      keys per fingerprint. EXACT at threshold ≤ 3 by pigeonhole
+    //      applied twice: ≤ 3 flips miss ≥ 1 byte entirely, and within
+    //      that byte's complement miss ≥ 1 of its 4 six-bit chunks, so
+    //      every qualifying pair shares ≥ 1 full 14-bit key. Two-level
+    //      matters because natural-language SimHash bits are heavily
+    //      skewed — at sf0.1 a single byte value holds 27% of the corpus
+    //      (round-5 measurement), so byte-only buckets blow through any
+    //      cap; the 14-bit keys cut the max bucket ~2.7× and push the
+    //      exact regime much further. Buckets stay BucketCap-guarded and
+    //      the oracle mirrors the SAME collapse + cap + expansion, so
+    //      the gate holds at every scale; with the cap disengaged (all
+    //      fixture gates) both sides equal the brute all-pairs answer.
     "q45_simhash_hamming" -> Q(
       (s, d) => {
         val groups = textGroups(s, d)
         val sigs = if (native(s))
           groups.select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
         else simhashed(s, d).join(groups.select(col("doc_id")), "doc_id")
+        val keyExprs = for { b <- 0 until 4; sb <- 0 until 4 } yield
+          expr(s"shiftleft(shiftright(simhash, ${b * 8}) & 255, 6) | " +
+            s"(shiftright(${hamOtherBits(b)}, ${sb * 6}) & 63)")
         val bands = sigs.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map(b =>
-            expr(s"shiftright(simhash, ${b * 8}) & 255")): _*)).as(Seq("band", "bbits")))
+          posexplode(array(keyExprs: _*)).as(Seq("band", "bbits")))
         val repPairs = bands
           .groupBy(col("band"), col("bbits"))
           .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
@@ -237,16 +243,12 @@ object Dedup {
           .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
             expr("bit_count(p.a.simhash ^ p.b.simhash)").as("ham"))
           .filter(col("ham") <= 3)
-          .groupBy(col("doc_a"), col("doc_b")) // a pair may share several bands
+          .groupBy(col("doc_a"), col("doc_b")) // a pair may share several keys
           .agg(first(col("ham")).as("score"))
         expandPairs(repPairs, groups, selfScore = lit(0), intraEligible = lit(true))
           .select(col("doc_a"), col("doc_b"), col("score").cast("int").as("ham"))
       },
-      Some(simhashCte + """
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
-           |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+      Some(hammingOracle(BucketCap)),
       headline = true),
 
     // ---- Q40: exact n-gram Jaccard all-pairs via inverted-index join on
@@ -305,6 +307,65 @@ object Dedup {
     * DedupCapSpec exercises the engaged cap on distinct-member cliques.
     */
   val BucketCap = 200
+
+  /** q45 two-level banding: the 24 bits complementary to byte `b` of a
+    * 32-bit fingerprint, packed contiguously — SQL shared verbatim by
+    * the Spark expression and the DuckDB oracle (both engines have
+    * identical &, |, shift semantics on BIGINT here).
+    */
+  private def hamOtherBits(b: Int): String = b match {
+    case 0 => "(shiftright(simhash, 8))"
+    case 1 => "((simhash & 255) | shiftleft(shiftright(simhash, 16), 8))"
+    case 2 => "((simhash & 65535) | shiftleft(shiftright(simhash, 24), 16))"
+    case 3 => "(simhash & 16777215)"
+  }
+
+  /** The DuckDB mirror of q45's WHOLE pipeline — exact-dup collapse,
+    * two-level 14-bit keys, first-`cap`-by-id bucket restriction, Hamming
+    * verification, member expansion — so engine and oracle stay equal at
+    * every scale, cap engaged or not (the q41 minhashOracle precedent,
+    * but with the collapse and expansion mirrored too, which is what the
+    * brute-force oracle this replaces could not express once rep-level
+    * buckets overflowed at sf0.1).
+    */
+  def hammingOracle(cap: Int): String = {
+    // DuckDB spells shifts as operators; share the packing layout with
+    // hamOtherBits by textual substitution of the shift syntax
+    def others(b: Int): String = b match {
+      case 0 => "(simhash >> 8)"
+      case 1 => "((simhash & 255) | ((simhash >> 16) << 8))"
+      case 2 => "((simhash & 65535) | ((simhash >> 24) << 16))"
+      case 3 => "(simhash & 16777215)"
+    }
+    val keyRows = (for { b <- 0 until 4; sb <- 0 until 4 } yield
+      s"SELECT doc_id, simhash, ${b * 4 + sb} AS band, " +
+        s"(((simhash >> ${b * 8}) & 255) << 6) | ((${others(b)} >> ${sb * 6}) & 63) AS bbits FROM s"
+      ).mkString("\n  UNION ALL ")
+    simhashCte + s""",
+       |grp AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
+       |        FROM documents GROUP BY md5(text)),
+       |s AS (SELECT g.rep AS doc_id, sh2.simhash FROM grp g
+       |      JOIN sh2 ON sh2.doc_id = g.rep),
+       |keys AS (
+       |  $keyRows),
+       |rk AS (SELECT doc_id, simhash, band, bbits,
+       |         row_number() OVER (PARTITION BY band, bbits ORDER BY doc_id) AS r
+       |       FROM keys),
+       |rep_pairs AS (SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb,
+       |    bit_count(xor(x.simhash, y.simhash)) AS ham
+       |  FROM rk x JOIN rk y ON x.band = y.band AND x.bbits = y.bbits
+       |    AND x.doc_id < y.doc_id
+       |  WHERE x.r <= $cap AND y.r <= $cap
+       |    AND bit_count(xor(x.simhash, y.simhash)) <= 3),
+       |mem AS (SELECT rep, unnest(ids) AS m FROM grp),
+       |inter AS (SELECT least(x.m, y.m) AS doc_a, greatest(x.m, y.m) AS doc_b,
+       |    CAST(p.ham AS INT) AS ham
+       |  FROM rep_pairs p JOIN mem x ON x.rep = p.ra JOIN mem y ON y.rep = p.rb),
+       |intra AS (SELECT x.m AS doc_a, y.m AS doc_b, 0 AS ham
+       |  FROM mem x JOIN mem y ON x.rep = y.rep AND x.m < y.m)
+       |SELECT doc_a, doc_b, ham FROM inter
+       |UNION ALL SELECT doc_a, doc_b, ham FROM intra""".stripMargin
+  }
 
   /** q41's shared builder — MinHash+LSH near-dup pairs over the
     * exact-dup-collapsed corpus ([[textGroups]]), with band buckets
