@@ -424,19 +424,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("jaccard"))
   }
 
-  /** The DuckDB mirror of [[minhashPairs]]: full-corpus band buckets
-    * with the first-`cap`-by-id restriction. Identical to the engine
-    * whenever the cap is disengaged (always true at fixture scale —
-    * with the cap ENGAGED the engine caps rep-level buckets instead,
-    * and both sides are declared approximations; DedupCapSpec, not the
-    * oracle, pins the engaged behavior).
+  /** The DuckDB mirror of [[minhashPairs]]'s WHOLE pipeline — exact-dup
+    * collapse, rep-level capped band buckets, Jaccard verification,
+    * member expansion with intra-group pairs at 1.0 — the
+    * [[hammingOracle]] pattern, so engine and oracle agree on ANY
+    * corpus (duplicate texts + engaged cap included), not just while
+    * the cap is disengaged.
     */
   def minhashOracle(cap: Int): String = {
     val seedRows = seeds.zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
     // NB: shingleCte is concatenated AFTER stripMargin — running
     // stripMargin over interpolated SQL would eat a '|' from '||'.
-    shingleCte + ",\n" + s"""hv AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % $P AS h FROM sh),
+    shingleCte + ",\n" + s"""grp AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS ids,
+       |        first(len(string_split(text, ' ')) >= 3) AS eligible
+       |        FROM documents GROUP BY md5(text)),
+       |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN grp ON grp.rep = sh.doc_id),
+       |hv AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % $P AS h FROM rsh),
        |seeds(j, a, b) AS (VALUES $seedRows),
        |mh AS (SELECT doc_id, j, min((a*h + b) % $P) AS v
        |       FROM hv CROSS JOIN seeds GROUP BY doc_id, j),
@@ -446,18 +450,28 @@ object Dedup {
        |rk AS (SELECT doc_id, band, bsig,
        |         row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS r
        |       FROM sig),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |cand AS (SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb
        |         FROM rk x JOIN rk y ON x.band = y.band AND x.bsig = y.bsig
        |           AND x.doc_id < y.doc_id
        |         WHERE x.r <= $cap AND y.r <= $cap),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c
-       |          JOIN sh p ON p.doc_id = c.doc_a
-       |          JOIN sh q ON q.doc_id = c.doc_b AND q.s = p.s
-       |          GROUP BY c.doc_a, c.doc_b)
-       |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
-       |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
-       |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7""".stripMargin
+       |sz AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+       |inter0 AS (SELECT c.ra, c.rb, count(*) AS c FROM cand c
+       |          JOIN rsh p ON p.doc_id = c.ra
+       |          JOIN rsh q ON q.doc_id = c.rb AND q.s = p.s
+       |          GROUP BY c.ra, c.rb),
+       |rep_pairs AS (SELECT i.ra, i.rb, i.c * 1.0 / (sa.n + sb.n - i.c) AS jac
+       |  FROM inter0 i JOIN sz sa ON sa.doc_id = i.ra JOIN sz sb ON sb.doc_id = i.rb
+       |  WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7),
+       |mem AS (SELECT rep, unnest(ids) AS m FROM grp),
+       |inter AS (SELECT least(x.m, y.m) AS doc_a, greatest(x.m, y.m) AS doc_b,
+       |    round(p.jac, 4) AS jaccard
+       |  FROM rep_pairs p JOIN mem x ON x.rep = p.ra JOIN mem y ON y.rep = p.rb),
+       |intra AS (SELECT x.m AS doc_a, y.m AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM grp g JOIN mem x ON x.rep = g.rep JOIN mem y ON y.rep = g.rep
+       |    AND x.m < y.m
+       |  WHERE g.eligible AND len(g.ids) > 1)
+       |SELECT doc_a, doc_b, jaccard FROM inter
+       |UNION ALL SELECT doc_a, doc_b, jaccard FROM intra""".stripMargin
   }
 
   /** q44's shared builder — embedding-cosine near-dup pairs, LSH-bucketed
@@ -514,33 +528,50 @@ object Dedup {
         round(col("score"), 4).as("cos"))
   }
 
-  /** The DuckDB mirror of [[embedNeardup]]: full-corpus buckets,
-    * first-`cap`-by-id — identical to the engine while the cap is
-    * disengaged (fixture scale); see [[minhashOracle]] for the engaged
-    * caveat.
+  /** The DuckDB mirror of [[embedNeardup]]'s WHOLE pipeline — exact-dup
+    * collapse on the vector value, rep-level capped buckets, cosine
+    * verification, member expansion with intra-group pairs at cos 1.0 —
+    * the [[hammingOracle]] pattern, so engine and oracle agree on ANY
+    * corpus (duplicate vectors + engaged cap included), not just while
+    * reps coincide with raw rows.
     */
   def embedNeardupOracle(cap: Int): String =
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |grp AS (SELECT v, min(vec_id) AS rep, list_sort(list(vec_id)) AS ids,
+       |        len(list_filter(v, x -> x <> 0)) > 0 AS eligible
+       |        FROM e GROUP BY v),
+       |er AS (SELECT rep AS vec_id, v FROM grp),
        |p AS (SELECT vec_id AS p_id, v AS pv FROM e
        |      WHERE vec_id >= $EmbPlaneBase AND vec_id < ${EmbPlaneBase + EmbNumPlanes}),
-       |bits AS (SELECT e.vec_id, CAST((p.p_id - $EmbPlaneBase) // $EmbBandBits AS INT) AS band,
-       |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+       |bits AS (SELECT er.vec_id, CAST((p.p_id - $EmbPlaneBase) // $EmbBandBits AS INT) AS band,
+       |    CAST(sum(CASE WHEN list_dot_product(er.v, p.pv) > 0
        |      THEN (CAST(1 AS BIGINT) << CAST((p.p_id - $EmbPlaneBase) % $EmbBandBits AS INT))
        |      ELSE 0 END) AS BIGINT) AS bsig
-       |  FROM e CROSS JOIN p GROUP BY e.vec_id, (p.p_id - $EmbPlaneBase) // $EmbBandBits),
+       |  FROM er CROSS JOIN p GROUP BY er.vec_id, (p.p_id - $EmbPlaneBase) // $EmbBandBits),
        |rk AS (SELECT vec_id, band, bsig,
        |         row_number() OVER (PARTITION BY band, bsig ORDER BY vec_id) AS r
        |       FROM bits),
-       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |cand AS (SELECT DISTINCT x.vec_id AS ra, y.vec_id AS rb
        |         FROM rk x JOIN rk y ON x.band = y.band AND x.bsig = y.bsig
        |           AND x.vec_id < y.vec_id
        |         WHERE x.r <= $cap AND y.r <= $cap),
-       |sc AS (SELECT c.id_a, c.id_b,
+       |rep_pairs AS (SELECT c.ra, c.rb,
        |    list_dot_product(a.v, b.v) /
        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-       |  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
-       |SELECT id_a, id_b, round(cos, 4) AS cos FROM sc WHERE cos >= 0.45""".stripMargin
+       |  FROM cand c JOIN er a ON a.vec_id = c.ra JOIN er b ON b.vec_id = c.rb
+       |  WHERE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+       |mem AS (SELECT rep, unnest(ids) AS m FROM grp),
+       |inter AS (SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b,
+       |    round(p.cos, 4) AS cos
+       |  FROM rep_pairs p JOIN mem x ON x.rep = p.ra JOIN mem y ON y.rep = p.rb),
+       |intra AS (SELECT x.m AS id_a, y.m AS id_b, CAST(1.0 AS DOUBLE) AS cos
+       |  FROM grp g JOIN mem x ON x.rep = g.rep JOIN mem y ON y.rep = g.rep
+       |    AND x.m < y.m
+       |  WHERE g.eligible AND len(g.ids) > 1)
+       |SELECT id_a, id_b, cos FROM inter
+       |UNION ALL SELECT id_a, id_b, cos FROM intra""".stripMargin
 
   /** q43's shared builder — `dfCap` bounds every posting list (and so
     * every quadratic pair bucket) at dfCap entries. Carry each doc's
