@@ -142,6 +142,87 @@ object StatefulOps {
     * even though exact-value dedup would pass them through; genuinely
     * different directions collide with probability ~2^-bits.
     */
+  final case class BandRow(
+      ts: java.sql.Timestamp, doc_id: Long, sh: Array[String], band: Int, bsig: String)
+  final case class BucketMember(doc_id: Long, sh: Array[String])
+  final case class BucketState(members: List[BucketMember])
+  final case class NearDupPair(ts: java.sql.Timestamp, doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Batch q41 (MinHash+LSH near-dup PAIRS) on an unbounded stream — the
+    * piece exact/fingerprint dedup can't do: it detects near-identical
+    * (not byte- or sketch-identical) arrivals against the recent past.
+    * Stateless per-row kernels compute shingles + the 32-perm signature;
+    * rows fan out to their NumBands (band, bandSig) bucket keys; a
+    * flatMapGroupsWithState ledger per bucket keeps the FIRST
+    * `BucketCap` members (shingle sets ride the state — bounded:
+    * ≤ cap × doc shingles per live bucket) and emits exact-Jaccard-
+    * verified pairs for every new arrival against the stored members.
+    * State expires on event-time timeout one `delay` past the newest
+    * member — buckets live as long as the dedup horizon, so total state
+    * ∝ distinct buckets per horizon, not stream history. A pair that
+    * collides in several bands is emitted once per band; callers that
+    * need set semantics run dropDuplicatesWithinWatermark on
+    * (doc_a, doc_b) downstream, exactly as the batch formulation
+    * group-bys the pair.
+    */
+  def minhashPairsStream(docs: DataFrame, textCol: String, tsCol: String,
+                         delay: String, minJaccard: Double = 0.7,
+                         cap: Int = 200): Dataset[NearDupPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(s.catalog.functionExists("graft_minhash"),
+      "minhashPairsStream needs the graft_shingles3/graft_minhash kernels: build " +
+        "the session with .withExtensions(new graft.plans.GraftExtensions)")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    val ttlMs = iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    // the SAME banding as batch q41: NumBands bands × BandRows sig rows
+    val bandCols = (0 until graft.queries.Dedup.NumBands).map { k =>
+      concat_ws("_", transform(
+        slice(col("sig"), k * graft.queries.Dedup.BandRows + 1, graft.queries.Dedup.BandRows),
+        _.cast("string")))
+    }
+    val banded = docs
+      .withColumn("sh", call_function("graft_shingles3", col(textCol)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", call_function("graft_minhash", col("sh")))
+      .select(col(tsCol).as("ts"), col("doc_id"), col("sh"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
+      .withWatermark("ts", delay)
+      .as[BandRow]
+    banded
+      .groupByKey(r => (r.band, r.bsig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = List.newBuilder[NearDupPair]
+            var maxTs = 0L
+            // arrival order within a batch is nondeterministic; process
+            // by doc_id so replays produce identical pairs
+            rows.toSeq.sortBy(_.doc_id).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (!members.exists(_.doc_id == r.doc_id)) {
+                val rs = r.sh.toSet
+                members.foreach { m =>
+                  val inter = m.sh.count(rs)
+                  val jac = inter.toDouble / (m.sh.length + rs.size - inter)
+                  if (jac >= minJaccard)
+                    out += NearDupPair(r.ts, math.min(m.doc_id, r.doc_id),
+                      math.max(m.doc_id, r.doc_id),
+                      BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                }
+                if (members.size < cap) members = members :+ BucketMember(r.doc_id, r.sh)
+              }
+            }
+            state.update(BucketState(members))
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+        })
+  }
+
   def srpDedup(docs: DataFrame, vecCol: String, tsCol: String, delay: String,
                bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, s"srpDedup packs the sketch into one BIGINT, got $bits bits")

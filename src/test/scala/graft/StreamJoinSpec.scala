@@ -157,4 +157,41 @@ class StreamJoinSpec extends SparkSuite {
       assert(ids == Seq(1L, 2L), s"expected rescaled 5L and exact-dup 6L suppressed, got $ids")
     } finally q.stop()
   }
+
+  test("streaming MinHash LSH emits verified near-dup pairs across batches, state expires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val other = "completely different words entirely here nothing shared at all between them"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val pairs = graft.streaming.StatefulOps.minhashPairsStream(
+      in.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 seconds")
+    val q = pairs.toDF().writeStream.format("memory").queryName("mh_pairs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 1L, base), (ts(2), 2L, other))
+      q.processAllAvailable()
+      // cross-batch: 5 is a near-dup of 1 (one appended token), 6 an
+      // exact dup of 1 — both must pair against state from batch 1
+      in.addData((ts(5), 5L, base + " mike"), (ts(6), 6L, base))
+      q.processAllAvailable()
+      def pairSet() = spark.table("mh_pairs").select("doc_a", "doc_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(pairSet() == Set((1L, 5L), (1L, 6L), (5L, 6L)), s"got ${pairSet()}")
+      val jac = spark.table("mh_pairs").filter(col("doc_a") === 1 && col("doc_b") === 6)
+        .select("jaccard").as[Double].collect().head
+      assert(jac == 1.0, s"exact dup must verify at jaccard 1.0, got $jac")
+      // advance the watermark past the bucket TTL with unrelated data →
+      // the bucket's state is removed on this batch's timeout pass...
+      in.addData((ts(40), 90L, "unrelated filler advancing the watermark only"))
+      q.processAllAvailable()
+      // ...so a later re-arrival of the same text starts a FRESH bucket:
+      // no pairs against the expired members
+      in.addData((ts(41), 9L, base))
+      q.processAllAvailable()
+      assert(pairSet() == Set((1L, 5L), (1L, 6L), (5L, 6L)),
+        s"doc 9 must not pair with expired state, got ${pairSet()}")
+    } finally q.stop()
+  }
 }
