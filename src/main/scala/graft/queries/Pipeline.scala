@@ -82,6 +82,44 @@ object Pipeline {
               |  CAST(len(regexp_extract_all(g.text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS lex_tokens,
               |  md5(array_to_string(list_sort(list_distinct(string_split(lower(g.text), ' '))), ' ')) AS fp
               |FROM canon c JOIN gated g ON g.doc_id = c.doc_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- corpus length statistics per language — the profile every
+    //      training-data build starts from. Determinism by construction:
+    //      token counts are ints (sums exact at any parallelism),
+    //      variance is derived from the exact integer Σx/Σx² with one
+    //      double division, and the percentiles are QUARTILES on
+    //      purpose — 0.25/0.5/0.75 are binary-exact fractions, so the
+    //      R-7 interpolation over integer values is exact double
+    //      arithmetic in both engines (p90/p99 would interpolate with a
+    //      non-representable 0.9 and could differ in the last bit).
+    "q91_corpus_stats" -> Q(
+      (s, d) => {
+        val t = Tables.spread(Tables(s, d, "documents"))
+          .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("n_tok").cast("long") * col("n_tok")).as("sq"),
+            expr("percentile(n_tok, array(0.25D, 0.5D, 0.75D))").as("qs"))
+          .select(col("lang"), col("n_docs"), col("total_tokens"),
+            element_at(col("qs"), 1).as("p25"),
+            element_at(col("qs"), 2).as("p50"),
+            element_at(col("qs"), 3).as("p75"),
+            round((col("sq").cast("double") -
+              (col("total_tokens") * col("total_tokens")).cast("double") /
+                col("n_docs").cast("double")) /
+              (col("n_docs") - 1).cast("double"), 4).as("var_tokens"))
+      },
+      Some("""WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  sum(n_tok) AS total_tokens,
+             |  quantile_cont(n_tok, 0.25) AS p25,
+             |  quantile_cont(n_tok, 0.5) AS p50,
+             |  quantile_cont(n_tok, 0.75) AS p75,
+             |  round((CAST(sum(n_tok * n_tok) AS DOUBLE)
+             |    - CAST(sum(n_tok) * sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             |    / CAST(count(*) - 1 AS DOUBLE), 4) AS var_tokens
+             |FROM t GROUP BY lang""".stripMargin))
   )
 }
