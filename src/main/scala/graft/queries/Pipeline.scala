@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
@@ -25,6 +26,9 @@ object Pipeline {
     * fraction of the fixture corpus on both sides of each gate.
     */
   val MinQuality = 0.35
+
+  /** q92 sample size per language stratum. */
+  val SamplePerStratum = 50
 
   def defs: ListMap[String, Q] = ListMap(
 
@@ -120,6 +124,53 @@ object Pipeline {
              |  round((CAST(sum(n_tok * n_tok) AS DOUBLE)
              |    - CAST(sum(n_tok) * sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE))
              |    / CAST(count(*) - 1 AS DOUBLE), 4) AS var_tokens
-             |FROM t GROUP BY lang""".stripMargin))
+             |FROM t GROUP BY lang""".stripMargin)),
+
+    // ---- stratified sampling: k docs per language, selected by
+    //      hash-ranking — md5 of the id as the sort key makes the
+    //      "random" sample deterministic, reproducible across runs and
+    //      engines, and stable under repartitioning (the properties a
+    //      corpus-build sample must have; a seeded RNG gives none of
+    //      them across engines). At scale this is one ranking window
+    //      per stratum — no global sort, no collect.
+    "q92_stratified_sample" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("lang"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= SamplePerStratum)
+          .select(col("doc_id"), col("lang"), col("rn").cast("int").as("rn"))
+      },
+      Some(s"""SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+              |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              |  FROM documents) WHERE rn <= $SamplePerStratum""".stripMargin)),
+
+    // ---- weighted source mixing: keep each doc with its source's
+    //      sampling rate, decided by the doc's own hash fraction —
+    //      deterministic Bernoulli via hash(id)/2^32 < weight, the
+    //      standard reproducible down-sampling for corpus mixture
+    //      ratios. Stateless per-row predicate: evaluates in the scan
+    //      stage, no shuffle at all.
+    "q93_source_mix" -> Q(
+      (s, d) => {
+        val frac = expr(
+          "conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) / 4294967296.0")
+        val weight = expr(s"CASE WHEN source IN ('src0','src1','src2') THEN 1.0 " +
+          "WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END")
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("source"), frac.as("frac"), weight.as("w"))
+          .filter(col("frac") < col("w"))
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      AS DOUBLE) / 4294967296.0 AS frac,
+             |    CASE WHEN source IN ('src0','src1','src2') THEN 1.0
+             |         WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS w
+             |  FROM documents) WHERE frac < w""".stripMargin))
   )
 }
