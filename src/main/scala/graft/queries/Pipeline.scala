@@ -30,6 +30,9 @@ object Pipeline {
   /** q92 sample size per language stratum. */
   val SamplePerStratum = 50
 
+  /** q94 tokens per packed training sequence. */
+  val PackBudget = 2048
+
   def defs: ListMap[String, Q] = ListMap(
 
     "q90_pipeline" -> Q(
@@ -171,6 +174,34 @@ object Pipeline {
              |      AS DOUBLE) / 4294967296.0 AS frac,
              |    CASE WHEN source IN ('src0','src1','src2') THEN 1.0
              |         WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS w
-             |  FROM documents) WHERE frac < w""".stripMargin))
+             |  FROM documents) WHERE frac < w""".stripMargin)),
+
+    // ---- sequence packing: assign docs to fixed-token-budget training
+    //      bins — greedy by cumulative token count in a deterministic
+    //      hash order (the common "concat then cut" pretraining
+    //      pack, bin = how many full budgets precede the doc's end).
+    //      Packing runs PER LANGUAGE stratum: the running-sum window is
+    //      partitioned, so no stream of 100 TB ever sorts globally; at
+    //      real scale the stratum key is (lang, shard) with as many
+    //      shards as parallelism requires — same plan shape.
+    "q94_sequence_pack" -> Q(
+      (s, d) => {
+        val order = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok"))
+            .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            floor((col("cum") - 1) / PackBudget).cast("int").as("bin"))
+      },
+      Some(s"""SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok,
+              |  CAST(floor((cum - 1) / $PackBudget) AS INT) AS bin FROM (
+              |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+              |    sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM documents)""".stripMargin))
   )
 }
