@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +33,26 @@ object Pipeline {
 
   /** q94 tokens per packed training sequence. */
   val PackBudget = 2048
+
+  /** q95 shingle width for benchmark-overlap decontamination. */
+  val DecontamGram = 4
+
+  /** q96 Gopher-style repetition gates: minimum unique-token ratio,
+    * maximum duplicated-bigram fraction, minimum document length.
+    */
+  val MinUniqRatio = 0.35
+  val MaxDupBigram = 0.1
+  val MinDocTokens = 20
+
+  /** Word k-shingles of `t` as an array column (empty when the doc is
+    * shorter than k — explode() then contributes no rows, which is the
+    * correct "cannot be contaminated / not measurable" semantics).
+    */
+  private def shingles(t: Column, k: Int): Column =
+    when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k)))))
+      .otherwise(typedLit(Seq.empty[String]))
 
   def defs: ListMap[String, Q] = ListMap(
 
@@ -202,6 +223,121 @@ object Pipeline {
               |    sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
               |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
               |      ROWS UNBOUNDED PRECEDING) AS cum
-              |  FROM documents)""".stripMargin))
+              |  FROM documents)""".stripMargin)),
+
+    // ---- benchmark decontamination: drop training docs that share any
+    //      word 4-gram with the held-out benchmark set (the standard
+    //      n-gram-overlap decontamination pretraining corpora run
+    //      against eval sets). The benchmark here is the deterministic
+    //      doc_id % 97 slice — at scale it's the real eval suite, which
+    //      is always tiny relative to the corpus, so its distinct
+    //      shingle set BROADCASTS: the training side's shingles are
+    //      generated in the scan stage, probed against the broadcast
+    //      hash set, and only the (rare) contaminated doc_ids ever
+    //      shuffle. The corpus itself never shuffles at all.
+    "q95_decontaminate" -> Q(
+      (s, d) => {
+        val docs = Tables.spread(Tables(s, d, "documents"))
+        val isBench = col("doc_id") % 97 === 0
+        def sh(df: DataFrame) = df.select(col("doc_id"),
+          explode(shingles(split(col("text"), " "), DecontamGram)).as("s"))
+        val benchSh = sh(docs.filter(isBench)).select(col("s")).distinct()
+        val contaminated = sh(docs.filter(!isBench))
+          .join(broadcast(benchSh), Seq("s"), "left_semi")
+          .select(col("doc_id")).distinct()
+        docs.filter(!isBench)
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+             |      || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)
+             |      || ' ' || lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) AS s
+             |  FROM tok
+             |  QUALIFY lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+             |contaminated AS (SELECT DISTINCT doc_id FROM sh
+             |  WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+             |SELECT doc_id, source FROM documents
+             |WHERE doc_id % 97 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin)),
+
+    // ---- within-document repetition quality (the Gopher-rule family):
+    //      unique-token ratio and duplicated-bigram/trigram fractions,
+    //      plus the keep verdict. Pure per-row HOF arithmetic — no
+    //      shuffle, evaluates in the scan stage at any corpus size. The
+    //      ratios stay raw IEEE doubles (identical expression trees on
+    //      both engines) — rounding per-row would re-introduce the
+    //      HALF_UP divergence the verify notes warn about.
+    "q96_repetition_quality" -> Q(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        val n = size(t)
+        def dupFrac(k: Int): Column = {
+          val g = shingles(t, k)
+          when(size(g) > 0,
+            lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+            .otherwise(lit(0.0))
+        }
+        val uniq = size(array_distinct(t)).cast("double") / n.cast("double")
+        val dup2 = dupFrac(2)
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), n.as("n_tok"), uniq.as("uniq_tok_ratio"),
+            dup2.as("dup_bigram_frac"), dupFrac(3).as("dup_trigram_frac"),
+            (uniq >= MinUniqRatio && dup2 <= MaxDupBigram &&
+              n >= MinDocTokens).as("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |m AS (SELECT doc_id,
+              |    len(t) AS n_tok,
+              |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_tok_ratio,
+              |    CASE WHEN len(t) >= 2 THEN 1.0 - CAST(len(list_distinct(
+              |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+              |        AS DOUBLE) / (len(t) - 1) ELSE 0.0 END AS dup_bigram_frac,
+              |    CASE WHEN len(t) >= 3 THEN 1.0 - CAST(len(list_distinct(
+              |        list_transform(range(1, len(t) - 1),
+              |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+              |        AS DOUBLE) / (len(t) - 2) ELSE 0.0 END AS dup_trigram_frac
+              |  FROM t)
+              |SELECT doc_id, CAST(n_tok AS INT) AS n_tok, uniq_tok_ratio,
+              |  dup_bigram_frac, dup_trigram_frac,
+              |  (uniq_tok_ratio >= $MinUniqRatio AND dup_bigram_frac <= $MaxDupBigram
+              |    AND n_tok >= $MinDocTokens) AS keep
+              |FROM m""".stripMargin)),
+
+    // ---- incremental-batch dedup: admit only incoming docs whose text
+    //      is new — not present in the already-ingested corpus and not
+    //      duplicated within the batch (first doc_id wins). This is the
+    //      shape every continuously-fed corpus runs on each delivery.
+    //      Both sides reduce to 32-byte sha2 keys before the anti-join,
+    //      and the incoming side collapses map-side first; in a real
+    //      deployment the existing-corpus hash set is written bucketed
+    //      by h, making the recurring anti-join shuffle-free on the big
+    //      side.
+    "q97_incremental_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.spread(Tables(s, d, "documents"))
+        val h = sha2(col("text"), 256)
+        val existing = docs.filter(col("doc_id") % 10 < 8)
+          .select(h.as("h")).distinct()
+        docs.filter(col("doc_id") % 10 >= 8)
+          .groupBy(h.as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+          .join(existing, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("n_in_batch"))
+      },
+      Some("""WITH existing AS (
+             |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 10 < 8),
+             |incoming AS (
+             |  SELECT sha256(text) AS h, min(doc_id) AS doc_id,
+             |    count(*) AS n_in_batch
+             |  FROM documents WHERE doc_id % 10 >= 8 GROUP BY sha256(text))
+             |SELECT i.doc_id, i.n_in_batch FROM incoming i
+             |WHERE i.h NOT IN (SELECT h FROM existing)""".stripMargin))
   )
 }
