@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.Catalog
+import org.apache.spark.sql.DataFrame
+
+/** Behavioral guards for the corpus-build verbs (q91–q97) beyond the
+  * DuckDB oracle: the determinism/stability properties the docs claim,
+  * and the planted-input semantics the hash comparison can't isolate.
+  */
+class PipelineSpec extends SparkSuite {
+
+  /** Write a documents.parquet with the standard 5-column schema. */
+  private def corpus(rows: Seq[(Long, String)], prefix: String): String = {
+    import spark.implicits._
+    val dir = tmpDir(prefix).toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    Catalog.all(name).build(spark, dir)
+
+  test("q92 sampling and q94 packing are invariant to input file layout") {
+    // The docs claim the hash-ranked sample and the packing bins are
+    // reproducible and stable under repartitioning — the property that
+    // lets a 100 TB corpus re-layout without changing the sample.
+    val src = sf()
+    val alt = tmpDir("relayout").toString
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.repartition(7).write.mode("overwrite")
+      .parquet(s"$alt/documents.parquet")
+    Seq("q92_stratified_sample", "q94_sequence_pack").foreach { q =>
+      val a = run(q, src).collect().map(_.toString).sorted
+      val b = run(q, alt).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$q changed under input re-layout")
+    }
+  }
+
+  test("q95 drops exactly the docs sharing a 4-gram with the benchmark slice") {
+    val dir = corpus(Seq(
+      97L -> "alpha beta gamma delta epsilon",      // benchmark (97 % 97 == 0)
+      1L  -> "zzz alpha beta gamma delta yyy",      // contaminated: shares 4-gram
+      2L  -> "totally unrelated clean document here", // clean
+      3L  -> "too short"                             // < 4 tokens: no shingles
+    ), "decontam")
+    val kept = run("q95_decontaminate", dir)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(2L, 3L)))
+  }
+
+  test("q95 plan broadcasts the benchmark side — the corpus never shuffles") {
+    val p = run("q95_decontaminate", sf()).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shuffle join in the decontamination plan")
+  }
+
+  test("q96 keep verdict matches the Gopher-style thresholds") {
+    val fluent = (1 to 30).map(i => s"w$i").mkString(" ")   // unique, long
+    val spammy = Seq.fill(30)("spam").mkString(" ")          // all-dup
+    val short  = "just five ok words here"
+    val dir = corpus(Seq(1L -> fluent, 2L -> spammy, 3L -> short), "gopher")
+    val keep = run("q96_repetition_quality", dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(keep(1L))                   // unique tokens, >= 20 of them
+    assert(!keep(2L))                  // uniq ratio 1/30, dup bigrams 100%
+    assert(!keep(3L))                  // under the length floor
+  }
+
+  test("q97 admits only batch-new texts, first doc_id wins in-batch") {
+    val dir = corpus(Seq(
+      1L  -> "existing corpus text one",
+      2L  -> "existing corpus text two",
+      8L  -> "existing corpus text one",   // batch dup of corpus: dropped
+      9L  -> "genuinely new text",         // new: admitted
+      18L -> "another new text",           // in-batch dup pair: min id wins
+      19L -> "another new text"
+    ), "incr")
+    val out = run("q97_incremental_dedup", dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(9L -> 1L, 18L -> 2L))
+  }
+}
