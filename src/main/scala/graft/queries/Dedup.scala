@@ -118,7 +118,7 @@ object Dedup {
     * Elements may be structs (doc_id first so the sort orders by id);
     * carrying the shingle payload through lets verification run join-free.
     */
-  private def sortedPairs(ids: Column): Column =
+  private[queries] def sortedPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("a"), y.as("b")))))
