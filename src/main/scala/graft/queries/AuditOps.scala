@@ -45,7 +45,11 @@ object AuditOps {
              |    || '_' || p_size || '.xml', '_([^_]+)_[^_]*$', 1), '') AS pid
              |FROM part""".stripMargin)),
 
-    // ---- Q32: XML audit-record parse round-trip via from_xml
+    // ---- Q32: XML audit-record parse round-trip via from_xml, plus
+    //      schema_of_xml inference over the same record shape — the
+    //      inferred-DDL string is emitted and the oracle pins the
+    //      literal (XML inference sorts fields, numerics widen to
+    //      BIGINT), so an inference regression hash-mismatches.
     "q33_xml_parse" -> Q(
       (s, d) => {
         Tables(s, d, "orders")
@@ -56,11 +60,15 @@ object AuditOps {
           .select(
             col("rec.Session_Id").as("session_id"),
             col("rec.DB_User").as("db_user"),
-            col("rec.Returncode").as("returncode"))
+            col("rec.Returncode").as("returncode"),
+            schema_of_xml(lit(
+              "<AuditRecord><Session_Id>1</Session_Id><DB_User>u1</DB_User><Returncode>0</Returncode></AuditRecord>"))
+              .as("x_schema"))
       },
       Some("""SELECT o_orderkey AS session_id,
              |  'u' || o_custkey AS db_user,
-             |  CAST(o_orderkey % 7 AS INT) AS returncode
+             |  CAST(o_orderkey % 7 AS INT) AS returncode,
+             |  'STRUCT<DB_User: STRING, Returncode: BIGINT, Session_Id: BIGINT>' AS x_schema
              |FROM orders""".stripMargin)),
 
     // ---- Q32 (envelope form): the repeated-group shape real audit files

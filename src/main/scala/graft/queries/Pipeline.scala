@@ -37,6 +37,41 @@ object Pipeline {
   /** q95 shingle width for benchmark-overlap decontamination. */
   val DecontamGram = 4
 
+  /** q95: most contaminated-id rows we will ship driver-side as a
+    * broadcast. 10M longs ≈ 80 MB — comfortable on any driver; above it
+    * the anti-join falls back to a shuffle so a pathological corpus
+    * (e.g. the eval set leaked wholesale into the crawl) can't OOM the
+    * driver. Contamination on a healthy corpus is ≪ this.
+    */
+  val ContamBroadcastCap = 10000000L
+
+  /** q95's decontamination dataflow with the scale guard made explicit
+    * (cap overridable so the fallback path is testable): benchmark
+    * shingles always broadcast (the eval suite is tiny by construction),
+    * but the contaminated-id set is only broadcast after a bounded probe
+    * proves it's under `idCap` — `limit(idCap+1).count()` stops scanning
+    * at the first row over the cap, so the probe costs at most the
+    * contamination subquery, never an unbounded collect. Over the cap,
+    * the same anti-join runs as a shuffle join (ids are 8-byte keys; the
+    * corpus side shuffles nothing but doc_id + carried columns).
+    */
+  def decontaminate(docs: DataFrame, isBench: Column,
+                    idCap: Long = ContamBroadcastCap): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(shingles(split(col("text"), " "), DecontamGram)).as("s"))
+    val benchSh = sh(docs.filter(isBench)).select(col("s")).distinct()
+    val contaminated = sh(docs.filter(!isBench))
+      .join(broadcast(benchSh), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val fitsDriver =
+      contaminated.limit(math.min(idCap + 1, Int.MaxValue.toLong).toInt)
+        .count() <= idCap
+    val contamSide = if (fitsDriver) broadcast(contaminated) else contaminated
+    docs.filter(!isBench)
+      .join(contamSide, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   /** q96 Gopher-style repetition gates: minimum unique-token ratio,
     * maximum duplicated-bigram fraction, minimum document length.
     */
@@ -134,19 +169,25 @@ object Pipeline {
             element_at(col("qs"), 1).as("p25"),
             element_at(col("qs"), 2).as("p50"),
             element_at(col("qs"), 3).as("p75"),
+            // square in DOUBLE: BIGINT*BIGINT wraps silently in Spark
+            // (non-ANSI) at ~3e9 total tokens — real at 100 TB corpora —
+            // while DuckDB widens to HUGEINT; double² keeps bit parity.
             round((col("sq").cast("double") -
-              (col("total_tokens") * col("total_tokens")).cast("double") /
+              col("total_tokens").cast("double") * col("total_tokens").cast("double") /
                 col("n_docs").cast("double")) /
               (col("n_docs") - 1).cast("double"), 4).as("var_tokens"))
       },
+      // CAST(sum(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which
+      // the compare layer renders as float64 ("3549.0") vs Spark's int64
+      // ("3549") — identical values, mismatched hash (r5 red row).
       Some("""WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents)
              |SELECT lang, count(*) AS n_docs,
-             |  sum(n_tok) AS total_tokens,
+             |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
              |  quantile_cont(n_tok, 0.25) AS p25,
              |  quantile_cont(n_tok, 0.5) AS p50,
              |  quantile_cont(n_tok, 0.75) AS p75,
              |  round((CAST(sum(n_tok * n_tok) AS DOUBLE)
-             |    - CAST(sum(n_tok) * sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             |    - CAST(sum(n_tok) AS DOUBLE) * CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE))
              |    / CAST(count(*) - 1 AS DOUBLE), 4) AS var_tokens
              |FROM t GROUP BY lang""".stripMargin)),
 
@@ -234,21 +275,13 @@ object Pipeline {
     //      shingle set BROADCASTS: the training side's shingles are
     //      generated in the scan stage, probed against the broadcast
     //      hash set, and only the (rare) contaminated doc_ids ever
-    //      shuffle. The corpus itself never shuffles at all.
+    //      shuffle. The corpus itself never shuffles at all. The
+    //      contaminated-id broadcast is guarded by a bounded size probe
+    //      (see [[decontaminate]]) so a pathological corpus falls back
+    //      to a shuffle anti-join instead of overflowing the driver.
     "q95_decontaminate" -> Q(
-      (s, d) => {
-        val docs = Tables.spread(Tables(s, d, "documents"))
-        val isBench = col("doc_id") % 97 === 0
-        def sh(df: DataFrame) = df.select(col("doc_id"),
-          explode(shingles(split(col("text"), " "), DecontamGram)).as("s"))
-        val benchSh = sh(docs.filter(isBench)).select(col("s")).distinct()
-        val contaminated = sh(docs.filter(!isBench))
-          .join(broadcast(benchSh), Seq("s"), "left_semi")
-          .select(col("doc_id")).distinct()
-        docs.filter(!isBench)
-          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("source"))
-      },
+      (s, d) => decontaminate(
+        Tables.spread(Tables(s, d, "documents")), col("doc_id") % 97 === 0),
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
              |         generate_subscripts(string_split(text, ' '), 1) AS i

@@ -253,15 +253,26 @@ object Relational {
              |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
-    // ---- Q18: approximate distinct (HLL) — no exact oracle by nature;
-    //      driver records the weaker rows-only check.
+    // ---- Q18: approximate distinct (HLL). The sketch itself can't
+    //      hash-match an exact engine, so the gateable shape emits the
+    //      exact count plus a boolean asserting the HLL estimate landed
+    //      within 3×rsd of it — the oracle returns the same exact count
+    //      with TRUE, so a broken/degenerate sketch flips the row red.
+    //      (ApproxDistinctSpec additionally asserts the numeric bound.)
     "q16_approx_distinct" -> Q(
       (s, d) => {
         Tables(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .agg(countDistinct(col("l_partkey")).as("exact_n"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+          .select(col("l_returnflag"), col("exact_n"),
+            (abs(col("approx") - col("exact_n")).cast("double") <=
+              col("exact_n").cast("double") * 0.06).as("approx_within_3rsd"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS exact_n,
+             |  TRUE AS approx_within_3rsd
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- Q23: global sort + limit (TakeOrderedAndProject)
     "q17_topk_global" -> Q(
@@ -587,24 +598,33 @@ object Relational {
              |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
-    // ---- Q31 completeness: to_json / json_tuple round-trip. Each engine
-    //      parses its OWN serialization, so the compare is on parsed
-    //      values — engine-specific JSON formatting can't diverge it.
+    // ---- Q31 completeness: to_json / json_tuple / schema_of_json
+    //      round-trip. Each engine parses its OWN serialization, so the
+    //      compare is on parsed values — engine-specific JSON formatting
+    //      can't diverge it. schema_of_json is exercised two ways: its
+    //      inferred-DDL string is emitted (oracle pins the literal), and
+    //      it drives the from_json re-parse whose v2 must equal v.
     "q74_json_roundtrip" -> Q(
       (s, d) => {
         val j = to_json(struct(
           col("event_type").as("t"), pmod(col("user_id"), lit(97)).as("v")))
+        val jSchema = schema_of_json(lit("""{"t":"click","v":42}"""))
         Tables(s, d, "events")
           .withColumn("j", j)
+          .withColumn("p", from_json(col("j"), jSchema))
           .select(col("event_id"),
-            json_tuple(col("j"), "t", "v").as(Seq("t", "v")))
-          .select(col("event_id"), col("t"), col("v").cast("long").as("v"))
+            json_tuple(col("j"), "t", "v").as(Seq("t", "v")),
+            col("p.v").as("v2"), jSchema.as("j_schema"))
+          .select(col("event_id"), col("t"), col("v").cast("long").as("v"),
+            col("v2"), col("j_schema"))
       },
       Some("""WITH w AS (SELECT event_id,
              |    to_json(struct_pack(t := event_type, v := user_id % 97)) AS j
              |  FROM events)
              |SELECT event_id, json_extract_string(j, '$.t') AS t,
-             |  CAST(json_extract_string(j, '$.v') AS BIGINT) AS v
+             |  CAST(json_extract_string(j, '$.v') AS BIGINT) AS v,
+             |  CAST(json_extract_string(j, '$.v') AS BIGINT) AS v2,
+             |  'STRUCT<t: STRING, v: BIGINT>' AS j_schema
              |FROM w""".stripMargin)),
 
     // ---- pivot: long → wide with an explicit (deterministic) value list
@@ -725,7 +745,15 @@ object Relational {
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
           quarter(col("o_orderdate")).as("qtr"),
           (dayofweek(col("o_orderdate"))).as("dow"),
-          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          // months_between semantics (DateTimeUtils.monthsBetween): equal
+          // day-of-month ⇒ whole months, else whole months + (d1-d2)/31.0.
+          // The anchor's day (15) is not a month end, so the both-last-day
+          // branch can't fire; the oracle mirrors the two live branches.
+          // k/31 is never within 5e-9 of a .xxxx5 boundary, so round(.,4)
+          // agrees across engines despite Spark's internal 8-dp rounding.
+          round(months_between(col("o_orderdate"), lit("1995-01-15").cast("date")), 4)
+            .as("mon_since"))
       },
       Some("""SELECT o_orderkey,
              |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
@@ -733,7 +761,10 @@ object Relational {
              |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
              |  CAST(quarter(o_orderdate) AS INT) AS qtr,
              |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
-             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  round(CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS DOUBLE)
+             |    + CASE WHEN day(o_orderdate) = 15 THEN 0.0
+             |           ELSE (day(o_orderdate) - 15) / 31.0 END, 4) AS mon_since
              |FROM orders WHERE o_orderkey <= 500""".stripMargin)),
 
     // ---- Q26 extended string family

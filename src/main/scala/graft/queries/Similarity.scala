@@ -208,11 +208,19 @@ object Similarity {
         }
         val seeds = e.filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        // persist the trained centroids (k rows — k·dim doubles, the one
-        // thing MLlib keeps driver-side too): both the corpus assignment
-        // and the query probes consume them, and without the cache each
-        // branch would re-run the whole Lloyd chain
-        val cents = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next().persist()
+        // materialize the trained centroids driver-side (k rows — k·dim
+        // doubles, the one artifact MLlib also keeps on the driver) and
+        // rebuild them as a local relation: both the corpus assignment
+        // and the query probes consume the SAME trained values with no
+        // recompute, every downstream use broadcasts a LocalRelation,
+        // and nothing lingers in the cache manager across catalog
+        // invocations (the r5 persist() leaked one entry per build).
+        // This is the production shape — train offline, ship the index.
+        val trained = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next()
+        val cents = {
+          val rows = java.util.Arrays.asList(trained.collect(): _*)
+          s.createDataFrame(rows, trained.schema)
+        }
         val assign = assignTo(cents)
         // queries → top-`Probes` centroids
         val wProbe = Window.partitionBy(col("q_id"))

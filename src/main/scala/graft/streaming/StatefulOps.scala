@@ -164,6 +164,16 @@ object StatefulOps {
     * need set semantics run dropDuplicatesWithinWatermark on
     * (doc_a, doc_b) downstream, exactly as the batch formulation
     * group-bys the pair.
+    *
+    * Determinism at overflow: WITHIN a micro-batch arrivals are processed
+    * in doc_id order, so a replay of the same batches yields identical
+    * pairs. But "first `cap` members" is first-by-ARRIVAL across batches:
+    * if a bucket overflows, which members were retained — and hence which
+    * pairs later arrivals can form — depends on how the stream was cut
+    * into micro-batches. Callers must not assume replay-exact pair sets
+    * once a bucket exceeds `cap`; buckets that hot are candidate-
+    * generation pathologies (the batch path caps them identically), so
+    * overflow should be monitored, not relied on.
     */
   def minhashPairsStream(docs: DataFrame, textCol: String, tsCol: String,
                          delay: String, minJaccard: Double = 0.7,

@@ -54,4 +54,20 @@ class AnnRecallSpec extends SparkSuite {
       s"(${queries.Similarity.SigBits}-bit sketch, C=${queries.Similarity.HammingCandidates})")
     assert(recall >= 0.8, f"LSH recall below frozen floor 0.8: $recall%.2f")
   }
+
+  test("q51 leaves nothing behind in the cache across repeated catalog builds") {
+    // r5 persisted the trained centroids per build and never unpersisted:
+    // a long-lived session accumulated one cache entry per invocation.
+    // The centroids are now collected (k×dim doubles) and rebuilt as a
+    // LocalRelation, so repeated builds must not grow the persisted-RDD
+    // set. Measured as growth, not emptiness: other suites share the JVM
+    // session and may legitimately cache.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      graft.queries.Catalog.all("q51_ann_ivf").build(spark, sf()).count()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"q51 builds grew the persisted-RDD set: $before -> $after")
+  }
 }

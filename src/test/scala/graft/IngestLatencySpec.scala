@@ -51,6 +51,12 @@ class IngestLatencySpec extends SparkSuite {
       val lats = (2 to 4).map(i => deliver(s"orcl_ora_90${i}_$i.xml", 1024 * 1024, 10000))
       info(s"steady-state ingest latency for 1 MB file: best ${lats.min} ms of $lats")
       assert(lats.min <= 2000, s"t-gate: best of 3 = ${lats.min} ms > 2000 ms")
+      // ...and the median must stay within 2× the gate: best-of-3 alone
+      // would pass a sustained regression on one lucky delivery; a 4 s
+      // median cannot come from the documented VM variance on a healthy
+      // 500 ms-trigger path.
+      val median = lats.sorted.apply(1)
+      assert(median <= 4000, s"t-gate: median of 3 = $median ms > 4000 ms")
     } finally q.stop()
   }
 }

@@ -58,6 +58,40 @@ class PipelineSpec extends SparkSuite {
       "corpus-side shuffle join in the decontamination plan")
   }
 
+  test("q95 id-broadcast guard: over the cap the anti-join falls back to a shuffle") {
+    // a corpus whose contamination is pathological (2 of 3 training docs
+    // dirty) with the cap forced to 1: the bounded probe must detect the
+    // overflow and plan the anti-join WITHOUT a driver-side broadcast.
+    val dir = corpus(Seq(
+      97L -> "alpha beta gamma delta epsilon",
+      1L  -> "zzz alpha beta gamma delta yyy",   // contaminated
+      2L  -> "qq beta gamma delta epsilon rr",   // contaminated
+      3L  -> "totally unrelated clean document here"
+    ), "decontam-cap")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isBench = org.apache.spark.sql.functions.col("doc_id") % 97 === 0
+
+    val guarded = queries.Pipeline.decontaminate(docs, isBench, idCap = 1L)
+    // fallback result identical to the broadcast path's
+    val kept = guarded.collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(3L)), s"fallback changed results: ${kept.toSeq}")
+    // What the guard controls is the FORCED broadcast hint — over the
+    // cap the anti-join must carry none, leaving the strategy to the
+    // planner/AQE, which only broadcast what they can PROVE small (here
+    // they still do, 2 ids — the safe direction; an unconditional hint
+    // would collect an unbounded set onto the driver). The benchmark-
+    // shingle hint is unconditional by design, so the hint count drops
+    // from 2 to 1.
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.toString
+        .linesIterator.count(_.contains("ResolvedHint"))
+    assert(hints(guarded) == 1,
+      s"over-cap plan should carry only the bench-shingle hint, got ${hints(guarded)}")
+    val unguarded = queries.Pipeline.decontaminate(docs, isBench)
+    assert(hints(unguarded) == 2,
+      s"under-cap plan should hint both broadcasts, got ${hints(unguarded)}")
+  }
+
   test("q96 keep verdict matches the Gopher-style thresholds") {
     val fluent = (1 to 30).map(i => s"w$i").mkString(" ")   // unique, long
     val spammy = Seq.fill(30)("spam").mkString(" ")          // all-dup

@@ -7,15 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * fan-out for local test data.
   */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .withExtensions(new graft.plans.GraftExtensions)
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .appName(getClass.getSimpleName)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // INFO-level executor logs bury the scalatest report lines
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
 
