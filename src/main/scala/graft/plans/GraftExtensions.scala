@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -65,6 +65,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_topk k must be an int literal, got $other")
         }
         TopKByScore(children(0), children(1), k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_collect_capped"),
+      info("graft_collect_capped",
+        "graft_collect_capped(e, cap) - the cap smallest elements ascending; " +
+          "slice(sort_array(collect_list(e)), 1, cap) with O(cap) buffers"),
+      (children: Seq[Expression]) => {
+        val cap = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_collect_capped cap must be an int literal, got $other")
+        }
+        CollectCapped(children(0), cap)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_srpsig"),

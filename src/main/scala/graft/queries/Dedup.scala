@@ -45,6 +45,17 @@ object Dedup {
   private def native(s: SparkSession): Boolean =
     s.catalog.functionExists("graft_shingles3")
 
+  /** Bucket truncation: the `cap` smallest elements of the group,
+    * ascending. Native path is the bounded-heap aggregate (buffers never
+    * exceed `cap` — a mega-bucket costs what a full bucket costs, the
+    * 100 TB guard); fallback is the bit-identical compositional form,
+    * whose buffer is O(bucket) before the slice.
+    */
+  private def collectCapped(s: SparkSession, e: Column, cap: Int): Column =
+    if (s.catalog.functionExists("graft_collect_capped"))
+      call_function("graft_collect_capped", e, lit(cap))
+    else slice(sort_array(collect_list(e)), 1, cap)
+
   /** The exact-dup collapse pre-pass shared by q41/q43 (standard for a
     * production near-dup pipeline): one row per DISTINCT text with its
     * sorted member doc_ids and representative (min id). The quadratic
@@ -236,8 +247,8 @@ object Dedup {
           posexplode(array(keyExprs: _*)).as(Seq("band", "bbits")))
         val repPairs = bands
           .groupBy(col("band"), col("bbits"))
-          .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
-            1, BucketCap).as("ids"))
+          .agg(collectCapped(s, struct(col("doc_id"), col("simhash")), BucketCap)
+            .as("ids"))
           .filter(size(col("ids")) > 1)
           .select(explode(sortedPairs(col("ids"))).as("p"))
           .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
@@ -403,8 +414,7 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
     val repPairs = bands
       .groupBy(col("band"), col("bsig"))
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))),
-        1, cap).as("ids"))
+      .agg(collectCapped(s, struct(col("doc_id"), col("sh")), cap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       // Verify BEFORE the pair-dedup shuffle: jaccard is computed
@@ -511,8 +521,7 @@ object Dedup {
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("term")).as("bsig"), first(col("v")).as("v"))
     val repPairs = sig.groupBy(col("band"), col("bsig"))
-      .agg(slice(sort_array(collect_list(struct(col("vec_id"), col("v")))),
-        1, cap).as("ids"))
+      .agg(collectCapped(s, struct(col("vec_id"), col("v")), cap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       // verify map-side per band occurrence (q41's payload-free-dedup
@@ -596,8 +605,13 @@ object Dedup {
     val e = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("n"), hs.as("s"))
+    // collect at dfCap+1: a posting list longer than dfCap is DROPPED by
+    // the filter below, so truncating its collection at dfCap+1 members
+    // (just enough to witness the overflow) is result-identical while the
+    // buffer for a stopword-run shingle stays O(dfCap), not O(df).
+    val witnessCap = if (dfCap == Int.MaxValue) dfCap else dfCap + 1
     val repPairs = e.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .agg(collectCapped(s, struct(col("doc_id"), col("n")), witnessCap).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),

@@ -49,6 +49,35 @@ object ScaleProbe {
       Seq("q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh").foreach { q =>
         time(s"$q@${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
       }
+    } else if (args.lift(1).contains("--bucket")) {
+      // Mega-bucket A/B: the LSH bucket-truncation stage in isolation,
+      // bounded-heap aggregate (graft_collect_capped) vs the
+      // compositional form it replaced. `buckets` hot buckets × `k`
+      // members, each member carrying a q41-shaped 100-shingle payload;
+      // cap = BucketCap. The composed form materializes k structs per
+      // aggregation buffer before slicing; the bounded form never holds
+      // more than cap — the difference IS the 100 TB mega-bucket risk.
+      import org.apache.spark.sql.functions._
+      val buckets = args.lift(2).map(_.toInt).getOrElse(32)
+      val k = args.lift(3).map(_.toInt).getOrElse(100000)
+      val cap = queries.Dedup.BucketCap
+      val df = spark.range(buckets.toLong * k).select(
+          (col("id") % buckets).cast("int").as("band"),
+          (col("id") % buckets).cast("string").as("bsig"),
+          col("id").as("doc_id"),
+          transform(sequence(lit(0), lit(99)),
+            i => concat(lit("shingle_"), col("id") % 50, lit("_"), i)).as("sh"))
+        .repartition(32)
+      def stage(agg: org.apache.spark.sql.Column): Long = df
+        .groupBy(col("band"), col("bsig")).agg(agg.as("ids"))
+        .select(col("band"), size(col("ids")).as("n")).agg(sum("n")).head.getLong(0)
+      // bounded first: at large k the composed form OOMs the JVM (that
+      // crash is the measurement — don't let it eat the bounded number)
+      time(s"bounded graft_collect_capped   ${buckets}x$k")(
+        stage(call_function("graft_collect_capped",
+          struct(col("doc_id"), col("sh")), lit(cap))))
+      time(s"composed sort_array(collect_list) ${buckets}x$k")(
+        stage(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))), 1, cap)))
     } else {
       time("q41_minhash_capped")(
         queries.Dedup.minhashPairs(spark, dir, queries.Dedup.BucketCap).count())
