@@ -371,6 +371,107 @@ object Pipeline {
              |    count(*) AS n_in_batch
              |  FROM documents WHERE doc_id % 10 >= 8 GROUP BY sha256(text))
              |SELECT i.doc_id, i.n_in_batch FROM incoming i
-             |WHERE i.h NOT IN (SELECT h FROM existing)""".stripMargin))
+             |WHERE i.h NOT IN (SELECT h FROM existing)""".stripMargin)),
+
+    // ---- PII scrubbing: regex redaction of emails / IPv4s / phone
+    //      numbers — the compliance pass every shipped corpus runs.
+    //      Stateless per-row regexp_replace chain: evaluates in the scan
+    //      stage, zero shuffles at any corpus size. The fixture corpus
+    //      is synthetic words with no PII, so each row PLANTS a
+    //      deterministic email/IP/phone derived from its doc_id (the
+    //      q71 planted-input pattern): the scrubber provably fires on
+    //      every row, the counts pin each regex's match semantics, and
+    //      the md5 of the scrubbed text pins the replacement exactly.
+    //      Patterns deliberately avoid lookarounds and backtracking-
+    //      dependent forms so Java regex (Spark) and RE2 (DuckDB) agree.
+    "q98_pii_scrub" -> Q(
+      (s, d) => {
+        // Column API throughout — regex literals must NOT pass through the
+        // SQL parser, whose string literals eat backslash escapes (\b, \d)
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com via "),
+          lit("10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val afterEmail = regexp_replace(planted, PiiEmailRe, "<EMAIL>")
+        val afterIp = regexp_replace(afterEmail, PiiIpRe, "<IP>")
+        val clean = regexp_replace(afterIp, PiiPhoneRe, "<PHONE>")
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(planted, lit(PiiEmailRe), lit(0))).as("n_email"),
+            // IPs counted AFTER email redaction — digit runs inside a
+            // matched email must not double-count (same order as the scrub)
+            size(regexp_extract_all(afterEmail, lit(PiiIpRe), lit(0))).as("n_ip"),
+            size(regexp_extract_all(afterIp, lit(PiiPhoneRe), lit(0))).as("n_phone"),
+            md5(clean).as("clean_md5"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id, ${plantedSql} AS planted FROM documents),
+              |r AS (SELECT doc_id, planted,
+              |    regexp_replace(planted, '$PiiEmailRe', '<EMAIL>', 'g') AS after_email
+              |  FROM p),
+              |r2 AS (SELECT doc_id, planted, after_email,
+              |    regexp_replace(after_email, '$PiiIpRe', '<IP>', 'g') AS after_ip
+              |  FROM r)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(planted, '$PiiEmailRe')) AS INT) AS n_email,
+              |  CAST(len(regexp_extract_all(after_email, '$PiiIpRe')) AS INT) AS n_ip,
+              |  CAST(len(regexp_extract_all(after_ip, '$PiiPhoneRe')) AS INT) AS n_phone,
+              |  md5(regexp_replace(after_ip, '$PiiPhoneRe', '<PHONE>', 'g')) AS clean_md5
+              |FROM r2""".stripMargin)),
+
+    // ---- deterministic train/val/test split: every doc assigned to a
+    //      named slice by its own hash fraction (q93's reproducible-
+    //      Bernoulli idiom, here as a total partition). The properties a
+    //      corpus split must have — stable under re-runs, re-sharding,
+    //      and engine changes; no RNG state — come from hashing the id,
+    //      not sampling. Stateless per-row CASE: scan-stage at any
+    //      scale; the per-slice stats are one tiny 3-group aggregate.
+    "q99_hash_split" -> Q(
+      (s, d) => {
+        val frac = expr(
+          "conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) / 4294967296.0")
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+            when(frac < TrainFrac, "train")
+              .when(frac < ValCut, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+            min(col("doc_id")).as("first_id"))
+      },
+      Some(s"""WITH a AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+              |    CASE WHEN frac < $TrainFrac THEN 'train'
+              |         WHEN frac < $ValCut THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM (SELECT doc_id, text,
+              |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              |      AS DOUBLE) / 4294967296.0 AS frac FROM documents))
+              |SELECT split, count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |  min(doc_id) AS first_id
+              |FROM a GROUP BY split""".stripMargin))
   )
+
+  /** q98 redaction patterns — shared verbatim by the Spark expressions
+    * and the DuckDB oracle, and restricted to the Java-regex ∩ RE2
+    * dialect (no lookarounds, no backreferences) so both engines match
+    * identically.
+    */
+  val PiiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** q98's planted-PII text as a DuckDB SQL fragment — the oracle mirror
+    * of the Column-API `planted` expression: the fixture corpus has no
+    * real PII, so each row carries an email, an IPv4, and a phone number
+    * derived deterministically from its doc_id.
+    */
+  private val plantedSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || " +
+      "' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  /** q99 slice boundaries (train/val/test = 90/5/5 by hash fraction). */
+  val TrainFrac = 0.9
+  val ValCut = 0.95
 }

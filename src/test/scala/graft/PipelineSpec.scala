@@ -117,4 +117,45 @@ class PipelineSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(9L -> 1L, 18L -> 2L))
   }
+
+  test("q98 scrub removes every planted PII instance; counts pin the regexes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.spread(Tables(spark, sf(), "documents"))
+    val out = run("q98_pii_scrub", sf())
+    // exactly one planted email/IP/phone per row (the corpus itself is
+    // synthetic words — no accidental matches at the fixture scale)
+    val counts = out.agg(sum(col("n_email")), sum(col("n_ip")), sum(col("n_phone")))
+      .head(); val n = docs.count()
+    assert(counts.getLong(0) == n && counts.getLong(1) == n && counts.getLong(2) == n,
+      s"planted PII must be matched once per row: $counts for $n rows")
+    // and the scrubbed text itself must contain NO residual match of any
+    // pattern — recompute the clean text and scan it (the md5 in the
+    // catalog output pins parity; this pins the semantics)
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com via "),
+      lit("10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+      ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val clean = regexp_replace(regexp_replace(regexp_replace(planted,
+      graft.queries.Pipeline.PiiEmailRe, "<EMAIL>"),
+      graft.queries.Pipeline.PiiIpRe, "<IP>"),
+      graft.queries.Pipeline.PiiPhoneRe, "<PHONE>")
+    val residual = docs.select(clean.as("c"))
+      .filter(col("c").rlike(graft.queries.Pipeline.PiiEmailRe) ||
+        col("c").rlike(graft.queries.Pipeline.PiiIpRe) ||
+        col("c").rlike(graft.queries.Pipeline.PiiPhoneRe))
+      .count()
+    assert(residual == 0, s"$residual scrubbed docs still match a PII pattern")
+  }
+
+  test("q99 split fractions land near 90/5/5 and the assignment is total") {
+    val rows = run("q99_hash_split", sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.values.sum.toDouble
+    assert(rows.keySet == Set("train", "val", "test"), s"slices: ${rows.keySet}")
+    // hash-fraction split: binomial tolerance at fixture scale (n=500)
+    assert(math.abs(rows("train") / n - 0.90) < 0.05, s"train = ${rows("train") / n}")
+    assert(math.abs(rows("val") / n - 0.05) < 0.03, s"val = ${rows("val") / n}")
+    assert(math.abs(rows("test") / n - 0.05) < 0.03, s"test = ${rows("test") / n}")
+  }
 }
