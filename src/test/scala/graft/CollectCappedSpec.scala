@@ -51,6 +51,19 @@ class CollectCappedSpec extends SparkSuite {
     parity(3, fallbackThreshold = Some(1))
   }
 
+  test("null elements are skipped, matching collect_list") {
+    val session = spark; import session.implicits._
+    val df = samples(row, 300).toDF("g", "id", "p").repartition(5)
+    // every other element null — collect_list drops them; so must we
+    val e = when(col("id") % 2 === 0, struct(col("id"), col("p")))
+    def run(c: org.apache.spark.sql.Column) = df.groupBy(col("g"))
+      .agg(c.as("ids")).orderBy(col("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Any](1))).toSeq
+    val native = run(call_function("graft_collect_capped", e, lit(3)))
+    val composed = run(slice(sort_array(collect_list(e)), 1, 3))
+    assert(native == composed)
+  }
+
   test("parity with array-payload elements (the q41 shingle-carrying shape)") {
     val session = spark; import session.implicits._
     val df = samples(row, 200).map { case (g, id, p) =>
