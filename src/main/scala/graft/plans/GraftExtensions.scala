@@ -66,6 +66,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKByScore(children(0), children(1), k)
       }))
+    // Spark ships Bloom-filter expressions for its own runtime-filter
+    // rewrites but does not register them in the public FunctionRegistry;
+    // expose them — they are exactly the right primitive for broadcast-
+    // cheap membership pre-filters (q100's decontamination prune).
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(xxhash64_col, n_items, n_bits) - Bloom filter (binary) of a long column"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "graft_bloom_contains(bloom, xxhash64_value) - membership probe; false = definitely absent"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     e.injectFunction((
       FunctionIdentifier("graft_collect_capped"),
       info("graft_collect_capped",

@@ -72,6 +72,66 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
   }
 
+  /** q100 Bloom sizing: expected distinct benchmark shingles and filter
+    * bits (~8 bits/item ≈ 2% false-positive rate). False positives only
+    * cost wasted exact-verify work; false negatives are impossible, so
+    * the output is exactly q95's at any sizing.
+    */
+  val BloomItems = 100000L
+  val BloomBits = 800000L
+
+  /** q95's dataflow with a Bloom pre-filter on the probe side — the
+    * 100 TB shape when even the BENCHMARK shingle set is too big to
+    * broadcast comfortably (q95 broadcasts it twice; a multi-benchmark
+    * eval suite can reach GBs). The Bloom filter is ~8 bits per distinct
+    * shingle — 10–50× smaller than the exact set — and it is the ONLY
+    * thing broadcast against the full corpus: every corpus shingle is
+    * probed map-side, definite-misses (the overwhelming majority) die in
+    * the scan stage, and only the rare might-contain survivors reach the
+    * exact semi-join, which therefore runs over a tiny fraction of the
+    * corpus. No false negatives ⇒ the survivors are a superset of the
+    * truly contaminated rows ⇒ the exact join makes the result IDENTICAL
+    * to [[decontaminate]] — q100 shares q95's oracle verbatim.
+    *
+    * The filter is BUILT distributed (one aggregate over the bench
+    * shingles) and collected as a single BloomBits/8-byte binary, then
+    * re-embedded as a literal — the q51 collect-and-rebuild index-
+    * artifact shape, and what `might_contain` requires (its filter
+    * argument must be a constant or scalar subquery, never a join
+    * column). One row crosses the driver, not the shingle set.
+    *
+    * Fallback without the extension functions: the prune disappears and
+    * the exact join sees all shingles — same result, q95's cost.
+    */
+  def decontaminateBloom(docs: DataFrame, isBench: Column): DataFrame = {
+    val session = docs.sparkSession
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(shingles(split(col("text"), " "), DecontamGram)).as("s"))
+    val benchSh = sh(docs.filter(isBench)).select(col("s")).distinct()
+    val trainSh = sh(docs.filter(!isBench))
+    val bloom: Option[Array[Byte]] =
+      if (session.catalog.functionExists("graft_bloom_contains"))
+        Option(benchSh.agg(call_function("graft_bloom_agg",
+            xxhash64(col("s")), lit(BloomItems), lit(BloomBits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")) // null on an empty bench set
+      else None
+    val candidates = bloom match {
+      case Some(bf) =>
+        trainSh.filter(call_function("graft_bloom_contains",
+          lit(bf), xxhash64(col("s"))))
+      case None => trainSh
+    }
+    // exact verify on the pruned survivors — deliberately NOT broadcast:
+    // in the motivating regime the bench set is broadcast-hostile, and
+    // post-prune the probe side is small enough that this join is cheap
+    // however the planner runs it
+    val contaminated = candidates.join(benchSh, Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   /** q96 Gopher-style repetition gates: minimum unique-token ratio,
     * maximum duplicated-bigram fraction, minimum document length.
     */
@@ -282,23 +342,7 @@ object Pipeline {
     "q95_decontaminate" -> Q(
       (s, d) => decontaminate(
         Tables.spread(Tables(s, d, "documents")), col("doc_id") % 97 === 0),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-             |         generate_subscripts(string_split(text, ' '), 1) AS i
-             |  FROM documents),
-             |sh AS (
-             |  SELECT doc_id,
-             |    w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
-             |      || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)
-             |      || ' ' || lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) AS s
-             |  FROM tok
-             |  QUALIFY lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
-             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-             |contaminated AS (SELECT DISTINCT doc_id FROM sh
-             |  WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
-             |SELECT doc_id, source FROM documents
-             |WHERE doc_id % 97 <> 0
-             |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin)),
+      Some(DecontamOracle)),
 
     // ---- within-document repetition quality (the Gopher-rule family):
     //      unique-token ratio and duplicated-bigram/trigram fractions,
@@ -449,8 +493,41 @@ object Pipeline {
               |SELECT split, count(*) AS n_docs,
               |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
               |  min(doc_id) AS first_id
-              |FROM a GROUP BY split""".stripMargin))
+              |FROM a GROUP BY split""".stripMargin)),
+
+    // ---- q95 with a Bloom pre-filter on the probe side — the variant
+    //      for when even the benchmark shingle set is broadcast-hostile
+    //      (see [[decontaminateBloom]]). No false negatives + exact
+    //      verify ⇒ output is IDENTICAL to q95, so it shares q95's
+    //      oracle verbatim: the gate proves the probabilistic prune
+    //      changed nothing.
+    "q100_decontam_bloom" -> Q(
+      (s, d) => decontaminateBloom(
+        Tables.spread(Tables(s, d, "documents")), col("doc_id") % 97 === 0),
+      Some(DecontamOracle))
   )
+
+  /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom
+    * prune is output-invariant by construction).
+    */
+  private val DecontamOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+      |      || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)
+      |      || ' ' || lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) AS s
+      |  FROM tok
+      |  QUALIFY lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |contaminated AS (SELECT DISTINCT doc_id FROM sh
+      |  WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id % 97 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
   /** q98 redaction patterns — shared verbatim by the Spark expressions
     * and the DuckDB oracle, and restricted to the Java-regex ∩ RE2

@@ -148,6 +148,18 @@ class PipelineSpec extends SparkSuite {
     assert(residual == 0, s"$residual scrubbed docs still match a PII pattern")
   }
 
+  test("q100 bloom-pruned decontamination equals q95 exactly; prune is in the plan") {
+    val exact = run("q95_decontaminate", sf()).collect().map(_.toString).sorted
+    val bloomed = run("q100_decontam_bloom", sf()).collect().map(_.toString).sorted
+    assert(bloomed.sameElements(exact),
+      "Bloom prune must be output-invariant (no false negatives + exact verify)")
+    // the filter itself is built eagerly and embedded as a literal (the
+    // q51 index-artifact shape); the probe must sit in the scan stage
+    val plan = run("q100_decontam_bloom", sf()).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"q100 must probe the Bloom filter map-side:\n$plan")
+  }
+
   test("q99 split fractions land near 90/5/5 and the assignment is total") {
     val rows = run("q99_hash_split", sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
