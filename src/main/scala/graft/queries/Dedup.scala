@@ -384,9 +384,10 @@ object Dedup {
     * near-identical-but-distinct mega-buckets; exact duplicates never
     * reach the buckets). Signatures are computed per-rep in one pass
     * (native kernel / HOF fallback); candidates come from per-bucket
-    * pair generation after one (band, signature) shuffle; exact-Jaccard
-    * verification is join-free (shingles ride the band shuffle) and runs
-    * BEFORE the pair-dedup shuffle so no payload rides it.
+    * pair generation after one (band, signature) shuffle; Jaccard
+    * verification is join-free (8-byte-hashed shingle sets ride the
+    * band shuffle — never the strings) and runs BEFORE the pair-dedup
+    * shuffle so no payload rides it.
     */
   def minhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
     val groups = textGroups(s, d)
@@ -409,12 +410,21 @@ object Dedup {
     // Carry the shingle set through the band shuffle (≈NumBands× the
     // doc payload) so candidate verification needs NO join back to
     // the corpus — the whole scan→shingle→sig subtree is evaluated
-    // exactly once.
-    val bands = sig.select(col("doc_id"), col("sh"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
+    // exactly once. Carry it HASHED: 8-byte graft_hash60 values instead
+    // of 20–40-byte trigram strings (q43's shuffle-key design applied
+    // to the verification payload — the band shuffle is this query's
+    // dominant byte mover at 100 TB). Jaccard over the hashed sets
+    // equals string jaccard up to a 2^-60-per-pair collision, and the
+    // oracle hashes IDENTICALLY (md5-prefix), so engine/oracle parity
+    // is unconditional regardless.
+    val h60 = (x: Column) =>
+      if (native(s)) call_function("graft_hash60", x) else hash60(x)
+    val bands = sig
+      .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
     val repPairs = bands
       .groupBy(col("band"), col("bsig"))
-      .agg(collectCapped(s, struct(col("doc_id"), col("sh")), cap).as("ids"))
+      .agg(collectCapped(s, struct(col("doc_id"), col("hs")), cap).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       // Verify BEFORE the pair-dedup shuffle: jaccard is computed
@@ -424,8 +434,8 @@ object Dedup {
       // On a duplicate-heavy corpus (k-clique buckets ⇒ k² pairs) the
       // payload-through-dedup formulation shuffles GBs; this one doesn't.
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        (size(array_intersect(col("p.a.sh"), col("p.b.sh"))).cast("double") /
-          size(array_union(col("p.a.sh"), col("p.b.sh")))).as("jac"))
+        (size(array_intersect(col("p.a.hs"), col("p.b.hs"))).cast("double") /
+          size(array_union(col("p.a.hs"), col("p.b.hs")))).as("jac"))
       .filter(col("jac") >= 0.7)
       // a pair can match in several bands — keep it once
       .groupBy(col("doc_a"), col("doc_b"))
@@ -450,6 +460,8 @@ object Dedup {
        |        first(len(string_split(text, ' ')) >= 3) AS eligible
        |        FROM documents GROUP BY md5(text)),
        |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN grp ON grp.rep = sh.doc_id),
+       |rh AS (SELECT DISTINCT doc_id,
+       |         CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS h FROM rsh),
        |hv AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % $P AS h FROM rsh),
        |seeds(j, a, b) AS (VALUES $seedRows),
        |mh AS (SELECT doc_id, j, min((a*h + b) % $P) AS v
@@ -464,10 +476,10 @@ object Dedup {
        |         FROM rk x JOIN rk y ON x.band = y.band AND x.bsig = y.bsig
        |           AND x.doc_id < y.doc_id
        |         WHERE x.r <= $cap AND y.r <= $cap),
-       |sz AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM rh GROUP BY doc_id),
        |inter0 AS (SELECT c.ra, c.rb, count(*) AS c FROM cand c
-       |          JOIN rsh p ON p.doc_id = c.ra
-       |          JOIN rsh q ON q.doc_id = c.rb AND q.s = p.s
+       |          JOIN rh p ON p.doc_id = c.ra
+       |          JOIN rh q ON q.doc_id = c.rb AND q.h = p.h
        |          GROUP BY c.ra, c.rb),
        |rep_pairs AS (SELECT i.ra, i.rb, i.c * 1.0 / (sa.n + sb.n - i.c) AS jac
        |  FROM inter0 i JOIN sz sa ON sa.doc_id = i.ra JOIN sz sb ON sb.doc_id = i.rb
