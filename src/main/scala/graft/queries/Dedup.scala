@@ -503,6 +503,19 @@ object Dedup {
     * corpus×bands rows by map-side combine BEFORE the shuffle (same
     * shape as q51/q52); vectors ride the band shuffle so exact-cosine
     * verification is join-free.
+    *
+    * Scale trade, stated explicitly: riding the vectors costs EmbBands×
+    * the corpus vector bytes through one shuffle, but evaluates the
+    * scan→collapse subtree exactly once. The join-back alternative
+    * (buckets collect ids only, candidate pairs re-join vectors) moves
+    * 2× vector bytes instead of EmbBands×, but re-evaluates the collapse
+    * subtree — a full corpus scan plus a vector-keyed shuffle — once per
+    * join unless the collapsed table is materialized. At EmbBands = 8
+    * against a freshly scanned corpus the two are near-parity; a
+    * production pipeline that PERSISTS the collapsed vector table (the
+    * q51 index-artifact pattern) should prefer join-back when bands grow
+    * past ~4, and this builder's bucket stage already collects via the
+    * bounded aggregate either way.
     */
   def embedNeardup(s: SparkSession, d: String, cap: Int): DataFrame = {
     val e0 = Tables.spread(Tables(s, d, "embeddings"))
