@@ -143,8 +143,8 @@ object StatefulOps {
     * different directions collide with probability ~2^-bits.
     */
   final case class BandRow(
-      ts: java.sql.Timestamp, doc_id: Long, sh: Array[String], band: Int, bsig: String)
-  final case class BucketMember(doc_id: Long, sh: Array[String])
+      ts: java.sql.Timestamp, doc_id: Long, hs: Array[Long], band: Int, bsig: String)
+  final case class BucketMember(doc_id: Long, hs: Array[Long])
   final case class BucketState(members: List[BucketMember])
   final case class NearDupPair(ts: java.sql.Timestamp, doc_a: Long, doc_b: Long, jaccard: Double)
 
@@ -154,9 +154,13 @@ object StatefulOps {
     * Stateless per-row kernels compute shingles + the 32-perm signature;
     * rows fan out to their NumBands (band, bandSig) bucket keys; a
     * flatMapGroupsWithState ledger per bucket keeps the FIRST
-    * `BucketCap` members (shingle sets ride the state — bounded:
-    * ≤ cap × doc shingles per live bucket) and emits exact-Jaccard-
-    * verified pairs for every new arrival against the stored members.
+    * `BucketCap` members (shingle sets ride the state HASHED — 8-byte
+    * graft_hash60 values, never the trigram strings, so RocksDB state is
+    * bounded by cap × shingles × 8 B per live bucket; batch q41 carries
+    * the same hashed payload through its band shuffle, and jaccard over
+    * the hashed sets equals string jaccard up to a 2^-60-per-pair
+    * collision) and emits Jaccard-verified pairs for every new arrival
+    * against the stored members.
     * State expires on event-time timeout one `delay` past the newest
     * member — buckets live as long as the dedup horizon, so total state
     * ∝ distinct buckets per horizon, not stream history. A pair that
@@ -196,7 +200,9 @@ object StatefulOps {
       .withColumn("sh", call_function("graft_shingles3", col(textCol)))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", call_function("graft_minhash", col("sh")))
-      .select(col(tsCol).as("ts"), col("doc_id"), col("sh"),
+      .select(col(tsCol).as("ts"), col("doc_id"),
+        array_distinct(transform(col("sh"),
+          x => call_function("graft_hash60", x))).as("hs"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
       .withWatermark("ts", delay)
       .as[BandRow]
@@ -214,16 +220,16 @@ object StatefulOps {
             rows.toSeq.sortBy(_.doc_id).foreach { r =>
               maxTs = math.max(maxTs, r.ts.getTime)
               if (!members.exists(_.doc_id == r.doc_id)) {
-                val rs = r.sh.toSet
+                val rs = r.hs.toSet
                 members.foreach { m =>
-                  val inter = m.sh.count(rs)
-                  val jac = inter.toDouble / (m.sh.length + rs.size - inter)
+                  val inter = m.hs.count(rs)
+                  val jac = inter.toDouble / (m.hs.length + rs.size - inter)
                   if (jac >= minJaccard)
                     out += NearDupPair(r.ts, math.min(m.doc_id, r.doc_id),
                       math.max(m.doc_id, r.doc_id),
                       BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
                 }
-                if (members.size < cap) members = members :+ BucketMember(r.doc_id, r.sh)
+                if (members.size < cap) members = members :+ BucketMember(r.doc_id, r.hs)
               }
             }
             state.update(BucketState(members))
