@@ -275,6 +275,24 @@ object Dedup {
       Some(ngramJaccardOracle(DfCap)),
       headline = true),
 
+    // ---- pair → CLUSTER resolution: the transitive closure every
+    //      production dedup actually needs (A~B and B~C must collapse to
+    //      ONE keeper even when A~C was never emitted). Connected
+    //      components over q41's near-dup pair graph by min-label
+    //      propagation — each round is one join + one min-aggregate, all
+    //      distributed; rounds ∝ component diameter, and LSH dedup
+    //      components are near-cliques (diameter ≤ ~3), so convergence is
+    //      a few rounds. The driver only sees the per-round changed-count
+    //      (one long), never data. At adversarial scale (long-chain
+    //      components) swap the propagation step for alternating
+    //      large-star/small-star contraction — same per-round plan shape,
+    //      O(log n) rounds. Output: one row per doc that has at least one
+    //      near-dup, its cluster id (= min doc_id in the component), the
+    //      cluster size, and the keeper verdict.
+    "q101_dup_clusters" -> Q(
+      (s, d) => dupClusters(s, d, BucketCap),
+      Some(dupClustersOracle(BucketCap))),
+
     // ---- Q41 variant: embedding-cosine near-dup pairs, LSH-bucketed —
     //      multi-band hyperplane signatures (EmbBands bands ×
     //      EmbBandBits sign bits, planes = deterministic corpus vectors
@@ -647,6 +665,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac").as("score"))
     expandPairs(repPairs, groups)
       .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("jaccard"))
+  }
+
+  /** q101's shared builder — connected components over [[minhashPairs]]'
+    * near-dup graph via min-label propagation. Deterministic: the
+    * fixpoint (every vertex labeled with its component's min id) does
+    * not depend on iteration order or partitioning. Convergence is
+    * checked with a one-long driver count per round, capped at
+    * `maxRounds` as a safety net far above any dedup component's
+    * diameter; no persist/caching — rounds are few and each round's
+    * lineage is shallow, so recomputation stays cheap and no cached
+    * entries outlive the build (the q51 hygiene lesson).
+    */
+  def dupClusters(s: SparkSession, d: String, cap: Int): DataFrame =
+    clusterPairs(minhashPairs(s, d, cap).select(col("doc_a"), col("doc_b")))
+
+  /** The closure core, takable over ANY pair relation (doc_a, doc_b) —
+    * q41's near-dup pairs in the catalog, but equally q43/q44/q45
+    * output. Tested in isolation on explicit edge sets (DedupCapSpec)
+    * so chain/clique/multi-component behavior is pinned independently
+    * of LSH banding luck.
+    */
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val e = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("v", "u")
+    var labels = e.select(col("v")).distinct().withColumn("l", col("v"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = e.join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
+        .groupBy(col("v")).agg(min(col("ul")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nbr"), col("l"))).as("l"),
+          (col("nbr") < col("l")).as("changed"))
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.select(col("v"), col("l"))
+      round += 1
+    }
+    val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "l")
+      .select(col("v").as("doc_id"), col("l").as("cluster_id"),
+        col("cluster_size"), (col("v") === col("l")).as("keeper"))
+  }
+
+  /** The DuckDB mirror of [[dupClusters]]: the q41 pair oracle's CTE
+    * list spliced into one outer WITH RECURSIVE (DuckDB does not scope a
+    * WITH nested inside a recursive CTE body), its final SELECT wrapped
+    * as `pairs`, then undirected closure via a recursive set-union CTE
+    * (terminates — UNION deduplicates the frontier), label = min
+    * reachable id.
+    */
+  def dupClustersOracle(cap: Int): String = {
+    val mo = minhashOracle(cap)
+    val split = mo.lastIndexOf("SELECT doc_a, doc_b, jaccard FROM inter")
+    require(split > 0, "minhashOracle shape changed; update dupClustersOracle")
+    val ctes = mo.substring(0, split).trim.stripSuffix(",") // "WITH tok AS (...), ..., intra AS (...)"
+    val pairsSelect = mo.substring(split).trim
+    // NB: the spliced oracle contains `|| ' ' ||` continuation lines that
+    // START with '|' — never run stripMargin over it (the q41 oracle's
+    // own lesson); stripMargin only the local template, concatenate raw.
+    ctes.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      "pairs AS (\n" + pairsSelect + "\n),\n" +
+      """e AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT v, u FROM e
+        |  UNION
+        |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+        |lbl AS (SELECT v, least(v, min(u)) AS l FROM reach GROUP BY v),
+        |csz AS (SELECT l, count(*) AS n FROM lbl GROUP BY l)
+        |SELECT lbl.v AS doc_id, lbl.l AS cluster_id,
+        |  csz.n AS cluster_size, lbl.v = lbl.l AS keeper
+        |FROM lbl JOIN csz ON csz.l = lbl.l""".stripMargin
   }
 
   /** The DuckDB mirror of [[ngramJaccard]] with the identical df cap

@@ -76,6 +76,45 @@ class DedupCapSpec extends SparkSuite {
     assert(run(Dedup.BucketCap) == uncapped)
   }
 
+  test("q101 closure: chains close transitively, min-id keeper, multi-component") {
+    val session = spark; import session.implicits._
+    // the closure core on explicit edges — independent of LSH banding:
+    // a 6-long path (needs several propagation rounds), a triangle, an
+    // isolated pair; vertices 1 and 3 never share an edge yet must land
+    // in one cluster
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // path
+      (10L, 11L), (11L, 12L), (10L, 12L),               // triangle
+      (20L, 21L))                                        // pair
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusterPairs(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == (1L to 6L).toSet ++ Set(10L, 11L, 12L, 20L, 21L))
+    assert((1L to 6L).forall(v => out(v) == (1L, 6L, v == 1L)), s"path: $out")
+    assert(Seq(10L, 11L, 12L).forall(v => out(v) == (10L, 3L, v == 10L)), s"clique: $out")
+    assert(Seq(20L, 21L).forall(v => out(v) == (20L, 2L, v == 20L)), s"pair: $out")
+  }
+
+  test("q101 end-to-end: near-dup pairs and exact copies land in one min-id cluster") {
+    val session = spark; import session.implicits._
+    val t = (1 to 44).map(i => s"t$i")
+    val dir = tmpDir("dupclusters").toString
+    Seq(
+      1L -> t.slice(0, 40).mkString(" "),  // A  = t1..t40
+      2L -> t.slice(0, 44).mkString(" "),  // B  = t1..t44 (j(A,B) ≈ 0.90)
+      4L -> t.slice(0, 40).mkString(" "),  // A' = exact copy of A
+      9L -> (1 to 30).map(i => s"z$i").mkString(" ") // unrelated: no rows
+    ).toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.dupClusters(spark, dir, Dedup.BucketCap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"doc 9 has no near-dup: ${out.keySet}")
+    assert(out.values.forall { case (cid, n, _) => cid == 1L && n == 3L },
+      s"one 3-doc cluster labeled by its min id: $out")
+    assert(out.filter(_._2._3).keySet == Set(1L), s"only the min id keeps: $out")
+  }
+
   test("q44 bucket cap engaged: near-identical-vector cluster bounded at cap(cap-1)/2") {
     val k = 30; val cap = 5
     val dir = tmpDir("dedupcap-embed").toString
