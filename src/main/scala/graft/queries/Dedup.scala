@@ -342,7 +342,7 @@ object Dedup {
     * the Spark expression and the DuckDB oracle (both engines have
     * identical &, |, shift semantics on BIGINT here).
     */
-  private def hamOtherBits(b: Int): String = b match {
+  private[graft] def hamOtherBits(b: Int): String = b match {
     case 0 => "(shiftright(simhash, 8))"
     case 1 => "((simhash & 255) | shiftleft(shiftright(simhash, 16), 8))"
     case 2 => "((simhash & 65535) | shiftleft(shiftright(simhash, 24), 16))"

@@ -85,4 +85,46 @@ class KernelPropertySpec extends SparkSuite {
       assert((0 until 32).forall(j => sig.getLong(j) == expected(j)), s"words: $words")
     }
   }
+
+  /** q45's exactness claim is DOUBLE pigeonhole: ≤ 3 flipped bits miss a
+    * whole byte, and within that byte's 24-bit complement miss one of
+    * its four 6-bit chunks, so every ham ≤ 3 pair shares a full 14-bit
+    * key. The engine and its oracle share the key layout only through
+    * parallel SQL text, so their hash-match cannot catch a layout that
+    * is consistently WRONG on both sides — this pins the math itself,
+    * plus a bridge check that the Spark expressions compute the same
+    * keys as the plain-Scala mirror.
+    */
+  test("q45 two-level 14-bit banding is exact at hamming <= 3") {
+    def others(sim: Long, b: Int): Long = b match {
+      case 0 => sim >> 8
+      case 1 => (sim & 255) | ((sim >> 16) << 8)
+      case 2 => (sim & 65535) | ((sim >> 24) << 16)
+      case 3 => sim & 16777215
+    }
+    def keys(sim: Long): Seq[Long] =
+      for { b <- 0 until 4; sb <- 0 until 4 } yield
+        (((sim >> (8 * b)) & 255) << 6) | ((others(sim, b) >> (6 * sb)) & 63)
+    // bridge: the engine's SQL expressions == the mirror, per band key
+    val session = spark; import session.implicits._
+    import org.apache.spark.sql.functions.{array, col, expr}
+    val probes = Seq(0L, 0xFFFFFFFFL, 0x12345678L, 0x80000001L, 0xDEADBEEFL)
+    val keyExprs = for { b <- 0 until 4; sb <- 0 until 4 } yield
+      expr(s"shiftleft(shiftright(simhash, ${b * 8}) & 255, 6) | " +
+        s"(shiftright(${graft.queries.Dedup.hamOtherBits(b)}, ${sb * 6}) & 63)")
+    val viaExpr = probes.toDF("simhash")
+      .select(col("simhash"), array(keyExprs: _*).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    probes.foreach(p => assert(viaExpr(p) == keys(p).toList, f"expr/math drift at $p%08x"))
+    // property: any ≤ 3-bit perturbation shares a key AT THE SAME band
+    // position (the engine buckets on (band, bbits))
+    val rnd = new scala.util.Random(7)
+    (1 to 5000).foreach { _ =>
+      val base = rnd.nextLong() & 0xFFFFFFFFL
+      val flipped = (1 to 1 + rnd.nextInt(3))
+        .foldLeft(base)((s, _) => s ^ (1L << rnd.nextInt(32)))
+      assert(keys(base).zip(keys(flipped)).exists { case (x, y) => x == y },
+        f"ham<=3 pair must share a key: $base%08x vs $flipped%08x")
+    }
+  }
 }
