@@ -21,6 +21,49 @@ class FunctionsSpec extends SparkSuite {
   private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  /** The SparkSessionExtensions contract: every graft_* registration is
+    * callable from plain SQL, scalars and aggregates alike — the surface
+    * a SQL-only user of the library sees.
+    */
+  test("every registered graft_* function is callable from SQL") {
+    val scalar = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |  size(graft_shingles3('a b c d')) AS sh,
+        |  size(graft_minhash(graft_shingles3('a b c d'))) AS mh,
+        |  graft_hash60('x') > 0 AS h60,
+        |  graft_simhash('a b') AS sim,
+        |  size(graft_srpsig(array(1.0D, 2.0D), 8)) AS srp,
+        |  graft_hamming(array(1, 0, 1), array(1, 1, 1)) AS ham
+        |""".stripMargin).head()
+    assert(scalar.getDouble(0) == 11.0 && scalar.getDouble(1) == 1.0)
+    assert(scalar.getInt(2) == 2 && scalar.getInt(3) == 32)
+    assert(scalar.getBoolean(4) && scalar.getInt(7) == 1)
+
+    val agg = spark.sql(
+      """SELECT
+        |  graft_topk(score, id, 1) AS top,
+        |  graft_collect_capped(id, 2) AS capped,
+        |  graft_mg_candidates(t, 4) AS mg,
+        |  graft_bloom_agg(xxhash64(t), 10L, 800L) AS bf
+        |FROM VALUES (0.5D, 3L, 'a'), (0.9D, 1L, 'b'), (0.7D, 2L, 'c')
+        |  AS v(score, id, t)""".stripMargin).head()
+    assert(agg.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(1L))
+    assert(agg.getSeq[Long](1) == Seq(1L, 2L))
+    assert(agg.getSeq[String](2).toSet == Set("a", "b", "c"))
+    val hit = spark.sql(
+      """SELECT graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(xxhash64(t), 10L, 800L)
+        |   FROM VALUES ('a'), ('b') AS v(t)), xxhash64('a')) AS hit,
+        |graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(xxhash64(t), 10L, 800L)
+        |   FROM VALUES ('a'), ('b') AS v(t)), xxhash64('zzzz')) AS miss
+        |""".stripMargin).head()
+    assert(hit.getBoolean(0), "bloom must contain an inserted key")
+    assert(!hit.getBoolean(1), "800 bits / 2 items: 'zzzz' must miss (deterministic hashing)")
+  }
+
   // ---- R9/R10 gzip
   test("gzip round-trip is identity and magic-byte sniff works") {
     samples(Gen.asciiPrintableStr).foreach { s =>
