@@ -23,7 +23,12 @@ class FunctionsSpec extends SparkSuite {
 
   /** The SparkSessionExtensions contract: every graft_* registration is
     * callable from plain SQL, scalars and aggregates alike — the surface
-    * a SQL-only user of the library sees.
+    * a SQL-only user of the library sees. NB: the scalar-subquery
+    * graft_bloom_contains shape below fails whole-stage codegen inside
+    * Spark's BloomFilterMightContain and evaluates via the interpreted
+    * fallback (a logged CompileException, then correct results); q100's
+    * production shape passes the filter as a BINARY LITERAL, the form
+    * the expression is codegen'd for.
     */
   test("every registered graft_* function is callable from SQL") {
     val scalar = spark.sql(
