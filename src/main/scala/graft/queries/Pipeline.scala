@@ -495,6 +495,36 @@ object Pipeline {
               |  min(doc_id) AS first_id
               |FROM a GROUP BY split""".stripMargin)),
 
+    // ---- deterministic training order: the "global shuffle" a
+    //      pretraining data loader consumes, expressed scale-first —
+    //      never an actual global sort. Each doc hashes to one of
+    //      NumShards shards (scan-stage arithmetic); within a shard its
+    //      position is its rank by a SECOND independent hash (bytes
+    //      9–16 of the md5 — disjoint from the shard's bytes 1–8, so
+    //      shard and order don't correlate). One partitioned window per
+    //      shard = one shuffle on an 8-byte key; shards stream to the
+    //      loader independently and any re-run, re-shard, or engine
+    //      change reproduces the identical order. RNG-free by the same
+    //      argument as q92/q93/q99.
+    "q102_shard_order" -> Q(
+      (s, d) => {
+        val shard = expr(
+          s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % $NumShards AS INT)")
+        val orderKey = expr("substr(md5(CAST(doc_id AS STRING)), 9, 8)")
+        val w = Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), shard.as("shard"), orderKey.as("ok"))
+          .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some(s"""SELECT doc_id, shard, CAST(pos AS INT) AS pos FROM (
+              |  SELECT doc_id, shard,
+              |    row_number() OVER (PARTITION BY shard
+              |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 9, 8), doc_id) - 1 AS pos
+              |  FROM (SELECT doc_id,
+              |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              |      % $NumShards AS INT) AS shard FROM documents))""".stripMargin)),
+
     // ---- q95 with a Bloom pre-filter on the probe side — the variant
     //      for when even the benchmark shingle set is broadcast-hostile
     //      (see [[decontaminateBloom]]). No false negatives + exact
@@ -551,4 +581,9 @@ object Pipeline {
   /** q99 slice boundaries (train/val/test = 90/5/5 by hash fraction). */
   val TrainFrac = 0.9
   val ValCut = 0.95
+
+  /** q102 shard count — at 100 TB, set to (data-loader workers ×
+    * files-per-worker); fixture-scale 8 keeps every shard populated.
+    */
+  val NumShards = 8
 }

@@ -32,7 +32,7 @@ class PipelineSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.repartition(7).write.mode("overwrite")
       .parquet(s"$alt/documents.parquet")
-    Seq("q92_stratified_sample", "q94_sequence_pack").foreach { q =>
+    Seq("q92_stratified_sample", "q94_sequence_pack", "q102_shard_order").foreach { q =>
       val a = run(q, src).collect().map(_.toString).sorted
       val b = run(q, alt).collect().map(_.toString).sorted
       assert(a.sameElements(b), s"$q changed under input re-layout")
@@ -158,6 +158,21 @@ class PipelineSpec extends SparkSuite {
     val plan = run("q100_decontam_bloom", sf()).queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"q100 must probe the Bloom filter map-side:\n$plan")
+  }
+
+  test("q102 order is a total assignment with dense per-shard positions") {
+    val rows = run("q102_shard_order", sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val n = Tables(spark, sf(), "documents").count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n,
+      "every doc gets exactly one (shard, pos)")
+    rows.groupBy(_._2).foreach { case (shard, g) =>
+      val ps = g.map(_._3).sorted
+      assert(ps.sameElements(0 until g.length),
+        s"shard $shard positions must be dense 0..${g.length - 1}")
+    }
+    assert(rows.map(_._2).distinct.length == graft.queries.Pipeline.NumShards,
+      "fixture scale must populate every shard")
   }
 
   test("q99 split fractions land near 90/5/5 and the assignment is total") {
