@@ -668,14 +668,10 @@ object Dedup {
   }
 
   /** q101's shared builder — connected components over [[minhashPairs]]'
-    * near-dup graph via min-label propagation. Deterministic: the
-    * fixpoint (every vertex labeled with its component's min id) does
-    * not depend on iteration order or partitioning. Convergence is
-    * checked with a one-long driver count per round, capped at
-    * `maxRounds` as a safety net far above any dedup component's
-    * diameter; no persist/caching — rounds are few and each round's
-    * lineage is shallow, so recomputation stays cheap and no cached
-    * entries outlive the build (the q51 hygiene lesson).
+    * near-dup graph. Deterministic: the fixpoint (every vertex labeled
+    * with its component's min id) does not depend on iteration order or
+    * partitioning. See [[clusterPairs]] for the two-phase algorithm and
+    * its lineage discipline.
     */
   def dupClusters(s: SparkSession, d: String, cap: Int): DataFrame =
     clusterPairs(minhashPairs(s, d, cap).select(col("doc_a"), col("doc_b")))
@@ -685,28 +681,135 @@ object Dedup {
     * output. Tested in isolation on explicit edge sets (DedupCapSpec)
     * so chain/clique/multi-component behavior is pinned independently
     * of LSH banding luck.
+    *
+    * Two regimes behind one signature:
+    *  - min-label PROPAGATION (one join + one min-agg per round, rounds
+    *    ∝ component diameter) for the first `starSwitch` rounds — LSH
+    *    dedup components are near-cliques (diameter ≤ ~3), so the
+    *    common case converges here;
+    *  - alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et
+    *    al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    *    when propagation has not converged by `starSwitch` — O(log n)
+    *    rounds regardless of diameter, so adversarial long-chain
+    *    components cannot run away.
+    *
+    * Lineage discipline (the r6 scale defect): the symmetric edge set is
+    * persisted ONCE before the loop and unpersisted after convergence;
+    * every round's state is `localCheckpoint`ed (eager), so round k
+    * re-evaluates round k's plan only — per-round cost is FLAT, not the
+    * full join chain of rounds 1..k−1 (`ScaleProbe --cc` measures this).
+    * Exhausting `maxRounds` without convergence THROWS instead of
+    * silently returning a non-fixpoint labeling: star contraction at 20
+    * rounds covers components of ~2^20 vertices, so hitting the cap
+    * means the input is not a dedup graph.
     */
-  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20,
+                   starSwitch: Int = 4): DataFrame =
+    clusterPairsInstrumented(pairs, maxRounds, starSwitch, (_, _) => ())
+
+  /** [[clusterPairs]] with a per-round timing hook (round name, seconds)
+    * so ScaleProbe can demonstrate flat per-round cost; the public entry
+    * passes a no-op.
+    */
+  private[graft] def clusterPairsInstrumented(
+      pairs: DataFrame, maxRounds: Int, starSwitch: Int,
+      onRound: (String, Double) => Unit): DataFrame = {
     val e = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("v", "u")
-    var labels = e.select(col("v")).distinct().withColumn("l", col("v"))
+      .toDF("v", "u").persist()
+    try {
+      var labels = e.select(col("v")).distinct().withColumn("l", col("v"))
+        .localCheckpoint()
+      var round = 0
+      var converged = false
+      while (!converged && round < math.min(starSwitch, maxRounds)) {
+        val t0 = System.nanoTime()
+        val nbrMin = e.join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
+          .groupBy(col("v")).agg(min(col("ul")).as("nbr"))
+        // eager localCheckpoint: materializes this round AND truncates
+        // the plan, so the convergence count below and every later round
+        // start from round-k data, never the rounds-1..k−1 join chain
+        val next = labels.join(nbrMin, Seq("v"), "left")
+          .select(col("v"), least(col("l"), coalesce(col("nbr"), col("l"))).as("l"),
+            (col("nbr") < col("l")).as("changed"))
+          .localCheckpoint()
+        converged = next.filter(col("changed")).limit(1).count() == 0
+        labels = next.select(col("v"), col("l"))
+        round += 1
+        onRound(s"propagate $round", (System.nanoTime() - t0) / 1e9)
+      }
+      // the propagation preamble is bounded by starSwitch (tiny), so the
+      // star phase gets the FULL maxRounds budget: 20 star rounds cover
+      // components of ~2^20 vertices
+      val labeled =
+        if (converged) labels
+        else starContract(e, maxRounds, round, onRound)
+      val sizes = labeled.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "l")
+        .select(col("v").as("doc_id"), col("l").as("cluster_id"),
+          col("cluster_size"), (col("v") === col("l")).as("keeper"))
+    } finally e.unpersist(blocking = false)
+    // safe to unpersist before the caller evaluates: `labeled` is
+    // checkpointed data on both paths, so the returned plan never
+    // references `e`.
+  }
+
+  /** Alternating large-star/small-star contraction over a symmetric edge
+    * set `(v, u)` → one `(v, l)` label row per vertex. Each round is two
+    * groupBy-min + join passes over the CURRENT edge set (which only
+    * shrinks toward the star forest), rounds are O(log n) in component
+    * size, and at the fixpoint the edge set is exactly
+    * {(v, root) | v ≠ root} — vertices absent from it are roots.
+    */
+  private def starContract(e: DataFrame, maxRounds: Int, roundsSoFar: Int,
+                           onRound: (String, Double) => Unit): DataFrame = {
+    // large-star: every node hooks its STRICTLY LARGER neighbors to
+    // min(Γ⁺(v)); halves the height of tall trees without ever creating
+    // an edge toward a larger id (monotone toward the component min).
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.unionByName(edges.select(col("u").as("v"), col("v").as("u")))
+      val mins = sym.groupBy(col("v")).agg(min(col("u")).as("m"))
+      sym.join(mins, "v")
+        .filter(col("u") > col("v"))
+        .select(col("u").as("v"), least(col("m"), col("v")).as("u"))
+        .distinct()
+    }
+    // small-star: every node hooks its SMALLER neighbors (and itself) to
+    // the neighborhood min; operates on (big, small)-oriented edges,
+    // which largeStar's output already is.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy(col("v")).agg(min(col("u")).as("m"))
+      mins.select(col("v"), col("m").as("u"))
+        .unionByName(edges.join(mins, "v")
+          .filter(col("u") =!= col("m"))
+          .select(col("u").as("v"), col("m").as("u")))
+        .distinct()
+    }
+    val verts = e.select(col("v")).distinct().localCheckpoint()
+    var edges = e.filter(col("v") =!= col("u"))
+      .select(greatest(col("v"), col("u")).as("v"), least(col("v"), col("u")).as("u"))
+      .distinct().localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val nbrMin = e.join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
-        .groupBy(col("v")).agg(min(col("ul")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nbr"), col("l"))).as("l"),
-          (col("nbr") < col("l")).as("changed"))
-      converged = next.filter(col("changed")).limit(1).count() == 0
-      labels = next.select(col("v"), col("l"))
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint test is exact (count + set difference), not a hash
+      // heuristic: both sides are checkpointed, so it costs one
+      // aggregate and one anti-join over star edges
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
       round += 1
+      onRound(s"star ${roundsSoFar + round}", (System.nanoTime() - t0) / 1e9)
     }
-    val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "l")
-      .select(col("v").as("doc_id"), col("l").as("cluster_id"),
-        col("cluster_size"), (col("v") === col("l")).as("keeper"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge after ${roundsSoFar + round} rounds " +
+          s"(${roundsSoFar} propagation + $round star); the pair graph has a " +
+          "component beyond ~2^" + round + " vertices or is not a similarity graph")
+    verts.join(edges.select(col("v"), col("u").as("l")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("l"), col("v")).as("l"))
   }
 
   /** The DuckDB mirror of [[dupClusters]]: the q41 pair oracle's CTE

@@ -96,6 +96,34 @@ class DedupCapSpec extends SparkSuite {
     assert(Seq(20L, 21L).forall(v => out(v) == (20L, 2L, v == 20L)), s"pair: $out")
   }
 
+  test("q101 star contraction: long chain closes in O(log n) rounds, propagation-identical labels") {
+    val session = spark; import session.implicits._
+    // a 30-node path (diameter 29): propagation would need 29 rounds, so
+    // the starSwitch=4 default escalates to large-star/small-star, which
+    // must close it in ~log2(30) rounds with the SAME min-id labeling
+    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val rounds = scala.collection.mutable.Buffer.empty[String]
+    val out = Dedup.clusterPairsInstrumented(chain, 20, 4, (n, _) => rounds += n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == (1L to 30L).toSet)
+    assert((1L to 30L).forall(v => out(v) == (1L, 30L, v == 1L)), s"chain: $out")
+    val starRounds = rounds.count(_.startsWith("star"))
+    assert(starRounds > 0, s"expected star escalation, rounds were $rounds")
+    assert(starRounds <= 7, s"star contraction must be O(log n), took $rounds")
+    info(s"rounds: ${rounds.mkString(", ")}")
+  }
+
+  test("q101 guard: exhausting maxRounds throws instead of returning a wrong labeling") {
+    val session = spark; import session.implicits._
+    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // 2 propagation rounds then a zero-round star budget: must fail loud
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterPairs(chain, maxRounds = 2, starSwitch = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("q101 end-to-end: near-dup pairs and exact copies land in one min-id cluster") {
     val session = spark; import session.implicits._
     val t = (1 to 44).map(i => s"t$i")

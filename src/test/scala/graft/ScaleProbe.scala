@@ -78,6 +78,20 @@ object ScaleProbe {
           struct(col("doc_id"), col("sh")), lit(cap))))
       time(s"composed sort_array(collect_list) ${buckets}x$k")(
         stage(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))), 1, cap)))
+    } else if (args.lift(1).contains("--cc")) {
+      // Connected-components probe: an n-node chain is the adversarial
+      // diameter case for q101. The r6 propagation-only loop re-evaluated
+      // rounds 1..k−1 inside round k (per-round cost GREW); the
+      // checkpointed loop + star escalation keeps per-round cost flat
+      // and round count O(log n) — the per-round prints are the evidence.
+      import org.apache.spark.sql.functions._
+      val n = args.lift(2).map(_.toInt).getOrElse(200000)
+      val chain = spark.range(1, n.toLong)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        .repartition(32)
+      time(s"q101 clusterPairs chain n=$n")(
+        queries.Dedup.clusterPairsInstrumented(chain, 20, 4,
+          (name, sec) => println(f"  round $name%-14s $sec%6.2f s")).count())
     } else {
       time("q41_minhash_capped")(
         queries.Dedup.minhashPairs(spark, dir, queries.Dedup.BucketCap).count())
