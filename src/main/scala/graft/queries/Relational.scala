@@ -382,7 +382,10 @@ object Relational {
     // ---- Q31: JSON functions over events.props
     "q23_json" -> Q(
       (s, d) => {
-        Tables(s, d, "events")
+        // spread: JSON parsing is per-row CPU, and the fixture's
+        // single-row-group parquet would serialize it on one core
+        // (at real scale multi-split input makes this a no-op)
+        Tables.spread(Tables(s, d, "events"))
           .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
           .groupBy(col("k"))
           .agg(count(lit(1)).as("n"))
@@ -390,6 +393,25 @@ object Relational {
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
              |FROM events GROUP BY 1""".stripMargin),
       headline = true),
+
+    // ---- Q31 multi-key: ONE schema-pruned from_json parse per row
+    //      (a single JsonToStructs in the plan — PlanSpec pins it),
+    //      not one get_json_object tree walk per extracted key; keys
+    //      absent from the document ("tag") surface as typed NULLs.
+    "q103_json_multikey" -> Q(
+      (s, d) => {
+        Tables.spread(Tables(s, d, "events"))
+          .select(from_json(col("props"), "k INT, tag STRING",
+            Map.empty[String, String]).as("p"), col("value"))
+          .select((col("p.k") % 10).as("kmod"),
+            coalesce(col("p.tag"), lit("none")).as("tag"), col("value"))
+          .groupBy(col("kmod"), col("tag"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS kmod,
+             |  coalesce(json_extract_string(props, '$.tag'), 'none') AS tag,
+             |  count(*) AS n, round(sum("value"), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // ---- Q7/Q26: conditionals + null handling
     "q24_conditionals" -> Q(

@@ -53,6 +53,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("zip_with"))
   }
 
+  test("q103 multi-key JSON is one JsonToStructs parse, not per-key walks") {
+    val p = plan("q103_json_multikey")
+    assert(p.sliding("from_json(".length).count(_ == "from_json(") == 1,
+      s"expected exactly one JsonToStructs in:\n$p")
+    assert(!p.contains("get_json_object"), "per-key JSON walks in the plan")
+  }
+
   // Whole-catalog audit: expensive join strategies may appear ONLY where
   // the query's semantics require them. An accidental cartesian (from a
   // dropped join condition) or nested loop (from a non-equi rewrite
