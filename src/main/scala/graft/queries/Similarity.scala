@@ -222,16 +222,29 @@ object Similarity {
           s.createDataFrame(rows, trained.schema)
         }
         val assign = assignTo(cents)
-        // queries → top-`Probes` centroids
-        val wProbe = Window.partitionBy(col("q_id"))
-          .orderBy(col("qcos").desc, col("c_id").asc)
-        val probes = e.filter(col("vec_id") < NumQueries)
+        // queries → top-`Probes` centroids. Native path: the same
+        // graft_topk bounded-heap aggregate the final ranking uses —
+        // partial aggregation collapses the NumCentroids candidates per
+        // query map-side, so no ranking window (and its full-candidate
+        // shuffle) remains anywhere in the ANN path. qv rides along via
+        // first(): it is functionally dependent on the group key.
+        val qCand = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
           .crossJoin(broadcast(cents))
           .withColumn("qcos", cosine(s, col("qv"), col("cv")))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= Probes)
-          .select(col("q_id"), col("qv"), col("c_id"))
+        val probes =
+          if (s.catalog.functionExists("graft_topk"))
+            qCand.groupBy(col("q_id"))
+              .agg(call_function("graft_topk", col("qcos"), col("c_id"),
+                lit(Probes)).as("top"), first(col("qv")).as("qv"))
+              .select(col("q_id"), col("qv"), explode(col("top.id")).as("c_id"))
+          else {
+            val wProbe = Window.partitionBy(col("q_id"))
+              .orderBy(col("qcos").desc, col("c_id").asc)
+            qCand.withColumn("rn", row_number().over(wProbe))
+              .filter(col("rn") <= Probes)
+              .select(col("q_id"), col("qv"), col("c_id"))
+          }
         // search only the probed partitions
         topkPerQuery(s, probes.join(assign, "c_id")
           .filter(col("vec_id") =!= col("q_id"))

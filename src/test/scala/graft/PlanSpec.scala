@@ -53,6 +53,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("zip_with"))
   }
 
+  test("q51 ANN path is all bounded-heap aggregates, no ranking window left") {
+    val p = plan("q51_ann_ivf")
+    assert(p.contains("graft_topk"))
+    assert(!p.contains("row_number"), s"ranking window survives in:\n$p")
+  }
+
   test("q103 multi-key JSON is one JsonToStructs parse, not per-key walks") {
     val p = plan("q103_json_multikey")
     assert(p.sliding("from_json(".length).count(_ == "from_json(") == 1,
