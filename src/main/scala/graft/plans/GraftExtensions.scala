@@ -17,103 +17,71 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Register `name` with an arity gate: a wrong argument count from SQL
+    * surfaces as a usage error naming the expected signature, never an
+    * IndexOutOfBoundsException from the builder body.
+    */
+  private def register(e: SparkSessionExtensions, name: String, usage: String,
+                       arity: Int)(build: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), info(name, usage),
+      (children: Seq[Expression]) =>
+        if (children.length == arity) build(children)
+        else throw new IllegalArgumentException(
+          s"$name expects $arity argument(s) but got ${children.length}; usage: $usage")))
+
+  /** The int-literal parameter pattern shared by the sketch builders. */
+  private def intLit(name: String, what: String, c: Expression): Int = c match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name $what must be an int literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - sequential-fold dot product of two array<double>"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - single-pass cosine similarity of two array<double>"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_shingles3"),
-      info("graft_shingles3", "graft_shingles3(text) - distinct word 3-shingles of a string"),
-      (children: Seq[Expression]) => Shingles3(children.head)))
-    e.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      info("graft_minhash", "graft_minhash(shingles) - 32-permutation MinHash signature"),
-      (children: Seq[Expression]) => MinHashSig(children.head)))
-    e.injectFunction((
-      FunctionIdentifier("graft_hash60"),
-      info("graft_hash60", "graft_hash60(text) - 60-bit md5-prefix parity hash"),
-      (children: Seq[Expression]) => Hash60(children.head)))
-    e.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      info("graft_simhash", "graft_simhash(text) - 32-bit frequency-weighted SimHash fingerprint"),
-      (children: Seq[Expression]) => SimHash(children.head)))
-    e.injectFunction((
-      FunctionIdentifier("graft_mg_candidates"),
-      info("graft_mg_candidates",
-        "graft_mg_candidates(token, capacity) - Misra-Gries heavy-hitter candidate set"),
-      (children: Seq[Expression]) => {
-        val cap = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_mg_candidates capacity must be an int literal, got $other")
-        }
-        MisraGriesTopK(children.head, cap)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_topk"),
-      info("graft_topk",
-        "graft_topk(score, id, k) - bounded top-k by (score DESC, id ASC), map-side combinable"),
-      (children: Seq[Expression]) => {
-        val k = children(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_topk k must be an int literal, got $other")
-        }
-        TopKByScore(children(0), children(1), k)
-      }))
+    register(e, "graft_dot",
+      "graft_dot(a, b) - sequential-fold dot product of two array<double>", 2)(
+      c => DotProduct(c(0), c(1)))
+    register(e, "graft_cosine",
+      "graft_cosine(a, b) - single-pass cosine similarity of two array<double>", 2)(
+      c => CosineSimilarity(c(0), c(1)))
+    register(e, "graft_shingles3",
+      "graft_shingles3(text) - distinct word 3-shingles of a string", 1)(
+      c => Shingles3(c.head))
+    register(e, "graft_minhash",
+      "graft_minhash(shingles) - 32-permutation MinHash signature", 1)(
+      c => MinHashSig(c.head))
+    register(e, "graft_hash60",
+      "graft_hash60(text) - 60-bit md5-prefix parity hash", 1)(
+      c => Hash60(c.head))
+    register(e, "graft_simhash",
+      "graft_simhash(text) - 32-bit frequency-weighted SimHash fingerprint", 1)(
+      c => SimHash(c.head))
+    register(e, "graft_mg_candidates",
+      "graft_mg_candidates(token, capacity) - Misra-Gries heavy-hitter candidate set", 2)(
+      c => MisraGriesTopK(c.head, intLit("graft_mg_candidates", "capacity", c(1))))
+    register(e, "graft_topk",
+      "graft_topk(score, id, k) - bounded top-k by (score DESC, id ASC), map-side combinable", 3)(
+      c => TopKByScore(c(0), c(1), intLit("graft_topk", "k", c(2))))
     // Spark ships Bloom-filter expressions for its own runtime-filter
     // rewrites but does not register them in the public FunctionRegistry;
     // expose them — they are exactly the right primitive for broadcast-
     // cheap membership pre-filters (q100's decontamination prune).
-    e.injectFunction((
-      FunctionIdentifier("graft_bloom_agg"),
-      info("graft_bloom_agg",
-        "graft_bloom_agg(xxhash64_col, n_items, n_bits) - Bloom filter (binary) of a long column"),
-      (children: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          children(0), children(1), children(2))))
-    e.injectFunction((
-      FunctionIdentifier("graft_bloom_contains"),
-      info("graft_bloom_contains",
-        "graft_bloom_contains(bloom, xxhash64_value) - membership probe; false = definitely absent"),
-      (children: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_collect_capped"),
-      info("graft_collect_capped",
-        "graft_collect_capped(e, cap) - the cap smallest elements ascending; " +
-          "slice(sort_array(collect_list(e)), 1, cap) with O(cap) buffers"),
-      (children: Seq[Expression]) => {
-        val cap = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_collect_capped cap must be an int literal, got $other")
-        }
-        CollectCapped(children(0), cap)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_srpsig"),
-      info("graft_srpsig",
-        "graft_srpsig(v, bits) - sign-random-projection sketch of an array<double>"),
-      (children: Seq[Expression]) => {
-        val bits = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_srpsig bits must be an int literal, got $other")
-        }
-        SrpSignature(children.head, bits)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_hamming"),
-      info("graft_hamming",
-        "graft_hamming(a, b) - Hamming distance between two array<int> signatures"),
-      (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
+    register(e, "graft_bloom_agg",
+      "graft_bloom_agg(xxhash64_col, n_items, n_bits) - Bloom filter (binary) of a long column", 3)(
+      c => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        c(0), c(1), c(2)))
+    register(e, "graft_bloom_contains",
+      "graft_bloom_contains(bloom, xxhash64_value) - membership probe; false = definitely absent", 2)(
+      c => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1)))
+    register(e, "graft_collect_capped",
+      "graft_collect_capped(e, cap) - the cap smallest elements ascending; " +
+        "slice(sort_array(collect_list(e)), 1, cap) with O(cap) buffers", 2)(
+      c => CollectCapped(c(0), intLit("graft_collect_capped", "cap", c(1))))
+    register(e, "graft_srpsig",
+      "graft_srpsig(v, bits) - sign-random-projection sketch of an array<double>", 2)(
+      c => SrpSignature(c.head, intLit("graft_srpsig", "bits", c(1))))
+    register(e, "graft_hamming",
+      "graft_hamming(a, b) - Hamming distance between two array<int> signatures", 2)(
+      c => HammingDistance(c(0), c(1)))
     e.injectOptimizerRule(_ => RewriteVectorHofs)
   }
 }

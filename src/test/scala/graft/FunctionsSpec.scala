@@ -69,6 +69,23 @@ class FunctionsSpec extends SparkSuite {
     assert(!hit.getBoolean(1), "800 bits / 2 items: 'zzzz' must miss (deterministic hashing)")
   }
 
+  test("wrong arity from SQL is a usage error naming the signature, not an IOOBE") {
+    // one per arity class: variadic-looking misuse of a 3-, 2-, and 1-arg
+    // function must surface the registered usage string
+    Seq(
+      "SELECT graft_bloom_agg(xxhash64('a')) FROM VALUES ('a') AS v(t)",
+      "SELECT graft_bloom_contains(CAST(NULL AS BINARY))",
+      "SELECT graft_topk(1.0D, 1L) FROM VALUES (1) AS v(x)",
+      "SELECT graft_hash60('a', 'b')",
+      "SELECT graft_cosine(array(1.0D))").foreach { q =>
+      val ex = intercept[Exception](spark.sql(q).collect())
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+      assert(msgs.contains("usage:"), s"query [$q] raised:\n$msgs")
+      assert(!msgs.contains("IndexOutOfBounds"), s"query [$q] raised:\n$msgs")
+    }
+  }
+
   // ---- R9/R10 gzip
   test("gzip round-trip is identity and magic-byte sniff works") {
     samples(Gen.asciiPrintableStr).foreach { s =>
