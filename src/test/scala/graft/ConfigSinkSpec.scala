@@ -114,6 +114,53 @@ class ConfigSinkSpec extends SparkSuite {
     assert(cfg.workerCount == 32 && cfg.pollIntervalMs == 512L)
   }
 
+  test("kinesis seam: fake transport receives the reference wire contract") {
+    // the full frame contract of the reference Kinesis path
+    // (KinesisJob.java:53,66-77) across the seam, asserted on the WIRE
+    // bytes a transport plugin would hand to addUserRecord:
+    //   key   = host:path, untouched by the frame transform
+    //   value = gzip(value) iff byte length strictly > threshold,
+    //           else the raw UTF-8 bytes; receiver discriminates by
+    //           magic-byte sniff, never out-of-band flags
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.nio.charset.StandardCharsets.UTF_8
+    val cfg = A2Config.fromProperties(base + ("a2.target.broker" -> "kinesis")
+      - "a2.kafka.servers" - "a2.kafka.topic" - "a2.kafka.client.id")
+    assert(cfg.kinesisSizeThreshold == 512) // reference default
+    val small = "<Audit>" + "a" * 100 + "</Audit>"
+    val exact = "x" * 512                   // == threshold: strict >, ships raw
+    val big = "<Audit>" + "y" * 600 + "</Audit>"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    in.addData(
+      ("dbhost:/u01/audit/a.xml", small),
+      ("dbhost:/u01/audit/b.xml", exact),
+      ("dbhost:/u01/audit/c.xml", big))
+    val received = scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+    val q = ShipSinks.kinesisSeam(in.toDF().toDF("key", "value"), cfg,
+      tmpDir("kinesis-seam").toString, 50) { (frame, _) =>
+      assert(frame.schema("value").dataType ==
+        org.apache.spark.sql.types.BinaryType, "wire value must be BINARY")
+      frame.select(col("key"), col("value")).as[(String, Array[Byte])]
+        .collect().foreach { case (k, v) => received(k) = v }
+    }
+    q.processAllAvailable(); q.stop()
+    assert(received.keySet == Set("dbhost:/u01/audit/a.xml",
+      "dbhost:/u01/audit/b.xml", "dbhost:/u01/audit/c.xml"))
+    // at/below threshold: byte-identical to value.getBytes(UTF-8)
+    assert(java.util.Arrays.equals(received("dbhost:/u01/audit/a.xml"),
+      small.getBytes(UTF_8)))
+    assert(java.util.Arrays.equals(received("dbhost:/u01/audit/b.xml"),
+      exact.getBytes(UTF_8)))
+    // above: gzip container (magic sniff on the wire bytes) wrapping the
+    // exact original UTF-8 payload
+    val wire = received("dbhost:/u01/audit/c.xml")
+    assert(Gzip.isCompressed(wire) &&
+      (wire(0) & 0xff) == 0x1f && (wire(1) & 0xff) == 0x8b)
+    assert(new String(Gzip.decompress(wire), UTF_8) == big)
+  }
+
   test("kinesis frame gzips only above the threshold, round-trips") {
     import spark.implicits._
     val cfg = A2Config.fromProperties(base + ("a2.target.broker" -> "kinesis")
