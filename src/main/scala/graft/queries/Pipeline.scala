@@ -271,7 +271,8 @@ object Pipeline {
       Some(s"""SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
               |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
               |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-              |  FROM documents) WHERE rn <= $SamplePerStratum""".stripMargin)),
+              |  FROM documents) WHERE rn <= $SamplePerStratum""".stripMargin),
+      headline = true),
 
     // ---- weighted source mixing: keep each doc with its source's
     //      sampling rate, decided by the doc's own hash fraction —
@@ -324,7 +325,8 @@ object Pipeline {
               |    sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
               |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
               |      ROWS UNBOUNDED PRECEDING) AS cum
-              |  FROM documents)""".stripMargin)),
+              |  FROM documents)""".stripMargin),
+      headline = true),
 
     // ---- benchmark decontamination: drop training docs that share any
     //      word 4-gram with the held-out benchmark set (the standard
@@ -415,7 +417,8 @@ object Pipeline {
              |    count(*) AS n_in_batch
              |  FROM documents WHERE doc_id % 10 >= 8 GROUP BY sha256(text))
              |SELECT i.doc_id, i.n_in_batch FROM incoming i
-             |WHERE i.h NOT IN (SELECT h FROM existing)""".stripMargin)),
+             |WHERE i.h NOT IN (SELECT h FROM existing)""".stripMargin),
+      headline = true),
 
     // ---- PII scrubbing: regex redaction of emails / IPv4s / phone
     //      numbers — the compliance pass every shipped corpus runs.
