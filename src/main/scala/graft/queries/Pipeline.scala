@@ -37,6 +37,12 @@ object Pipeline {
   /** q95 shingle width for benchmark-overlap decontamination. */
   val DecontamGram = 4
 
+  /** q104 chunking: window width and stride in whitespace tokens
+    * (overlap = ChunkTokens - ChunkStride).
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
   /** q95: most contaminated-id rows we will ship driver-side as a
     * broadcast. 10M longs ≈ 80 MB — comfortable on any driver; above it
     * the anti-join falls back to a shuffle so a pathological corpus
@@ -537,7 +543,81 @@ object Pipeline {
     "q100_decontam_bloom" -> Q(
       (s, d) => decontaminateBloom(
         Tables.spread(Tables(s, d, "documents")), col("doc_id") % 97 === 0),
-      Some(DecontamOracle))
+      Some(DecontamOracle)),
+
+    // ---- overlapping fixed-window chunking: the context-window prep
+    //      verb (q94 packs whole docs into budgets; this SPLITS long
+    //      docs into ChunkTokens-token windows every ChunkStride tokens,
+    //      the sliding-window variant used for long-document training
+    //      and retrieval indexing). Stateless per-row explode in the
+    //      scan stage — zero shuffles at any corpus size; output is
+    //      ~n/stride rows per doc, linear in corpus tokens.
+    "q104_chunk_overlap" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0),
+              expr(s"((n - 1) div $ChunkStride) * $ChunkStride"),
+              lit(ChunkStride))).as("start"))
+          .select(col("doc_id"),
+            expr(s"CAST(start div $ChunkStride AS INT)").as("chunk_id"),
+            least(col("n") - col("start"), lit(ChunkTokens)).cast("int").as("n_chunk_tok"),
+            array_join(slice(col("toks"), col("start") + 1, lit(ChunkTokens)), " ").as("chunk"))
+      },
+      Some(s"""SELECT doc_id, CAST(start // $ChunkStride AS INT) AS chunk_id,
+              |  CAST(least(n - start, $ChunkTokens) AS INT) AS n_chunk_tok,
+              |  array_to_string(toks[start + 1 : least(start + $ChunkTokens, n)], ' ') AS chunk
+              |FROM (
+              |  SELECT doc_id, toks, n,
+              |    unnest(generate_series(0, ((n - 1) // $ChunkStride) * $ChunkStride,
+              |      $ChunkStride)) AS start
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+              |    len(string_split(text, ' ')) AS n FROM documents))""".stripMargin)),
+
+    // ---- int8 symmetric quantization of the embedding column — the
+    //      standard index-shrink step before shipping an ANN corpus
+    //      (4× smaller than float32, 8× smaller than the double working
+    //      form). Per-vector scale = max|x|/127; q = floor(x/scale+0.5)
+    //      — floor of exact IEEE ops, NOT round() (HALF_UP vs banker's
+    //      divergence, the NOTES rule), so both engines produce
+    //      bit-identical codes. Zero shuffles: per-row HOF arithmetic
+    //      in the scan stage. Emitted as per-vector audit stats (sum /
+    //      min / max / saturation count of the codes) — exact integers,
+    //      the form a quantization regression gate actually checks.
+    "q105_embed_quantize" -> Q(
+      (s, d) => {
+        Tables.spread(Tables(s, d, "embeddings"))
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+          .withColumn("q", expr(
+            "CASE WHEN scale = 0.0D THEN transform(v, x -> 0) " +
+              "ELSE transform(v, x -> CAST(greatest(-127.0D, least(127.0D, " +
+              "floor(x / scale + 0.5D))) AS INT)) END"))
+          .select(col("vec_id"), col("scale"),
+            expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+            expr("CAST(array_min(q) AS INT)").as("q_min"),
+            expr("CAST(array_max(q) AS INT)").as("q_max"),
+            expr("CAST(size(filter(q, x -> abs(x) = 127)) AS INT)").as("n_sat"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+             |  FROM e),
+             |qq AS (SELECT vec_id, scale,
+             |    CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+             |         ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+             |           floor(x / scale + 0.5))) AS INT)) END AS q
+             |  FROM s)
+             |SELECT vec_id, scale,
+             |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+             |  CAST(list_aggregate(q, 'min') AS INT) AS q_min,
+             |  CAST(list_aggregate(q, 'max') AS INT) AS q_max,
+             |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat
+             |FROM qq""".stripMargin))
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom
