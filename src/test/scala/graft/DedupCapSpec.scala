@@ -114,6 +114,39 @@ class DedupCapSpec extends SparkSuite {
     info(s"rounds: ${rounds.mkString(", ")}")
   }
 
+  test("q101 equivalence: random graphs match a driver-side union-find in both regimes") {
+    val session = spark; import session.implicits._
+    // seeded => deterministic; pure-star (starSwitch=0) and
+    // pure-propagation (starSwitch=64) must both reproduce the
+    // union-find ground truth exactly on arbitrary topologies
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n + rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val label = verts.groupBy(v => find(v.toInt))
+        .flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }
+      val size = label.groupBy(_._2).map { case (l, vs) => l -> vs.size.toLong }
+      val truth = verts.map(v =>
+        v -> ((label(v), size(label(v)), v == label(v)))).toMap
+      val df = edges.toDF("doc_a", "doc_b")
+      for (switch <- Seq(0, 64)) {
+        val out = Dedup.clusterPairs(df, maxRounds = 64, starSwitch = switch)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+          .toMap
+        assert(out == truth,
+          s"trial $trial switch $switch: ${(out.toSet diff truth.toSet).take(3)}")
+      }
+    }
+  }
+
   test("q101 guard: exhausting maxRounds throws instead of returning a wrong labeling") {
     val session = spark; import session.implicits._
     val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

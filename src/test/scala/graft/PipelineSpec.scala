@@ -185,4 +185,56 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(rows("val") / n - 0.05) < 0.03, s"val = ${rows("val") / n}")
     assert(math.abs(rows("test") / n - 0.05) < 0.03, s"test = ${rows("test") / n}")
   }
+
+  test("q104 chunks equal a Scala reference slicing of every fixture doc") {
+    import graft.queries.Pipeline.{ChunkStride, ChunkTokens}
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = run("q104_chunk_overlap", sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    val expected = texts.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to (toks.length - 1) / ChunkStride).map { c =>
+        val w = toks.slice(c * ChunkStride, c * ChunkStride + ChunkTokens)
+        (id, c) -> (w.length, w.mkString(" "))
+      }
+    }
+    assert(out == expected, {
+      val diff = (out.keySet union expected.keySet)
+        .filter(k => out.get(k) != expected.get(k)).take(3)
+      s"first diffs: ${diff.map(k => (k, out.get(k), expected.get(k)))}"
+    })
+    // overlap property on a multi-chunk doc: consecutive full chunks
+    // share exactly ChunkTokens - ChunkStride tokens
+    val multi = expected.keys.groupBy(_._1).collectFirst {
+      case (id, ks) if ks.size > 2 => id }.get
+    val t = texts(multi).split(" ", -1)
+    assert(t.slice(ChunkStride, ChunkTokens).sameElements(
+      t.slice(ChunkStride, ChunkStride + (ChunkTokens - ChunkStride))))
+  }
+
+  test("q105 codes match a Scala reference quantizer; error bounded by scale/2") {
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val out = run("q105_embed_quantize", sf()).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    assert(out.keySet == vecs.keySet)
+    vecs.foreach { case (id, v) =>
+      val scale = v.map(math.abs).max / 127.0
+      val q = if (scale == 0.0) v.map(_ => 0)
+              else v.map(x => math.max(-127.0, math.min(127.0, math.floor(x / scale + 0.5))).toInt)
+      assert(out(id) == ((scale, q.map(_.toLong).sum, q.min, q.max, q.count(x => math.abs(x) == 127))),
+        s"vec $id: got ${out(id)}")
+      // the contract the stats are auditing: dequantization error is at
+      // most half a step, and the max-|x| element saturates exactly
+      if (scale > 0.0) {
+        v.zip(q).foreach { case (x, c) =>
+          assert(math.abs(c * scale - x) <= scale / 2 + 1e-12) }
+        assert(q.map(math.abs).max == 127, "max-|x| element must hit ±127")
+      }
+    }
+  }
 }
