@@ -87,11 +87,46 @@ class EdgeCaseSpec extends SparkSuite {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
       .write.parquet(s"$dir/embeddings.parquet")
     val affected = graft.queries.Catalog.all.keys.filter(n =>
-      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*"))
+      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[45].*"))
     affected.foreach { name =>
       val n = graft.queries.Catalog.all(name).build(spark, dir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")
     }
     info(s"${affected.size} queries clean on the empty corpus")
+  }
+
+  test("q104/q105 degenerate inputs: empty text, null text, zero vector") {
+    import spark.implicits._
+    val dir = tmpDir("degenerate").toString
+    Seq((1L, ""), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(coalesce(length(text), 0) AS LONG) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, Array.fill(4)(0.0f), 0), (2L, Array(1.0f, -2.0f, 0.5f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val chunks = graft.queries.Catalog.all("q104_chunk_overlap").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    // empty string splits to [""]: one 1-token chunk of ""; null text is
+    // dropped (no chunk rows), never a crash or a null chunk
+    assert(chunks == Map(1L -> ((0, 1, "")), 2L -> ((0, 1, "a"))), s"$chunks")
+    val quant = graft.queries.Catalog.all("q105_embed_quantize").build(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    // zero vector: scale 0 and all-zero codes (the CASE guard), stats 0
+    assert(quant(1L) == ((0.0, 0L, 0, 0, 0)), s"${quant(1L)}")
+    // |x|max = 2.0 saturates (negatively, code -127); the rest follow the
+    // reference formula (recomputed, not hardcoded — 1.0/scale sits on a
+    // .5 rounding boundary where a hardcoded int would encode an IEEE
+    // guess)
+    val scale2 = 2.0 / 127.0
+    val codes = Seq(1.0, -2.0, 0.5, 0.25)
+      .map(x => math.max(-127.0, math.min(127.0, math.floor(x / scale2 + 0.5))).toInt)
+    assert(codes.min == -127 && codes.count(c => math.abs(c) == 127) == 1)
+    assert(quant(2L) == ((scale2, codes.map(_.toLong).sum, codes.min, codes.max,
+      codes.count(c => math.abs(c) == 127))), s"${quant(2L)} vs $codes")
   }
 }
