@@ -293,6 +293,16 @@ object Dedup {
       (s, d) => dupClusters(s, d, BucketCap),
       Some(dupClustersOracle(BucketCap))),
 
+    // ---- fuzzy incremental dedup: the MinHash complement of q97's
+    //      exact anti-join — gate an incoming batch against the EXISTING
+    //      corpus's precomputable (band, bsig) → members index, bipartite
+    //      candidates only (never corpus×corpus or batch×batch), verify
+    //      jaccard map-side before any pair shuffle. See
+    //      [[fuzzyIncremental]] for the 100 TB shape.
+    "q106_fuzzy_incremental" -> Q(
+      (s, d) => fuzzyIncremental(s, d, BucketCap),
+      Some(fuzzyIncrementalOracle(BucketCap))),
+
     // ---- Q41 variant: embedding-cosine near-dup pairs, LSH-bucketed —
     //      multi-band hyperplane signatures (EmbBands bands ×
     //      EmbBandBits sign bits, planes = deterministic corpus vectors
@@ -407,12 +417,13 @@ object Dedup {
     * band shuffle — never the strings) and runs BEFORE the pair-dedup
     * shuffle so no payload rides it.
     */
-  def minhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val groups = textGroups(s, d)
-    val docs = shingledReps(s, groups)
-    // 32-permutation signature: one native kernel pass when registered,
-    // else the 32-aggregate HOF fold (same result by construction).
-    val sig = if (native(s))
+  /** (doc_id, sh) → + `sig`: the 32-permutation MinHash signature — one
+    * native kernel pass when registered, else the 32-aggregate HOF fold
+    * (same result by construction). Shared by [[minhashPairs]] and
+    * [[fuzzyIncremental]].
+    */
+  private def withSig(s: SparkSession, docs: DataFrame): DataFrame =
+    if (native(s))
       docs.withColumn("sig", call_function("graft_minhash", col("sh")))
     else {
       val hv = docs.withColumn("hv", transform(col("sh"), x => hashModP(x)))
@@ -421,10 +432,18 @@ object Dedup {
           (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(P)))
       }: _*)).drop("hv")
     }
-    val bandCols = (0 until NumBands).map { k =>
-      concat_ws("_",
-        transform(slice(col("sig"), k * BandRows + 1, BandRows), v => v.cast("string")))
-    }
+
+  /** One string band key per LSH band from a `sig` column. */
+  private def bandSigCols: Seq[Column] = (0 until NumBands).map { k =>
+    concat_ws("_",
+      transform(slice(col("sig"), k * BandRows + 1, BandRows), v => v.cast("string")))
+  }
+
+  def minhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val groups = textGroups(s, d)
+    val docs = shingledReps(s, groups)
+    val sig = withSig(s, docs)
+    val bandCols = bandSigCols
     // Carry the shingle set through the band shuffle (≈NumBands× the
     // doc payload) so candidate verification needs NO join back to
     // the corpus — the whole scan→shingle→sig subtree is evaluated
@@ -512,6 +531,97 @@ object Dedup {
        |  WHERE g.eligible AND len(g.ids) > 1)
        |SELECT doc_a, doc_b, jaccard FROM inter
        |UNION ALL SELECT doc_a, doc_b, jaccard FROM intra""".stripMargin
+  }
+
+  /** q106's shared builder — FUZZY incremental dedup: which docs of an
+    * incoming batch (doc_id % 10 >= 8, mirroring q97's split) have a
+    * MinHash near-dup (jaccard ≥ 0.7, q41's threshold) anywhere in the
+    * existing corpus (doc_id % 10 < 8). The fuzzy complement of q97's
+    * exact sha2 anti-join.
+    *
+    * Scale shape — deliberately different from [[minhashPairs]]: the
+    * corpus side is collapsed into a (band, bsig) → capped member-list
+    * INDEX (the artifact a production pipeline precomputes and stores
+    * bucketed on disk, exactly like q97's bucketed corpus side), and the
+    * incoming batch probes it with a plain equi-join — candidate
+    * generation is bipartite, so no corpus-corpus or batch-batch pair is
+    * ever formed. Hashed shingle sets ride both sides of the band
+    * shuffle (q41's verify-before-dedup design): jaccard is verified
+    * map-side per bucket hit and only (in_id, c_id) survive to the
+    * pair-dedup shuffle. Per-bucket corpus truncation at `cap`
+    * first-by-id bounds any mega-bucket (oracle mirrors it with a
+    * row_number rank).
+    */
+  def fuzzyIncremental(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val docs = Tables.spread(Tables(s, d, "documents"))
+    val sh = if (native(s)) call_function("graft_shingles3", col("text"))
+             else shingles3(col("text"))
+    val h60 = (x: Column) =>
+      if (native(s)) call_function("graft_hash60", x) else hash60(x)
+    // shingle-less docs (<3 tokens) carry no signature on either side —
+    // they can never verify at jaccard ≥ 0.7; incoming ones are restored
+    // as keep=true by the final left join
+    val base = docs.select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val bands = withSig(s, base)
+      .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
+        posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
+    val corpusIdx = bands.filter(col("doc_id") % 10 < 8)
+      .groupBy(col("band"), col("bsig"))
+      .agg(collectCapped(s, struct(col("doc_id"), col("hs")), cap).as("members"))
+    val pairs = bands.filter(col("doc_id") % 10 >= 8)
+      .join(corpusIdx, Seq("band", "bsig"))
+      .select(col("doc_id").as("in_id"), col("hs").as("ihs"),
+        explode(col("members")).as("m"))
+      .select(col("in_id"), col("m.doc_id").as("c_id"),
+        (size(array_intersect(col("ihs"), col("m.hs"))).cast("double") /
+          size(array_union(col("ihs"), col("m.hs")))).as("jac"))
+      .filter(col("jac") >= 0.7)
+      // a (batch doc, corpus doc) pair can hit in several bands
+      .groupBy(col("in_id"), col("c_id")).agg(count(lit(1)).as("hits"))
+    val matches = pairs.groupBy(col("in_id")).agg(count(lit(1)).as("n"))
+    docs.filter(col("doc_id") % 10 >= 8).select(col("doc_id"))
+      .join(matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("int").as("n_corpus_dups"),
+        col("n").isNull.as("keep"))
+  }
+
+  /** The DuckDB mirror of [[fuzzyIncremental]] — same signatures and
+    * band keys as [[minhashOracle]], bipartite candidates against a
+    * rank-truncated corpus index, full-hash jaccard verification.
+    */
+  def fuzzyIncrementalOracle(cap: Int): String = {
+    val seedRows = seeds.zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    shingleCte + ",\n" + s"""hv AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) % $P AS h FROM sh),
+       |rh AS (SELECT DISTINCT doc_id,
+       |         CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS h FROM sh),
+       |seeds(j, a, b) AS (VALUES $seedRows),
+       |mh AS (SELECT doc_id, j, min((a*h + b) % $P) AS v
+       |       FROM hv CROSS JOIN seeds GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, j // $BandRows AS band,
+       |               string_agg(CAST(v AS VARCHAR), '_' ORDER BY j) AS bsig
+       |        FROM mh GROUP BY doc_id, j // $BandRows),
+       |rkc AS (SELECT doc_id, band, bsig,
+       |          row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS r
+       |        FROM sig WHERE doc_id % 10 < 8),
+       |cand AS (SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS c_id
+       |         FROM sig i JOIN rkc c ON c.band = i.band AND c.bsig = i.bsig
+       |           AND c.r <= $cap
+       |         WHERE i.doc_id % 10 >= 8),
+       |sz AS (SELECT doc_id, count(*) AS n FROM rh GROUP BY doc_id),
+       |ov AS (SELECT c.in_id, c.c_id, count(*) AS c FROM cand c
+       |       JOIN rh p ON p.doc_id = c.in_id
+       |       JOIN rh q ON q.doc_id = c.c_id AND q.h = p.h
+       |       GROUP BY c.in_id, c.c_id),
+       |mt AS (SELECT o.in_id, count(*) AS n_dups FROM ov o
+       |       JOIN sz sa ON sa.doc_id = o.in_id JOIN sz sb ON sb.doc_id = o.c_id
+       |       WHERE CAST(o.c AS DOUBLE) / (sa.n + sb.n - o.c) >= 0.7
+       |       GROUP BY o.in_id)
+       |SELECT d.doc_id, CAST(coalesce(mt.n_dups, 0) AS INT) AS n_corpus_dups,
+       |  mt.in_id IS NULL AS keep
+       |FROM documents d LEFT JOIN mt ON mt.in_id = d.doc_id
+       |WHERE d.doc_id % 10 >= 8""".stripMargin
   }
 
   /** q44's shared builder — embedding-cosine near-dup pairs, LSH-bucketed

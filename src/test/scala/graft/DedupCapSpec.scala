@@ -176,6 +176,36 @@ class DedupCapSpec extends SparkSuite {
     assert(out.filter(_._2._3).keySet == Set(1L), s"only the min id keeps: $out")
   }
 
+  test("q106 fuzzy incremental: planted near-dups flagged, corpus bucket cap bounds matches") {
+    val session = spark; import session.implicits._
+    val t = (1 to 44).map(i => s"t$i")
+    val a = t.slice(0, 40).mkString(" ")   // corpus text (5 copies)
+    val b = t.slice(0, 44).mkString(" ")   // j(a,b) = 38/42 ≈ 0.905
+    val dir = tmpDir("fuzzyinc").toString
+    Seq(
+      // corpus (doc_id % 10 < 8): five copies of a, one unrelated
+      1L -> a, 10L -> a, 20L -> a, 30L -> a, 40L -> a,
+      2L -> (1 to 30).map(i => s"z$i").mkString(" "),
+      // incoming (doc_id % 10 >= 8): near-dup, unrelated, exact copy
+      18L -> b,
+      19L -> (1 to 30).map(i => s"y$i").mkString(" "),
+      28L -> a)
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def run(cap: Int): Map[Long, (Int, Boolean)] =
+      Dedup.fuzzyIncremental(spark, dir, cap).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    val out = run(Dedup.BucketCap)
+    assert(out.keySet == Set(18L, 19L, 28L), "one row per incoming doc")
+    assert(out(19L) == ((0, true)), s"unrelated must survive: $out")
+    assert(out(18L) == ((5, false)), s"near-dup matches every corpus copy: $out")
+    assert(out(28L) == ((5, false)), s"exact copy matches every corpus copy: $out")
+    // cap=3 truncates the identical-text corpus bucket to its first 3
+    // ids — matches are bounded but the verdict must not flip
+    val capped = run(3)
+    assert(capped(18L) == ((3, false)) && capped(28L) == ((3, false)), s"$capped")
+    assert(capped(19L) == ((0, true)))
+  }
+
   test("q44 bucket cap engaged: near-identical-vector cluster bounded at cap(cap-1)/2") {
     val k = 30; val cap = 5
     val dir = tmpDir("dedupcap-embed").toString
