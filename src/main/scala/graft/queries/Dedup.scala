@@ -301,7 +301,8 @@ object Dedup {
     //      [[fuzzyIncremental]] for the 100 TB shape.
     "q106_fuzzy_incremental" -> Q(
       (s, d) => fuzzyIncremental(s, d, BucketCap),
-      Some(fuzzyIncrementalOracle(BucketCap))),
+      Some(fuzzyIncrementalOracle(BucketCap)),
+      headline = true),
 
     // ---- Q41 variant: embedding-cosine near-dup pairs, LSH-bucketed —
     //      multi-band hyperplane signatures (EmbBands bands ×
