@@ -553,24 +553,41 @@ object Dedup {
     * first-by-id bounds any mega-bucket (oracle mirrors it with a
     * row_number rank).
     */
-  def fuzzyIncremental(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val docs = Tables.spread(Tables(s, d, "documents"))
+  /** (doc_id, text) → one band row per doc per LSH band:
+    * (doc_id, hs: hashed shingle set, band, bsig). Shingle-less docs
+    * (<3 tokens) carry no row — they can never verify at jaccard ≥ 0.7.
+    */
+  def docBands(s: SparkSession, docs: DataFrame): DataFrame = {
     val sh = if (native(s)) call_function("graft_shingles3", col("text"))
              else shingles3(col("text"))
     val h60 = (x: Column) =>
       if (native(s)) call_function("graft_hash60", x) else hash60(x)
-    // shingle-less docs (<3 tokens) carry no signature on either side —
-    // they can never verify at jaccard ≥ 0.7; incoming ones are restored
-    // as keep=true by the final left join
     val base = docs.select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
-    val bands = withSig(s, base)
+    withSig(s, base)
       .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
         posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
-    val corpusIdx = bands.filter(col("doc_id") % 10 < 8)
+  }
+
+  /** Corpus (doc_id, text) → the reusable dedup-gate index artifact:
+    * (band, bsig) → first-`cap`-by-id member list carrying hashed
+    * shingle sets. In production this is computed once, stored bucketed
+    * by (band, bsig), and probed by every incoming batch.
+    */
+  def bandIndex(s: SparkSession, corpus: DataFrame, cap: Int): DataFrame =
+    docBands(s, corpus)
       .groupBy(col("band"), col("bsig"))
       .agg(collectCapped(s, struct(col("doc_id"), col("hs")), cap).as("members"))
-    val pairs = bands.filter(col("doc_id") % 10 >= 8)
-      .join(corpusIdx, Seq("band", "bsig"))
+
+  /** Probe `idx` (a [[bandIndex]]) with incoming docs (doc_id, text):
+    * one row per incoming doc — (doc_id, n_corpus_dups, keep). Works
+    * unchanged when `incoming` is a STREAMING DataFrame: band explode
+    * and jaccard verification are stateless projections, the index join
+    * is stream-static, and the per-doc aggregate groups by doc — see
+    * [[graft.streaming.StatefulOps.fuzzyGate]].
+    */
+  def fuzzyProbe(s: SparkSession, incoming: DataFrame, idx: DataFrame): DataFrame = {
+    val pairs = docBands(s, incoming)
+      .join(idx, Seq("band", "bsig"))
       .select(col("doc_id").as("in_id"), col("hs").as("ihs"),
         explode(col("members")).as("m"))
       .select(col("in_id"), col("m.doc_id").as("c_id"),
@@ -580,11 +597,17 @@ object Dedup {
       // a (batch doc, corpus doc) pair can hit in several bands
       .groupBy(col("in_id"), col("c_id")).agg(count(lit(1)).as("hits"))
     val matches = pairs.groupBy(col("in_id")).agg(count(lit(1)).as("n"))
-    docs.filter(col("doc_id") % 10 >= 8).select(col("doc_id"))
+    incoming.select(col("doc_id"))
       .join(matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).cast("int").as("n_corpus_dups"),
         col("n").isNull.as("keep"))
+  }
+
+  def fuzzyIncremental(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val docs = Tables.spread(Tables(s, d, "documents"))
+    fuzzyProbe(s, docs.filter(col("doc_id") % 10 >= 8),
+      bandIndex(s, docs.filter(col("doc_id") % 10 < 8), cap))
   }
 
   /** The DuckDB mirror of [[fuzzyIncremental]] — same signatures and

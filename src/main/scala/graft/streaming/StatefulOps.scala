@@ -255,4 +255,24 @@ object StatefulOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("srp_key")
   }
+
+  /** Streaming form of q106's fuzzy incremental dedup: gate an incoming
+    * document stream (doc_id, text, ...) against a STATIC corpus band
+    * index ([[graft.queries.Dedup.bandIndex]] — the precomputed artifact).
+    * Each microbatch probes the index independently and hands
+    * (doc_id, n_corpus_dups, keep) to `sink`. Batch independence is
+    * EXACT here, not an approximation: verdicts depend only on the
+    * static corpus, never on other stream batches (cross-batch in-stream
+    * dedup is [[minhashPairsStream]]'s job). Stateless — no store to
+    * grow; the index join is stream-static and the per-doc aggregates
+    * run inside the batch.
+    */
+  def fuzzyGate(incoming: DataFrame, idx: DataFrame, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.Dedup.fuzzyProbe(batch.sparkSession, batch, idx), id); ()
+      }
+      .start()
 }

@@ -143,4 +143,35 @@ class StatefulOpsSpec extends SparkSuite {
     assert(onTime.select("k").as[String].collect().toSet == Set("y", "z"))
     assert(late.select("k").as[String].collect().toSet == Set("x"))
   }
+
+  test("fuzzyGate: stream probes the static corpus index, verdicts are batch-independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = (1 to 44).map(i => s"t$i")
+    val corpusText = t.slice(0, 40).mkString(" ")
+    val idx = graft.queries.Dedup.bandIndex(spark,
+      Seq(1L -> corpusText, 2L -> (1 to 30).map(i => s"z$i").mkString(" "))
+        .toDF("doc_id", "text"),
+      graft.queries.Dedup.BucketCap)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
+    val q = StatefulOps.fuzzyGate(in.toDF().toDF("doc_id", "text"), idx,
+      tmpDir("fuzzygate").toString) { (verdicts, _) =>
+      verdicts.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getInt(1), r.getBoolean(2)))
+    }
+    try {
+      // batch 1: near-dup of the corpus doc + an unrelated doc
+      in.addData(18L -> t.mkString(" "), 19L -> (1 to 30).map(i => s"y$i").mkString(" "))
+      q.processAllAvailable()
+      assert(got(18L) == ((1, false)) && got(19L) == ((0, true)), s"$got")
+      // batch 2: an exact copy of a BATCH-1 stream doc is still kept —
+      // verdicts come from the static corpus only (in-stream dedup is
+      // minhashPairsStream's job), plus another corpus near-dup
+      in.addData(28L -> (1 to 30).map(i => s"y$i").mkString(" "), 38L -> corpusText)
+      q.processAllAvailable()
+      assert(got(28L) == ((0, true)), s"batch independence violated: $got")
+      assert(got(38L) == ((1, false)), s"$got")
+    } finally q.stop()
+  }
 }
