@@ -829,7 +829,9 @@ object Dedup {
     *
     * Lineage discipline (the r6 scale defect): the symmetric edge set is
     * persisted ONCE before the loop and unpersisted after convergence;
-    * every round's state is `localCheckpoint`ed (eager), so round k
+    * every round's state is eagerly checkpointed ([[truncate]]: reliable
+    * `checkpoint` under a configured checkpoint dir, else
+    * `localCheckpoint`), so round k
     * re-evaluates round k's plan only — per-round cost is FLAT, not the
     * full join chain of rounds 1..k−1 (`ScaleProbe --cc` measures this).
     * Exhausting `maxRounds` without convergence THROWS instead of
@@ -840,6 +842,16 @@ object Dedup {
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 20,
                    starSwitch: Int = 4): DataFrame =
     clusterPairsInstrumented(pairs, maxRounds, starSwitch, (_, _) => ())
+
+  /** Eager lineage truncation for iterative state: a RELIABLE
+    * checkpoint when the context has a checkpoint dir (production —
+    * survives executor loss), else an eager localCheckpoint (local/test;
+    * executor-resident, fine in one JVM).
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
 
   /** [[clusterPairs]] with a per-round timing hook (round name, seconds)
     * so ScaleProbe can demonstrate flat per-round cost; the public entry
@@ -852,21 +864,20 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("v", "u").persist()
     try {
-      var labels = e.select(col("v")).distinct().withColumn("l", col("v"))
-        .localCheckpoint()
+      var labels = truncate(
+        e.select(col("v")).distinct().withColumn("l", col("v")))
       var round = 0
       var converged = false
       while (!converged && round < math.min(starSwitch, maxRounds)) {
         val t0 = System.nanoTime()
         val nbrMin = e.join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
           .groupBy(col("v")).agg(min(col("ul")).as("nbr"))
-        // eager localCheckpoint: materializes this round AND truncates
-        // the plan, so the convergence count below and every later round
-        // start from round-k data, never the rounds-1..k−1 join chain
-        val next = labels.join(nbrMin, Seq("v"), "left")
+        // eager truncation: materializes this round AND cuts the plan,
+        // so the convergence count below and every later round start
+        // from round-k data, never the rounds-1..k−1 join chain
+        val next = truncate(labels.join(nbrMin, Seq("v"), "left")
           .select(col("v"), least(col("l"), coalesce(col("nbr"), col("l"))).as("l"),
-            (col("nbr") < col("l")).as("changed"))
-          .localCheckpoint()
+            (col("nbr") < col("l")).as("changed")))
         converged = next.filter(col("changed")).limit(1).count() == 0
         labels = next.select(col("v"), col("l"))
         round += 1
@@ -919,15 +930,15 @@ object Dedup {
           .select(col("u").as("v"), col("m").as("u")))
         .distinct()
     }
-    val verts = e.select(col("v")).distinct().localCheckpoint()
-    var edges = e.filter(col("v") =!= col("u"))
+    val verts = truncate(e.select(col("v")).distinct())
+    var edges = truncate(e.filter(col("v") =!= col("u"))
       .select(greatest(col("v"), col("u")).as("v"), least(col("v"), col("u")).as("u"))
-      .distinct().localCheckpoint()
+      .distinct())
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(edges)))
       // fixpoint test is exact (count + set difference), not a hash
       // heuristic: both sides are checkpointed, so it costs one
       // aggregate and one anti-join over star edges

@@ -176,6 +176,26 @@ class DedupCapSpec extends SparkSuite {
     assert(out.filter(_._2._3).keySet == Set(1L), s"only the min id keeps: $out")
   }
 
+  test("q101 truncation goes through a reliable checkpoint when the context has a dir") {
+    val session = spark; import session.implicits._
+    // production configuration: a checkpoint dir on reliable storage —
+    // the truncate() helper must switch from localCheckpoint (executor-
+    // resident) to checkpoint() (survives executor loss). Note: the dir
+    // stays set on the shared context; later clusterPairs tests simply
+    // keep using the reliable branch, which is correctness-neutral.
+    val dir = tmpDir("cc-reliable")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val out = Dedup.clusterPairs(
+      Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 3L, true)), 2L -> ((1L, 3L, false)), 3L -> ((1L, 3L, false)),
+      20L -> ((20L, 2L, true)), 21L -> ((20L, 2L, false))))
+    val walked = java.nio.file.Files.walk(dir)
+    val nCheckpointFiles = try walked.count() finally walked.close()
+    assert(nCheckpointFiles > 1, "checkpoint dir must have received RDD data")
+  }
+
   test("q106 fuzzy incremental: planted near-dups flagged, corpus bucket cap bounds matches") {
     val session = spark; import session.implicits._
     val t = (1 to 44).map(i => s"t$i")
