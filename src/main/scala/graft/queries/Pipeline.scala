@@ -43,6 +43,9 @@ object Pipeline {
   val ChunkTokens = 64
   val ChunkStride = 48
 
+  /** q107: the token budget as a fraction of the corpus's total tokens. */
+  val MixBudgetFrac = 0.5
+
   /** q95: most contaminated-id rows we will ship driver-side as a
     * broadcast. 10M longs ≈ 80 MB — comfortable on any driver; above it
     * the anti-join falls back to a shuffle so a pathological corpus
@@ -304,6 +307,52 @@ object Pipeline {
              |    CASE WHEN source IN ('src0','src1','src2') THEN 1.0
              |         WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS w
              |  FROM documents) WHERE frac < w""".stripMargin)),
+
+    // ---- mixture PLANNING: q93 applies per-source sampling rates;
+    //      this derives them from a token budget. Given target mixture
+    //      weights and a budget of MixBudgetFrac of the corpus's tokens,
+    //      emit per source: available docs/tokens, the token target
+    //      (budget × weight share), the sampling rate (capped at 1) and
+    //      the epoch count (>1 ⇒ the source must repeat to meet its
+    //      share — the signal a data-mixing run actually needs). One
+    //      tiny per-source aggregate + a broadcast 1-row total: the
+    //      corpus is touched once, nothing driver-side. The 7×1-row
+    //      nested-loop join is intentional (PlanSpec allowlist).
+    "q107_mixture_plan" -> Q(
+      (s, d) => {
+        val byedrc = Tables.spread(Tables(s, d, "documents"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+          .withColumn("w", expr(
+            "CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1.0 " +
+              "WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS DOUBLE)"))
+        val tot = byedrc.agg(
+          sum(col("tokens")).cast("double").as("all_toks"),
+          sum(col("w")).as("sw"))
+        val target = expr(s"all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw")
+        byedrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            round(target, 4).as("target_tokens"),
+            round(least(lit(1.0), target / col("tokens")), 4).as("rate"),
+            round(target / col("tokens"), 4).as("epochs"))
+      },
+      Some(s"""WITH t AS (SELECT source, count(*) AS n_docs,
+              |    sum(len(string_split(text, ' '))) AS tokens
+              |  FROM documents GROUP BY source),
+              |w AS (SELECT source, n_docs, tokens,
+              |    CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1.0
+              |         WHEN source IN ('src3','src4','src5') THEN 0.5
+              |         ELSE 0.25 END AS DOUBLE) AS w
+              |  FROM t),
+              |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS all_toks,
+              |    sum(w) AS sw FROM w)
+              |SELECT source, n_docs, tokens,
+              |  round(all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw, 4) AS target_tokens,
+              |  round(least(CAST(1.0 AS DOUBLE),
+              |    all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw / tokens), 4) AS rate,
+              |  round(all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw / tokens, 4) AS epochs
+              |FROM w CROSS JOIN tot""".stripMargin)),
 
     // ---- sequence packing: assign docs to fixed-token-budget training
     //      bins — greedy by cumulative token count in a deterministic
