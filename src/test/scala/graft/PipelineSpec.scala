@@ -32,11 +32,13 @@ class PipelineSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.repartition(7).write.mode("overwrite")
       .parquet(s"$alt/documents.parquet")
-    Seq("q92_stratified_sample", "q94_sequence_pack", "q102_shard_order").foreach { q =>
-      val a = run(q, src).collect().map(_.toString).sorted
-      val b = run(q, alt).collect().map(_.toString).sorted
-      assert(a.sameElements(b), s"$q changed under input re-layout")
-    }
+    Seq("q92_stratified_sample", "q94_sequence_pack", "q102_shard_order",
+        "q104_chunk_overlap", "q106_fuzzy_incremental", "q107_mixture_plan")
+      .foreach { q =>
+        val a = run(q, src).collect().map(_.toString).sorted
+        val b = run(q, alt).collect().map(_.toString).sorted
+        assert(a.sameElements(b), s"$q changed under input re-layout")
+      }
   }
 
   test("q95 drops exactly the docs sharing a 4-gram with the benchmark slice") {

@@ -99,6 +99,8 @@ object ScaleProbe {
         queries.Dedup.ngramJaccard(spark, dir, queries.Dedup.DfCap).count())
       time("q45_simhash_banded")(
         queries.Catalog.all("q45_simhash_hamming").build(spark, dir).count())
+      time("q106_fuzzy_incremental")(
+        queries.Dedup.fuzzyIncremental(spark, dir, queries.Dedup.BucketCap).count())
     }
     spark.stop()
   }
