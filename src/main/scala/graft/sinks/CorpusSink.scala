@@ -1,0 +1,51 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The OUTPUT side of the corpus pipeline: write a finished corpus as
+  * partitioned parquet without the two classic 100 TB failure modes —
+  *
+  *  - the SMALL-FILES problem: naive `df.write.partitionBy(cols)` emits
+  *    one file per (task × partition-value) combination; with 32 tasks ×
+  *    a few hundred partition values that is tens of thousands of tiny
+  *    files per write, and a 1000-executor cluster makes it millions.
+  *    Fix: repartition BY the partition columns first, so each value's
+  *    rows land in few tasks.
+  *  - the GIANT-FILE problem: one task holding a whole hot partition
+  *    value writes one multi-GB file that downstream readers can't
+  *    split across row groups they want. Fix: `maxRecordsPerFile`
+  *    rolls files at a bounded row count.
+  *
+  * Skew guard: repartitioning by partition value alone puts a hot value
+  * (e.g. lang=en at 60% of the corpus) into ONE task. `shards > 1`
+  * spreads each value over that many tasks via a deterministic id-hash
+  * shard column (dropped before the write — it exists only to salt the
+  * exchange, the q39 salting pattern applied to writes).
+  */
+object CorpusSink {
+
+  /** Write `df` to `dir` partitioned by `parts`, each value spread over
+    * `shards` tasks, files rolled every `maxRecordsPerFile` rows.
+    * `idCol` drives the deterministic shard hash (any stable key).
+    */
+  def write(df: DataFrame, dir: String, parts: Seq[String], idCol: String,
+            shards: Int = 4, maxRecordsPerFile: Long = 1000000L): Unit = {
+    require(parts.nonEmpty, "partitionBy columns required")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val shard = pmod(xxhash64(col(idCol)), lit(shards))
+    // EXPLICIT partition count: a bare repartition(cols) is marked
+    // AQE-coalescible, and on a small write AQE merges the shard salt
+    // right back into one task — the count is the session's normal
+    // shuffle fan-out, only pinned
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt.max(shards)
+    df.withColumn("__shard", shard)
+      .repartition(n, (parts.map(col) :+ col("__shard")): _*)
+      .drop("__shard")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(parts: _*)
+      .mode("overwrite")
+      .parquet(dir)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.CorpusSink
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Output-layout guards for the partitioned corpus writer: bounded file
+  * counts (no small-files explosion), bounded file sizes (rolled by row
+  * count), hot values spread over the shard salt, lossless read-back.
+  */
+class CorpusSinkSpec extends SparkSuite {
+
+  private def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+    val s = Files.walk(Paths.get(dir))
+    try s.iterator().asScala.toSeq.filter(_.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  test("partitioned write: lang dirs, files bounded by shards and rolled by row count") {
+    val docs = Tables(spark, sf(), "documents")
+    val dir = tmpDir("corpus-sink").toString
+    val shards = 2
+    CorpusSink.write(docs, dir, Seq("lang"), "doc_id",
+      shards = shards, maxRecordsPerFile = 25)
+    val langs = docs.select(col("lang")).distinct().collect().map(_.getString(0))
+    langs.foreach { l =>
+      val files = parquetFiles(s"$dir/lang=$l")
+      assert(files.nonEmpty, s"missing partition dir for lang=$l")
+      val rows = docs.filter(col("lang") === l).count()
+      // each shard task rolls every 25 rows; worst case adds one file
+      // per shard for the remainder
+      val maxFiles = shards * (rows / 25 + 1)
+      assert(files.size <= maxFiles,
+        s"lang=$l: ${files.size} files for $rows rows exceeds bound $maxFiles")
+    }
+    // rolled: no file may exceed maxRecordsPerFile rows
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f")).groupBy("f").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perFile <= 25, s"a file holds $perFile rows > maxRecordsPerFile")
+    // lossless round-trip (partition column comes back typed as string)
+    val back = spark.read.parquet(dir)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs.withColumn("lang", col("lang"))).count() == 0)
+  }
+
+  test("hot partition value spreads across the shard salt, not one task's file") {
+    val session = spark; import session.implicits._
+    // 400 rows of ONE lang: unsalted, one task writes them all; with
+    // shards=4 the value must span multiple files even at a high roll cap
+    val hot = (1L to 400L).map(i => (i, s"text $i", "en")).toDF("doc_id", "text", "lang")
+    val dir = tmpDir("corpus-sink-hot").toString
+    CorpusSink.write(hot, dir, Seq("lang"), "doc_id",
+      shards = 4, maxRecordsPerFile = 1000000L)
+    val files = parquetFiles(s"$dir/lang=en")
+    assert(files.size >= 2 && files.size <= 4,
+      s"expected the hot value spread over 2..4 shard files, got ${files.size}")
+  }
+}
