@@ -144,6 +144,40 @@ class StatefulOpsSpec extends SparkSuite {
     assert(late.select("k").as[String].collect().toSet == Set("x"))
   }
 
+  test("streaming intake composes: quality gate → in-stream dedup → corpus fuzzy gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = (1 to 44).map(i => s"t$i")
+    val corpusText = t.slice(0, 40).mkString(" ")
+    val idx = graft.queries.Dedup.bandIndex(spark,
+      Seq(1L -> corpusText).toDF("doc_id", "text"), graft.queries.Dedup.BucketCap)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+      // stage 1: stateless quality gate in the scan stage
+      .filter(size(split(col("text"), " ")) >= 5)
+    // stage 2: in-stream exact/near dedup within the watermark horizon
+    val deduped = StatefulOps.simhashDedup(stream, "text", "ts", "10 seconds")
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
+    // stage 3: gate survivors against the static corpus index
+    val q = StatefulOps.fuzzyGate(deduped, idx, tmpDir("intake").toString) {
+      (verdicts, _) =>
+        verdicts.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getInt(1), r.getBoolean(2)))
+    }
+    try {
+      in.addData(
+        (18L, t.mkString(" "), ts(10)),                         // corpus near-dup
+        (28L, t.mkString(" "), ts(11)),                          // in-stream dup of 18 → suppressed
+        (38L, "too short", ts(12)),                              // quality-gated
+        (48L, (1 to 30).map(i => s"y$i").mkString(" "), ts(13))) // clean
+      q.processAllAvailable()
+      assert(got.keySet == Set(18L, 48L),
+        s"28 must die at in-stream dedup and 38 at the quality gate: $got")
+      assert(got(18L) == ((1, false)), s"$got")
+      assert(got(48L) == ((0, true)), s"$got")
+    } finally q.stop()
+  }
+
   test("fuzzyGate: stream probes the static corpus index, verdicts are batch-independent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
