@@ -118,6 +118,59 @@ object Similarity {
     Tables.spread(Tables(s, d, "embeddings"))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
+  /** Assign vectors (vec_id, v) to their nearest centroid (c_id, cv) —
+    * the IVF index PROBE, public because it is the recurring production
+    * step: train once ([[trainCentroids]]), then assign every new batch
+    * or stream of vectors against the shipped index
+    * ([[graft.streaming.StatefulOps.annAssign]]). Argmax via struct-max
+    * aggregation, not a ranking window: partial (map-side) aggregation
+    * collapses the centroids×vectors candidate rows BEFORE the shuffle.
+    * Tie-break (ccos DESC, c_id ASC) via max of (ccos, -c_id).
+    */
+  def assignToCentroids(s: SparkSession, vectors: DataFrame,
+                        cents: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(s, col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_cid"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
+
+  /** q51's deterministic k-means training, returned as the shipped index
+    * artifact: seeds = first NumCentroids corpus vectors, KMeansIters
+    * Lloyd rounds with exact fixed-point means, materialized driver-side
+    * (k rows — k·dim doubles, what MLlib also keeps on the driver) and
+    * rebuilt as a LocalRelation so every downstream use broadcasts it
+    * and nothing lingers in the cache manager.
+    */
+  def trainCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    // one Lloyd round: reassign, re-center; empty clusters keep their
+    // previous centroid. Means in FIXED-POINT (floor(x·2^20) BIGINT
+    // sums): integer addition is order-free, so the mean is identical at
+    // any parallelism and in the DuckDB oracle.
+    def recenter(cents: DataFrame): DataFrame = {
+      val means = assignToCentroids(s, e, cents)
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(expr(s"CAST(floor(x * $FixedPointScale.0) AS BIGINT)")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("c_id"), col("pos"),
+          (col("sq").cast("double") / lit(FixedPointScale.toDouble) /
+            col("n").cast("double")).as("mx"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
+          .as("mv"))
+      cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+    val seeds = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val trained = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next()
+    val rows = java.util.Arrays.asList(trained.collect(): _*)
+    s.createDataFrame(rows, trained.schema)
+  }
+
   /** (q_id, n_id, cos) candidates → per-query top-k, rank 1..k by
     * (cos DESC, n_id ASC). Native path: the graft_topk bounded-heap
     * aggregate — partial aggregation collapses every partition's
@@ -176,52 +229,10 @@ object Similarity {
     "q51_ann_ivf" -> Q(
       (s, d) => {
         val e = vecs(s, d)
-        // corpus → nearest centroid (cluster assignment). Argmax via a
-        // struct-max aggregation instead of a ranking window: partial
-        // (map-side) aggregation collapses the 8×corpus candidate rows
-        // BEFORE the shuffle, where the window formulation shuffles them
-        // all. Tie-break matches the oracle's (ccos DESC, c_id ASC):
-        // max of (ccos, -c_id) picks highest ccos then lowest c_id.
-        def assignTo(cents: DataFrame): DataFrame =
-          e.crossJoin(broadcast(cents))
-            .withColumn("ccos", cosine(s, col("v"), col("cv")))
-            .groupBy(col("vec_id"))
-            .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_cid"))).as("m"),
-              first(col("v")).as("v"))
-            .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
-        // one Lloyd round: reassign, re-center; empty clusters keep
-        // their previous centroid
-        def recenter(cents: DataFrame): DataFrame = {
-          val means = assignTo(cents)
-            .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-            .groupBy(col("c_id"), col("pos"))
-            .agg(sum(expr(s"CAST(floor(x * $FixedPointScale.0) AS BIGINT)")).as("sq"),
-              count(lit(1)).as("n"))
-            .select(col("c_id"), col("pos"),
-              (col("sq").cast("double") / lit(FixedPointScale.toDouble) /
-                col("n").cast("double")).as("mx"))
-            .groupBy(col("c_id"))
-            .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
-              .as("mv"))
-          cents.join(means, Seq("c_id"), "left")
-            .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
-        }
-        val seeds = e.filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        // materialize the trained centroids driver-side (k rows — k·dim
-        // doubles, the one artifact MLlib also keeps on the driver) and
-        // rebuild them as a local relation: both the corpus assignment
-        // and the query probes consume the SAME trained values with no
-        // recompute, every downstream use broadcasts a LocalRelation,
-        // and nothing lingers in the cache manager across catalog
-        // invocations (the r5 persist() leaked one entry per build).
-        // This is the production shape — train offline, ship the index.
-        val trained = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next()
-        val cents = {
-          val rows = java.util.Arrays.asList(trained.collect(): _*)
-          s.createDataFrame(rows, trained.schema)
-        }
-        val assign = assignTo(cents)
+        // train offline, ship the index, probe it — see [[trainCentroids]]
+        // and [[assignToCentroids]] for the shapes
+        val cents = trainCentroids(s, d)
+        val assign = assignToCentroids(s, e, cents)
         // queries → top-`Probes` centroids. Native path: the same
         // graft_topk bounded-heap aggregate the final ranking uses —
         // partial aggregation collapses the NumCentroids candidates per

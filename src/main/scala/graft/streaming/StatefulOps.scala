@@ -256,6 +256,22 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark("srp_key")
   }
 
+  /** Streaming IVF index probe: assign a stream of vectors
+    * (vec_id, v: array<double>) to their nearest centroid from the
+    * STATIC trained index ([[graft.queries.Similarity.trainCentroids]]).
+    * Stateless per microbatch — the broadcast argmax aggregation runs
+    * inside the batch; verdicts depend only on the shipped index.
+    */
+  def annAssign(vectors: DataFrame, cents: DataFrame, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.Similarity.assignToCentroids(
+          batch.sparkSession, batch, cents), id); ()
+      }
+      .start()
+
   /** Streaming form of q106's fuzzy incremental dedup: gate an incoming
     * document stream (doc_id, text, ...) against a STATIC corpus band
     * index ([[graft.queries.Dedup.bandIndex]] — the precomputed artifact).

@@ -178,6 +178,35 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("annAssign: streamed vectors land on the same centroids as the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cents = graft.queries.Similarity.trainCentroids(spark, sf("sf0.001"))
+    // stream the first 20 corpus vectors back through the static index
+    val batch = Tables(spark, sf("sf0.001"), "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .filter(col("vec_id") < 20)
+    val expected = graft.queries.Similarity
+      .assignToCentroids(spark, batch, cents)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val in = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = StatefulOps.annAssign(in.toDF().toDF("vec_id", "v"), cents,
+      tmpDir("annassign").toString) { (assigned, _) =>
+      assigned.select("vec_id", "c_id").collect()
+        .foreach(r => got(r.getLong(0)) = r.getLong(1))
+    }
+    try {
+      val rows = batch.as[(Long, Seq[Double])].collect()
+      in.addData(rows.take(10).toIndexedSeq)   // two microbatches
+      q.processAllAvailable()
+      in.addData(rows.drop(10).toIndexedSeq)
+      q.processAllAvailable()
+      assert(got.toMap == expected, s"stream/batch divergence: " +
+        s"${(got.toSet diff expected.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("fuzzyGate: stream probes the static corpus index, verdicts are batch-independent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
