@@ -195,17 +195,27 @@ object Similarity {
   private def sqlCos(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Exact cosine top-k of `queries` (q_id, qv) against `corpus`
+    * (vec_id, v): the small query batch broadcasts, the corpus is
+    * scanned once, candidates collapse map-side through the graft_topk
+    * bounded heap. Public because it is the serving shape — a static
+    * corpus probed by every new query batch or stream
+    * ([[graft.streaming.StatefulOps.annSearch]]).
+    */
+  def searchTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+                 k: Int): DataFrame =
+    topkPerQuery(s, corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(s, col("qv"), col("v")).as("cos")), k)
+
   def defs: ListMap[String, Q] = ListMap(
 
     // ---- brute-force cosine top-k: queries broadcast against the corpus
     "q50_ann_brute" -> Q(
       (s, d) => {
         val e = vecs(s, d)
-        val q = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        topkPerQuery(s, e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine(s, col("qv"), col("v")).as("cos")), TopK)
+        searchTopK(s, e, e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")), TopK)
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -272,6 +272,24 @@ object StatefulOps {
       }
       .start()
 
+  /** Streaming similarity search: each microbatch of query vectors
+    * (q_id, qv: array<double>) is broadcast against the STATIC corpus
+    * (vec_id, v) and answered with its exact cosine top-k
+    * ([[graft.queries.Similarity.searchTopK]] — the graft_topk bounded
+    * heap collapses candidates map-side). Stateless; per-batch cost is
+    * one corpus scan regardless of query count, the serving trade that
+    * makes micro-batched ANN amortize.
+    */
+  def annSearch(queries: DataFrame, corpus: DataFrame, k: Int, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.Similarity.searchTopK(
+          batch.sparkSession, corpus, batch, k), id); ()
+      }
+      .start()
+
   /** Streaming form of q106's fuzzy incremental dedup: gate an incoming
     * document stream (doc_id, text, ...) against a STATIC corpus band
     * index ([[graft.queries.Dedup.bandIndex]] — the precomputed artifact).

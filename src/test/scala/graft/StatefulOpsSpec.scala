@@ -178,6 +178,32 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("annSearch: streamed queries get the same exact top-k as q50's batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Tables(spark, sf("sf0.001"), "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val expected = graft.queries.Similarity.searchTopK(spark, corpus, queries, 5)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val in = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = StatefulOps.annSearch(in.toDF().toDF("q_id", "qv"), corpus, 5,
+      tmpDir("annsearch").toString) { (top, _) =>
+      got ++= top.select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect()
+    }
+    try {
+      val qs = queries.as[(Long, Seq[Double])].collect()
+      in.addData(qs.take(1).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(qs.drop(1).toIndexedSeq)
+      q.processAllAvailable()
+      assert(got.toSet == expected,
+        s"stream/batch divergence: ${(got.toSet diff expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("annAssign: streamed vectors land on the same centroids as the batch probe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
