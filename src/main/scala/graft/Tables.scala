@@ -41,4 +41,14 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** Register every fixture table as a temp view so a SQL-first user can
+    * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` directly —
+    * together with the graft_* functions from GraftExtensions this makes
+    * the whole engine drivable from plain SQL. Views are lazy plans over
+    * the same loader, so pushdown/pruning and the events timestamp
+    * normalization are identical to the Column-API path.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(name => apply(spark, sfDir, name).createOrReplaceTempView(name))
 }

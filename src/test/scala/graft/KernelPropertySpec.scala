@@ -127,4 +127,69 @@ class KernelPropertySpec extends SparkSuite {
         f"ham<=3 pair must share a key: $base%08x vs $flipped%08x")
     }
   }
+
+  test("q104 chunking properties hold on arbitrary texts") {
+    import spark.implicits._
+    import graft.queries.Pipeline.{ChunkStride, ChunkTokens}
+    val texts = samples(text, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val dir = tmpDir("chunk-prop").toString
+    texts.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(coalesce(length(text), 0) AS LONG) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Catalog.all("q104_chunk_overlap").build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val chunkIds = out.keys.filter(_._1 == id).map(_._2).toSeq.sorted
+      // dense chunk ids covering the whole token range
+      assert(chunkIds == (0 to (toks.length - 1) / ChunkStride), s"doc $id: $chunkIds")
+      chunkIds.foreach { c =>
+        val (n, chunk) = out((id, c))
+        val ref = toks.slice(c * ChunkStride, c * ChunkStride + ChunkTokens)
+        assert(n == ref.length && chunk == ref.mkString(" "),
+          s"doc $id chunk $c: [$chunk] vs [${ref.mkString(" ")}]")
+      }
+      // stitching the stride-prefix of every chunk (full tail of the
+      // last) reconstructs the document exactly — no token lost or duped
+      val stitched = chunkIds.map { c =>
+        val body = out((id, c))._2.split(" ", -1)
+        if (c == chunkIds.last) body else body.take(ChunkStride)
+      }.flatten
+      assert(stitched.sameElements(toks), s"doc $id does not reconstruct")
+    }
+  }
+
+  test("q105 quantization properties hold on arbitrary vectors") {
+    import spark.implicits._
+    val vecGen = Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000f, 1000f)))
+    val vecs = samples(vecGen, 100).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray, 0) } :+
+      ((100L, Array(0f, 0f, 0f), 0))  // force the zero-scale branch
+    val dir = tmpDir("quant-prop").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.Catalog.all("q105_embed_quantize").build(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))))
+      .toMap
+    vecs.foreach { case (id, emb, _) =>
+      val v = emb.map(_.toDouble)
+      val scale = v.map(math.abs).max / 127.0
+      val q = if (scale == 0.0) v.map(_ => 0)
+              else v.map(x => math.max(-127.0, math.min(127.0, math.floor(x / scale + 0.5))).toInt)
+      assert(out(id) == ((scale, q.map(_.toLong).sum, q.min, q.max,
+        q.count(c => math.abs(c) == 127))), s"vec $id: ${out(id)}")
+      if (scale > 0.0) {
+        // max-|x| coordinate saturates; every code within half a step
+        assert(q.map(math.abs).max == 127)
+        v.zip(q).foreach { case (x, c) =>
+          assert(math.abs(c * scale - x) <= scale / 2 + 1e-9 * math.abs(x) + 1e-12) }
+      }
+    }
+  }
 }

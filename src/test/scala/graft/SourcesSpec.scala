@@ -29,6 +29,24 @@ class SourcesSpec extends SparkSuite {
   test("csv round-trip")(
     roundTrip("csv", Map("header" -> "true", "escape" -> "\"", "multiLine" -> "true")))
 
+  test("registerViews: the whole engine is drivable from plain SQL") {
+    Tables.registerViews(spark, sf())
+    // relational surface over the views...
+    val j = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin).collect()
+    assert(j.nonEmpty && j.map(_.getLong(1)).sum > 0)
+    // ...composed with the injected graft_* kernels in the same statement
+    val d = spark.sql(
+      """SELECT count(DISTINCT graft_simhash(text)) AS n_prints,
+        |  max(size(graft_minhash(graft_shingles3(text)))) AS sig_len
+        |FROM documents""".stripMargin).head()
+    assert(d.getLong(0) > 0 && d.getInt(1) == 32)
+    // the events view carries the normalized NANOS→micros timestamp
+    assert(spark.sql("SELECT min(ts) FROM events").head().get(0) != null)
+  }
+
   test("binaryFile + text sources read whole files") {
     val dir = tmpDir("files")
     java.nio.file.Files.writeString(dir.resolve("a.xml"), "line1\nline2")
