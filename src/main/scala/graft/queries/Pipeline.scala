@@ -330,15 +330,28 @@ object Pipeline {
         val tot = byedrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("w")).as("sw"))
-        val target = expr(s"all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw")
+        // 4-decimal HALF_UP via floor of exact IEEE ops (the q105 form) —
+        // round() is banker's-vs-HALF_UP divergent between engines on the
+        // dense double grid these derived ratios live on. nullif guards a
+        // source whose texts are all NULL (tokens = NULL/0): its rate and
+        // epochs are defined as NULL, not a divide-by-zero infinity.
+        val tgt = s"all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw"
+        def r4(e: String) = s"floor(($e) * 10000.0D + 0.5D) / 10000.0D"
+        val perTok = s"($tgt) / CAST(nullif(tokens, 0L) AS DOUBLE)"
         byedrc.crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"), col("tokens"),
-            round(target, 4).as("target_tokens"),
-            round(least(lit(1.0), target / col("tokens")), 4).as("rate"),
-            round(target / col("tokens"), 4).as("epochs"))
+            expr(r4(tgt)).as("target_tokens"),
+            // CASE, not bare least(): both engines' least() IGNORES nulls,
+            // so a zero-token source would get rate=1.0 next to epochs=NULL.
+            expr(r4(s"CASE WHEN ($perTok) IS NULL THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE least(CAST(1.0 AS DOUBLE), $perTok) END")).as("rate"),
+            expr(r4(perTok)).as("epochs"))
       },
+      // CAST(sum(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which
+      // the compare layer renders as float64 vs Spark's int64 (the r5
+      // q91 lesson — identical values, mismatched hash).
       Some(s"""WITH t AS (SELECT source, count(*) AS n_docs,
-              |    sum(len(string_split(text, ' '))) AS tokens
+              |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
               |  FROM documents GROUP BY source),
               |w AS (SELECT source, n_docs, tokens,
               |    CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1.0
@@ -348,10 +361,16 @@ object Pipeline {
               |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS all_toks,
               |    sum(w) AS sw FROM w)
               |SELECT source, n_docs, tokens,
-              |  round(all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw, 4) AS target_tokens,
-              |  round(least(CAST(1.0 AS DOUBLE),
-              |    all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw / tokens), 4) AS rate,
-              |  round(all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw / tokens, 4) AS epochs
+              |  floor((all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw)
+              |    * 10000.0 + 0.5) / 10000.0 AS target_tokens,
+              |  floor((CASE WHEN nullif(tokens, 0) IS NULL THEN CAST(NULL AS DOUBLE)
+              |      ELSE least(CAST(1.0 AS DOUBLE),
+              |        all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw
+              |          / CAST(tokens AS DOUBLE)) END)
+              |    * 10000.0 + 0.5) / 10000.0 AS rate,
+              |  floor((all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw
+              |      / CAST(nullif(tokens, 0) AS DOUBLE))
+              |    * 10000.0 + 0.5) / 10000.0 AS epochs
               |FROM w CROSS JOIN tot""".stripMargin)),
 
     // ---- sequence packing: assign docs to fixed-token-budget training

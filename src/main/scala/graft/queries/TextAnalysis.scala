@@ -83,7 +83,7 @@ object TextAnalysis {
       },
       Some("""WITH f AS (SELECT doc_id, length(text) AS n_chars,
              |    len(string_split(text, ' ')) AS n_tokens,
-             |    list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS sum_len,
+             |    CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS BIGINT) AS sum_len,
              |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop
              |  FROM documents)
              |SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,

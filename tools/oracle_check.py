@@ -31,6 +31,16 @@ def compare(name, spark_df, duck_df):
         return f"ROWS spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes RENDERED values: spark int64 "1540" vs duck
+        # float64 "1540.0" mismatches even when numerically equal. DuckDB
+        # HUGEINT (sum of BIGINT) lands in pandas as float64 — the exact
+        # class behind the r5 q91 / r7 q107 red rows. Flag it hard here so
+        # the local gate is driver-faithful.
+        if (av.dtype.kind in "iu") != (bv.dtype.kind in "iu") and \
+           {av.dtype.kind, bv.dtype.kind} & {"f"}:
+            return (f"DTYPE col {c}: spark={av.dtype} duck={bv.dtype} "
+                    "(driver renders these differently -> hash mismatch; "
+                    "CAST the oracle column)")
         try:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 ok = ((av.isna() & bv.isna()) | (av == bv)).all()
@@ -51,6 +61,22 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_fail = 0
+    # Oracle type lint (VERDICT r7 #2): any HUGEINT/DECIMAL output column
+    # is rendered by the driver differently from Spark's int64/double
+    # (HUGEINT -> float64 "1540.0" vs "1540") — exactly the r5-q91/r7-q107
+    # red-row class. DuckDB's own DESCRIBE is the precise detector; every
+    # integer aggregate must carry an explicit CAST(.. AS BIGINT/INT).
+    for name in sorted(oracles):
+        try:
+            d = con.sql("DESCRIBE " + oracles[name]).df()
+        except Exception:
+            continue  # oracle execution errors are reported in the main loop
+        for _, r in d.iterrows():
+            ct = r["column_type"]
+            if ct in ("HUGEINT", "UHUGEINT") or ct.startswith("DECIMAL"):
+                print(f"LINT {name}: column {r['column_name']} is {ct} — "
+                      "add an explicit CAST (driver render mismatch)")
+                n_fail += 1
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
