@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes Bench's stdout for its one JSON line; sbt's default
+// LoggedOutput prefixes forked output with "[info] " and interleaves it
+// with log noise, which made BENCH_r*.json record "parsed": null every
+// round. StdoutOutput passes the forked process's stdout/stderr through
+// untouched, so the bare `{...}` line reaches the scraper (Spark logs go
+// to stderr and stay out of the way).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

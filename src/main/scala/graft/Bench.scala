@@ -19,6 +19,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // ObjectHashAggregateExec (every collectCapped/TypedImperative
+      // posting-list build: q41/q43/q44/q45) falls back to SORT-based
+      // aggregation after only 128 distinct keys per task (Spark
+      // default) — i.e. the whole exploded shingle stream gets sorted
+      // twice. 128k keys/task × small capped buffers is ~tens of MB:
+      // keep the hash regime at our scale, keep the fallback as the
+      // OOM backstop beyond it.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,6 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep TypedImperative aggregates (collectCapped posting lists) in
+      // the hash regime — see the same setting in Bench.scala
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
