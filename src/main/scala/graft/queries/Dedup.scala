@@ -39,7 +39,7 @@ object Dedup {
     */
   val EmbPlaneBase: Int = Similarity.NumCentroids // shared plane region with q52
   val EmbBandBits = 4
-  val EmbBands = 8
+  val EmbBands = 12
   val EmbNumPlanes: Int = EmbBands * EmbBandBits
 
   private def native(s: SparkSession): Boolean =
@@ -311,7 +311,7 @@ object Dedup {
     //      in-bucket pair generation via sortedPairs (never an all-pairs
     //      join), exact cosine verify. APPROXIMATE BY DESIGN: recall vs
     //      brute force is the standard LSH band tradeoff — measured in
-    //      EmbedNeardupSpec (target ≥ 0.6 at the fixture scale; raise
+    //      EmbedNeardupSpec (floor ≥ 0.85 at the fixture scale; raise
     //      EmbBands for more recall at linearly more signature cost).
     //      At 100 TB: EmbBandBits sizes the bucket count (2^bits per
     //      band) — raise it with corpus size so buckets stay bounded;

@@ -32,7 +32,10 @@ class EmbedNeardupSpec extends SparkSuite {
     val recall = bucketed.size.toDouble / brute.size
     info(f"LSH recall at sf0.001: ${bucketed.size}/${brute.size} = $recall%.2f " +
       s"(${graft.queries.Dedup.EmbBands} bands × ${graft.queries.Dedup.EmbBandBits} bits)")
-    assert(recall >= 0.6, f"recall below documented floor (Dedup.scala q44 doc): $recall%.2f")
+    // frozen after the r8 retune (8→12 bands: measured 7/7 = 1.00);
+    // deterministic planes make the measurement exact, the 0.85 floor
+    // leaves headroom for fixture regeneration only
+    assert(recall >= 0.85, f"recall below documented floor (Dedup.scala q44 doc): $recall%.2f")
   }
 
   test("q44 plan has no all-pairs join — only the tiny plane broadcast") {
