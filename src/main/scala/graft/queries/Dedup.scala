@@ -56,6 +56,33 @@ object Dedup {
       call_function("graft_collect_capped", e, lit(cap))
     else slice(sort_array(collect_list(e)), 1, cap)
 
+  /** Engaged-cap telemetry: the capped collectors silently truncate when
+    * a bucket overflows, which a production run at 100 TB needs to SEE
+    * rather than infer. Call sites collect cap+1 members — the one extra
+    * element is the overflow witness — this observes how many groups
+    * engaged the cap (named metric, readable per action via
+    * `QueryExecution.observedMetrics` or a `QueryExecutionListener`),
+    * then slices back to the `cap` members the semantics require (the
+    * collector keeps the cap+1 SMALLEST ascending, so the first `cap`
+    * are exactly what collecting at `cap` yields). `truncate = false`
+    * for q43's drop-don't-truncate posting lists, whose oversize lists
+    * must stay oversize for the df filter to drop them.
+    */
+  /** cap+1 without overflow: an uncapped (Int.MaxValue) site collects
+    * uncapped — there is nothing to witness.
+    */
+  private def witness(cap: Int): Int =
+    if (cap == Int.MaxValue) cap else cap + 1
+
+  private def observeCap(df: DataFrame, metric: String, listCol: String,
+                         cap: Int, truncate: Boolean = true): DataFrame = {
+    if (cap >= Int.MaxValue) return df // uncapped: no witness collected
+    val o = df.observe(metric,
+      sum(when(size(col(listCol)) > cap, 1L).otherwise(0L)).as("buckets_capped"),
+      count(lit(1)).as("buckets"))
+    if (truncate) o.withColumn(listCol, slice(col(listCol), 1, cap)) else o
+  }
+
   /** The exact-dup collapse pre-pass shared by q41/q43 (standard for a
     * production near-dup pipeline): one row per DISTINCT text with its
     * sorted member doc_ids and representative (min id). The quadratic
@@ -245,10 +272,11 @@ object Dedup {
             s"(shiftright(${hamOtherBits(b)}, ${sb * 6}) & 63)")
         val bands = sigs.select(col("doc_id"), col("simhash"),
           posexplode(array(keyExprs: _*)).as(Seq("band", "bbits")))
-        val repPairs = bands
+        val repPairs = observeCap(bands
           .groupBy(col("band"), col("bbits"))
-          .agg(collectCapped(s, struct(col("doc_id"), col("simhash")), BucketCap)
-            .as("ids"))
+          .agg(collectCapped(s, struct(col("doc_id"), col("simhash")), witness(BucketCap))
+            .as("ids")),
+          "hamming_bucket_caps", "ids", BucketCap)
           .filter(size(col("ids")) > 1)
           .select(explode(sortedPairs(col("ids"))).as("p"))
           .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
@@ -440,7 +468,8 @@ object Dedup {
       transform(slice(col("sig"), k * BandRows + 1, BandRows), v => v.cast("string")))
   }
 
-  def minhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+  def minhashPairs(s: SparkSession, d: String, cap: Int,
+                   observeCaps: Boolean = true): DataFrame = {
     val groups = textGroups(s, d)
     val docs = shingledReps(s, groups)
     val sig = withSig(s, docs)
@@ -460,9 +489,12 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
-    val repPairs = bands
+    val buckets = bands
       .groupBy(col("band"), col("bsig"))
-      .agg(collectCapped(s, struct(col("doc_id"), col("hs")), cap).as("ids"))
+      .agg(collectCapped(s, struct(col("doc_id"), col("hs")), witness(cap)).as("ids"))
+    val repPairs = (if (observeCaps)
+        observeCap(buckets, "minhash_bucket_caps", "ids", cap)
+      else buckets.withColumn("ids", slice(col("ids"), 1, cap)))
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       // Verify BEFORE the pair-dedup shuffle: jaccard is computed
@@ -574,9 +606,11 @@ object Dedup {
     * by (band, bsig), and probed by every incoming batch.
     */
   def bandIndex(s: SparkSession, corpus: DataFrame, cap: Int): DataFrame =
-    docBands(s, corpus)
+    observeCap(docBands(s, corpus)
       .groupBy(col("band"), col("bsig"))
-      .agg(collectCapped(s, struct(col("doc_id"), col("hs")), cap).as("members"))
+      .agg(collectCapped(s, struct(col("doc_id"), col("hs")), witness(cap))
+        .as("members")),
+      "fuzzy_index_caps", "members", cap)
 
   /** Probe `idx` (a [[bandIndex]]) with incoming docs (doc_id, text):
     * one row per incoming doc — (doc_id, n_corpus_dups, keep). Works
@@ -697,8 +731,9 @@ object Dedup {
           .as("term"))
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("term")).as("bsig"), first(col("v")).as("v"))
-    val repPairs = sig.groupBy(col("band"), col("bsig"))
-      .agg(collectCapped(s, struct(col("vec_id"), col("v")), cap).as("ids"))
+    val repPairs = observeCap(sig.groupBy(col("band"), col("bsig"))
+      .agg(collectCapped(s, struct(col("vec_id"), col("v")), witness(cap)).as("ids")),
+      "embed_bucket_caps", "ids", cap)
       .filter(size(col("ids")) > 1)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       // verify map-side per band occurrence (q41's payload-free-dedup
@@ -787,8 +822,9 @@ object Dedup {
     // (just enough to witness the overflow) is result-identical while the
     // buffer for a stopword-run shingle stays O(dfCap), not O(df).
     val witnessCap = if (dfCap == Int.MaxValue) dfCap else dfCap + 1
-    val repPairs = e.groupBy(col("s"))
-      .agg(collectCapped(s, struct(col("doc_id"), col("n")), witnessCap).as("ids"))
+    val repPairs = observeCap(e.groupBy(col("s"))
+      .agg(collectCapped(s, struct(col("doc_id"), col("n")), witnessCap).as("ids")),
+      "ngram_df_caps", "ids", dfCap, truncate = false)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
@@ -808,7 +844,11 @@ object Dedup {
     * its lineage discipline.
     */
   def dupClusters(s: SparkSession, d: String, cap: Int): DataFrame =
-    clusterPairs(minhashPairs(s, d, cap).select(col("doc_a"), col("doc_b")))
+    // observeCaps = false: clusterPairs symmetrizes the pair relation by
+    // self-union, and two CollectMetrics nodes with one name in a single
+    // plan fail analysis; the q41 entry carries the telemetry instead
+    clusterPairs(minhashPairs(s, d, cap, observeCaps = false)
+      .select(col("doc_a"), col("doc_b")))
 
   /** The closure core, takable over ANY pair relation (doc_a, doc_b) —
     * q41's near-dup pairs in the catalog, but equally q43/q44/q45

@@ -76,6 +76,33 @@ class DedupCapSpec extends SparkSuite {
     assert(run(Dedup.BucketCap) == uncapped)
   }
 
+  test("engaged caps are observable: bucket telemetry counts truncations") {
+    // the caps silently truncate by design; production needs to SEE the
+    // truncation (observe() named metrics) instead of inferring it
+    val k = 30; val cap = 5
+    val dir = dupDocsDir(k)
+    val engaged = Dedup.minhashPairs(spark, dir, cap)
+    engaged.collect()
+    val m = engaged.queryExecution.observedMetrics("minhash_bucket_caps")
+    assert(m.getAs[Long]("buckets_capped") > 0L,
+      s"cap=$cap on a $k-clique must report engaged buckets: $m")
+    assert(m.getAs[Long]("buckets") >= m.getAs[Long]("buckets_capped"))
+
+    // disengaged production cap reports zero — the quiet case stays quiet
+    val quiet = Dedup.minhashPairs(spark, dir, Dedup.BucketCap)
+    quiet.collect()
+    assert(quiet.queryExecution.observedMetrics("minhash_bucket_caps")
+      .getAs[Long]("buckets_capped") == 0L)
+  }
+
+  test("q43 df-cap telemetry counts dropped posting lists") {
+    val df = Dedup.ngramJaccard(spark, sf(), 3)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("ngram_df_caps")
+    assert(m.getAs[Long]("buckets_capped") > 0L,
+      s"fixture has shingles with df > 3, telemetry must see them: $m")
+  }
+
   test("q101 closure: chains close transitively, min-id keeper, multi-component") {
     val session = spark; import session.implicits._
     // the closure core on explicit edges — independent of LSH banding:
