@@ -96,4 +96,76 @@ class IngestSoakSpec extends SparkSuite {
       assert(p99 <= 20000, s"soak p99 = $p99 ms > 20000 ms")
     } finally { q.stop(); mover.interrupt() }
   }
+
+  test("append race, tick level: a file growing between polls never moves early") {
+    // the reference's core race (OraaudKafka.java:278-315): the writer is
+    // still appending when the poller first observes the file — its size
+    // changes between polls. Deterministic clock, no sleeps.
+    import java.nio.file.attribute.FileTime
+    import java.nio.file.StandardOpenOption
+    val raw = tmpDir("race_raw"); val ingest = tmpDir("race_ingest")
+    val f = raw.resolve("orcl_ora_4242_1.xml")
+    val settle = 1000L
+    var clock = 1000000L
+    def tick() = SettleGate.tick(raw, ingest, settle, now = () => clock)
+
+    Files.writeString(f, "<?xml version=\"1.0\"?><Audit><AuditRecord>")
+    Files.setLastModifiedTime(f, FileTime.fromMillis(clock))
+    clock += settle - 1
+    assert(tick().isEmpty, "file moved before settleMs elapsed")
+
+    Files.writeString(f, "</AuditRecord></Audit>", StandardOpenOption.APPEND)
+    Files.setLastModifiedTime(f, FileTime.fromMillis(clock))
+    clock += settle - 1
+    assert(tick().isEmpty, "an append between polls must reset the settle gate")
+
+    clock += 1
+    assert(tick() == Seq("orcl_ora_4242_1.xml"))
+    val shipped = Files.readString(ingest.resolve("orcl_ora_4242_1.xml"))
+    assert(shipped.endsWith("</AuditRecord></Audit>"),
+      s"mover shipped a half-written file: ...${shipped.takeRight(40)}")
+  }
+
+  test("append race, end to end: chunked writes ship exactly one complete payload") {
+    import java.nio.file.StandardOpenOption
+    val raw = tmpDir("race2_raw"); val ingest = tmpDir("race2_ingest")
+    val work = tmpDir("race2_work")
+    val mirror = s"$work/mirror"; val dlq = s"$work/dlq"; val ckpt = s"$work/ckpt"
+    val chunks = Seq(
+      "<?xml version=\"1.0\"?><Audit>",
+      "<AuditRecord><Audit_Type>1</Audit_Type>",
+      "<Sql_Text>select 1</Sql_Text></AuditRecord>",
+      "</Audit>")
+    val full = chunks.mkString.replaceAll("\\r?\\n", "")
+
+    val mover = SettleGate.startMover(raw, ingest, settleMs = 800, pollMs = 100)
+    val q = AuditIngest.startStream(spark, ingest.toString, mirror, dlq, ckpt,
+      host = "racehost", triggerMs = 300)
+    try {
+      // a slow writer: one chunk every ~300 ms, each append inside the
+      // mover's poll cadence, so the file is observed part-written
+      // several times before it settles
+      val f = raw.resolve("orcl_ora_7777_1.xml")
+      Files.writeString(f, chunks.head)
+      chunks.tail.foreach { c =>
+        Thread.sleep(300)
+        Files.writeString(f, c, StandardOpenOption.APPEND)
+      }
+      def mirrorRows(): Seq[(String, String)] = scala.util.Try {
+        spark.read.parquet(mirror).select(col("key"), col("value"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      }.getOrElse(Seq.empty)
+      val deadline = System.currentTimeMillis() + 30000
+      while (mirrorRows().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+
+      val rows = mirrorRows()
+      assert(rows.size == 1, s"expected exactly one mirror row, got $rows")
+      assert(rows.head._2 == full,
+        s"mirror holds a partial payload:\n${rows.head._2}\nexpected:\n$full")
+      // nothing was ever shipped incomplete, so the DLQ must stay empty
+      val dlqRows = scala.util.Try(spark.read.parquet(dlq).count()).getOrElse(0L)
+      assert(dlqRows == 0L, s"half-written file reached the DLQ: $dlqRows rows")
+    } finally { q.stop(); mover.interrupt() }
+  }
 }
