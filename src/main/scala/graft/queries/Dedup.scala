@@ -7,6 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
+import scala.util.Try
 
 /** Deduplication family over the documents/embeddings tables: exact
   * (hash-groupBy), MinHash+LSH band-bucketing, SimHash, exact n-gram
@@ -893,6 +894,28 @@ object Dedup {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** The reliable-checkpoint directory backing an eagerly checkpointed
+    * Dataset (None for localCheckpoint). Spark never deletes these files
+    * unless `spark.cleaner.referenceTracking.cleanCheckpoints` is on
+    * (non-default), so an iterative loop that checkpoints per round
+    * leaks ~rounds × state onto reliable storage per build unless it
+    * rotates them itself.
+    */
+  private def checkpointPathOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.getCheckpointFile
+    }.flatten.map(new org.apache.hadoop.fs.Path(_))
+
+  /** Delete a superseded round's checkpoint files. Only call once the
+    * successor round has fully materialized AND every plan referencing
+    * the superseded data has been evaluated — checkpoint(eager = true)
+    * guarantees the former at the call sites below.
+    */
+  private def dropCheckpoint(s: SparkSession,
+                             p: Option[org.apache.hadoop.fs.Path]): Unit =
+    p.foreach(path => Try(
+      path.getFileSystem(s.sparkContext.hadoopConfiguration).delete(path, true)))
+
   /** [[clusterPairs]] with a per-round timing hook (round name, seconds)
     * so ScaleProbe can demonstrate flat per-round cost; the public entry
     * passes a no-op.
@@ -906,6 +929,7 @@ object Dedup {
     try {
       var labels = truncate(
         e.select(col("v")).distinct().withColumn("l", col("v")))
+      var labelsCkpt = checkpointPathOf(labels)
       var round = 0
       var converged = false
       while (!converged && round < math.min(starSwitch, maxRounds)) {
@@ -919,6 +943,11 @@ object Dedup {
           .select(col("v"), least(col("l"), coalesce(col("nbr"), col("l"))).as("l"),
             (col("nbr") < col("l")).as("changed")))
         converged = next.filter(col("changed")).limit(1).count() == 0
+        // round k is materialized and round k−1 is no longer referenced:
+        // rotate its reliable checkpoint files off storage now
+        val nextCkpt = checkpointPathOf(next)
+        if (nextCkpt.isDefined) dropCheckpoint(next.sparkSession, labelsCkpt)
+        labelsCkpt = nextCkpt
         labels = next.select(col("v"), col("l"))
         round += 1
         onRound(s"propagate $round", (System.nanoTime() - t0) / 1e9)
@@ -928,7 +957,12 @@ object Dedup {
       // components of ~2^20 vertices
       val labeled =
         if (converged) labels
-        else starContract(e, maxRounds, round, onRound)
+        else {
+          // the star phase never reads the propagation labels — drop the
+          // abandoned chain's last checkpoint before starting over
+          dropCheckpoint(pairs.sparkSession, labelsCkpt)
+          starContract(e, maxRounds, round, onRound)
+        }
       val sizes = labeled.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
       labeled.join(sizes, "l")
         .select(col("v").as("doc_id"), col("l").as("cluster_id"),
@@ -974,6 +1008,7 @@ object Dedup {
     var edges = truncate(e.filter(col("v") =!= col("u"))
       .select(greatest(col("v"), col("u")).as("v"), least(col("v"), col("u")).as("u"))
       .distinct())
+    var edgesCkpt = checkpointPathOf(edges)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -984,6 +1019,12 @@ object Dedup {
       // aggregate and one anti-join over star edges
       converged = next.count() == edges.count() &&
         next.except(edges).limit(1).count() == 0
+      // the except above was round k−1's last reader — rotate its
+      // reliable checkpoint files off storage (verts and the final
+      // edges stay: the returned plan reads them)
+      val nextCkpt = checkpointPathOf(next)
+      if (nextCkpt.isDefined) dropCheckpoint(next.sparkSession, edgesCkpt)
+      edgesCkpt = nextCkpt
       edges = next
       round += 1
       onRound(s"star ${roundsSoFar + round}", (System.nanoTime() - t0) / 1e9)

@@ -620,6 +620,13 @@ object Pipeline {
     //      and retrieval indexing). Stateless per-row explode in the
     //      scan stage — zero shuffles at any corpus size; output is
     //      ~n/stride rows per doc, linear in corpus tokens.
+    //      Containment guard: a window starting past n − (C − stride) is
+    //      fully inside its predecessor (e.g. n = 64: the stride-48 start
+    //      would emit tokens 49–64, a subset of chunk 0) — duplicated
+    //      training text. A window is emitted only when it extends past
+    //      the previous window's end (start + C − stride < n), which with
+    //      stride ≥ C/2 can only ever drop the final start, so chunk ids
+    //      stay dense and the stride-prefix stitching property holds.
     "q104_chunk_overlap" -> Q(
       (s, d) => {
         val toks = split(col("text"), " ")
@@ -629,6 +636,8 @@ object Pipeline {
             explode(sequence(lit(0),
               expr(s"((n - 1) div $ChunkStride) * $ChunkStride"),
               lit(ChunkStride))).as("start"))
+          .filter(col("start") === 0 ||
+            col("start") + lit(ChunkTokens - ChunkStride) < col("n"))
           .select(col("doc_id"),
             expr(s"CAST(start div $ChunkStride AS INT)").as("chunk_id"),
             least(col("n") - col("start"), lit(ChunkTokens)).cast("int").as("n_chunk_tok"),
@@ -642,7 +651,8 @@ object Pipeline {
               |    unnest(generate_series(0, ((n - 1) // $ChunkStride) * $ChunkStride,
               |      $ChunkStride)) AS start
               |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
-              |    len(string_split(text, ' ')) AS n FROM documents))""".stripMargin)),
+              |    len(string_split(text, ' ')) AS n FROM documents))
+              |WHERE start = 0 OR start + ${ChunkTokens - ChunkStride} < n""".stripMargin)),
 
     // ---- int8 symmetric quantization of the embedding column — the
     //      standard index-shrink step before shipping an ANN corpus

@@ -38,7 +38,10 @@ object CorpusSink {
     // AQE-coalescible, and on a small write AQE merges the shard salt
     // right back into one task — the count is the session's normal
     // shuffle fan-out, only pinned
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt.max(shards)
+    // sessionState's ALREADY-PARSED value, not conf.get(..).toInt: some
+    // platforms set the raw conf to a non-numeric value ("auto") that
+    // their own resolver interprets, and the parse would throw there
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions.max(shards)
     df.withColumn("__shard", shard)
       .repartition(n, (parts.map(col) :+ col("__shard")): _*)
       .drop("__shard")

@@ -223,6 +223,32 @@ class DedupCapSpec extends SparkSuite {
     assert(nCheckpointFiles > 1, "checkpoint dir must have received RDD data")
   }
 
+  test("q101 checkpoint hygiene: superseded rounds deleted, final state retained") {
+    val session = spark; import session.implicits._
+    import scala.jdk.CollectionConverters._
+    // a 30-node path forces ~4 propagation + ~5 star rounds; without
+    // per-round rotation each one leaves an rdd-* directory on reliable
+    // storage forever (cleanCheckpoints is non-default)
+    val dir = tmpDir("cc-hygiene")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterPairs(chain)
+    assert(out.collect().length == 30)
+    def rddDirs: Seq[String] = {
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.matches("rdd-\\d+"))
+        .map(_.getFileName.toString).toSeq
+      finally w.close()
+    }
+    // survivors: verts + final star edges (≤ 3 with slack for the
+    // checkpoint the final plan reads) — NOT one per round
+    assert(rddDirs.size <= 3, s"stale round checkpoints left behind: $rddDirs")
+    // the survivors back the returned plan: still evaluable after cleanup
+    assert(out.collect().length == 30)
+  }
+
   test("q106 fuzzy incremental: planted near-dups flagged, corpus bucket cap bounds matches") {
     val session = spark; import session.implicits._
     val t = (1 to 44).map(i => s"t$i")
