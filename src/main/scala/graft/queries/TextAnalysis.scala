@@ -171,6 +171,111 @@ object TextAnalysis {
       },
       Some("""SELECT token, count(*) AS tf FROM (
              |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-             |GROUP BY token ORDER BY tf DESC, token LIMIT 10""".stripMargin))
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 10""".stripMargin)),
+
+    // ---- vocabulary coverage: the top-V tokens by corpus frequency
+    //      with each prefix's cumulative share of all token occurrences
+    //      — the curve a tokenizer/vocab-size decision reads (how much
+    //      of the corpus the first V entries cover). Scale shape: one
+    //      hash-agg shuffle for counts, then TakeOrderedAndProject for
+    //      the top V (never a global sort), and the running-sum window
+    //      runs over exactly V rows — a single bounded partition by
+    //      construction, not a scaling hazard. The corpus total rides a
+    //      broadcast 1-row crossJoin.
+    "q108_vocab_coverage" -> Q(
+      (s, d) => {
+        val counts = Tables.spread(Tables(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        val total = counts.agg(sum(col("tf")).as("total"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("token").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        counts.orderBy(col("tf").desc, col("token").asc).limit(VocabTopV)
+          .crossJoin(broadcast(total))
+          .select(col("token"), col("tf"),
+            row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("tf").desc, col("token").asc)).as("rank"),
+            sum(col("tf")).over(w).as("cum_tf"),
+            (sum(col("tf")).over(w).cast("double") /
+              col("total").cast("double")).as("coverage"))
+          .select(col("rank").cast("int").as("rank"), col("token"), col("tf"),
+            col("cum_tf"), col("coverage"))
+      },
+      // CAST .. AS BIGINT on every integer aggregate: DuckDB widens
+      // sum() to HUGEINT, which the driver renders as float (r7 lesson)
+      Some(s"""WITH c AS (SELECT token, count(*) AS tf FROM (
+              |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+              |  GROUP BY token),
+              |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c),
+              |top AS (SELECT token, tf FROM c ORDER BY tf DESC, token LIMIT $VocabTopV)
+              |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank,
+              |  token, tf,
+              |  CAST(sum(tf) OVER (ORDER BY tf DESC, token
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tf,
+              |  CAST(sum(tf) OVER (ORDER BY tf DESC, token
+              |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+              |FROM top CROSS JOIN tot""".stripMargin)),
+
+    // ---- top-gram CONCENTRATION (the Gopher rule q96's dup-fraction
+    //      gates don't cover): the share of a doc's token instances taken
+    //      by its single most frequent token, and of its 2-gram instances
+    //      taken by its most frequent 2-gram. A doc can pass q96's
+    //      duplicated-n-gram fractions while one keyword-stuffed term
+    //      dominates — concentration catches that axis. Pure per-row HOF
+    //      arithmetic in the scan stage (zero shuffles at any corpus
+    //      size); the count-per-distinct-gram inner scan is
+    //      O(distinct × n) per row — bounded by doc length, not corpus.
+    //      Fractions are exact count/count IEEE divisions (bit-identical
+    //      across engines, no rounding needed).
+    "q109_topgram_concentration" -> Q(
+      (s, d) => {
+        val t = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("g2", expr(
+            "CASE WHEN size(toks) < 2 THEN array() ELSE " +
+              "transform(sequence(1, size(toks) - 1), i -> " +
+              "concat(toks[i-1], ' ', toks[i])) END"))
+        def topShare(arr: String) =
+          s"CASE WHEN size($arr) = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+            s"CAST(array_max(transform(array_distinct($arr), g -> " +
+            s"size(filter($arr, x -> x = g)))) AS DOUBLE) / " +
+            s"CAST(size($arr) AS DOUBLE) END"
+        t.select(col("doc_id"),
+          size(col("toks")).cast("int").as("n_tokens"),
+          expr(topShare("toks")).as("top1_frac"),
+          expr(topShare("g2")).as("top2_frac"))
+          .withColumn("keep",
+            col("top1_frac") <= Top1Max && col("top2_frac") <= Top2Max)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |g AS (SELECT doc_id, toks,
+              |    CASE WHEN len(toks) < 2 THEN [] ELSE
+              |      list_transform(generate_series(1, len(toks) - 1), i ->
+              |        toks[i] || ' ' || toks[i+1]) END AS g2
+              |  FROM t),
+              |f AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+              |    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+              |      CAST(list_max(list_transform(list_distinct(toks), gg ->
+              |        len(list_filter(toks, x -> x = gg)))) AS DOUBLE)
+              |        / CAST(len(toks) AS DOUBLE) END AS top1_frac,
+              |    CASE WHEN len(g2) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+              |      CAST(list_max(list_transform(list_distinct(g2), gg ->
+              |        len(list_filter(g2, x -> x = gg)))) AS DOUBLE)
+              |        / CAST(len(g2) AS DOUBLE) END AS top2_frac
+              |  FROM g)
+              |SELECT doc_id, n_tokens, top1_frac, top2_frac,
+              |  top1_frac <= $Top1Max AND top2_frac <= $Top2Max AS keep
+              |FROM f""".stripMargin))
   )
+
+  /** q108: vocabulary prefix size for the coverage curve. */
+  val VocabTopV = 50
+
+  /** q109 keep-gate thresholds (Gopher-style concentration bounds): a
+    * doc is keyword-stuffing-suspect past either.
+    */
+  val Top1Max = 0.20
+  val Top2Max = 0.20
 }

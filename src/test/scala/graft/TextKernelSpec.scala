@@ -83,4 +83,45 @@ class TextKernelSpec extends SparkSuite {
       "SELECT size(graft_shingles3('a b')) AS s1, size(graft_shingles3('')) AS s2").head()
     assert(r.getInt(0) == 0 && r.getInt(1) == 0)
   }
+
+  test("q109 concentration: planted keyword stuffing flagged, clean doc passes") {
+    // the gate's reject branch, exercised on planted inputs
+    import spark.implicits._
+    val dir = tmpDir("concentration").toString
+    Seq(
+      1L -> Seq.fill(20)("spam").mkString(" "),            // pure stuffing
+      2L -> "every word here is used exactly once today",  // clean
+      3L -> "solo")                                        // no 2-grams at all
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Catalog.all("q109_topgram_concentration").build(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // 20× "spam": the one token takes every instance on both axes
+    assert(out(1L) == ((20, 1.0, 1.0, false)), s"${out(1L)}")
+    // all-distinct tokens: top1 = 1/8, top2 = 1/7 — under both bounds
+    assert(out(2L) == ((8, 1.0 / 8.0, 1.0 / 7.0, true)), s"${out(2L)}")
+    // a 1-token doc is 100% its own top token: flagged (the min-length
+    // gate in q96 is the right filter for tiny docs; this one is honest
+    // about the concentration)
+    assert(out(3L) == ((1, 1.0, 0.0, false)), s"${out(3L)}")
+  }
+
+  test("q108 vocab coverage: ranks dense, coverage monotone to 1.0") {
+    val rows = graft.queries.Catalog.all("q108_vocab_coverage")
+      .build(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.head._1 == 1 && rows.map(_._1).toSeq == (1 to rows.length))
+    // tf nonincreasing, cum_tf strictly increasing, coverage in (0, 1]
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 < b._3 && a._4 < b._4 })
+    assert(rows.last._4 <= 1.0 + 1e-12)
+    // the fixture vocabulary is smaller than VocabTopV, so the curve
+    // must close at exactly full coverage
+    assert(math.abs(rows.last._4 - 1.0) < 1e-12, s"${rows.last}")
+  }
 }
