@@ -191,6 +191,17 @@ object Pipeline {
               .as("lex_tokens"),
             md5(concat_ws(" ",
               array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+          // build observability (the R15 pattern applied to the corpus
+          // verb): kept-unique count, gate-survivor count (Σ n_dups
+          // recovers it without a second scan) and the exact-dup
+          // collapse delta, as a named observed metric per action. The
+          // observe sits on the single-path output — `gated` appears
+          // twice in this plan, and duplicate metric names in one plan
+          // fail analysis (see dupClusters).
+          .observe("corpus_build",
+            count(lit(1)).as("n_unique"),
+            sum(col("n_dups")).as("n_gate_survivors"),
+            (sum(col("n_dups")) - count(lit(1))).as("n_exact_dups_collapsed"))
       },
       Some(s"""WITH f AS (SELECT doc_id, text,
               |    len(string_split(text, ' ')) AS n_tokens,

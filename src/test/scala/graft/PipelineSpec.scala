@@ -41,6 +41,17 @@ class PipelineSpec extends SparkSuite {
       }
   }
 
+  test("q90 build metrics: unique/survivor/collapse counts observable per action") {
+    val df = run("q90_pipeline", sf())
+    val rows = df.collect()
+    val m = df.queryExecution.observedMetrics("corpus_build")
+    assert(m.getAs[Long]("n_unique") == rows.length)
+    val survivors = m.getAs[Long]("n_gate_survivors")
+    assert(survivors >= rows.length,
+      s"gate survivors $survivors < unique ${rows.length}")
+    assert(m.getAs[Long]("n_exact_dups_collapsed") == survivors - rows.length)
+  }
+
   test("q95 drops exactly the docs sharing a 4-gram with the benchmark slice") {
     val dir = corpus(Seq(
       97L -> "alpha beta gamma delta epsilon",      // benchmark (97 % 97 == 0)
