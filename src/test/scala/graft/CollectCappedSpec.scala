@@ -51,6 +51,26 @@ class CollectCappedSpec extends SparkSuite {
     parity(3, fallbackThreshold = Some(1))
   }
 
+  test("witness-slice equivalence: slice(collect(cap+1), 1, cap) == collect(cap)") {
+    // the cap-telemetry sites (Dedup.observeCap) collect cap+1 members
+    // as an overflow witness and slice back — legal ONLY because the
+    // collector keeps the cap+1 SMALLEST in ascending order, so the
+    // first cap are exactly the capped collect. Pinned on adversarial
+    // random groups for several caps.
+    val session = spark; import session.implicits._
+    val df = samples(row, 600).toDF("g", "id", "p").repartition(7)
+    def run(c: org.apache.spark.sql.Column) = df.groupBy(col("g"))
+      .agg(c.as("ids")).orderBy(col("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Any](1))).toSeq
+    for (cap <- Seq(1, 2, 5, 50)) {
+      val direct = run(call_function("graft_collect_capped",
+        struct(col("id"), col("p")), lit(cap)))
+      val sliced = run(slice(call_function("graft_collect_capped",
+        struct(col("id"), col("p")), lit(cap + 1)), 1, cap))
+      assert(direct == sliced, s"witness slice diverged at cap=$cap")
+    }
+  }
+
   test("null elements are skipped, matching collect_list") {
     val session = spark; import session.implicits._
     val df = samples(row, 300).toDF("g", "id", "p").repartition(5)
