@@ -231,23 +231,12 @@ object TextAnalysis {
     //      across engines, no rounding needed).
     "q109_topgram_concentration" -> Q(
       (s, d) => {
-        val t = Tables.spread(Tables(s, d, "documents"))
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .withColumn("g2", expr(
-            "CASE WHEN size(toks) < 2 THEN array() ELSE " +
-              "transform(sequence(1, size(toks) - 1), i -> " +
-              "concat(toks[i-1], ' ', toks[i])) END"))
-        def topShare(arr: String) =
-          s"CASE WHEN size($arr) = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
-            s"CAST(array_max(transform(array_distinct($arr), g -> " +
-            s"size(filter($arr, x -> x = g)))) AS DOUBLE) / " +
-            s"CAST(size($arr) AS DOUBLE) END"
-        t.select(col("doc_id"),
-          size(col("toks")).cast("int").as("n_tokens"),
-          expr(topShare("toks")).as("top1_frac"),
-          expr(topShare("g2")).as("top2_frac"))
-          .withColumn("keep",
-            col("top1_frac") <= Top1Max && col("top2_frac") <= Top2Max)
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), concentration(col("text")).as("c"))
+          .select(col("doc_id"), col("c.n_tokens").as("n_tokens"),
+            col("c.top1_frac").as("top1_frac"),
+            col("c.top2_frac").as("top2_frac"),
+            col("c.keep").as("keep"))
       },
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
               |g AS (SELECT doc_id, toks,
@@ -269,6 +258,30 @@ object TextAnalysis {
               |  top1_frac <= $Top1Max AND top2_frac <= $Top2Max AS keep
               |FROM f""".stripMargin))
   )
+
+  /** q109's kernel as ONE reusable stateless projection: n_tokens and
+    * top-1/2-gram concentration with the keep verdict, as a struct
+    * Column. Pure per-row HOF arithmetic — streams verbatim (see
+    * `StatefulOps.qualityMonitor` for the windowed intake monitor).
+    */
+  def concentration(text: Column): Column = {
+    val t = split(text, " ")
+    def topShare(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(arr),
+          g => size(filter(arr, x => x === g)))).cast("double") /
+          size(arr).cast("double"))
+    val g2 = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    val top1 = topShare(t)
+    val top2 = topShare(g2)
+    struct(
+      size(t).cast("int").as("n_tokens"),
+      top1.as("top1_frac"),
+      top2.as("top2_frac"),
+      (top1 <= Top1Max && top2 <= Top2Max).as("keep"))
+  }
 
   /** q108: vocabulary prefix size for the coverage curve. */
   val VocabTopV = 50

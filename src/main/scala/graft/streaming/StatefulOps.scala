@@ -112,6 +112,27 @@ object StatefulOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_val"))
 
+  /** Windowed corpus-intake quality monitor: per (event window, key) —
+    * doc count, concentration-flagged count, and mean top-1-gram share,
+    * built from the q109 kernel ([[graft.queries.TextAnalysis
+    * .concentration]]), which is a stateless per-row projection and so
+    * streams verbatim. This is the drift signal an intake pipeline
+    * watches: a rising flagged fraction in a window means a source
+    * started shipping boilerplate. State ∝ open windows × keys, bounded
+    * by the watermark horizon.
+    */
+  def qualityMonitor(docs: DataFrame, textCol: String, tsCol: String,
+                     keyCol: String, lateness: String, win: String): DataFrame =
+    docs
+      .withColumn("__c", graft.queries.TextAnalysis.concentration(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), win), col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("__c.keep"), 1L).otherwise(0L)).as("n_flagged"),
+        avg(col("__c.top1_frac")).as("avg_top1"))
+      .select(col("window.start").as("w_start"), col(keyCol),
+        col("n_docs"), col("n_flagged"), col("avg_top1"))
+
   /** Q40 on the ingest stream: near-dup suppression by SimHash
     * fingerprint equality. The fingerprint is the stateless per-row
     * kernel (graft_simhash — q42's batch kernel, which streams as-is),

@@ -75,6 +75,37 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed quality monitor flags boilerplate per window and key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "source", "text")
+    val q = StatefulOps.qualityMonitor(docs, "text", "ts", "source",
+        lateness = "10 seconds", win = "30 seconds")
+      .writeStream.format("memory").queryName("qmon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts(5), "srcA", "every word here is used exactly once today"),
+        (ts(10), "srcA", "spam spam spam spam spam"),       // flagged
+        // ≥ 6 tokens: with n−1 < 5 bigram instances the max share is
+        // necessarily > 0.2, so a shorter "clean" doc still flags
+        (ts(12), "srcB", "a perfectly ordinary clean document right here"))
+      q.processAllAvailable()
+      in.addData((ts(300), "srcA", "late window closer")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("qmon")
+        .select("w_start", "source", "n_docs", "n_flagged", "avg_top1")
+        .as[(Timestamp, String, Long, Long, Double)]
+        .collect().toSet
+      // srcA window 0: one clean (top1 = 1/8) + one pure-spam (top1 = 1)
+      assert(rows.contains((ts(0), "srcA", 2L, 1L, (1.0 / 8.0 + 1.0) / 2.0)),
+        s"got $rows")
+      assert(rows.contains((ts(0), "srcB", 1L, 0L, 1.0 / 7.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState settle ledger emits files once size is stable") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
