@@ -62,15 +62,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Also write the object to a file: stdout goes through sbt, which
-    // prefixes "[info]" and interleaves log noise, so the driver's
-    // BENCH_r*.json records "parsed": null when it can only scrape the
-    // tail. A clean file is unambiguous.
+    // Also write the object to a file (unambiguous regardless of how
+    // the scraper reads stdout) ...
     val outPath = java.nio.file.Paths.get("out", "bench.json")
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
-    println(s"[bench] json written to ${outPath.toAbsolutePath}")
+    System.err.println(s"[bench] json written to ${outPath.toAbsolutePath}")
+    // ... and print the JSON as the LAST stdout line this process emits.
+    // run/outputStrategy = StdoutOutput passes it through un-prefixed
+    // (sbt's default LoggedOutput wraps forked stdout in "[info]", which
+    // is why BENCH_r*.json recorded "parsed": null through round 7).
+    println(json)
     spark.stop()
   }
 }
