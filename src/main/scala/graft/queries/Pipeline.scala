@@ -46,6 +46,9 @@ object Pipeline {
   /** q107: the token budget as a fraction of the corpus's total tokens. */
   val MixBudgetFrac = 0.5
 
+  /** q110: shingle width for the inter-source overlap matrix. */
+  val OverlapGram = 5
+
   /** q95: most contaminated-id rows we will ship driver-side as a
     * broadcast. 10M longs ≈ 80 MB — comfortable on any driver; above it
     * the anti-join falls back to a shuffle so a pathological corpus
@@ -706,7 +709,73 @@ object Pipeline {
              |  CAST(list_aggregate(q, 'min') AS INT) AS q_min,
              |  CAST(list_aggregate(q, 'max') AS INT) AS q_max,
              |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat
-             |FROM qq""".stripMargin))
+             |FROM qq""".stripMargin)),
+
+    // ---- inter-source overlap matrix: exact shingle Jaccard AND
+    //      containment for every source pair that shares at least one
+    //      OverlapGram-token shingle. This is the corpus-level
+    //      contamination view q95/q100 (doc vs benchmark) don't give:
+    //      which SOURCES feed each other (a mirror crawled twice, a
+    //      subset dump), where containment ≫ jaccard flags a small
+    //      source swallowed by a big one. Scale shape: distinct
+    //      (source, shingle) first — ONE shuffle keyed by the pair, the
+    //      dominant reduction; then per-shingle source SETS via
+    //      collect_set — bounded by #sources, the dimension mixture
+    //      planning keeps small (tens-hundreds), NOT by corpus size, so
+    //      no capped collector is needed; pair expansion is k·(k-1)/2
+    //      per shingle with map-side partial counting, and the
+    //      per-source totals ride two broadcast joins. No self-join of
+    //      the shingle table (which would shuffle it twice).
+    "q110_source_overlap" -> Q(
+      (s, d) => {
+        val sh = Tables.spread(Tables(s, d, "documents"))
+          .select(col("source"),
+            explode(shingles(split(col("text"), " "), OverlapGram)).as("sh"))
+          .distinct()
+        // ONE heavy pass: per-shingle source sets. Both consumers below
+        // hang off this same aggregate, so ReuseExchange dedups the
+        // shingle shuffle — per-source totals come from exploding the
+        // (tiny) per-shingle sets, NOT from a second corpus scan.
+        val bySh = sh.groupBy(col("sh"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+        val perSrc = bySh.select(explode(col("ss")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val pairs = bySh
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ss, (x, i) -> transform(" +
+              "slice(ss, i + 2, size(ss) - i - 1), " +
+              "y -> named_struct('src_a', x, 'src_b', y))))")).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        val na = perSrc.select(col("source").as("src_a"), col("n").as("n_a"))
+        val nb = perSrc.select(col("source").as("src_b"), col("n").as("n_b"))
+        pairs.join(broadcast(na), Seq("src_a")).join(broadcast(nb), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            (col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+              .as("jaccard"),
+            (col("n_common").cast("double") /
+              least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+              |sh AS (SELECT DISTINCT source, s FROM (
+              |  SELECT source, unnest(list_transform(range(1, len(t) - ${OverlapGram - 2}),
+              |    i -> ${(0 until OverlapGram).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})) AS s
+              |  FROM t)),
+              |per AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+              |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+              |    count(*) AS n_common
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT i.src_a, i.src_b, pa.n AS n_a, pb.n AS n_b, i.n_common,
+              |  CAST(i.n_common AS DOUBLE)
+              |    / CAST(pa.n + pb.n - i.n_common AS DOUBLE) AS jaccard,
+              |  CAST(i.n_common AS DOUBLE)
+              |    / CAST(least(pa.n, pb.n) AS DOUBLE) AS containment
+              |FROM inter i JOIN per pa ON i.src_a = pa.source
+              |  JOIN per pb ON i.src_b = pb.source""".stripMargin))
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

@@ -97,6 +97,9 @@ object Similarity {
   val SigBits = 256
   val HammingCandidates = 50
 
+  /** q112: outliers reported per label (the farthest-from-centroid k). */
+  val OutlierK = 5
+
   /** Pseudo-random hyperplane component for flat index `n` = plane·dim+i:
     * two rounds of a quadratic congruential mixer (only *, +, % — exact
     * BIGINT arithmetic with identical semantics in Spark and DuckDB, so
@@ -369,6 +372,66 @@ object Similarity {
               |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
               |  SELECT *, row_number() OVER (PARTITION BY q_id
               |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- embedding outliers: the OutlierK vectors FARTHEST (lowest
+    //      cosine) from their own label's centroid — the mislabel /
+    //      corrupt-embedding sweep a curated embedding corpus runs
+    //      before training. Centroids are per-label means in the q51
+    //      fixed-point form (floor(x·2^20) BIGINT sums — order-free, so
+    //      identical at any parallelism and in the oracle); the #labels
+    //      centroid rows ride a broadcast join, and the bottom-k is the
+    //      graft_topk bounded heap on the NEGATED score (heap order
+    //      (-cos DESC, id ASC) ≡ oracle order (cos ASC, vec_id ASC)) —
+    //      partials collapse map-side, no ranking window shuffles the
+    //      corpus. Double negation is sign-bit-exact, so the emitted cos
+    //      is bit-identical to the direct value.
+    "q112_embed_outlier" -> Q(
+      (s, d) => {
+        val e = Tables.spread(Tables(s, d, "embeddings"))
+          .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+        val cents = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(expr(s"CAST(floor(x * $FixedPointScale.0) AS BIGINT)")).as("sq"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("sq").cast("double") / lit(FixedPointScale.toDouble) /
+              col("n").cast("double")).as("mx"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
+            .as("cv"))
+        val sc = e.join(broadcast(cents), Seq("label"))
+          .select(col("label"), col("vec_id"), cosine(s, col("v"), col("cv")).as("cos"))
+        if (s.catalog.functionExists("graft_topk")) {
+          sc.groupBy(col("label"))
+            .agg(call_function("graft_topk", -col("cos"), col("vec_id"),
+              lit(OutlierK)).as("top"))
+            .select(col("label"), posexplode(col("top")).as(Seq("pos", "t")))
+            .select(col("label"), col("t.id").as("vec_id"),
+              (col("pos") + 1).cast("int").as("rk"),
+              round(-col("t.score"), 4).as("cos"))
+        } else {
+          val w = Window.partitionBy(col("label"))
+            .orderBy(col("cos").asc, col("vec_id").asc)
+          sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= OutlierK)
+            .select(col("label"), col("vec_id"), col("rk"),
+              round(col("cos"), 4).as("cos"))
+        }
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |m AS (SELECT label, pos,
+              |    CAST(sum(CAST(floor(x * $FixedPointScale.0) AS BIGINT)) AS DOUBLE)
+              |      / $FixedPointScale.0 / CAST(count(*) AS DOUBLE) AS mx
+              |  FROM (SELECT label, generate_subscripts(v, 1) - 1 AS pos,
+              |          unnest(v) AS x FROM e)
+              |  GROUP BY label, pos),
+              |g AS (SELECT label, list(mx ORDER BY pos) AS cv FROM m GROUP BY label),
+              |sc AS (SELECT e.label, e.vec_id, ${sqlCos("e.v", "g.cv")} AS cos
+              |       FROM e JOIN g USING (label))
+              |SELECT label, vec_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY label
+              |    ORDER BY cos ASC, vec_id) AS rk FROM sc) WHERE rk <= $OutlierK""".stripMargin))
   )
 }

@@ -256,7 +256,44 @@ object TextAnalysis {
               |  FROM g)
               |SELECT doc_id, n_tokens, top1_frac, top2_frac,
               |  top1_frac <= $Top1Max AND top2_frac <= $Top2Max AS keep
-              |FROM f""".stripMargin))
+              |FROM f""".stripMargin)),
+
+    // ---- per-source length profile: doc counts, char mass, and the
+    //      within-source doc-share + cumulative share per fixed
+    //      64-char bucket — the histogram a packing/chunking config
+    //      (q94's budget, q104's window) is tuned against, and the
+    //      first corpus-drift signal an intake dashboard watches.
+    //      Bucketing is exact integer division (`div` / `//` — no
+    //      float log-bucket edge cases); the only shuffle is the
+    //      (source, bucket)-grain aggregate, and both windows run over
+    //      the already-reduced #sources × #buckets grain — trivially
+    //      bounded at any corpus size. Shares are exact-int divisions
+    //      in IEEE doubles (bit-identical across engines, no rounding).
+    "q111_length_profile" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("bucket"))
+        Tables.spread(Tables(s, d, "documents"))
+          .groupBy(col("source"), expr(s"n_chars div $LenBucketChars").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .select(col("source"), col("bucket").cast("int").as("bucket"),
+            col("n_docs"), col("sum_chars"),
+            (col("n_docs").cast("double") /
+              sum(col("n_docs")).over(w).cast("double")).as("share"),
+            (sum(col("n_docs")).over(wc).cast("double") /
+              sum(col("n_docs")).over(w).cast("double")).as("cum_share"))
+      },
+      // CAST .. AS BIGINT on the sums: DuckDB widens to HUGEINT (r7 lesson)
+      Some(s"""WITH b AS (SELECT source, n_chars // $LenBucketChars AS bucket,
+              |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |  FROM documents GROUP BY 1, 2)
+              |SELECT source, CAST(bucket AS INT) AS bucket, n_docs, sum_chars,
+              |  CAST(n_docs AS DOUBLE)
+              |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS share,
+              |  CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bucket) AS DOUBLE)
+              |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS cum_share
+              |FROM b""".stripMargin))
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and
@@ -291,4 +328,9 @@ object TextAnalysis {
     */
   val Top1Max = 0.20
   val Top2Max = 0.20
+
+  /** q111: length-histogram bucket width in chars (exact integer
+    * division — floats would put power-of-two edges at risk).
+    */
+  val LenBucketChars = 64
 }

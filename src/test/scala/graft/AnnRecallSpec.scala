@@ -70,4 +70,40 @@ class AnnRecallSpec extends SparkSuite {
     assert(after == before,
       s"q51 builds grew the persisted-RDD set: $before -> $after")
   }
+
+  test("q112 embed outliers match a driver-side fixed-point computation") {
+    import queries.Similarity.{FixedPointScale, OutlierK}
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.groupBy(_._3).flatMap { case (lbl, vs) =>
+      val cent = Array.tabulate(vs.head._2.length) { j =>
+        vs.map(v => math.floor(v._2(j) * FixedPointScale.toDouble).toLong).sum
+          .toDouble / FixedPointScale.toDouble / vs.length.toDouble
+      }
+      vs.map(v => (v._1, cos(v._2, cent))).sortBy(t => (t._2, t._1))
+        .take(OutlierK).zipWithIndex
+        .map { case ((id, c), i) => (lbl, id) -> ((i + 1, c)) }.toSeq
+    }.toMap
+    val out = graft.queries.Catalog.all("q112_embed_outlier")
+      .build(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == expected.keySet,
+      s"id drift: ${(out.keySet diff expected.keySet) ++ (expected.keySet diff out.keySet)}")
+    expected.foreach { case (k, (rk, c)) =>
+      assert(out(k)._1 == rk, s"$k rank ${out(k)._1} != $rk")
+      // output is round(cos, 4); compare against the raw driver-side value
+      assert(math.abs(out(k)._2 - c) <= 5.001e-5, s"$k cos ${out(k)._2} vs $c")
+    }
+    val labels = vecs.map(_._3).distinct.length
+    assert(out.size == labels * OutlierK)
+  }
 }

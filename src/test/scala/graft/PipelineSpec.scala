@@ -33,12 +33,44 @@ class PipelineSpec extends SparkSuite {
     docs.repartition(7).write.mode("overwrite")
       .parquet(s"$alt/documents.parquet")
     Seq("q92_stratified_sample", "q94_sequence_pack", "q102_shard_order",
-        "q104_chunk_overlap", "q106_fuzzy_incremental", "q107_mixture_plan")
+        "q104_chunk_overlap", "q106_fuzzy_incremental", "q107_mixture_plan",
+        "q110_source_overlap", "q111_length_profile")
       .foreach { q =>
         val a = run(q, src).collect().map(_.toString).sorted
         val b = run(q, alt).collect().map(_.toString).sorted
         assert(a.sameElements(b), s"$q changed under input re-layout")
       }
+  }
+
+  test("q110 source overlap matches a driver-side set computation") {
+    val g = graft.queries.Pipeline.OverlapGram
+    val sets: Map[String, Set[String]] = spark.read
+      .parquet(s"${sf()}/documents.parquet")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap { r =>
+          val t = r.getString(1).split(" ")
+          if (t.length >= g) t.sliding(g).map(_.mkString(" ")).toSeq
+          else Seq.empty[String]
+        }.toSet
+      }
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      common = (sa & sb).size if common > 0
+    } yield (a, b) -> ((sa.size.toLong, sb.size.toLong, common.toLong,
+      common.toDouble / (sa.size + sb.size - common).toDouble,
+      common.toDouble / math.min(sa.size, sb.size).toDouble))).toMap
+    val out = run("q110_source_overlap", sf()).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    // exact equality incl. the doubles: both sides divide the same exact
+    // ints in IEEE double — any drift means the pair expansion lost a pair
+    assert(out == expected,
+      s"mismatch keys: ${(out.keySet diff expected.keySet) ++ (expected.keySet diff out.keySet)}")
+    assert(out.nonEmpty && out.forall { case ((a, b), (_, _, _, j, c)) =>
+      a < b && j > 0.0 && j <= c && c <= 1.0 })
   }
 
   test("q90 build metrics: unique/survivor/collapse counts observable per action") {

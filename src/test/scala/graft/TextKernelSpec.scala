@@ -124,4 +124,28 @@ class TextKernelSpec extends SparkSuite {
     // must close at exactly full coverage
     assert(math.abs(rows.last._4 - 1.0) < 1e-12, s"${rows.last}")
   }
+
+  test("q111 length profile: exact recount per grain, shares close at exactly 1.0") {
+    val w = graft.queries.TextAnalysis.LenBucketChars
+    val out = graft.queries.Catalog.all("q111_length_profile")
+      .build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val expected = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(x => (x._1, (x._2 / w).toInt))
+      .map { case (k, rows) => k -> ((rows.length.toLong, rows.map(_._2).sum)) }
+    assert(out.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap == expected)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, s"$src shares")
+      // total/total is an exact 1.0, not an approximation
+      assert(sorted.last._6 == 1.0, s"$src cum_share tail ${sorted.last._6}")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._6 < b._6
+        case _ => true
+      }, s"$src cum_share not strictly increasing")
+    }
+  }
 }
