@@ -34,6 +34,29 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** (text STRING, k literal INT) → array<string> of distinct word
+  * k-shingles — the width-generic [[Shingles3]] (q110/q95/q100 widths;
+  * the pinned 3-gram dedup hot path keeps its own kernel).
+  */
+case class ShinglesK(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, k > 0), got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shinglesK(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.TextKernels.shinglesK($in, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesK =
+    copy(child = newChild)
+}
+
 /** text STRING → BIGINT SimHash fingerprint (zero-shuffle form of the
   * token/bit group-by formulation).
   */

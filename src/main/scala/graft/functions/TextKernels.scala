@@ -74,6 +74,35 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct word k-shingles in first-occurrence order — the width-
+    * generic form of [[shingles3]] (kept separate so the pinned 3-gram
+    * hot path is untouched). Equals
+    * `array_distinct(transform(sequence(..), i -> concat_ws(' ',
+    * slice(toks, i, k))))` with Spark's split limit=-1 semantics.
+    */
+  def shinglesK(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (k <= 0 || toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + k - 1 < toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** First 15 hex chars of md5 as a long (60 bits) — the column
     * formulation `conv(substring(md5(x),1,15),16,10)` without the hex
     * round-trip (digest bytes → shift), ~3× cheaper per call.

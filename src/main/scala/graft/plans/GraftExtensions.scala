@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, SimHash, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, ShinglesK, SimHash, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "graft_shingles3",
       "graft_shingles3(text) - distinct word 3-shingles of a string", 1)(
       c => Shingles3(c.head))
+    register(e, "graft_shingles",
+      "graft_shingles(text, k) - distinct word k-shingles of a string", 2)(
+      c => ShinglesK(c.head, intLit("graft_shingles", "k", c(1))))
     register(e, "graft_minhash",
       "graft_minhash(shingles) - 32-permutation MinHash signature", 1)(
       c => MinHashSig(c.head))

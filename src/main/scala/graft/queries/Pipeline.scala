@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,7 +70,7 @@ object Pipeline {
   def decontaminate(docs: DataFrame, isBench: Column,
                     idCap: Long = ContamBroadcastCap): DataFrame = {
     def sh(df: DataFrame) = df.select(col("doc_id"),
-      explode(shingles(split(col("text"), " "), DecontamGram)).as("s"))
+      explode(distinctShingles(docs.sparkSession, col("text"), DecontamGram)).as("s"))
     val benchSh = sh(docs.filter(isBench)).select(col("s")).distinct()
     val contaminated = sh(docs.filter(!isBench))
       .join(broadcast(benchSh), Seq("s"), "left_semi")
@@ -118,7 +118,7 @@ object Pipeline {
   def decontaminateBloom(docs: DataFrame, isBench: Column): DataFrame = {
     val session = docs.sparkSession
     def sh(df: DataFrame) = df.select(col("doc_id"),
-      explode(shingles(split(col("text"), " "), DecontamGram)).as("s"))
+      explode(distinctShingles(session, col("text"), DecontamGram)).as("s"))
     val benchSh = sh(docs.filter(isBench)).select(col("s")).distinct()
     val trainSh = sh(docs.filter(!isBench))
     val bloom: Option[Array[Byte]] =
@@ -160,6 +160,20 @@ object Pipeline {
       transform(sequence(lit(1), size(t) - (k - 1)),
         i => concat_ws(" ", slice(t, i, lit(k)))))
       .otherwise(typedLit(Seq.empty[String]))
+
+  /** DISTINCT word k-shingles of `text`: the native graft_shingles
+    * kernel when registered (straight-line Java — shingle construction
+    * is the dominant scan cost of the overlap/decontamination family),
+    * else array_distinct over the HOF form (bit-identical, parity spec
+    * in TextKernelSpec). Only used where per-doc distinctness is
+    * semantics-free — every consumer is set-shaped (DISTINCT, semi-join
+    * probe, collect_set). q96's duplicate-counting fractions keep the
+    * raw HOF form.
+    */
+  private def distinctShingles(s: SparkSession, text: Column, k: Int): Column =
+    if (s.catalog.functionExists("graft_shingles"))
+      call_function("graft_shingles", text, lit(k))
+    else array_distinct(shingles(split(text, " "), k))
 
   def defs: ListMap[String, Q] = ListMap(
 
@@ -730,12 +744,13 @@ object Pipeline {
       (s, d) => {
         val sh = Tables.spread(Tables(s, d, "documents"))
           .select(col("source"),
-            explode(shingles(split(col("text"), " "), OverlapGram)).as("sh"))
-          .distinct()
-        // ONE heavy pass: per-shingle source sets. Both consumers below
-        // hang off this same aggregate, so ReuseExchange dedups the
-        // shingle shuffle — per-source totals come from exploding the
-        // (tiny) per-shingle sets, NOT from a second corpus scan.
+            explode(distinctShingles(s, col("text"), OverlapGram)).as("sh"))
+        // ONE heavy pass: per-shingle source sets. collect_set dedups
+        // map-side, so no separate distinct shuffle precedes it (probe:
+        // the extra exchange cost ~40% on the all-shared corpus). Both
+        // consumers below hang off this same aggregate, so ReuseExchange
+        // dedups the shingle shuffle — per-source totals come from
+        // exploding the (tiny) per-shingle sets, NOT a second scan.
         val bySh = sh.groupBy(col("sh"))
           .agg(sort_array(collect_set(col("source"))).as("ss"))
         val perSrc = bySh.select(explode(col("ss")).as("source"))
@@ -775,7 +790,8 @@ object Pipeline {
               |  CAST(i.n_common AS DOUBLE)
               |    / CAST(least(pa.n, pb.n) AS DOUBLE) AS containment
               |FROM inter i JOIN per pa ON i.src_a = pa.source
-              |  JOIN per pb ON i.src_b = pb.source""".stripMargin))
+              |  JOIN per pb ON i.src_b = pb.source""".stripMargin),
+      headline = true)
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

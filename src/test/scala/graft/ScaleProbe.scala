@@ -92,6 +92,33 @@ object ScaleProbe {
       time(s"q101 clusterPairs chain n=$n")(
         queries.Dedup.clusterPairsInstrumented(chain, 20, 4,
           (name, sec) => println(f"  round $name%-14s $sec%6.2f s")).count())
+    } else if (args.lift(1).contains("--overlap")) {
+      // q110 worst case: EVERY shingle of a long shared run appears in
+      // ALL S sources, so each emits S(S-1)/2 pair rows. The probe shows
+      // the pair rows collapsing in the map-side partial count (the
+      // output grain is C(S,2), not shingles × C(S,2)). The design bound
+      // to know: per-task hash-agg state is ≤ C(#sources, 2) pair keys —
+      // fine at mixture-planning source counts (tens-hundreds); at many
+      // thousands of sources switch to sampled per-shingle estimation.
+      import org.apache.spark.sql.functions._
+      val s2 = args.lift(2).map(_.toInt).getOrElse(100)   // sources
+      val d2 = args.lift(3).map(_.toInt).getOrElse(200)   // docs per source
+      val sharedRun = 600                                  // tokens shared by all
+      val probeDir = s"/tmp/overlap_probe_$s2"
+      val shared = (0 until sharedRun).map(i => lit(s"shared$i"))
+      val srcToks = (0 until 5).map(j =>
+        concat(lit("s"), col("id") % s2, lit("_t"), lit(j)))
+      spark.range(s2.toLong * d2).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", (shared ++ srcToks :+
+            concat(lit("u"), col("id"))): _*).as("text"),
+          lit("en").as("lang"),
+          concat(lit("src"), col("id") % s2).as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+      time(s"q110_source_overlap S=$s2 D=$d2 shared=$sharedRun")(
+        queries.Catalog.all("q110_source_overlap").build(spark, probeDir).count())
     } else {
       time("q41_minhash_capped")(
         queries.Dedup.minhashPairs(spark, dir, queries.Dedup.BucketCap).count())

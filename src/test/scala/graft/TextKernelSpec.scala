@@ -20,6 +20,27 @@ class TextKernelSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("native graft_shingles(k) equals array_distinct of the HOF form for k=2..6") {
+    import spark.implicits._
+    // fixture corpus + the split-semantics edge cases (empty string,
+    // leading/trailing/double spaces → empty tokens kept, limit=-1)
+    val edge = Seq("", " ", "a", "a b", "a  b c", " a b c ", "a b a b a b")
+      .toDF("text")
+    val docs = Tables(spark, sf(), "documents").select("text").union(edge)
+    (2 to 6).foreach { k =>
+      def hof(t: org.apache.spark.sql.Column) =
+        when(size(split(t, " ")) >= k,
+          array_distinct(transform(sequence(lit(1), size(split(t, " ")) - (k - 1)),
+            i => concat_ws(" ", slice(split(t, " "), i, lit(k))))))
+          .otherwise(typedLit(Seq.empty[String]))
+      val diff = docs.select(
+          call_function("graft_shingles", col("text"), lit(k)).as("native"),
+          hof(col("text")).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() == 0, s"graft_shingles diverges at k=$k")
+    }
+  }
+
   test("native hashModP equals conv(substring(md5,1,15),16,10) % P") {
     import spark.implicits._
     val texts = Seq("alpha beta gamma", "x", "", "the quick brown fox")
