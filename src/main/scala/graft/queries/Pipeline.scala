@@ -791,7 +791,79 @@ object Pipeline {
               |    / CAST(least(pa.n, pb.n) AS DOUBLE) AS containment
               |FROM inter i JOIN per pa ON i.src_a = pa.source
               |  JOIN per pb ON i.src_b = pb.source""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- per-source gate FUNNEL: how many docs survive each pipeline
+    //      stage (q60 language → q61 quality → q96 repetition → exact-
+    //      distinct texts), per source — the "where did my data go"
+    //      breakdown every corpus-build run reads first, at the grain
+    //      (source) where intake problems actually live. All gates are
+    //      stateless scan-stage predicates (the q90 rule verbatim), so
+    //      the only shuffle is the #sources-grain aggregate; the
+    //      distinct-text count is a count(DISTINCT conditional sha2) —
+    //      32-byte keys, partial-aggregated. Counts monotone by
+    //      construction; retention = distinct survivors / intake.
+    "q113_gate_funnel" -> Q(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        val n = size(t)
+        val nStop = size(filter(t, x => x === "the" || x === "a"))
+        def cnt(ws: Seq[String]) = size(filter(t, x => ws.map(x === _).reduce(_ || _)))
+        val sEn = cnt(Seq("the", "a", "of"))
+        val gLang = sEn >= cnt(Seq("el", "la", "de")) &&
+          sEn >= cnt(Seq("le", "les", "et")) && sEn >= cnt(Seq("der", "die", "und"))
+        val gQ = least(lit(1.0), n / lit(100.0)) *
+          (lit(1.0) - nStop.cast("double") / n) >= MinQuality
+        val g2 = shingles(t, 2)
+        val dup2 = when(size(g2) > 0, lit(1.0) -
+          size(array_distinct(g2)).cast("double") / size(g2).cast("double"))
+          .otherwise(lit(0.0))
+        val gRep = size(array_distinct(t)).cast("double") / n.cast("double") >=
+          MinUniqRatio && dup2 <= MaxDupBigram && n >= MinDocTokens
+        val all = gLang && gQ && gRep
+        Tables.spread(Tables(s, d, "documents"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(gLang, 1L).otherwise(0L)).as("n_lang"),
+            sum(when(gLang && gQ, 1L).otherwise(0L)).as("n_lang_quality"),
+            sum(when(all, 1L).otherwise(0L)).as("n_all_gates"),
+            countDistinct(when(all, sha2(col("text"), 256))).as("n_distinct_final"))
+          .withColumn("retention",
+            col("n_distinct_final").cast("double") / col("n_docs").cast("double"))
+      },
+      Some(s"""WITH m AS (SELECT source, text, string_split(text, ' ') AS t FROM documents),
+              |f AS (SELECT source, text,
+              |    len(t) AS n_tok,
+              |    len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stop,
+              |    len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+              |    len(list_filter(t, x -> x = 'el' OR x = 'la' OR x = 'de')) AS s_es,
+              |    len(list_filter(t, x -> x = 'le' OR x = 'les' OR x = 'et')) AS s_fr,
+              |    len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'und')) AS s_de,
+              |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+              |    CASE WHEN len(t) >= 2 THEN 1.0 - CAST(len(list_distinct(
+              |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+              |        AS DOUBLE) / (len(t) - 1) ELSE 0.0 END AS dup2
+              |  FROM m),
+              |g AS (SELECT source, text,
+              |    (s_en >= s_es AND s_en >= s_fr AND s_en >= s_de) AS g_lang,
+              |    (least(CAST(1.0 AS DOUBLE), CAST(n_tok AS DOUBLE) / 100.0)
+              |      * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tok)
+              |      >= $MinQuality) AS g_q,
+              |    (uniq_ratio >= $MinUniqRatio AND dup2 <= $MaxDupBigram
+              |      AND n_tok >= $MinDocTokens) AS g_rep
+              |  FROM f)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN g_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+              |  CAST(sum(CASE WHEN g_lang AND g_q THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_lang_quality,
+              |  CAST(sum(CASE WHEN g_lang AND g_q AND g_rep THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_all_gates,
+              |  count(DISTINCT CASE WHEN g_lang AND g_q AND g_rep
+              |    THEN sha256(text) END) AS n_distinct_final,
+              |  CAST(count(DISTINCT CASE WHEN g_lang AND g_q AND g_rep
+              |      THEN sha256(text) END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS retention
+              |FROM g GROUP BY source""".stripMargin))
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

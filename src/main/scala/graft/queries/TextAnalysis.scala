@@ -293,7 +293,90 @@ object TextAnalysis {
               |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS share,
               |  CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bucket) AS DOUBLE)
               |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS cum_share
-              |FROM b""".stripMargin))
+              |FROM b""".stripMargin)),
+
+    // ---- token frequency SPECTRUM (count-of-counts): for each
+    //      occurrence count f, how many vocabulary types occur exactly
+    //      f times and what share of types / of corpus token mass they
+    //      carry — the Zipf-health curve behind vocab sizing (q108
+    //      reads the head; the spectrum shows the hapax/low-f tail a
+    //      tokenizer actually drowns in). Scale shape: the token
+    //      hash-agg is the only corpus-sized shuffle (map-side
+    //      combinable); the spectrum re-agg runs over vocabulary-sized
+    //      input and the totals ride a broadcast 1-row crossJoin
+    //      (PlanSpec allowlist).
+    "q114_token_spectrum" -> Q(
+      (s, d) => {
+        val tf = Tables.spread(Tables(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("f"))
+        val tot = tf.agg(sum(col("f")).as("total_mass"),
+          count(lit(1)).as("n_vocab"))
+        tf.groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+          .crossJoin(broadcast(tot))
+          .select(col("f"), col("n_types"),
+            (col("f") * col("n_types")).as("mass"),
+            (col("n_types").cast("double") / col("n_vocab").cast("double"))
+              .as("type_share"),
+            ((col("f") * col("n_types")).cast("double") /
+              col("total_mass").cast("double")).as("mass_share"))
+      },
+      // CAST .. AS BIGINT on the total: DuckDB widens sum() to HUGEINT;
+      // f * count(*) stays BIGINT (only sum() widens)
+      Some("""WITH tf AS (SELECT token, count(*) AS f FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY token),
+             |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_mass,
+             |    count(*) AS n_vocab FROM tf)
+             |SELECT f, count(*) AS n_types, f * count(*) AS mass,
+             |  CAST(count(*) AS DOUBLE) / CAST(n_vocab AS DOUBLE) AS type_share,
+             |  CAST(f * count(*) AS DOUBLE) / CAST(total_mass AS DOUBLE) AS mass_share
+             |FROM tf CROSS JOIN tot GROUP BY f, n_vocab, total_mass""".stripMargin)),
+
+    // ---- language-ID confusion matrix: q60's marker-argmax prediction
+    //      against the labeled lang column, as (label, predicted) cells
+    //      with each cell's share of its label row — the classifier
+    //      audit the per-doc is_match flag can't summarize. One
+    //      #langs²-grain aggregate; the share window runs over at most
+    //      #langs rows per partition.
+    "q115_langid_confusion" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val scoreCols = Seq(col("lang")) ++
+          markers.map { case (l, ws) => markerCount(toks, ws).as(s"s_$l") }
+        val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        Tables.spread(Tables(s, d, "documents")).select(scoreCols: _*)
+          .select(col("lang"), pred.as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("pred_lang"), col("n_docs"),
+            (col("n_docs").cast("double") /
+              sum(col("n_docs")).over(w).cast("double")).as("frac_of_label"))
+      },
+      Some {
+        def cnt(ws: Seq[String]) = {
+          val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(string_split(text, ' '), t -> $cond))"
+        }
+        s"""WITH scored AS (SELECT lang,
+           |  ${cnt(markers(0)._2)} AS s_en, ${cnt(markers(1)._2)} AS s_es,
+           |  ${cnt(markers(2)._2)} AS s_fr, ${cnt(markers(3)._2)} AS s_de
+           |  FROM documents),
+           |p AS (SELECT lang,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+           |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+           |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang
+           |  FROM scored)
+           |SELECT lang, pred_lang, count(*) AS n_docs,
+           |  CAST(count(*) AS DOUBLE)
+           |    / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE) AS frac_of_label
+           |FROM p GROUP BY lang, pred_lang""".stripMargin
+      })
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and

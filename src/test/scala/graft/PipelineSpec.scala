@@ -73,6 +73,24 @@ class PipelineSpec extends SparkSuite {
       a < b && j > 0.0 && j <= c && c <= 1.0 })
   }
 
+  test("q113 funnel: each planted doc dies at exactly its gate") {
+    // one doc per failure mode, all in one source: the funnel counts
+    // pin which gate each doc died at, not just the totals
+    val passing = "the of " + (1 to 58).map(i => s"w$i").mkString(" ")
+    val dir = corpus(Seq(
+      1L -> passing,                                   // survives everything
+      2L -> passing,                                   // exact dup of 1: dies at distinct
+      3L -> Seq.fill(10)("el la de").mkString(" "),    // dies at language
+      4L -> ("the " + (1 to 9).map(i => s"v$i").mkString(" ")), // dies at quality (10 toks)
+      5L -> Seq.fill(40)("spam").mkString(" ")),       // dies at repetition (uniq 1/40)
+      "funnel")
+    val r = run("q113_gate_funnel", dir).collect()
+    assert(r.length == 1)
+    val row = (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5), r(0).getDouble(6))
+    assert(row == ((5L, 4L, 3L, 2L, 1L, 0.2)), s"funnel was $row")
+  }
+
   test("q90 build metrics: unique/survivor/collapse counts observable per action") {
     val df = run("q90_pipeline", sf())
     val rows = df.collect()

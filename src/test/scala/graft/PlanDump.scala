@@ -36,7 +36,9 @@ object PlanDump {
     "q109_topgram_concentration" -> "top-gram concentration: per-row HOF count-per-distinct-gram in the scan stage — zero shuffles",
     "q110_source_overlap" -> "source overlap matrix: one distinct shuffle on (source, shingle), per-shingle source SETS (bounded by #sources) expanded to pairs with map-side partial counts, per-source totals broadcast — the shingle table is never self-joined",
     "q111_length_profile" -> "length profile: one (source, bucket)-grain aggregate shuffle; both share windows run over the reduced #sources × #buckets grain",
-    "q112_embed_outlier" -> "embed outliers: fixed-point per-label centroid aggregate, #labels centroid rows broadcast back, graft_topk bounded heap on the negated score — bottom-k collapses map-side, no ranking window over the corpus")
+    "q112_embed_outlier" -> "embed outliers: fixed-point per-label centroid aggregate, #labels centroid rows broadcast back, graft_topk bounded heap on the negated score — bottom-k collapses map-side, no ranking window over the corpus",
+    "q113_gate_funnel" -> "gate funnel: all four gates are scan-stage predicates; one #sources-grain aggregate with a conditional distinct-sha2 count — the corpus is touched once",
+    "q114_token_spectrum" -> "token spectrum: corpus-sized token hash-agg (map-side combinable), vocabulary-sized count-of-counts re-agg, broadcast 1-row totals")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -169,4 +169,53 @@ class TextKernelSpec extends SparkSuite {
       }, s"$src cum_share not strictly increasing")
     }
   }
+
+  test("q114 token spectrum matches a driver-side recount; shares close at 1") {
+    val counts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (_, v) => v.length.toLong }
+    val nVocab = counts.size.toLong
+    val totalMass = counts.sum
+    val expected = counts.groupBy(identity).map { case (f, types) =>
+      f -> ((types.size.toLong, f * types.size,
+        types.size.toDouble / nVocab.toDouble,
+        (f * types.size).toDouble / totalMass.toDouble))
+    }
+    val out = graft.queries.Catalog.all("q114_token_spectrum")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out == expected)
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-9)
+  }
+
+  test("q115 confusion matrix matches a driver-side recount of the q60 rule") {
+    val markers = Seq(
+      "en" -> Set("the", "a", "of"), "es" -> Set("el", "la", "de"),
+      "fr" -> Set("le", "les", "et"), "de" -> Set("der", "die", "und"))
+    val cells = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("lang", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val s = markers.map { case (l, ws) => l -> toks.count(ws) }.toMap
+        val pred =
+          if (s("en") >= s("es") && s("en") >= s("fr") && s("en") >= s("de")) "en"
+          else if (s("es") >= s("fr") && s("es") >= s("de")) "es"
+          else if (s("fr") >= s("de")) "fr" else "de"
+        (r.getString(0), pred)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val perLabel = cells.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val expected = cells.map { case (k, n) =>
+      k -> ((n, n.toDouble / perLabel(k._1).toDouble)) }
+    val out = graft.queries.Catalog.all("q115_langid_confusion")
+      .build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == expected)
+  }
 }
