@@ -161,6 +161,32 @@ object Pipeline {
         i => concat_ws(" ", slice(t, i, lit(k)))))
       .otherwise(typedLit(Seq.empty[String]))
 
+  /** q113's gate kernel as ONE reusable stateless projection: the
+    * q60-language, q61-quality, and q96-repetition predicates (the q90
+    * rules verbatim) as a struct Column — shared by the batch funnel and
+    * the windowed streaming intake monitor
+    * ([[graft.streaming.StatefulOps.funnelMonitor]]). Pure per-row HOF
+    * arithmetic — streams verbatim.
+    */
+  def gateFlags(text: Column): Column = {
+    val t = split(text, " ")
+    val n = size(t)
+    val nStop = size(filter(t, x => x === "the" || x === "a"))
+    def cnt(ws: Seq[String]) = size(filter(t, x => ws.map(x === _).reduce(_ || _)))
+    val sEn = cnt(Seq("the", "a", "of"))
+    val gLang = sEn >= cnt(Seq("el", "la", "de")) &&
+      sEn >= cnt(Seq("le", "les", "et")) && sEn >= cnt(Seq("der", "die", "und"))
+    val gQ = least(lit(1.0), n / lit(100.0)) *
+      (lit(1.0) - nStop.cast("double") / n) >= MinQuality
+    val g2 = shingles(t, 2)
+    val dup2 = when(size(g2) > 0, lit(1.0) -
+      size(array_distinct(g2)).cast("double") / size(g2).cast("double"))
+      .otherwise(lit(0.0))
+    val gRep = size(array_distinct(t)).cast("double") / n.cast("double") >=
+      MinUniqRatio && dup2 <= MaxDupBigram && n >= MinDocTokens
+    struct(gLang.as("g_lang"), gQ.as("g_q"), gRep.as("g_rep"))
+  }
+
   /** DISTINCT word k-shingles of `text`: the native graft_shingles
     * kernel when registered (straight-line Java — shingle construction
     * is the dominant scan cost of the overlap/decontamination family),
@@ -805,22 +831,10 @@ object Pipeline {
     //      construction; retention = distinct survivors / intake.
     "q113_gate_funnel" -> Q(
       (s, d) => {
-        val t = split(col("text"), " ")
-        val n = size(t)
-        val nStop = size(filter(t, x => x === "the" || x === "a"))
-        def cnt(ws: Seq[String]) = size(filter(t, x => ws.map(x === _).reduce(_ || _)))
-        val sEn = cnt(Seq("the", "a", "of"))
-        val gLang = sEn >= cnt(Seq("el", "la", "de")) &&
-          sEn >= cnt(Seq("le", "les", "et")) && sEn >= cnt(Seq("der", "die", "und"))
-        val gQ = least(lit(1.0), n / lit(100.0)) *
-          (lit(1.0) - nStop.cast("double") / n) >= MinQuality
-        val g2 = shingles(t, 2)
-        val dup2 = when(size(g2) > 0, lit(1.0) -
-          size(array_distinct(g2)).cast("double") / size(g2).cast("double"))
-          .otherwise(lit(0.0))
-        val gRep = size(array_distinct(t)).cast("double") / n.cast("double") >=
-          MinUniqRatio && dup2 <= MaxDupBigram && n >= MinDocTokens
-        val all = gLang && gQ && gRep
+        val g = gateFlags(col("text"))
+        val gLang = g.getField("g_lang")
+        val gQ = g.getField("g_q")
+        val all = gLang && gQ && g.getField("g_rep")
         Tables.spread(Tables(s, d, "documents"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),

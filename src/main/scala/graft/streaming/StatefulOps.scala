@@ -133,6 +133,37 @@ object StatefulOps {
       .select(col("window.start").as("w_start"), col(keyCol),
         col("n_docs"), col("n_flagged"), col("avg_top1"))
 
+  /** [[qualityMonitor]]'s funnel sibling — q113 on the intake stream:
+    * per window+key, docs surviving each corpus gate (language →
+    * quality → repetition, via the shared
+    * [[graft.queries.Pipeline.gateFlags]] kernel) plus an HLL estimate
+    * of distinct surviving texts. count(DISTINCT) is unsupported in
+    * streaming aggregations, so the distinct stage is
+    * approx_count_distinct here — the batch q113 reports the exact
+    * count; the monitor's job is drift, not accounting. State ∝ open
+    * windows × keys under the watermark.
+    */
+  def funnelMonitor(docs: DataFrame, textCol: String, tsCol: String,
+                    keyCol: String, lateness: String, win: String): DataFrame = {
+    val g = col("__g")
+    val gl = g.getField("g_lang")
+    val gq = g.getField("g_q")
+    val all = gl && gq && g.getField("g_rep")
+    docs
+      .withColumn("__g", graft.queries.Pipeline.gateFlags(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), win), col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(gl, 1L).otherwise(0L)).as("n_lang"),
+        sum(when(gl && gq, 1L).otherwise(0L)).as("n_lang_quality"),
+        sum(when(all, 1L).otherwise(0L)).as("n_all_gates"),
+        approx_count_distinct(when(all, sha2(col(textCol), 256)))
+          .as("approx_distinct_final"))
+      .select(col("window.start").as("w_start"), col(keyCol),
+        col("n_docs"), col("n_lang"), col("n_lang_quality"),
+        col("n_all_gates"), col("approx_distinct_final"))
+  }
+
   /** Q40 on the ingest stream: near-dup suppression by SimHash
     * fingerprint equality. The fingerprint is the stateless per-row
     * kernel (graft_simhash — q42's batch kernel, which streams as-is),

@@ -106,6 +106,41 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed funnel monitor counts gate survivors per window and key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "source", "text")
+    val q = StatefulOps.funnelMonitor(docs, "text", "ts", "source",
+        lateness = "10 seconds", win = "30 seconds")
+      .writeStream.format("memory").queryName("fmon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the PipelineSpec q113 plant, streamed: pass-all ×2 (exact dup),
+      // fail-language, fail-quality, fail-repetition — all in srcA's
+      // first window
+      val passing = "the of " + (1 to 58).map(i => s"w$i").mkString(" ")
+      in.addData(
+        (ts(1), "srcA", passing),
+        (ts(2), "srcA", passing),
+        (ts(3), "srcA", Seq.fill(10)("el la de").mkString(" ")),
+        (ts(4), "srcA", "the " + (1 to 9).map(i => s"v$i").mkString(" ")),
+        (ts(5), "srcA", Seq.fill(40)("spam").mkString(" ")))
+      q.processAllAvailable()
+      in.addData((ts(300), "srcA", "late window closer")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("fmon")
+        .select("w_start", "source", "n_docs", "n_lang", "n_lang_quality",
+          "n_all_gates", "approx_distinct_final")
+        .as[(Timestamp, String, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      // funnel matches the batch q113 plant; HLL on ONE distinct
+      // surviving text is exact at this cardinality
+      assert(rows.contains((ts(0), "srcA", 5L, 4L, 3L, 2L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState settle ledger emits files once size is stable") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
