@@ -56,6 +56,21 @@ class KernelPropertySpec extends SparkSuite {
     assert(native == hof)
   }
 
+  test("shinglesK kernel == array_distinct(HOF) for arbitrary strings, k=1..7") {
+    val texts = samples(text, 120)
+    (1 to 7).foreach { k =>
+      val native = viaSpark(texts,
+        call_function("graft_shingles", col("t"), lit(k)))
+      val toks = split(col("t"), " ")
+      val hof = viaSpark(texts,
+        when(size(toks) >= k,
+          array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(k))))))
+          .otherwise(typedLit(Seq.empty[String])))
+      assert(native == hof, s"shinglesK diverges at k=$k")
+    }
+  }
+
   test("simhash kernel == relational formulation for arbitrary strings") {
     // relational mirror in-memory: token counts → bit sums → sign bits,
     // using the same hash32; avoids a per-case Spark job for speed
