@@ -877,7 +877,53 @@ object Pipeline {
               |  CAST(count(DISTINCT CASE WHEN g_lang AND g_q AND g_rep
               |      THEN sha256(text) END) AS DOUBLE)
               |    / CAST(count(*) AS DOUBLE) AS retention
-              |FROM g GROUP BY source""".stripMargin))
+              |FROM g GROUP BY source""".stripMargin)),
+
+    // ---- packed-sequence MATERIALIZATION: q94 assigns docs to bins;
+    //      this emits the bins as the artifact a training run actually
+    //      reads — per (lang, bin): doc count, token count, fill
+    //      fraction, and the md5 of the docs concatenated in the same
+    //      deterministic hash order with an <eod> separator (the md5
+    //      pins the exact byte sequence, not just membership). Scale
+    //      shape: the per-lang hash-ordered running-sum window is q94's
+    //      accepted design; the assembly adds one (lang, bin)-grain
+    //      aggregate whose per-group payload is bounded by PackBudget
+    //      tokens (+ one straddling doc) BY CONSTRUCTION — never by
+    //      corpus size. fill divides by a power of two: exact in IEEE.
+    "q116_pack_sequences" -> Q(
+      (s, d) => {
+        val order = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(split(col("text"), " ")).as("n_tok"),
+            md5(col("doc_id").cast("string")).as("ord1"))
+          .withColumn("cum", sum(col("n_tok"))
+            .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("bin", floor((col("cum") - 1) / PackBudget).cast("int"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok"),
+            (sum(col("n_tok")).cast("double") / lit(PackBudget.toDouble)).as("fill"),
+            md5(concat_ws(" <eod> ", expr(
+              "transform(array_sort(collect_list(struct(ord1, doc_id, text))), " +
+                "x -> x.text)"))).as("seq_md5"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tok,
+              |    sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM documents),
+              |b AS (SELECT doc_id, lang, text, n_tok,
+              |    CAST(floor((cum - 1) / $PackBudget) AS INT) AS bin,
+              |    md5(CAST(doc_id AS VARCHAR)) AS ord1
+              |  FROM p)
+              |SELECT lang, bin, count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+              |  CAST(sum(n_tok) AS DOUBLE) / $PackBudget.0 AS fill,
+              |  md5(string_agg(text, ' <eod> ' ORDER BY ord1, doc_id)) AS seq_md5
+              |FROM b GROUP BY lang, bin""".stripMargin))
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

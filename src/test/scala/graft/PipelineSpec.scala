@@ -34,7 +34,7 @@ class PipelineSpec extends SparkSuite {
       .parquet(s"$alt/documents.parquet")
     Seq("q92_stratified_sample", "q94_sequence_pack", "q102_shard_order",
         "q104_chunk_overlap", "q106_fuzzy_incremental", "q107_mixture_plan",
-        "q110_source_overlap", "q111_length_profile")
+        "q110_source_overlap", "q111_length_profile", "q116_pack_sequences")
       .foreach { q =>
         val a = run(q, src).collect().map(_.toString).sorted
         val b = run(q, alt).collect().map(_.toString).sorted
@@ -71,6 +71,31 @@ class PipelineSpec extends SparkSuite {
       s"mismatch keys: ${(out.keySet diff expected.keySet) ++ (expected.keySet diff out.keySet)}")
     assert(out.nonEmpty && out.forall { case ((a, b), (_, _, _, j, c)) =>
       a < b && j > 0.0 && j <= c && c <= 1.0 })
+  }
+
+  test("q116 sequences reconstruct exactly from a driver-side re-pack") {
+    val budget = graft.queries.Pipeline.PackBudget
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      var cum = 0L
+      val binned = ds.sortBy(d => (md5hex(d._1.toString), d._1)).map { d =>
+        val n = d._3.split(" ", -1).length
+        cum += n
+        (((cum - 1) / budget).toInt, d._3, n.toLong)
+      }
+      binned.groupBy(_._1).map { case (bin, xs) =>
+        (lang, bin) -> ((xs.length.toLong, xs.map(_._3).sum,
+          md5hex(xs.map(_._2).mkString(" <eod> "))))
+      }
+    }.toMap
+    val out = run("q116_pack_sequences", sf()).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    assert(out == expected)
   }
 
   test("q113 funnel: each planted doc dies at exactly its gate") {
