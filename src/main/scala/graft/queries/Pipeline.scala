@@ -171,11 +171,10 @@ object Pipeline {
   def gateFlags(text: Column): Column = {
     val t = split(text, " ")
     val n = size(t)
-    val nStop = size(filter(t, x => x === "the" || x === "a"))
-    def cnt(ws: Seq[String]) = size(filter(t, x => ws.map(x === _).reduce(_ || _)))
-    val sEn = cnt(Seq("the", "a", "of"))
-    val gLang = sEn >= cnt(Seq("el", "la", "de")) &&
-      sEn >= cnt(Seq("le", "les", "et")) && sEn >= cnt(Seq("der", "die", "und"))
+    val nStop = TextAnalysis.markerCount(t, TextAnalysis.StopWords)
+    // predicted-English ⟺ the en marker count >= every other language's
+    // (the argmax chain's first branch) — ONE copy of the rule
+    val gLang = TextAnalysis.predictedLang(t) === "en"
     val gQ = least(lit(1.0), n / lit(100.0)) *
       (lit(1.0) - nStop.cast("double") / n) >= MinQuality
     val g2 = shingles(t, 2)
@@ -199,7 +198,11 @@ object Pipeline {
   private def distinctShingles(s: SparkSession, text: Column, k: Int): Column =
     if (s.catalog.functionExists("graft_shingles"))
       call_function("graft_shingles", text, lit(k))
-    else array_distinct(shingles(split(text, " "), k))
+    // when() without otherwise → NULL on NULL text, matching the
+    // null-intolerant native expression (a bare array_distinct chain
+    // would yield [] instead — a branch divergence the null-safe parity
+    // spec pins)
+    else when(text.isNotNull, array_distinct(shingles(split(text, " "), k)))
 
   def defs: ListMap[String, Q] = ListMap(
 
@@ -207,13 +210,10 @@ object Pipeline {
       (s, d) => {
         val toks = split(col("text"), " ")
         val nTok = size(toks)
-        val nStop = size(filter(toks, t => t === "the" || t === "a"))
+        val nStop = TextAnalysis.markerCount(toks, TextAnalysis.StopWords)
         val stopRatio = nStop.cast("double") / nTok
         val quality = least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio)
-        def cnt(ws: Seq[String]) = size(filter(toks, t => ws.map(t === _).reduce(_ || _)))
-        val sEn = cnt(Seq("the", "a", "of")); val sEs = cnt(Seq("el", "la", "de"))
-        val sFr = cnt(Seq("le", "les", "et")); val sDe = cnt(Seq("der", "die", "und"))
-        val isEnglish = sEn >= sEs && sEn >= sFr && sEn >= sDe
+        val isEnglish = TextAnalysis.predictedLang(toks) === "en"
         val gated = Tables.spread(Tables(s, d, "documents"))
           .withColumn("quality", quality)
           .filter(isEnglish && col("quality") >= MinQuality)
@@ -248,11 +248,8 @@ object Pipeline {
       },
       Some(s"""WITH f AS (SELECT doc_id, text,
               |    len(string_split(text, ' ')) AS n_tokens,
-              |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop,
-              |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of')) AS s_en,
-              |    len(list_filter(string_split(text, ' '), t -> t = 'el' OR t = 'la' OR t = 'de')) AS s_es,
-              |    len(list_filter(string_split(text, ' '), t -> t = 'le' OR t = 'les' OR t = 'et')) AS s_fr,
-              |    len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'die' OR t = 'und')) AS s_de
+              |    len(list_filter(string_split(text, ' '), t -> ${TextAnalysis.orCondSql("t", TextAnalysis.StopWords)})) AS n_stop,
+              |    ${TextAnalysis.markers.map { case (l, ws) => s"len(list_filter(string_split(text, ' '), t -> ${TextAnalysis.orCondSql("t", ws)})) AS s_$l" }.mkString(",\n    ")}
               |  FROM documents),
               |gated AS (SELECT doc_id, text,
               |    least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
@@ -848,11 +845,8 @@ object Pipeline {
       Some(s"""WITH m AS (SELECT source, text, string_split(text, ' ') AS t FROM documents),
               |f AS (SELECT source, text,
               |    len(t) AS n_tok,
-              |    len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stop,
-              |    len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
-              |    len(list_filter(t, x -> x = 'el' OR x = 'la' OR x = 'de')) AS s_es,
-              |    len(list_filter(t, x -> x = 'le' OR x = 'les' OR x = 'et')) AS s_fr,
-              |    len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'und')) AS s_de,
+              |    len(list_filter(t, x -> ${TextAnalysis.orCondSql("x", TextAnalysis.StopWords)})) AS n_stop,
+              |    ${TextAnalysis.markers.map { case (l, ws) => s"len(list_filter(t, x -> ${TextAnalysis.orCondSql("x", ws)})) AS s_$l" }.mkString(",\n    ")},
               |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
               |    CASE WHEN len(t) >= 2 THEN 1.0 - CAST(len(list_distinct(
               |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))

@@ -139,6 +139,25 @@ object Similarity {
         first(col("v")).as("v"))
       .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
 
+  /** Per-key exact fixed-point mean vectors: (key, …, v) rows →
+    * (key, mv). floor(x·2^20) BIGINT sums are order-free, so the mean is
+    * identical at any parallelism and in the DuckDB oracle — THE
+    * parity-critical kernel of the ANN family, kept in exactly one copy
+    * (q51's Lloyd recentering and q112's label centroids both call it;
+    * the two oracle SQL mirrors cite it).
+    */
+  private def fixedPointMeans(rows: DataFrame, key: String): DataFrame =
+    rows.select(col(key), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col(key), col("pos"))
+      .agg(sum(expr(s"CAST(floor(x * $FixedPointScale.0) AS BIGINT)")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col(key), col("pos"),
+        (col("sq").cast("double") / lit(FixedPointScale.toDouble) /
+          col("n").cast("double")).as("mx"))
+      .groupBy(col(key))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
+        .as("mv"))
+
   /** q51's deterministic k-means training, returned as the shipped index
     * artifact: seeds = first NumCentroids corpus vectors, KMeansIters
     * Lloyd rounds with exact fixed-point means, materialized driver-side
@@ -153,17 +172,7 @@ object Similarity {
     // sums): integer addition is order-free, so the mean is identical at
     // any parallelism and in the DuckDB oracle.
     def recenter(cents: DataFrame): DataFrame = {
-      val means = assignToCentroids(s, e, cents)
-        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(expr(s"CAST(floor(x * $FixedPointScale.0) AS BIGINT)")).as("sq"),
-          count(lit(1)).as("n"))
-        .select(col("c_id"), col("pos"),
-          (col("sq").cast("double") / lit(FixedPointScale.toDouble) /
-            col("n").cast("double")).as("mx"))
-        .groupBy(col("c_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
-          .as("mv"))
+      val means = fixedPointMeans(assignToCentroids(s, e, cents), "c_id")
       cents.join(means, Seq("c_id"), "left")
         .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
     }
@@ -390,19 +399,18 @@ object Similarity {
       (s, d) => {
         val e = Tables.spread(Tables(s, d, "embeddings"))
           .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-        val cents = e
-          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("label"), col("pos"))
-          .agg(sum(expr(s"CAST(floor(x * $FixedPointScale.0) AS BIGINT)")).as("sq"),
-            count(lit(1)).as("n"))
-          .select(col("label"), col("pos"),
-            (col("sq").cast("double") / lit(FixedPointScale.toDouble) /
-              col("n").cast("double")).as("mx"))
-          .groupBy(col("label"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)")
-            .as("cv"))
+        val cents = fixedPointMeans(e, "label")
+        // A corrupt (all-zero) vector makes cosine 0/0 — NaN in Spark's
+        // IEEE division, NULL in DuckDB's (it NULLs division by zero).
+        // Both are pinned to -1.0 (cosine's true minimum), so corrupt
+        // vectors surface at RANK 1 in both engines instead of breaking
+        // the bounded-heap admit test (NaN fails both > and ==) or
+        // silently sorting last/NULLs-last. Spec: planted zero vector.
+        val rawCos = cosine(s, col("v"), col("mv"))
         val sc = e.join(broadcast(cents), Seq("label"))
-          .select(col("label"), col("vec_id"), cosine(s, col("v"), col("cv")).as("cos"))
+          .select(col("label"), col("vec_id"),
+            when(rawCos.isNull || isnan(rawCos), lit(-1.0))
+              .otherwise(rawCos).as("cos"))
         if (s.catalog.functionExists("graft_topk")) {
           sc.groupBy(col("label"))
             .agg(call_function("graft_topk", -col("cos"), col("vec_id"),
@@ -428,8 +436,10 @@ object Similarity {
               |          unnest(v) AS x FROM e)
               |  GROUP BY label, pos),
               |g AS (SELECT label, list(mx ORDER BY pos) AS cv FROM m GROUP BY label),
-              |sc AS (SELECT e.label, e.vec_id, ${sqlCos("e.v", "g.cv")} AS cos
-              |       FROM e JOIN g USING (label))
+              |sc0 AS (SELECT e.label, e.vec_id, ${sqlCos("e.v", "g.cv")} AS rc
+              |        FROM e JOIN g USING (label)),
+              |sc AS (SELECT label, vec_id, CASE WHEN rc IS NULL OR isnan(rc)
+              |    THEN CAST(-1.0 AS DOUBLE) ELSE rc END AS cos FROM sc0)
               |SELECT label, vec_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
               |  SELECT *, row_number() OVER (PARTITION BY label
               |    ORDER BY cos ASC, vec_id) AS rk FROM sc) WHERE rk <= $OutlierK""".stripMargin))

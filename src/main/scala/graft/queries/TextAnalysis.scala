@@ -14,14 +14,44 @@ import scala.collection.immutable.ListMap
   */
 object TextAnalysis {
 
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  /** THE language-marker word lists — the single source of truth for
+    * q60's classifier, q90/q113's language gate, and q115's audit (and
+    * their oracle SQL, via [[orCondSql]]). Public so no second copy can
+    * drift.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
     "es" -> Seq("el", "la", "de"),
     "fr" -> Seq("le", "les", "et"),
     "de" -> Seq("der", "die", "und"))
 
-  private def markerCount(toks: Column, words: Seq[String]): Column =
+  /** English stopword list shared by q61's quality score and the
+    * q90/q113 quality gate.
+    */
+  val StopWords: Seq[String] = Seq("the", "a")
+
+  def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+
+  /** q60's marker-argmax prediction with fixed precedence
+    * en > es > fr > de on ties — shared by q60, q115, and (via
+    * `=== "en"`) the q90/q113 language gate. One copy of the rule; the
+    * oracle SQL mirrors build their word lists from [[markers]].
+    */
+  def predictedLang(toks: Column): Column = {
+    val s = markers.map { case (l, ws) => l -> markerCount(toks, ws) }.toMap
+    when(s("en") >= s("es") && s("en") >= s("fr") && s("en") >= s("de"), "en")
+      .when(s("es") >= s("fr") && s("es") >= s("de"), "es")
+      .when(s("fr") >= s("de"), "fr")
+      .otherwise("de")
+  }
+
+  /** SQL OR-chain over a word list (`v = 'w1' OR v = 'w2' …`) — the
+    * oracle-side rendering of [[markerCount]]/[[StopWords]] membership,
+    * generated from the same Seq so the lists cannot drift.
+    */
+  def orCondSql(v: String, words: Seq[String]): String =
+    words.map(w => s"$v = '$w'").mkString(" OR ")
 
   def defs: ListMap[String, Q] = ListMap(
 
@@ -29,24 +59,14 @@ object TextAnalysis {
     //      fixed precedence (en > es > fr > de) on ties.
     "q60_langid" -> Q(
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val scoreCols = Seq(col("doc_id"), col("lang")) ++
-          markers.map { case (l, ws) => markerCount(toks, ws).as(s"s_$l") }
-        val scored = Tables.spread(Tables(s, d, "documents")).select(scoreCols: _*)
-        val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
-            && col("s_en") >= col("s_de"), "en")
-          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
-          .when(col("s_fr") >= col("s_de"), "fr")
-          .otherwise("de")
-        scored.select(col("doc_id"), pred.as("pred_lang"), col("lang"))
-          .select(col("doc_id"), col("pred_lang"),
-            (col("pred_lang") === col("lang")).as("is_match"))
+        val pred = predictedLang(split(col("text"), " "))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), pred.as("pred_lang"),
+            (pred === col("lang")).as("is_match"))
       },
       Some {
-        def cnt(ws: Seq[String]) = {
-          val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
-          s"len(list_filter(string_split(text, ' '), t -> $cond))"
-        }
+        def cnt(ws: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), t -> ${orCondSql("t", ws)}))"
         s"""WITH scored AS (SELECT doc_id, lang,
            |  ${cnt(markers(0)._2)} AS s_en, ${cnt(markers(1)._2)} AS s_es,
            |  ${cnt(markers(2)._2)} AS s_fr, ${cnt(markers(3)._2)} AS s_de
@@ -341,17 +361,10 @@ object TextAnalysis {
     //      #langs rows per partition.
     "q115_langid_confusion" -> Q(
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val scoreCols = Seq(col("lang")) ++
-          markers.map { case (l, ws) => markerCount(toks, ws).as(s"s_$l") }
-        val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
-            && col("s_en") >= col("s_de"), "en")
-          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
-          .when(col("s_fr") >= col("s_de"), "fr")
-          .otherwise("de")
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-        Tables.spread(Tables(s, d, "documents")).select(scoreCols: _*)
-          .select(col("lang"), pred.as("pred_lang"))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("lang"),
+            predictedLang(split(col("text"), " ")).as("pred_lang"))
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n_docs"))
           .select(col("lang"), col("pred_lang"), col("n_docs"),
@@ -359,10 +372,8 @@ object TextAnalysis {
               sum(col("n_docs")).over(w).cast("double")).as("frac_of_label"))
       },
       Some {
-        def cnt(ws: Seq[String]) = {
-          val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
-          s"len(list_filter(string_split(text, ' '), t -> $cond))"
-        }
+        def cnt(ws: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), t -> ${orCondSql("t", ws)}))"
         s"""WITH scored AS (SELECT lang,
            |  ${cnt(markers(0)._2)} AS s_en, ${cnt(markers(1)._2)} AS s_es,
            |  ${cnt(markers(2)._2)} AS s_fr, ${cnt(markers(3)._2)} AS s_de

@@ -106,4 +106,25 @@ class AnnRecallSpec extends SparkSuite {
     val labels = vecs.map(_._3).distinct.length
     assert(out.size == labels * OutlierK)
   }
+
+  test("q112 pins a corrupt all-zero embedding at rank 1 with cos -1.0") {
+    // cosine(zero, centroid) = 0/0 = NaN; unguarded, NaN breaks the
+    // bounded-heap admit test and the two engines' NaN orderings differ —
+    // the pin (-1.0, cosine's true minimum) surfaces the corrupt vector
+    // first instead, which is the point of the sweep
+    import spark.implicits._
+    val dir = tmpDir("zero_vec").toString
+    val rows = (0L until 8L).map { i =>
+      val v = if (i == 7L) Seq.fill(4)(0f)
+              else Seq.tabulate(4)(j => (i + j + 1).toFloat)
+      (i, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.Catalog.all("q112_embed_outlier").build(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._2)
+    assert(out.head == ((7L, 1, -1.0)), s"got ${out.toSeq}")
+    assert(out.forall(x => !x._3.isNaN))
+  }
 }

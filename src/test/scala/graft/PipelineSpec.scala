@@ -50,7 +50,8 @@ class PipelineSpec extends SparkSuite {
       .groupBy(_.getString(0))
       .map { case (src, rows) =>
         src -> rows.flatMap { r =>
-          val t = r.getString(1).split(" ")
+          // limit=-1: Spark's split keeps trailing empty tokens
+          val t = r.getString(1).split(" ", -1)
           if (t.length >= g) t.sliding(g).map(_.mkString(" ")).toSeq
           else Seq.empty[String]
         }.toSet

@@ -20,23 +20,27 @@ class TextKernelSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
-  test("native graft_shingles(k) equals array_distinct of the HOF form for k=2..6") {
+  test("native graft_shingles(k) equals the null-propagating HOF fallback for k=2..6") {
     import spark.implicits._
     // fixture corpus + the split-semantics edge cases (empty string,
-    // leading/trailing/double spaces → empty tokens kept, limit=-1)
+    // leading/trailing/double spaces → empty tokens kept, limit=-1) +
+    // NULL text (native is null-intolerant → NULL; the fallback must
+    // match, and the comparison must be null-safe or NULL rows vanish
+    // from the diff)
     val edge = Seq("", " ", "a", "a b", "a  b c", " a b c ", "a b a b a b")
-      .toDF("text")
+      .toDF("text").union(spark.sql("SELECT CAST(NULL AS STRING) AS text"))
     val docs = Tables(spark, sf(), "documents").select("text").union(edge)
     (2 to 6).foreach { k =>
       def hof(t: org.apache.spark.sql.Column) =
-        when(size(split(t, " ")) >= k,
-          array_distinct(transform(sequence(lit(1), size(split(t, " ")) - (k - 1)),
-            i => concat_ws(" ", slice(split(t, " "), i, lit(k))))))
-          .otherwise(typedLit(Seq.empty[String]))
+        when(t.isNotNull,
+          when(size(split(t, " ")) >= k,
+            array_distinct(transform(sequence(lit(1), size(split(t, " ")) - (k - 1)),
+              i => concat_ws(" ", slice(split(t, " "), i, lit(k))))))
+            .otherwise(typedLit(Seq.empty[String])))
       val diff = docs.select(
           call_function("graft_shingles", col("text"), lit(k)).as("native"),
           hof(col("text")).as("hof"))
-        .filter(col("native") =!= col("hof"))
+        .filter(!(col("native") <=> col("hof")))
       assert(diff.count() == 0, s"graft_shingles diverges at k=$k")
     }
   }
