@@ -917,7 +917,43 @@ object Pipeline {
               |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
               |  CAST(sum(n_tok) AS DOUBLE) / $PackBudget.0 AS fill,
               |  md5(string_agg(text, ' <eod> ' ORDER BY ord1, doc_id)) AS seq_md5
-              |FROM b GROUP BY lang, bin""".stripMargin))
+              |FROM b GROUP BY lang, bin""".stripMargin)),
+
+    // ---- contamination REPORT — the forensics view q95/q100 don't
+    //      give: per (training doc, benchmark doc) edge, the count of
+    //      shared DecontamGram-shingles and a deterministic sample
+    //      shingle (lexicographic min) as evidence. q95 answers "what
+    //      survives"; this answers "what leaked from where", which is
+    //      what an eval-integrity review actually reads. Scale shape:
+    //      the benchmark shingle side is tiny by construction (an eval
+    //      suite) and broadcasts; the corpus never shuffles — only the
+    //      contamination-sized match set reaches the (train, bench)
+    //      aggregate. Its train_id set is exactly the complement of
+    //      q95's survivors (spec-pinned).
+    "q117_contam_report" -> Q(
+      (s, d) => {
+        val sh = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"),
+            explode(distinctShingles(s, col("text"), DecontamGram)).as("sh"))
+        val bench = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), col("sh"))
+        val train = sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id").as("train_id"), col("sh"))
+        train.join(broadcast(bench), Seq("sh"))
+          .groupBy(col("train_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_shared"), min(col("sh")).as("sample_shingle"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, s FROM (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${DecontamGram - 2}),
+              |    i -> ${(0 until DecontamGram).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})) AS s
+              |  FROM tok)),
+              |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+              |train AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 <> 0)
+              |SELECT t.train_id, b.bench_id, count(*) AS n_shared,
+              |  min(t.s) AS sample_shingle
+              |FROM train t JOIN bench b USING (s)
+              |GROUP BY t.train_id, b.bench_id""".stripMargin))
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

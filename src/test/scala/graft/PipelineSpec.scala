@@ -74,6 +74,20 @@ class PipelineSpec extends SparkSuite {
       a < b && j > 0.0 && j <= c && c <= 1.0 })
   }
 
+  test("q117 contamination edges are exactly the complement of q95's survivors") {
+    val survivors = run("q95_decontaminate", sf()).collect()
+      .map(_.getLong(0)).toSet
+    val allTrain = spark.read.parquet(s"${sf()}/documents.parquet")
+      .collect().map(_.getLong(0)).filter(_ % 97 != 0).toSet
+    val report = run("q117_contam_report", sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every reported train doc is a q95 casualty, every casualty is
+    // reported, and each edge carries at least one shared shingle
+    assert(report.map(_._1).toSet == allTrain -- survivors,
+      "report train_ids != q95 complement")
+    assert(report.forall(_._3 >= 1))
+  }
+
   test("q116 sequences reconstruct exactly from a driver-side re-pack") {
     val budget = graft.queries.Pipeline.PackBudget
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

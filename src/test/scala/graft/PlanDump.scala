@@ -39,7 +39,8 @@ object PlanDump {
     "q112_embed_outlier" -> "embed outliers: fixed-point per-label centroid aggregate, #labels centroid rows broadcast back, graft_topk bounded heap on the negated score — bottom-k collapses map-side, no ranking window over the corpus",
     "q113_gate_funnel" -> "gate funnel: all four gates are scan-stage predicates; one #sources-grain aggregate with a conditional distinct-sha2 count — the corpus is touched once",
     "q114_token_spectrum" -> "token spectrum: corpus-sized token hash-agg (map-side combinable), vocabulary-sized count-of-counts re-agg, broadcast 1-row totals",
-    "q116_pack_sequences" -> "packed sequences: q94's per-lang hash-ordered running-sum window, then one (lang, bin)-grain assembly — per-group payload bounded by PackBudget tokens by construction")
+    "q116_pack_sequences" -> "packed sequences: q94's per-lang hash-ordered running-sum window, then one (lang, bin)-grain assembly — per-group payload bounded by PackBudget tokens by construction",
+    "q117_contam_report" -> "contamination report: benchmark shingle side broadcast, corpus never shuffles, only contamination-sized matches reach the (train, bench) edge aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
