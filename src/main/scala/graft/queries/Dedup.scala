@@ -322,6 +322,33 @@ object Dedup {
       (s, d) => dupClusters(s, d, BucketCap),
       Some(dupClustersOracle(BucketCap))),
 
+    // ---- dedup ATTRIBUTION: who loses documents to whom. Per
+    //      (keeper's source, removed doc's source) pair, the docs and
+    //      token mass q101's keep-rule deletes — the report a data-
+    //      sourcing review reads before dropping a feed (a source whose
+    //      mass is swallowed by another is redundant; one swallowing
+    //      everyone else is the canonical original). 100 TB shape: the
+    //      cluster table is contamination-sized (docs WITH a near-dup),
+    //      ≪ corpus; both document joins are id-equijoins AQE can
+    //      broadcast when the cluster side is small, and the final
+    //      aggregate is #sources²-grain.
+    "q120_dedup_attribution" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tok"))
+        val rm = dupClusters(s, d, BucketCap)
+          .filter(!col("keeper"))
+          .select(col("doc_id"), col("cluster_id"))
+        rm.join(docs.as("dr"), "doc_id")
+          .join(docs.select(col("doc_id").as("cluster_id"),
+            col("source").as("keeper_source")).as("dk"), "cluster_id")
+          .groupBy(col("keeper_source"), col("source").as("removed_source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens_removed"))
+      },
+      Some(dedupAttributionOracle(BucketCap))),
+
     // ---- fuzzy incremental dedup: the MinHash complement of q97's
     //      exact anti-join — gate an incoming batch against the EXISTING
     //      corpus's precomputable (band, bsig) → members index, bipartite
@@ -1067,6 +1094,25 @@ object Dedup {
         |SELECT lbl.v AS doc_id, lbl.l AS cluster_id,
         |  csz.n AS cluster_size, lbl.v = lbl.l AS keeper
         |FROM lbl JOIN csz ON csz.l = lbl.l""".stripMargin
+  }
+
+  /** q120's oracle: [[dupClustersOracle]]'s recursive-CTE closure with
+    * the final per-doc select swapped for the (keeper source, removed
+    * source) attribution aggregate. Spliced, not duplicated, so the
+    * pair pipeline (collapse, caps, banding) stays single-sourced.
+    */
+  def dedupAttributionOracle(cap: Int): String = {
+    val co = dupClustersOracle(cap)
+    val split = co.lastIndexOf("SELECT lbl.v AS doc_id")
+    require(split > 0, "dupClustersOracle shape changed; update dedupAttributionOracle")
+    co.substring(0, split).trim.stripSuffix(",") + ",\n" +
+      """rm AS (SELECT lbl.v AS doc_id, lbl.l AS cluster_id FROM lbl WHERE lbl.v <> lbl.l)
+        |SELECT dk.source AS keeper_source, dr.source AS removed_source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(dr.text,' '))) AS BIGINT) AS tokens_removed
+        |FROM rm JOIN documents dr ON dr.doc_id = rm.doc_id
+        |  JOIN documents dk ON dk.doc_id = rm.cluster_id
+        |GROUP BY 1, 2""".stripMargin
   }
 
   /** The DuckDB mirror of [[ngramJaccard]] with the identical df cap

@@ -953,7 +953,63 @@ object Pipeline {
               |SELECT t.train_id, b.bench_id, count(*) AS n_shared,
               |  min(t.s) AS sample_shingle
               |FROM train t JOIN bench b USING (s)
-              |GROUP BY t.train_id, b.bench_id""".stripMargin))
+              |GROUP BY t.train_id, b.bench_id""".stripMargin)),
+
+    // ---- quality-quantile CURRICULUM assignment: bin every doc into
+    //      one of 4 training phases by corpus-relative quality quantile
+    //      (curriculum learning orders data easy→hard; the phase id is
+    //      the artifact a schedule consumes). Exact global quantiles
+    //      without a global sort: quality is fixed-point-bucketed
+    //      (floor(q·1024) — q is built from exact IEEE divisions, so
+    //      the bucket id is bit-identical across engines), the bucket
+    //      HISTOGRAM (≤ 1025 rows at any corpus size) yields each
+    //      bucket's cumulative count, and phase = floor(4·cum_before /
+    //      total) — all-integer, then broadcast-joined back. The only
+    //      corpus-sized shuffle is the histogram's map-side-combinable
+    //      count; windows run over the 1025-row grain. Ties share a
+    //      bucket, so phase populations deviate from N/4 by at most
+    //      the largest bucket — the spec pins both properties.
+    "q119_curriculum" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val nStop = size(filter(toks, t => t === "the" || t === "a"))
+        val quality = least(lit(1.0), nTok / lit(100.0)) *
+          (lit(1.0) - nStop.cast("double") / nTok)
+        val b = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("source"), nTok.cast("int").as("n_tok"),
+            floor(quality * 1024).as("bucket"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket")).rowsBetween(Long.MinValue, -1)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        val phases = b.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .select(col("bucket"),
+            coalesce(sum(col("n")).over(wCum), lit(0L)).as("cum_before"),
+            sum(col("n")).over(wAll).as("total"))
+          .select(col("bucket"),
+            least(lit(3), expr("(cum_before * 4) div total")).cast("int").as("phase"))
+        b.join(broadcast(phases), Seq("bucket"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("bucket").cast("int").as("bucket"), col("phase"))
+      },
+      Some("""WITH f AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
+             |    len(list_filter(string_split(text,' '), t -> t='the' OR t='a')) AS n_stop
+             |  FROM documents),
+             |q AS (SELECT doc_id, source, n_tok,
+             |    least(1.0, CAST(n_tok AS DOUBLE)/100.0)
+             |      * (1.0 - CAST(n_stop AS DOUBLE)/n_tok) AS quality FROM f),
+             |b AS (SELECT doc_id, source, n_tok,
+             |    CAST(floor(quality*1024) AS BIGINT) AS bucket FROM q),
+             |h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+             |cumh AS (SELECT bucket,
+             |    CAST(coalesce(sum(n) OVER (ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             |    (SELECT CAST(sum(n) AS BIGINT) FROM h) AS total FROM h),
+             |ph AS (SELECT bucket, CAST(least(3, (cum_before*4)//total) AS INT) AS phase FROM cumh)
+             |SELECT b.doc_id, b.source, CAST(b.n_tok AS INT) AS n_tok,
+             |  CAST(b.bucket AS INT) AS bucket, ph.phase
+             |FROM b JOIN ph USING (bucket)""".stripMargin))
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

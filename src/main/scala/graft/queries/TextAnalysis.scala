@@ -387,7 +387,66 @@ object TextAnalysis {
            |  CAST(count(*) AS DOUBLE)
            |    / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE) AS frac_of_label
            |FROM p GROUP BY lang, pred_lang""".stripMargin
-      })
+      }),
+
+    // ---- unigram-LM document surprisal: the perplexity-filter proxy
+    //      (score every doc by how surprising its tokens are under the
+    //      corpus's own unigram model) without any floating-point log —
+    //      cross-engine ln/log2 are NOT bit-identical, so the per-token
+    //      surprisal is integer-quantized as length(bin(total div tf)) =
+    //      floor(log2(total/tf)) + 1 "bits", exact BIGINT arithmetic in
+    //      both engines. Vocabulary = q108's top-V head, OOV floor =
+    //      length(bin(total)) (p = 1/total). 100 TB shape: the token
+    //      hash-agg is the one corpus-sized shuffle (it IS the model
+    //      fit); the fitted model is V rows — collected once into a map
+    //      literal (the q51 trained-centroid precedent: a bounded model
+    //      artifact, not data) so scoring is a zero-shuffle per-row HOF
+    //      in the scan stage. Mean bits/token is one exact BIGINT-sum /
+    //      count division.
+    "q118_doc_surprisal" -> Q(
+      (s, d) => {
+        val counts = Tables.spread(Tables(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        val fitted = counts.orderBy(col("tf").desc, col("token").asc)
+          .limit(VocabTopV)
+          .agg(collect_list(struct(col("token"), col("tf"))).as("v"))
+          .crossJoin(broadcast(counts.agg(sum(col("tf")).as("total"))))
+          .collect()
+        val total =
+          if (fitted.isEmpty || fitted(0).isNullAt(1)) 1L
+          else fitted(0).getLong(1)
+        def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+        val vocab: Map[String, Long] =
+          if (fitted.isEmpty) Map.empty
+          else fitted(0).getSeq[org.apache.spark.sql.Row](0)
+            .map(r => r.getString(0) -> bits(total / r.getLong(1))).toMap
+        val oov = bits(total)
+        val surpMap = typedLit(vocab)
+        val toks = split(col("text"), " ")
+        val surp = aggregate(toks, lit(0L),
+          (acc, t) => acc + coalesce(element_at(surpMap, t), lit(oov)))
+        Tables.spread(Tables(s, d, "documents")).select(
+          col("doc_id"),
+          surp.as("surp_bits"),
+          size(toks).cast("long").as("n_tok"),
+          (surp.cast("double") / size(toks)).as("bits_per_tok"))
+      },
+      Some(s"""WITH c AS (SELECT token, count(*) AS tf FROM (
+              |    SELECT unnest(string_split(text,' ')) AS token FROM documents)
+              |  GROUP BY token),
+              |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c),
+              |top AS (SELECT token, tf FROM c ORDER BY tf DESC, token LIMIT $VocabTopV),
+              |v AS (SELECT token,
+              |    CAST(length(bin(CAST((SELECT total FROM tot) // tf AS BIGINT))) AS BIGINT) AS surp
+              |  FROM top),
+              |oovs AS (SELECT CAST(length(bin(total)) AS BIGINT) AS surp FROM tot),
+              |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+              |SELECT t.doc_id,
+              |  CAST(sum(coalesce(v.surp, (SELECT surp FROM oovs))) AS BIGINT) AS surp_bits,
+              |  CAST(count(*) AS BIGINT) AS n_tok,
+              |  CAST(sum(coalesce(v.surp, (SELECT surp FROM oovs))) AS DOUBLE) / count(*) AS bits_per_tok
+              |FROM t LEFT JOIN v USING (token) GROUP BY t.doc_id""".stripMargin))
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and

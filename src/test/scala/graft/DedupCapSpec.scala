@@ -203,6 +203,27 @@ class DedupCapSpec extends SparkSuite {
     assert(out.filter(_._2._3).keySet == Set(1L), s"only the min id keeps: $out")
   }
 
+  test("q120 attribution conserves q101's removed docs and token mass exactly") {
+    val clusters = graft.queries.Catalog.all("q101_dup_clusters")
+      .build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val removed = clusters.filter(!_._3)
+    val docMeta = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "source", "size(split(text, ' ')) AS n_tok").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2).toLong))).toMap
+    val attr = graft.queries.Catalog.all("q120_dedup_attribution")
+      .build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc and token totals conserve
+    assert(attr.map(_._3).sum == removed.length.toLong)
+    assert(attr.map(_._4).sum == removed.map(r => docMeta(r._1)._2).sum)
+    // every edge re-derives from the cluster table
+    val expected = removed
+      .groupBy(r => (docMeta(r._2)._1, docMeta(r._1)._1))
+      .map { case (k, rs) => k -> ((rs.length.toLong, rs.map(r => docMeta(r._1)._2).sum)) }
+    assert(attr.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap == expected)
+  }
+
   test("q101 truncation goes through a reliable checkpoint when the context has a dir") {
     val session = spark; import session.implicits._
     // production configuration: a checkpoint dir on reliable storage —

@@ -88,6 +88,26 @@ class PipelineSpec extends SparkSuite {
     assert(report.forall(_._3 >= 1))
   }
 
+  test("q119 phases are the exact histogram quantiles; populations near-quartered") {
+    val rows = run("q119_curriculum", sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+    val n = rows.length.toLong
+    assert(rows.map(_._3).forall(p => p >= 0 && p <= 3))
+    // driver-side re-derivation: phase = min(3, 4*count-below-bucket/n)
+    val byBucket = rows.groupBy(_._2)
+    var cum = 0L
+    byBucket.keys.toSeq.sorted.foreach { b =>
+      val expect = math.min(3L, cum * 4 / n).toInt
+      byBucket(b).foreach { case (id, _, p) =>
+        assert(p == expect, s"doc $id bucket $b: phase $p != $expect") }
+      cum += byBucket(b).length
+    }
+    // each phase within the largest bucket of n/4 (ties share buckets)
+    val maxBucket = byBucket.values.map(_.length).max
+    rows.groupBy(_._3).values.foreach(ph =>
+      assert(math.abs(ph.length - n / 4.0) <= maxBucket))
+  }
+
   test("q116 sequences reconstruct exactly from a driver-side re-pack") {
     val budget = graft.queries.Pipeline.PackBudget
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

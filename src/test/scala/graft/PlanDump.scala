@@ -40,7 +40,10 @@ object PlanDump {
     "q113_gate_funnel" -> "gate funnel: all four gates are scan-stage predicates; one #sources-grain aggregate with a conditional distinct-sha2 count — the corpus is touched once",
     "q114_token_spectrum" -> "token spectrum: corpus-sized token hash-agg (map-side combinable), vocabulary-sized count-of-counts re-agg, broadcast 1-row totals",
     "q116_pack_sequences" -> "packed sequences: q94's per-lang hash-ordered running-sum window, then one (lang, bin)-grain assembly — per-group payload bounded by PackBudget tokens by construction",
-    "q117_contam_report" -> "contamination report: benchmark shingle side broadcast, corpus never shuffles, only contamination-sized matches reach the (train, bench) edge aggregate")
+    "q117_contam_report" -> "contamination report: benchmark shingle side broadcast, corpus never shuffles, only contamination-sized matches reach the (train, bench) edge aggregate",
+    "q118_doc_surprisal" -> "doc surprisal: token hash-agg fits the unigram model once, the V-row fit ships as a map literal, scoring is a zero-shuffle per-row fold in the scan stage — no join back",
+    "q119_curriculum" -> "curriculum binning: one map-side-combinable histogram shuffle, quantile windows over the 1025-bucket grain, broadcast equijoin back to docs — exact global quantiles with no global sort",
+    "q120_dedup_attribution" -> "dedup attribution: cluster table (near-dup docs only) id-equijoined to documents twice, #sources2-grain aggregate — AQE broadcasts the small cluster side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

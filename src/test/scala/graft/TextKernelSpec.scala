@@ -222,4 +222,29 @@ class TextKernelSpec extends SparkSuite {
       .toMap
     assert(out == expected)
   }
+
+  test("q118 surprisal: exact per-doc bits vs a driver-side unigram fit") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.split(" ", -1).foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1))
+    val total = tf.values.sum
+    val vocab = tf.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(graft.queries.TextAnalysis.VocabTopV).toMap
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val oov = bits(total)
+    val expected = docs.map { case (id, txt) =>
+      val toks = txt.split(" ", -1)
+      val s = toks.map(t => vocab.get(t).map(c => bits(total / c)).getOrElse(oov)).sum
+      id -> ((s, toks.length.toLong))
+    }.toMap
+    val out = graft.queries.Catalog.all("q118_doc_surprisal")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == expected)
+    // in-vocab tokens are never MORE surprising than the OOV floor
+    out.foreach { case (id, (s, n)) => assert(s <= oov * n, s"doc $id") }
+  }
 }
