@@ -1009,7 +1009,75 @@ object Pipeline {
              |ph AS (SELECT bucket, CAST(least(3, (cum_before*4)//total) AS INT) AS phase FROM cumh)
              |SELECT b.doc_id, b.source, CAST(b.n_tok AS INT) AS n_tok,
              |  CAST(b.bucket AS INT) AS bucket, ph.phase
-             |FROM b JOIN ph USING (bucket)""".stripMargin))
+             |FROM b JOIN ph USING (bucket)""".stripMargin)),
+
+    // ---- mixture MATERIALIZATION: q107 computes the per-source plan
+    //      (rate/epochs); this emits the sampled corpus itself — one
+    //      (doc_id, epoch) row per kept copy. Standard epoch semantics:
+    //      every doc appears floor(e) times, and once more iff its hash
+    //      fraction (q93/q99's rule) falls under e's fractional part —
+    //      reproducible Bernoulli, no RNG. e is recomputed UNROUNDED
+    //      with q107's exact op order (the rounded plan columns are
+    //      display values; sampling on them would double-round). A
+    //      zero-token source has e = NULL ⇒ contributes no rows (q107's
+    //      out-of-contract rule). 100 TB shape: the per-source model is
+    //      a #sources-row broadcast; the copy decision and the epoch
+    //      explode run per-row in the scan stage — the corpus-sized
+    //      token aggregate (shared with q107) is the only shuffle, and
+    //      output size is budget-bounded by construction.
+    "q121_mixture_sample" -> Q(
+      (s, d) => {
+        val perSrc = Tables.spread(Tables(s, d, "documents"))
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+          .withColumn("w", expr(
+            "CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1.0 " +
+              "WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS DOUBLE)"))
+        val tot = perSrc.agg(
+          sum(col("tokens")).cast("double").as("all_toks"),
+          sum(col("w")).as("sw"))
+        val e = perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), expr(
+            s"(all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw) " +
+              "/ CAST(nullif(tokens, 0L) AS DOUBLE)").as("e"))
+        val u = expr(
+          "conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) / 4294967296.0")
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tok"), u.as("u"))
+          .join(broadcast(e), Seq("source"))
+          .withColumn("n_copies", floor(col("e")).cast("long") +
+            when(col("u") < (col("e") - floor(col("e"))), 1L).otherwise(0L))
+          .filter(col("n_copies") > 0)
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+      },
+      Some(s"""WITH t AS (SELECT source,
+              |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens
+              |  FROM documents GROUP BY source),
+              |w AS (SELECT source, tokens,
+              |    CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1.0
+              |         WHEN source IN ('src3','src4','src5') THEN 0.5
+              |         ELSE 0.25 END AS DOUBLE) AS w
+              |  FROM t),
+              |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS all_toks,
+              |    sum(w) AS sw FROM w),
+              |e AS (SELECT source,
+              |    (all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw)
+              |      / CAST(nullif(tokens, 0) AS DOUBLE) AS e
+              |  FROM w CROSS JOIN tot),
+              |d AS (SELECT doc_id, source,
+              |    CAST(len(string_split(text,' ')) AS INT) AS n_tok,
+              |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              |      AS DOUBLE) / 4294967296.0 AS u
+              |  FROM documents),
+              |c AS (SELECT d.doc_id, d.source, d.n_tok,
+              |    CAST(floor(e.e) AS BIGINT)
+              |      + CASE WHEN d.u < e.e - floor(e.e) THEN 1 ELSE 0 END AS n_copies
+              |  FROM d JOIN e USING (source))
+              |SELECT doc_id, source, n_tok,
+              |  CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+              |FROM c WHERE n_copies > 0""".stripMargin))
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
@@ -405,32 +405,10 @@ object TextAnalysis {
     //      count division.
     "q118_doc_surprisal" -> Q(
       (s, d) => {
-        val counts = Tables.spread(Tables(s, d, "documents"))
-          .select(explode(split(col("text"), " ")).as("token"))
-          .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-        val fitted = counts.orderBy(col("tf").desc, col("token").asc)
-          .limit(VocabTopV)
-          .agg(collect_list(struct(col("token"), col("tf"))).as("v"))
-          .crossJoin(broadcast(counts.agg(sum(col("tf")).as("total"))))
-          .collect()
-        val total =
-          if (fitted.isEmpty || fitted(0).isNullAt(1)) 1L
-          else fitted(0).getLong(1)
-        def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
-        val vocab: Map[String, Long] =
-          if (fitted.isEmpty) Map.empty
-          else fitted(0).getSeq[org.apache.spark.sql.Row](0)
-            .map(r => r.getString(0) -> bits(total / r.getLong(1))).toMap
-        val oov = bits(total)
-        val surpMap = typedLit(vocab)
-        val toks = split(col("text"), " ")
-        val surp = aggregate(toks, lit(0L),
-          (acc, t) => acc + coalesce(element_at(surpMap, t), lit(oov)))
-        Tables.spread(Tables(s, d, "documents")).select(
-          col("doc_id"),
-          surp.as("surp_bits"),
-          size(toks).cast("long").as("n_tok"),
-          (surp.cast("double") / size(toks)).as("bits_per_tok"))
+        val (vocab, oov) = surprisalFit(s, d)
+        surprisalScore(Tables.spread(Tables(s, d, "documents")), vocab, oov)
+          .select(col("doc_id"), col("surp_bits"), col("n_tok"),
+            col("bits_per_tok"))
       },
       Some(s"""WITH c AS (SELECT token, count(*) AS tf FROM (
               |    SELECT unnest(string_split(text,' ')) AS token FROM documents)
@@ -471,6 +449,48 @@ object TextAnalysis {
       top1.as("top1_frac"),
       top2.as("top2_frac"),
       (top1 <= Top1Max && top2 <= Top2Max).as("keep"))
+  }
+
+  /** q118's model fit: the corpus's top-V unigram head as token →
+    * integer-quantized log2 surprisal (length(bin(total div tf)) bits)
+    * plus the OOV floor (p = 1/total). ONE corpus-sized token hash-agg;
+    * the returned artifact is V entries — the q51 trained-centroid
+    * precedent (a bounded model, not data), shippable to executors as a
+    * map literal and to a streaming intake gate unchanged.
+    */
+  def surprisalFit(s: SparkSession, d: String): (Map[String, Long], Long) = {
+    val counts = Tables.spread(Tables(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val fitted = counts.orderBy(col("tf").desc, col("token").asc)
+      .limit(VocabTopV)
+      .agg(collect_list(struct(col("token"), col("tf"))).as("v"))
+      .crossJoin(broadcast(counts.agg(sum(col("tf")).as("total"))))
+      .collect()
+    val total =
+      if (fitted.isEmpty || fitted(0).isNullAt(1)) 1L
+      else fitted(0).getLong(1)
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val vocab: Map[String, Long] =
+      if (fitted.isEmpty) Map.empty
+      else fitted(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> bits(total / r.getLong(1))).toMap
+    (vocab, bits(total))
+  }
+
+  /** Score rows with a `text` column under a [[surprisalFit]] model:
+    * appends surp_bits / n_tok / bits_per_tok. Zero-shuffle per-row
+    * fold in the scan stage (the model rides along as a map literal);
+    * streams verbatim — see `StatefulOps.surprisalGate`.
+    */
+  def surprisalScore(df: DataFrame, vocab: Map[String, Long], oovBits: Long): DataFrame = {
+    val surpMap = typedLit(vocab)
+    val toks = split(col("text"), " ")
+    val surp = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(surpMap, t), lit(oovBits)))
+    df.withColumn("surp_bits", surp)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("bits_per_tok", col("surp_bits").cast("double") / size(toks))
   }
 
   /** q108: vocabulary prefix size for the coverage curve. */

@@ -361,4 +361,25 @@ object StatefulOps {
         sink(graft.queries.Dedup.fuzzyProbe(batch.sparkSession, batch, idx), id); ()
       }
       .start()
+
+  /** Streaming surprisal gate: score each incoming doc under a STATIC
+    * corpus's fitted unigram model ([[graft.queries.TextAnalysis
+    * .surprisalFit]] — fit once, outside the stream) and flag docs
+    * whose mean bits/token exceeds `maxBits` (gibberish / wrong-
+    * language / binary-spill intake, the perplexity-filter's streaming
+    * form). Stateless: the model is a map literal in the plan, scoring
+    * is a per-row fold, verdicts are batch-independent —
+    * `StatefulOpsSpec` pins stream ≡ batch.
+    */
+  def surprisalGate(incoming: DataFrame, vocab: Map[String, Long], oovBits: Long,
+      maxBits: Double, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.TextAnalysis.surprisalScore(batch, vocab, oovBits)
+          .withColumn("keep", org.apache.spark.sql.functions.col("bits_per_tok") <= maxBits), id)
+        ()
+      }
+      .start()
 }

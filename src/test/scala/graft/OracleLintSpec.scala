@@ -20,7 +20,8 @@ class OracleLintSpec extends AnyFunSuite {
     */
   private val allowlisted: Set[(String, String)] = Set(
     // sum over DOUBLE operands stays DOUBLE
-    ("q107_mixture_plan", "sw"), // w is CAST(.. AS DOUBLE)
+    ("q107_mixture_plan", "sw"),   // w is CAST(.. AS DOUBLE)
+    ("q121_mixture_sample", "sw"), // same w as q107 (CAST(.. AS DOUBLE))
     ("q84_cte", "r"),            // l_extendedprice/l_discount are DOUBLE
     // integer sums confined to a CTE and consumed sign-only / cast later
     // — never an output column (DESCRIBE lint confirms)

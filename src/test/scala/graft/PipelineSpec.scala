@@ -108,6 +108,45 @@ class PipelineSpec extends SparkSuite {
       assert(math.abs(ph.length - n / 4.0) <= maxBucket))
   }
 
+  test("q121 sample re-derives exactly; sampled token mass tracks each source's target") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "source", "size(split(text, ' ')) AS n_tok").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val tokens = docs.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val weight = (s: String) =>
+      if (Set("src0", "src1", "src2")(s)) 1.0
+      else if (Set("src3", "src4", "src5")(s)) 0.5 else 0.25
+    val allToks = tokens.values.sum.toDouble
+    // keys is a SET — map(weight) would dedupe {1.0, 0.5, 0.25}; toSeq first
+    val sw = tokens.keys.toSeq.map(weight).sum
+    val e = tokens.map { case (s, t) =>
+      s -> allToks * graft.queries.Pipeline.MixBudgetFrac * weight(s) / sw / t }
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16) / 4294967296.0
+    }
+    val expected = docs.flatMap { case (id, src, nt) =>
+      val es = e(src)
+      val copies = es.toLong + (if (u(id) < es - math.floor(es)) 1 else 0)
+      (0L until copies).map(ep => (id, src, nt, ep))
+    }.toSet
+    val out = graft.queries.Catalog.all("q121_mixture_sample")
+      .build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out == expected)
+    // per-source sampled mass lands within one max-doc of its target
+    val maxDoc = docs.map(_._3.toLong).max
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val got = rows.toSeq.map(_._3.toLong).sum
+      val target = allToks * graft.queries.Pipeline.MixBudgetFrac * weight(src) / sw
+      // Bernoulli sampling concentrates around the target; at fixture
+      // scale allow a quarter of the source's own mass as slack
+      assert(math.abs(got - target) <= (tokens(src) * 0.25).max(maxDoc.toDouble),
+        s"$src: sampled $got vs target $target")
+    }
+  }
+
   test("q116 sequences reconstruct exactly from a driver-side re-pack") {
     val budget = graft.queries.Pipeline.PackBudget
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

@@ -73,13 +73,14 @@ class PlanSpec extends SparkSuite {
   private val intentionalCross = Set("q10_cross_join",
     "q107_mixture_plan",   // 7 sources × a broadcast 1-row total
     "q108_vocab_coverage", // top-V rows × a broadcast 1-row total
-    "q114_token_spectrum") // spectrum rows × a broadcast 1-row total
+    "q114_token_spectrum", // spectrum rows × a broadcast 1-row total
+    "q121_mixture_sample") // #sources rows × a broadcast 1-row total (q107's shape)
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
     "q44_embed_neardup", "q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh",
     "q10_cross_join", "q107_mixture_plan",
-    "q108_vocab_coverage", "q114_token_spectrum")
+    "q108_vocab_coverage", "q114_token_spectrum", "q121_mixture_sample")
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>

@@ -329,4 +329,39 @@ class StatefulOpsSpec extends SparkSuite {
       assert(got(38L) == ((1, false)), s"$got")
     } finally q.stop()
   }
+
+  test("surprisal gate: stream verdicts equal batch scoring under the same fit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // fit the model on the static fixture corpus, outside the stream
+    val (vocab, oov) = graft.queries.TextAnalysis.surprisalFit(spark, sf())
+    assert(vocab.nonEmpty && oov > 0)
+    val texts = Seq(
+      100L -> "the customer order data table query",    // in-vocab → cheap
+      200L -> "zzyzx qwfp vexillology antidisestablish", // all-OOV → oov bits/tok
+      300L -> "the the the the")
+    val maxBits = oov - 1.0 // flag pure-OOV docs only
+
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Double, Boolean)]
+    val q = StatefulOps.surprisalGate(in.toDF().toDF("doc_id", "text"),
+        vocab, oov, maxBits, tmpDir("surp").toString) { (scored, _) =>
+      scored.select("doc_id", "surp_bits", "bits_per_tok", "keep").collect()
+        .foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    }
+    try {
+      in.addData(texts: _*)
+      q.processAllAvailable()
+      // batch scoring of the identical rows is the oracle
+      val batch = graft.queries.TextAnalysis.surprisalScore(
+          texts.toDF("doc_id", "text"), vocab, oov)
+        .withColumn("keep", col("bits_per_tok") <= maxBits)
+        .select("doc_id", "surp_bits", "bits_per_tok", "keep").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(got.toMap == batch, s"stream $got vs batch $batch")
+      assert(!got(200L)._3, "pure-OOV doc must be flagged")
+      assert(got(100L)._3 && got(300L)._3)
+    } finally q.stop()
+  }
 }
