@@ -1077,7 +1077,8 @@ object Pipeline {
               |  FROM d JOIN e USING (source))
               |SELECT doc_id, source, n_tok,
               |  CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
-              |FROM c WHERE n_copies > 0""".stripMargin))
+              |FROM c WHERE n_copies > 0""".stripMargin),
+      headline = true)
   )
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom

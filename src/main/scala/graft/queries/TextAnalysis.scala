@@ -424,7 +424,8 @@ object TextAnalysis {
               |  CAST(sum(coalesce(v.surp, (SELECT surp FROM oovs))) AS BIGINT) AS surp_bits,
               |  CAST(count(*) AS BIGINT) AS n_tok,
               |  CAST(sum(coalesce(v.surp, (SELECT surp FROM oovs))) AS DOUBLE) / count(*) AS bits_per_tok
-              |FROM t LEFT JOIN v USING (token) GROUP BY t.doc_id""".stripMargin))
+              |FROM t LEFT JOIN v USING (token) GROUP BY t.doc_id""".stripMargin),
+      headline = true)
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and
