@@ -425,7 +425,33 @@ object TextAnalysis {
               |  CAST(count(*) AS BIGINT) AS n_tok,
               |  CAST(sum(coalesce(v.surp, (SELECT surp FROM oovs))) AS DOUBLE) / count(*) AS bits_per_tok
               |FROM t LEFT JOIN v USING (token) GROUP BY t.doc_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- stutter scrub: collapse CONSECUTIVE repeated tokens ("spam
+    //      spam spam" → "spam") — the cheapest of the standard repetition
+    //      cleaning passes (OCR stutter, scraper echo, keyboard bounce);
+    //      q96/q109 MEASURE repetition, this REWRITES it (the catalog's
+    //      transform verbs: q98 scrub, q104 chunk, q116 pack, this).
+    //      Index-lambda filter: keep token i iff i = 0 or it differs from
+    //      its predecessor — associative with nothing, shuffle-free,
+    //      codegen-resident per-row work at any corpus size.
+    "q122_stutter_scrub" -> Q(
+      (s, d) => {
+        val l = split(col("text"), " ")
+        val kept = filter(l, (x, i) => i === 0 || element_at(l, i) =!= x)
+        Tables.spread(Tables(s, d, "documents")).select(
+          col("doc_id"),
+          concat_ws(" ", kept).as("clean_text"),
+          (size(l) - size(kept)).as("removed"),
+          size(l).as("n_tok"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+             |c AS (SELECT doc_id, l,
+             |    list_filter(l, (x, i) -> i = 1 OR l[i-1] <> x) AS kept FROM t)
+             |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+             |  CAST(len(l) - len(kept) AS INT) AS removed,
+             |  CAST(len(l) AS INT) AS n_tok
+             |FROM c""".stripMargin))
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and

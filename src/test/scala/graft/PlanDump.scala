@@ -44,7 +44,8 @@ object PlanDump {
     "q118_doc_surprisal" -> "doc surprisal: token hash-agg fits the unigram model once, the V-row fit ships as a map literal, scoring is a zero-shuffle per-row fold in the scan stage — no join back",
     "q119_curriculum" -> "curriculum binning: one map-side-combinable histogram shuffle, quantile windows over the 1025-bucket grain, broadcast equijoin back to docs — exact global quantiles with no global sort",
     "q120_dedup_attribution" -> "dedup attribution: cluster table (near-dup docs only) id-equijoined to documents twice, #sources2-grain aggregate — AQE broadcasts the small cluster side",
-    "q121_mixture_sample" -> "mixture materialization: #sources-row model broadcast back to the scan, per-row hash Bernoulli + epoch explode — one corpus-sized shuffle (the shared token aggregate), output bounded by the token budget")
+    "q121_mixture_sample" -> "mixture materialization: #sources-row model broadcast back to the scan, per-row hash Bernoulli + epoch explode — one corpus-sized shuffle (the shared token aggregate), output bounded by the token budget",
+    "q122_stutter_scrub" -> "stutter scrub: index-lambda filter per row in the scan stage, zero shuffles at any corpus size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

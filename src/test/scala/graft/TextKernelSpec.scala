@@ -247,4 +247,33 @@ class TextKernelSpec extends SparkSuite {
     // in-vocab tokens are never MORE surprising than the OOV floor
     out.foreach { case (id, (s, n)) => assert(s <= oov * n, s"doc $id") }
   }
+
+  test("q122 stutter scrub: planted runs collapse, scrub is idempotent, fixture conserves") {
+    val session = spark; import session.implicits._
+    val dir = tmpDir("stutter").toString
+    Seq(
+      1L -> "spam spam spam spam ok",          // 4-run → 1
+      2L -> "a a b b a",                       // two runs; non-adjacent 'a' survives
+      3L -> "clean text with no repeats",
+      4L -> "x")                               // single token
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Catalog.all("q122_stutter_scrub")
+      .build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("spam ok", 3, 5)), s"$out")
+    assert(out(2L) == (("a b a", 2, 5)), s"$out")
+    assert(out(3L) == (("clean text with no repeats", 0, 5)), s"$out")
+    assert(out(4L) == (("x", 0, 1)), s"$out")
+    // idempotence on the real fixture: re-scrubbing removes nothing
+    val once = graft.queries.Catalog.all("q122_stutter_scrub").build(spark, sf())
+    val dir2 = tmpDir("stutter2").toString
+    once.select(col("doc_id"), col("clean_text").as("text"))
+      .write.parquet(s"$dir2/documents.parquet")
+    val twice = graft.queries.Catalog.all("q122_stutter_scrub").build(spark, dir2)
+    assert(twice.filter(col("removed") > 0).count() == 0, "scrub not idempotent")
+    // token conservation on the fixture: removed + kept == original
+    val bad = once.filter(
+      col("removed") + size(split(col("clean_text"), " ")) =!= col("n_tok")).count()
+    assert(bad == 0)
+  }
 }
