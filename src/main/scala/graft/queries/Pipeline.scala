@@ -46,6 +46,16 @@ object Pipeline {
   /** q107: the token budget as a fraction of the corpus's total tokens. */
   val MixBudgetFrac = 0.5
 
+  /** q121: epoch ceiling for the materialized mixture. Unbounded e is a
+    * real blow-up: a tiny high-weight source (say 1 doc, 10 tokens, w=1
+    * against a 100 TB budget) would explode that doc into ~10¹⁰ copies.
+    * Data-constrained scaling practice caps repetition at a few dozen
+    * epochs (diminishing returns past ~4 per Muennighoff et al.); the
+    * cap is part of the sampling CONTRACT (oracle mirrors it), and the
+    * spec pins a planted tiny source at exactly the ceiling.
+    */
+  val MaxEpochs = 64.0
+
   /** q110: shingle width for the inter-source overlap matrix. */
   val OverlapGram = 5
 
@@ -1036,10 +1046,14 @@ object Pipeline {
         val tot = perSrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("w")).as("sw"))
+        val eRaw = s"(all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw) " +
+          "/ CAST(nullif(tokens, 0L) AS DOUBLE)"
+        // CASE, not bare least(): least() IGNORES nulls in both engines,
+        // so a zero-token source would cap to MaxEpochs instead of NULL
         val e = perSrc.crossJoin(broadcast(tot))
           .select(col("source"), expr(
-            s"(all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw) " +
-              "/ CAST(nullif(tokens, 0L) AS DOUBLE)").as("e"))
+            s"CASE WHEN ($eRaw) IS NULL THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE least(CAST($MaxEpochs AS DOUBLE), $eRaw) END").as("e"))
         val u = expr(
           "conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) / 4294967296.0")
         Tables.spread(Tables(s, d, "documents"))
@@ -1063,8 +1077,11 @@ object Pipeline {
               |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS all_toks,
               |    sum(w) AS sw FROM w),
               |e AS (SELECT source,
-              |    (all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw)
-              |      / CAST(nullif(tokens, 0) AS DOUBLE) AS e
+              |    CASE WHEN ((all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw)
+              |        / CAST(nullif(tokens, 0) AS DOUBLE)) IS NULL THEN CAST(NULL AS DOUBLE)
+              |      ELSE least(CAST($MaxEpochs AS DOUBLE),
+              |        (all_toks * CAST($MixBudgetFrac AS DOUBLE) * w / sw)
+              |          / CAST(nullif(tokens, 0) AS DOUBLE)) END AS e
               |  FROM w CROSS JOIN tot),
               |d AS (SELECT doc_id, source,
               |    CAST(len(string_split(text,' ')) AS INT) AS n_tok,

@@ -127,7 +127,7 @@ class PipelineSpec extends SparkSuite {
       java.lang.Long.parseLong(h.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16) / 4294967296.0
     }
     val expected = docs.flatMap { case (id, src, nt) =>
-      val es = e(src)
+      val es = math.min(e(src), graft.queries.Pipeline.MaxEpochs)
       val copies = es.toLong + (if (u(id) < es - math.floor(es)) 1 else 0)
       (0L until copies).map(ep => (id, src, nt, ep))
     }.toSet
@@ -145,6 +145,24 @@ class PipelineSpec extends SparkSuite {
       assert(math.abs(got - target) <= (tokens(src) * 0.25).max(maxDoc.toDouble),
         s"$src: sampled $got vs target $target")
     }
+  }
+
+  test("q121 epoch ceiling: a tiny high-weight source caps at MaxEpochs copies") {
+    val session = spark; import session.implicits._
+    val dir = tmpDir("mixcap").toString
+    // src0 (w=1.0): 20×200 tokens; src1 (w=1.0): ONE 2-token doc whose
+    // uncapped e = 4002·0.5·1.0/2/2 ≈ 500 — far past the ceiling
+    val big = (0L until 20L).map(i =>
+      (i, "src0", (1 to 200).map(j => s"t$j").mkString(" ")))
+    val rows = big :+ ((99L, "src1", "tiny doc"))
+    rows.toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Catalog.all("q121_mixture_sample")
+      .build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val tinyEpochs = out.filter(_._1 == 99L).map(_._2).sorted
+    assert(tinyEpochs.toSeq == (0L until graft.queries.Pipeline.MaxEpochs.toLong),
+      s"expected exactly MaxEpochs dense epochs, got ${tinyEpochs.length}")
   }
 
   test("q116 sequences reconstruct exactly from a driver-side re-pack") {
