@@ -59,6 +59,18 @@ object Pipeline {
   /** q110: shingle width for the inter-source overlap matrix. */
   val OverlapGram = 5
 
+  /** q123 exact-substring scan: window width in tokens and the anchor
+    * density modulus. Anchors are CONTENT-DEFINED (winnowing, Schleimer
+    * et al. 2003): position i starts a window iff hash(token_i) ≡ 0
+    * (mod SpanAnchorMod) — so two copies of the same run pick the SAME
+    * interior anchors no matter where each copy sits in its document.
+    * A fixed-stride grid cannot do this: copies whose offsets differ
+    * mod the stride would never produce an identical window and a
+    * verbatim 1000-token quote could go entirely unseen.
+    */
+  val SpanTokens = 16
+  val SpanAnchorMod = 8
+
   /** q95: most contaminated-id rows we will ship driver-side as a
     * broadcast. 10M longs ≈ 80 MB — comfortable on any driver; above it
     * the anti-join falls back to a shuffle so a pathological corpus
@@ -1095,6 +1107,75 @@ object Pipeline {
               |SELECT doc_id, source, n_tok,
               |  CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
               |FROM c WHERE n_copies > 0""".stripMargin),
+      headline = true),
+
+    // ---- exact-substring duplication report (the detection pass of
+    //      Lee et al. 2022's "Deduplicating Training Data Makes LMs
+    //      Better", Spark-shaped): hash a SpanTokens-token window at
+    //      every winnowing anchor and report, per doc, how many of its
+    //      windows occur ≥ 2 times ANYWHERE in the corpus — a repeated
+    //      16-token quote inside two otherwise-unrelated documents,
+    //      which doc-level MinHash (q41) dilutes away and the within-doc
+    //      passes (q96/q122) cannot see at all. Anchoring is content-
+    //      defined (see SpanAnchorMod): both copies of a shared run
+    //      select the same interior anchors regardless of each copy's
+    //      offset, so detection is alignment-invariant — the property a
+    //      fixed stride lacks (the spec plants copies at offsets that
+    //      differ mod the stride to prove it). 100 TB shape: anchor
+    //      selection and window hashing are per-row scan-stage HOFs;
+    //      only (h, doc_id) 16-byte rows reach the ONE span shuffle,
+    //      expected tokens/SpanAnchorMod windows per doc — an 8th of a
+    //      suffix-scan's row count. The h-grain occurrence count is a
+    //      window over that same exchange (NOT a groupBy + self-join:
+    //      differing column pruning defeats exchange reuse there, so the
+    //      anchor scan would run twice — PlanSpec pins the single
+    //      Generate); the rollup is doc-grain; short/anchor-less docs
+    //      re-enter via the left join with zeros.
+    "q123_span_dup" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val docs = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("source"), toks.as("toks"),
+            size(toks).as("n"))
+        def anchorHash(c: Column) =
+          conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+        val anchors = filter(
+          sequence(lit(0), col("n") - SpanTokens),
+          i => anchorHash(element_at(col("toks"), i + 1)) % SpanAnchorMod === 0)
+        val wins = docs.filter(col("n") >= SpanTokens)
+          .select(col("doc_id"), col("toks"), explode(anchors).as("i"))
+          .select(col("doc_id"),
+            conv(substring(md5(array_join(
+              slice(col("toks"), col("i") + 1, lit(SpanTokens)), " ")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val perDoc = wins
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_win"),
+            sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_win"))
+        docs.select(col("doc_id"), col("source"), col("n").cast("int").as("n_tok"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            coalesce(col("n_win"), lit(0L)).cast("int").as("n_win"),
+            coalesce(col("dup_win"), lit(0L)).cast("int").as("dup_win"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks,
+              |    len(string_split(text,' ')) AS n FROM documents),
+              |w AS (SELECT doc_id,
+              |    CAST('0x' || substr(md5(array_to_string(
+              |      toks[i : i + ${SpanTokens - 1}], ' ')), 1, 15) AS BIGINT) AS h
+              |  FROM (SELECT doc_id, toks,
+              |      unnest(generate_series(1, n - ${SpanTokens - 1})) AS i
+              |    FROM t WHERE n >= $SpanTokens)
+              |  WHERE CAST('0x' || substr(md5(toks[i]), 1, 4) AS BIGINT)
+              |    % $SpanAnchorMod = 0),
+              |c AS (SELECT h, count(*) AS cnt FROM w GROUP BY h),
+              |pd AS (SELECT doc_id, CAST(count(*) AS INT) AS n_win,
+              |    CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS INT) AS dup_win
+              |  FROM w JOIN c USING (h) GROUP BY doc_id)
+              |SELECT t.doc_id, t.source, CAST(t.n AS INT) AS n_tok,
+              |  coalesce(pd.n_win, 0) AS n_win, coalesce(pd.dup_win, 0) AS dup_win
+              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin),
       headline = true)
   )
 

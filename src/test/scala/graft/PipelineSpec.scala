@@ -165,6 +165,54 @@ class PipelineSpec extends SparkSuite {
       s"expected exactly MaxEpochs dense epochs, got ${tinyEpochs.length}")
   }
 
+  test("q123 span report equals a driver-side winnowing recomputation") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val W = graft.queries.Pipeline.SpanTokens
+    val M = graft.queries.Pipeline.SpanAnchorMod
+    def anchor(t: String) = java.lang.Long.parseLong(md5hex(t).take(4), 16) % M == 0
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      id -> (if (toks.length < W) Seq.empty[String]
+             else (0 to toks.length - W).filter(i => anchor(toks(i)))
+               .map(i => md5hex(toks.slice(i, i + W).mkString(" ")).take(15)))
+    }
+    val cnt = wins.flatMap(_._2).groupBy(identity).map { case (h, xs) => h -> xs.length }
+    val expected = wins.map { case (id, hs) =>
+      (id, hs.length, hs.count(h => cnt(h) >= 2))
+    }.toSet
+    val out = run("q123_span_dup", sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSet
+    assert(out == expected)
+    // non-degenerate on the fixture: the exact-dup texts share all spans
+    assert(expected.exists(_._3 > 0), "fixture produced no duplicated span")
+  }
+
+  test("q123 detection is alignment-invariant (offsets differing mod the anchor modulus)") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val M = graft.queries.Pipeline.SpanAnchorMod
+    def anchor(t: String) = java.lang.Long.parseLong(md5hex(t).take(4), 16) % M == 0
+    // plant a 40-token run headed by a known anchor token, at offset 3 in
+    // one doc and offset 7 in another (3 ≠ 7 mod 8): a stride-8 grid
+    // would never align the copies; winnowing anchors on the content
+    val anchorTok = (1 to 10000).map(i => s"a$i").find(anchor).get
+    val sharedRun = anchorTok +: (1 to 39).map(i => s"r$i")
+    val docA = ((1 to 3).map(i => s"ua$i") ++ sharedRun ++
+      (1 to 20).map(i => s"va$i")).mkString(" ")
+    val docB = ((1 to 7).map(i => s"ub$i") ++ sharedRun ++
+      (1 to 20).map(i => s"vb$i")).mkString(" ")
+    val docC = (1 to 60).map(i => s"uc$i").mkString(" ")
+    val dir = corpus(Seq(1L -> docA, 2L -> docB, 3L -> docC), "spanwin")
+    val out = run("q123_span_dup", dir).collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toMap
+    assert(out(1L) >= 1 && out(2L) >= 1, s"shared run missed: $out")
+    assert(out(3L) == 0, s"unique doc flagged: $out")
+  }
+
   test("q116 sequences reconstruct exactly from a driver-side re-pack") {
     val budget = graft.queries.Pipeline.PackBudget
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

@@ -66,6 +66,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("get_json_object"), "per-key JSON walks in the plan")
   }
 
+  test("q123 anchor scan + window hashing runs exactly once") {
+    // The h-grain occurrence count rides a window over the single span
+    // shuffle. A groupBy + self-join regression re-derives the anchor
+    // scan per consumer (differing pruning defeats exchange reuse) and
+    // shows up here as a second Generate node.
+    val df = Catalog.all("q123_span_dup").build(spark, sf())
+    df.collect()
+    // AQE's toString echoes the pre-adaptive plan under "== Initial
+    // Plan ==" — count Generate nodes in the final plan only.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val generates = p.sliding("Generate explode".length)
+      .count(_ == "Generate explode")
+    assert(generates == 1, s"expected one anchor-scan Generate, got $generates:\n$p")
+  }
+
   // Whole-catalog audit: expensive join strategies may appear ONLY where
   // the query's semantics require them. An accidental cartesian (from a
   // dropped join condition) or nested loop (from a non-equi rewrite
