@@ -100,6 +100,15 @@ object Similarity {
   /** q112: outliers reported per label (the farthest-from-centroid k). */
   val OutlierK = 5
 
+  /** q124 SemDeDup cosine threshold — the q44 near-dup value, which the
+    * fixture's planted near-pairs sit just above (max pairwise cosine
+    * 0.48/0.51/0.60 at sf0.001/0.01/0.1), so the output is non-degenerate
+    * at every test scale. Production corpora run far higher (the paper
+    * sweeps ε ≈ 0.95+ on normalized LAION embeddings); the constant is
+    * the only knob.
+    */
+  val SemDedupTau = 0.45
+
   /** Pseudo-random hyperplane component for flat index `n` = plane·dim+i:
     * two rounds of a quadratic congruential mixer (only *, +, % — exact
     * BIGINT arithmetic with identical semantics in Spark and DuckDB, so
@@ -442,6 +451,71 @@ object Similarity {
               |    THEN CAST(-1.0 AS DOUBLE) ELSE rc END AS cos FROM sc0)
               |SELECT label, vec_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
               |  SELECT *, row_number() OVER (PARTITION BY label
-              |    ORDER BY cos ASC, vec_id) AS rk FROM sc) WHERE rk <= $OutlierK""".stripMargin))
+              |    ORDER BY cos ASC, vec_id) AS rk FROM sc) WHERE rk <= $OutlierK""".stripMargin)),
+
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    //      dedup as k-means clustering + within-cluster cosine pruning —
+    //      the scalable form of embedding dedup. q44 finds global
+    //      near-dup PAIRS via LSH; this prunes cluster-locally, the
+    //      published O(Σ|c|²) algorithm, reusing the q51 index verbatim:
+    //      train deterministic centroids, assign every vector, then mark
+    //      b a duplicate when some same-cluster member a with LOWER
+    //      centroid-cosine (the paper's keep-policy — the member least
+    //      typical of its cluster survives; ties by vec_id) has
+    //      cos(a, b) ≥ SemDedupTau. Deliberately the PARALLEL relaxation
+    //      of the sequential greedy sweep (b is marked even when its
+    //      witness a is itself marked): one self-join round instead of a
+    //      priority-ordered iteration — the standard trade, stated
+    //      honestly; the per-cluster minimum-priority member is provably
+    //      always kept (no lower witness exists — spec-pinned).
+    //      100 TB shape: the pairwise stage is cluster-local — the
+    //      assignment is shuffled ONCE on c_id and both self-join legs
+    //      reuse that exchange (alias-only projections canonicalize
+    //      equal, unlike q123's pruning-split consumers); Σ|c|² pairs
+    //      with k ∝ corpus keeps |c| bounded (the paper's own cost
+    //      contract; measured balance 51–72 members at fixture scale);
+    //      centroids broadcast (k rows); no global pairwise anywhere.
+    //      The final flag join re-reads the pruned (no-vector) rollup —
+    //      in production the assignment is a persisted index artifact
+    //      (the q51 pattern) and both stages read it for free.
+    "q124_semdedup" -> Q(
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = trainCentroids(s, d)
+        val wc = assignToCentroids(s, e, cents)
+          .join(broadcast(cents), Seq("c_id"))
+          .select(col("c_id"), col("vec_id"), col("v"),
+            cosine(s, col("v"), col("cv")).as("cosc"))
+          .repartition(col("c_id"))
+        val a = wc.select(col("c_id"), col("vec_id").as("a_id"),
+          col("v").as("av"), col("cosc").as("a_cosc"))
+        val b = wc.select(col("c_id"), col("vec_id").as("b_id"),
+          col("v").as("bv"), col("cosc").as("b_cosc"))
+        val dup = a.join(b, Seq("c_id"))
+          .filter(col("a_cosc") < col("b_cosc") ||
+            (col("a_cosc") === col("b_cosc") && col("a_id") < col("b_id")))
+          .filter(cosine(s, col("av"), col("bv")) >= SemDedupTau)
+          .select(col("b_id").as("vec_id")).distinct()
+        wc.join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("c_id"), round(col("cosc"), 4).as("cosc"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+              |${kmeansIterSql}
+              |asg AS (SELECT vec_id, c_id, v FROM (
+              |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn = 1),
+              |wc AS (SELECT a.c_id, a.vec_id, a.v, ${sqlCos("a.v", "c.cv")} AS cosc
+              |       FROM asg a JOIN c$KMeansIters c USING (c_id)),
+              |dup AS (SELECT DISTINCT b.vec_id
+              |        FROM wc a JOIN wc b ON a.c_id = b.c_id
+              |          AND (a.cosc < b.cosc OR (a.cosc = b.cosc AND a.vec_id < b.vec_id))
+              |        WHERE ${sqlCos("a.v", "b.v")} >= $SemDedupTau)
+              |SELECT w.vec_id, w.c_id, round(w.cosc, 4) AS cosc,
+              |  (d.vec_id IS NOT NULL) AS is_dup
+              |FROM wc w LEFT JOIN dup d USING (vec_id)""".stripMargin))
   )
 }

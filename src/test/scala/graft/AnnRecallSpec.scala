@@ -127,4 +127,36 @@ class AnnRecallSpec extends SparkSuite {
     assert(out.head == ((7L, 1, -1.0)), s"got ${out.toSeq}")
     assert(out.forall(x => !x._3.isNaN))
   }
+
+  test("q124 semdedup flags verify exactly against the pairwise definition") {
+    // Given the output's clustering (cross-checked by the DuckDB oracle),
+    // the dup flag must equal the pairwise rule verbatim: b is dup iff a
+    // same-cluster member with (cosc, id) strictly lower is ≥ tau close.
+    val tau = queries.Similarity.SemDedupTau
+    val out = graft.queries.Catalog.all("q124_semdedup").build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val vecs = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.groupBy(_._2)
+    for ((_, members) <- byCluster; (bId, _, bCosc, bDup) <- members) {
+      val expected = members.exists { case (aId, _, aCosc, _) =>
+        (aCosc < bCosc || (aCosc == bCosc && aId < bId)) &&
+          cos(vecs(aId), vecs(bId)) >= tau
+      }
+      assert(bDup == expected, s"vec $bId: flag $bDup, pairwise rule $expected")
+    }
+    // the per-cluster minimum-priority member has no witness — always kept
+    for ((c, members) <- byCluster) {
+      val m = members.minBy(x => (x._3, x._1))
+      assert(!m._4, s"cluster $c minimum-priority member ${m._1} marked dup")
+    }
+    assert(out.count(_._4) > 0, "fixture produced no semantic duplicate")
+  }
 }

@@ -45,7 +45,9 @@ object PlanDump {
     "q119_curriculum" -> "curriculum binning: one map-side-combinable histogram shuffle, quantile windows over the 1025-bucket grain, broadcast equijoin back to docs — exact global quantiles with no global sort",
     "q120_dedup_attribution" -> "dedup attribution: cluster table (near-dup docs only) id-equijoined to documents twice, #sources2-grain aggregate — AQE broadcasts the small cluster side",
     "q121_mixture_sample" -> "mixture materialization: #sources-row model broadcast back to the scan, per-row hash Bernoulli + epoch explode — one corpus-sized shuffle (the shared token aggregate), output bounded by the token budget",
-    "q122_stutter_scrub" -> "stutter scrub: index-lambda filter per row in the scan stage, zero shuffles at any corpus size")
+    "q122_stutter_scrub" -> "stutter scrub: index-lambda filter per row in the scan stage, zero shuffles at any corpus size",
+    "q123_span_dup" -> "exact-substring span report: winnowing anchors + window hashing in the scan stage, ONE (h, doc_id) shuffle; the h-grain count is a window over that exchange — the anchor scan never runs twice",
+    "q124_semdedup" -> "SemDeDup: q51 trained-centroid assignment (broadcast index), ONE c_id shuffle reused by both self-join legs, cluster-local Σ|c|² pairwise — no global pairwise anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -81,6 +81,17 @@ class PlanSpec extends SparkSuite {
     assert(generates == 1, s"expected one anchor-scan Generate, got $generates:\n$p")
   }
 
+  test("q124 self-join legs reuse the single c_id exchange") {
+    // both pairwise legs are alias-only projections over the same
+    // repartition(c_id) — they must canonicalize to ONE exchange, or the
+    // centroid-assignment subtree (a corpus scan + shuffle) runs twice.
+    val df = Catalog.all("q124_semdedup").build(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"c_id exchange not shared between self-join legs:\n$p")
+  }
+
   // Whole-catalog audit: expensive join strategies may appear ONLY where
   // the query's semantics require them. An accidental cartesian (from a
   // dropped join condition) or nested loop (from a non-equi rewrite
@@ -94,6 +105,7 @@ class PlanSpec extends SparkSuite {
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
     "q44_embed_neardup", "q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh",
+    "q124_semdedup",   // corpus × broadcast k-centroid LocalRelation (q51's shape)
     "q10_cross_join", "q107_mixture_plan",
     "q108_vocab_coverage", "q114_token_spectrum", "q121_mixture_sample")
 
