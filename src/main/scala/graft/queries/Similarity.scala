@@ -516,6 +516,7 @@ object Similarity {
               |        WHERE ${sqlCos("a.v", "b.v")} >= $SemDedupTau)
               |SELECT w.vec_id, w.c_id, round(w.cosc, 4) AS cosc,
               |  (d.vec_id IS NOT NULL) AS is_dup
-              |FROM wc w LEFT JOIN dup d USING (vec_id)""".stripMargin))
+              |FROM wc w LEFT JOIN dup d USING (vec_id)""".stripMargin),
+      headline = true)
   )
 }

@@ -30,6 +30,18 @@ object TextAnalysis {
     */
   val StopWords: Seq[String] = Seq("the", "a")
 
+  /** q125 BM25: textbook k1/b (kept as SQL-literal STRINGS so both
+    * engines parse the identical decimal text to the identical double),
+    * probe-doc count, result depth, and the fixed-point scale (2^20, the
+    * q51 value) for the order-free term-score summation.
+    */
+  val Bm25Queries = 5
+  val Bm25TopK = 5
+  val Bm25K1 = "1.2"
+  val Bm25K1p1 = "2.2"
+  val Bm25B = "0.75"
+  val FixedPoint = 1048576L
+
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
 
@@ -451,7 +463,105 @@ object TextAnalysis {
              |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
              |  CAST(len(l) - len(kept) AS INT) AS removed,
              |  CAST(len(l) AS INT) AS n_tok
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // ---- BM25 retrieval: lexical top-k search over an inverted index —
+    //      the retrieval counterpart of q50's embedding search (dedup
+    //      attribution, contamination triage, and eval-set mining all
+    //      need "find the docs most similar to THIS one" by terms).
+    //      Probe docs 0..Bm25Queries-1 are the queries (doc-as-query).
+    //      Cross-engine parity: idf is INTEGER-quantized —
+    //      length(bin(N div df)) = floor(log2(N/df)) + 1 bits, exact
+    //      BIGINT arithmetic (the q118 lesson: float ln/log2 diverge in
+    //      the last ulp across engines); the tf saturation and length
+    //      normalization are plain IEEE mul/div written in ONE canonical
+    //      order in both engines; the per-(query, doc) term sum runs in
+    //      floor(x·2^20) fixed point so the reduction is order-free at
+    //      any parallelism, and the emitted score = fsc / 2^20 is exact
+    //      — no rounding anywhere. 100 TB shape: the distinct query-term
+    //      set broadcasts; corpus tokens are filtered against it IN THE
+    //      SCAN STAGE, so only matched postings reach the one
+    //      (doc, term) tf shuffle (dl rides via first(), no corpus-grain
+    //      join-back); df is a query-term-grain aggregate broadcast
+    //      back; the (q, doc) score aggregate is map-side combinable;
+    //      graft_topk collapses candidates to ≤ k per partition before
+    //      the per-query shuffle — no ranking window over the corpus.
+    "q125_bm25" -> Q(
+      (s, d) => {
+        val docs = Tables.spread(Tables(s, d, "documents"))
+        val toks = split(col("text"), " ")
+        val tot = docs.select(size(toks).as("dl"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+        val qterms = docs.filter(col("doc_id") < Bm25Queries)
+          .select(col("doc_id").as("q_id"),
+            explode(array_distinct(toks)).as("term"))
+        val post = docs
+          .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+          .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val sc = post
+          .join(broadcast(dft), Seq("term"))
+          .crossJoin(broadcast(tot))
+          .join(broadcast(qterms), Seq("term"))
+          .filter(col("doc_id") =!= col("q_id"))
+          .withColumn("tsc", expr(
+            s"""CAST(length(bin(n_docs div df)) AS DOUBLE)
+               |  * (CAST(tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
+               |  / (CAST(tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+               |     * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+               |        + CAST($Bm25B AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))""".stripMargin))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(sum(expr(s"CAST(floor(tsc * $FixedPoint.0D) AS BIGINT)")).as("fsc"))
+          .select(col("q_id"), col("doc_id").as("n_id"),
+            (col("fsc").cast("double") / lit(FixedPoint.toDouble)).as("score"))
+        if (s.catalog.functionExists("graft_topk")) {
+          sc.groupBy(col("q_id"))
+            .agg(call_function("graft_topk", col("score"), col("n_id"),
+              lit(Bm25TopK)).as("top"))
+            .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+            .select(col("q_id"), col("t.id").as("n_id"),
+              (col("pos") + 1).cast("int").as("rk"), col("t.score").as("score"))
+        } else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+          sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= Bm25TopK)
+            .select(col("q_id"), col("n_id"), col("rk").cast("int").as("rk"),
+              col("score"))
+        }
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              |  FROM docs),
+              |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+              |       FROM docs WHERE doc_id < $Bm25Queries),
+              |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |    CAST(any_value(dl) AS BIGINT) AS dl
+              |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+              |  WHERE term IN (SELECT DISTINCT term FROM qt)
+              |  GROUP BY doc_id, term),
+              |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+              |sc AS (SELECT q.q_id, p.doc_id AS n_id,
+              |    CAST(sum(CAST(floor(
+              |      CAST(length(bin(t.n_docs // f.df)) AS DOUBLE)
+              |        * (CAST(p.tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
+              |        / (CAST(p.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+              |           * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+              |              + CAST($Bm25B AS DOUBLE) * (CAST(p.dl AS DOUBLE) / t.avgdl)))
+              |      * $FixedPoint.0) AS BIGINT)) AS BIGINT) AS fsc
+              |  FROM post p JOIN qt q USING (term) JOIN dft f USING (term)
+              |    CROSS JOIN tot t
+              |  WHERE p.doc_id <> q.q_id
+              |  GROUP BY q.q_id, p.doc_id)
+              |SELECT q_id, n_id, CAST(rk AS INT) AS rk,
+              |  CAST(fsc AS DOUBLE) / $FixedPoint.0 AS score
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY fsc DESC, n_id) AS rk FROM sc)
+              |WHERE rk <= $Bm25TopK""".stripMargin),
+      headline = true)
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and

@@ -47,7 +47,8 @@ object PlanDump {
     "q121_mixture_sample" -> "mixture materialization: #sources-row model broadcast back to the scan, per-row hash Bernoulli + epoch explode — one corpus-sized shuffle (the shared token aggregate), output bounded by the token budget",
     "q122_stutter_scrub" -> "stutter scrub: index-lambda filter per row in the scan stage, zero shuffles at any corpus size",
     "q123_span_dup" -> "exact-substring span report: winnowing anchors + window hashing in the scan stage, ONE (h, doc_id) shuffle; the h-grain count is a window over that exchange — the anchor scan never runs twice",
-    "q124_semdedup" -> "SemDeDup: q51 trained-centroid assignment (broadcast index), ONE c_id shuffle reused by both self-join legs, cluster-local Σ|c|² pairwise — no global pairwise anywhere")
+    "q124_semdedup" -> "SemDeDup: q51 trained-centroid assignment (broadcast index), ONE c_id shuffle reused by both self-join legs, cluster-local Σ|c|² pairwise — no global pairwise anywhere",
+    "q125_bm25" -> "BM25 retrieval: query-term set broadcast prunes corpus tokens in the scan stage, one matched-postings tf shuffle, df broadcast back, map-side-combinable fixed-point score aggregate, graft_topk bounded heap per query")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

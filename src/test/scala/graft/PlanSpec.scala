@@ -107,7 +107,8 @@ class PlanSpec extends SparkSuite {
     "q44_embed_neardup", "q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh",
     "q124_semdedup",   // corpus × broadcast k-centroid LocalRelation (q51's shape)
     "q10_cross_join", "q107_mixture_plan",
-    "q108_vocab_coverage", "q114_token_spectrum", "q121_mixture_sample")
+    "q108_vocab_coverage", "q114_token_spectrum", "q121_mixture_sample",
+    "q125_bm25")       // matched postings × a broadcast 1-row (N, avgdl) total
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>

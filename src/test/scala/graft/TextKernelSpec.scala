@@ -276,4 +276,42 @@ class TextKernelSpec extends SparkSuite {
       col("removed") + size(split(col("clean_text"), " ")) =!= col("n_tok")).count()
     assert(bad == 0)
   }
+
+  test("q125 BM25 matches a driver-side recomputation, scores exact") {
+    import graft.queries.TextAnalysis._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val k1 = Bm25K1.toDouble; val k1p1 = Bm25K1p1.toDouble; val b = Bm25B.toDouble
+    val qt: Map[Long, Set[String]] = docs.filter(_._1 < Bm25Queries)
+      .map { case (id, t) => id -> t.toSet }.toMap
+    val allQ = qt.values.flatten.toSet
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      t.filter(allQ).groupBy(identity).map { case (w, xs) => (id, w) -> xs.length.toLong }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val expected = (for {
+      (q, terms) <- qt.toSeq; (dId, dToks) <- docs if dId != q
+      fsc = terms.toSeq.flatMap { w =>
+        tf.get((dId, w)).map { f =>
+          val tsc = bits(n / df(w)).toDouble * (f.toDouble * k1p1) /
+            (f.toDouble + k1 * (1.0 - b + b * (dToks.length.toDouble / avgdl)))
+          math.floor(tsc * FixedPoint.toDouble).toLong
+        }
+      }.sum if fsc > 0
+    } yield (q, dId, fsc))
+      .groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+        cands.sortBy(c => (-c._3, c._2)).take(Bm25TopK).zipWithIndex
+          .map { case ((_, id, fsc), i) =>
+            (q, id, i + 1, fsc.toDouble / FixedPoint.toDouble) }
+      }.toSet
+    val out = graft.queries.Catalog.all("q125_bm25").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(out == expected, s"spark=${out.toSeq.sorted}\nexp=${expected.toSeq.sorted}")
+    assert(out.size == Bm25Queries * Bm25TopK, "retrieval depth not full")
+  }
 }
