@@ -226,6 +226,60 @@ object Pipeline {
     // spec pins)
     else when(text.isNotNull, array_distinct(shingles(split(text, " "), k)))
 
+  /** q123's window derivation, shared with the span index + streaming
+    * gate: the (doc_id, h) winnowing-anchored SpanTokens-token window
+    * hashes of a (doc_id, text, …) frame. Anchor selection and window
+    * hashing are per-row scan-stage HOFs — no shuffle here; consumers
+    * decide the partitioning. Content-defined anchoring (see
+    * SpanAnchorMod) is the property the whole family rests on: two
+    * copies of a run pick identical interior anchors at any offset.
+    */
+  def spanWindows(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    def anchorHash(c: Column) =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+    val anchors = filter(
+      sequence(lit(0), col("n") - SpanTokens),
+      i => anchorHash(element_at(col("toks"), i + 1)) % SpanAnchorMod === 0)
+    docs.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") >= SpanTokens)
+      .select(col("doc_id"), col("toks"), explode(anchors).as("i"))
+      .select(col("doc_id"),
+        conv(substring(md5(array_join(
+          slice(col("toks"), col("i") + 1, lit(SpanTokens)), " ")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+  }
+
+  /** The static span-index artifact: the corpus's DISTINCT window
+    * hashes — 8 bytes per ~SpanAnchorMod corpus tokens, the precomputed
+    * side of [[spanProbe]] (the q106 bandIndex pattern: build once from
+    * the training corpus, probe every incoming batch against it).
+    */
+  def spanIndex(docs: DataFrame): DataFrame =
+    spanWindows(docs).select(col("h")).distinct()
+
+  /** Probe a batch of (doc_id, text, …) against a static [[spanIndex]]:
+    * per doc, how many of its windows already exist in the corpus
+    * (dup_win), with keep = no overlap — the exact-substring
+    * contamination/dup gate at intake. One window shuffle on h for the
+    * semi-join; per-doc rollups; anchor-less docs re-enter with zeros
+    * and keep = true.
+    */
+  def spanProbe(batch: DataFrame, idx: DataFrame): DataFrame = {
+    val wins = spanWindows(batch)
+    val perDoc = wins
+      .join(idx, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_win"))
+    val nWin = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
+    batch.select(col("doc_id"))
+      .join(nWin, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).cast("int").as("n_win"),
+        coalesce(col("dup_win"), lit(0L)).cast("int").as("dup_win"),
+        (coalesce(col("dup_win"), lit(0L)) === 0).as("keep"))
+  }
+
   def defs: ListMap[String, Q] = ListMap(
 
     "q90_pipeline" -> Q(
@@ -1133,27 +1187,14 @@ object Pipeline {
     //      re-enter via the left join with zeros.
     "q123_span_dup" -> Q(
       (s, d) => {
-        val toks = split(col("text"), " ")
         val docs = Tables.spread(Tables(s, d, "documents"))
-          .select(col("doc_id"), col("source"), toks.as("toks"),
-            size(toks).as("n"))
-        def anchorHash(c: Column) =
-          conv(substring(md5(c), 1, 4), 16, 10).cast("long")
-        val anchors = filter(
-          sequence(lit(0), col("n") - SpanTokens),
-          i => anchorHash(element_at(col("toks"), i + 1)) % SpanAnchorMod === 0)
-        val wins = docs.filter(col("n") >= SpanTokens)
-          .select(col("doc_id"), col("toks"), explode(anchors).as("i"))
-          .select(col("doc_id"),
-            conv(substring(md5(array_join(
-              slice(col("toks"), col("i") + 1, lit(SpanTokens)), " ")), 1, 15), 16, 10)
-              .cast("long").as("h"))
-        val perDoc = wins
+        val perDoc = spanWindows(docs)
           .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_win"),
             sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_win"))
-        docs.select(col("doc_id"), col("source"), col("n").cast("int").as("n_tok"))
+        docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("int").as("n_tok"))
           .join(perDoc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("source"), col("n_tok"),
             coalesce(col("n_win"), lit(0L)).cast("int").as("n_win"),

@@ -371,6 +371,26 @@ object StatefulOps {
     * is a per-row fold, verdicts are batch-independent —
     * `StatefulOpsSpec` pins stream ≡ batch.
     */
+  /** Streaming form of q123's exact-substring detection: gate incoming
+    * docs against a STATIC corpus span index ([[graft.queries.Pipeline
+    * .spanIndex]] — distinct winnowing-anchored window hashes, built
+    * once). Each microbatch reports per doc how many of its windows
+    * already exist verbatim in the corpus; keep = zero overlap. Batch
+    * independence is exact (verdicts depend only on the static index);
+    * stateless — the window semi-join shuffles only the batch's ~n/8
+    * 16-byte rows. Content-defined anchoring makes the probe
+    * alignment-invariant: a quote lifted into an incoming doc at ANY
+    * offset selects the same interior anchors the corpus copy did.
+    */
+  def spanGate(incoming: DataFrame, idx: DataFrame, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.Pipeline.spanProbe(batch, idx), id); ()
+      }
+      .start()
+
   def surprisalGate(incoming: DataFrame, vocab: Map[String, Long], oovBits: Long,
       maxBits: Double, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =

@@ -330,6 +330,47 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("spanGate: verbatim quotes are caught at any offset, verdicts batch-independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val W = graft.queries.Pipeline.SpanTokens
+    val M = graft.queries.Pipeline.SpanAnchorMod
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => "%02x".format(b & 0xff)).mkString
+    def anchor(t: String) = java.lang.Long.parseLong(md5hex(t).take(4), 16) % M == 0
+    // a corpus run headed by a known anchor token, long enough for a
+    // full window past the anchor
+    val anchorTok = (1 to 10000).map(i => s"c$i").find(anchor).get
+    val run = anchorTok +: (1 to (W + 4)).map(i => s"r$i")
+    val corpus = Seq(
+      1L -> ((1 to 5).map(i => s"p$i") ++ run).mkString(" "),
+      2L -> (1 to 40).map(i => s"q$i").mkString(" ")).toDF("doc_id", "text")
+    val idx = graft.queries.Pipeline.spanIndex(corpus)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
+    val q = StatefulOps.spanGate(in.toDF().toDF("doc_id", "text"), idx,
+      tmpDir("spangate").toString) { (verdicts, _) =>
+      verdicts.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getInt(2), r.getBoolean(3)))
+    }
+    try {
+      // batch 1: the corpus run lifted to a DIFFERENT offset (3 vs 5 —
+      // winnowing must still align), a clean doc, and a short doc
+      in.addData(
+        18L -> ((1 to 3).map(i => s"ua$i") ++ run ++ (1 to 9).map(i => s"va$i")).mkString(" "),
+        19L -> (1 to 40).map(i => s"w$i").mkString(" "),
+        20L -> "too short")
+      q.processAllAvailable()
+      assert(got(18L)._1 >= 1 && !got(18L)._2, s"lifted quote missed: $got")
+      assert(got(19L)._2 && got(20L) == ((0, true)), s"$got")
+      // batch 2: an exact copy of batch-1's CLEAN doc is still kept —
+      // verdicts come only from the static index
+      in.addData(28L -> (1 to 40).map(i => s"w$i").mkString(" "))
+      q.processAllAvailable()
+      assert(got(28L)._2, s"batch independence violated: $got")
+    } finally q.stop()
+  }
+
   test("surprisal gate: stream verdicts equal batch scoring under the same fit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
