@@ -78,6 +78,57 @@ object ScaleProbe {
           struct(col("doc_id"), col("sh")), lit(cap))))
       time(s"composed sort_array(collect_list) ${buckets}x$k")(
         stage(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))), 1, cap)))
+    } else if (args.lift(1).contains("--span")) {
+      // q123 duplication probe: k× plain copies of the corpus (fresh
+      // ids). Window rows grow k× and every span's corpus count
+      // multiplies by k, so the h-partitioned window groups grow k× too.
+      // The property probed: cost stays ~linear in k — the one (h,
+      // doc_id) shuffle is the only row-count-bearing stage, and
+      // WindowExec's group buffering over a k×-hot span spills rather
+      // than blows. A super-linear trend here would mean the count
+      // stage re-derives windows per consumer (the groupBy+self-join
+      // regression PlanSpec pins against).
+      import org.apache.spark.sql.functions._
+      val k = args.lift(2).map(_.toInt).getOrElse(8)
+      val src = Tables(spark, dir, "documents")
+      val n = src.count()
+      time(s"q123_span_dup@1x")(
+        queries.Catalog.all("q123_span_dup").build(spark, dir).count())
+      val probeDir = s"/tmp/span_probe_$k"
+      src.select(col("doc_id"), col("text"), col("source"),
+          explode(sequence(lit(0), lit(k - 1))).as("i"))
+        .select((col("doc_id") + col("i") * n).as("doc_id"),
+          col("text"), col("source"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+      time(s"q123_span_dup@${k}x")(
+        queries.Catalog.all("q123_span_dup").build(spark, probeDir).count())
+    } else if (args.lift(1).contains("--semdedup")) {
+      // q124 growth probe: k× corpus copies with UNCHANGED NumCentroids.
+      // Every cluster's population grows k×, so the cluster-local
+      // pairwise stage grows k² — this probe MEASURES the documented
+      // Σ|c|² cost contract instead of asserting it. The mitigation is
+      // in the q124 scaladoc: k must scale with the corpus so |c| stays
+      // bounded; the near-quadratic trend printed here is the evidence
+      // for why that isn't optional. (Copies sit in id blocks above the
+      // originals so the vec_id<NumCentroids seeds stay distinct.)
+      import org.apache.spark.sql.functions._
+      val ks = args.lift(2).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(2, 4))
+      val src = Tables(spark, dir, "embeddings")
+      val n = src.count()
+      time(s"q124_semdedup@1x")(
+        queries.Catalog.all("q124_semdedup").build(spark, dir).count())
+      ks.foreach { k =>
+        val probeDir = s"/tmp/semdedup_probe_$k"
+        src.select(col("vec_id"), col("embedding"), col("label"),
+            explode(sequence(lit(0), lit(k - 1))).as("i"))
+          .select((col("vec_id") + col("i") * n).as("vec_id"),
+            col("embedding"), col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
+        time(s"q124_semdedup@${k}x")(
+          queries.Catalog.all("q124_semdedup").build(spark, probeDir).count())
+      }
     } else if (args.lift(1).contains("--cc")) {
       // Connected-components probe: an n-node chain is the adversarial
       // diameter case for q101. The r6 propagation-only loop re-evaluated
