@@ -496,41 +496,23 @@ object TextAnalysis {
         val qterms = docs.filter(col("doc_id") < Bm25Queries)
           .select(col("doc_id").as("q_id"),
             explode(array_distinct(toks)).as("term"))
+        // one-shot shape: postings restricted to the query terms BEFORE
+        // the tf shuffle (prune-at-scan) — optimal when the query set is
+        // known up front. The serving shape ([[bm25Index]]/[[bm25Probe]])
+        // instead precomputes full-vocabulary postings once and probes
+        // them per batch; same scoring kernel, different amortization.
         val post = docs
           .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
           .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
         val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val sc = post
-          .join(broadcast(dft), Seq("term"))
-          .crossJoin(broadcast(tot))
-          .join(broadcast(qterms), Seq("term"))
-          .filter(col("doc_id") =!= col("q_id"))
-          .withColumn("tsc", expr(
-            s"""CAST(length(bin(n_docs div df)) AS DOUBLE)
-               |  * (CAST(tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
-               |  / (CAST(tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
-               |     * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
-               |        + CAST($Bm25B AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))""".stripMargin))
-          .groupBy(col("q_id"), col("doc_id"))
-          .agg(sum(expr(s"CAST(floor(tsc * $FixedPoint.0D) AS BIGINT)")).as("fsc"))
-          .select(col("q_id"), col("doc_id").as("n_id"),
-            (col("fsc").cast("double") / lit(FixedPoint.toDouble)).as("score"))
-        if (s.catalog.functionExists("graft_topk")) {
-          sc.groupBy(col("q_id"))
-            .agg(call_function("graft_topk", col("score"), col("n_id"),
-              lit(Bm25TopK)).as("top"))
-            .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-            .select(col("q_id"), col("t.id").as("n_id"),
-              (col("pos") + 1).cast("int").as("rk"), col("t.score").as("score"))
-        } else {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
-          sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= Bm25TopK)
-            .select(col("q_id"), col("n_id"), col("rk").cast("int").as("rk"),
-              col("score"))
-        }
+        bm25Rank(s,
+          post.join(broadcast(dft), Seq("term"))
+            .crossJoin(broadcast(tot))
+            .join(broadcast(qterms), Seq("term"))
+            .filter(col("doc_id") =!= col("q_id")),
+          Bm25TopK)
       },
       Some(s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
               |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -595,6 +577,85 @@ object TextAnalysis {
     * precedent (a bounded model, not data), shippable to executors as a
     * map literal and to a streaming intake gate unchanged.
     */
+  /** The BM25 term-score over columns (tf, df, dl, n_docs, avgdl):
+    * integer-quantized idf (length(bin(N div df)) — no float log, the
+    * q118 rule) with tf saturation and length normalization in ONE
+    * canonical IEEE order — q125's oracle SQL mirrors this expression
+    * token for token.
+    */
+  private def bm25TscExpr: Column = expr(
+    s"""CAST(length(bin(n_docs div df)) AS DOUBLE)
+       |  * (CAST(tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
+       |  / (CAST(tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+       |     * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+       |        + CAST($Bm25B AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))""".stripMargin)
+
+  /** Score candidate (q_id, doc_id, tf, df, dl, n_docs, avgdl) rows and
+    * keep the top-k per query: fixed-point order-free term sums, then
+    * the graft_topk bounded heap (candidates collapse to ≤ k per
+    * partition BEFORE the per-query shuffle; ranking-window fallback is
+    * result-identical). Shared by q125 and [[bm25Probe]].
+    */
+  private def bm25Rank(s: SparkSession, cand: DataFrame, k: Int): DataFrame = {
+    val sc = cand
+      .withColumn("tsc", bm25TscExpr)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(expr(s"CAST(floor(tsc * $FixedPoint.0D) AS BIGINT)")).as("fsc"))
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        (col("fsc").cast("double") / lit(FixedPoint.toDouble)).as("score"))
+    if (s.catalog.functionExists("graft_topk")) {
+      sc.groupBy(col("q_id"))
+        .agg(call_function("graft_topk", col("score"), col("n_id"),
+          lit(k)).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("n_id"),
+          (col("pos") + 1).cast("int").as("rk"), col("t.score").as("score"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+      sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("q_id"), col("n_id"), col("rk").cast("int").as("rk"),
+          col("score"))
+    }
+  }
+
+  /** The static BM25 serving index over a (doc_id, text, …) corpus:
+    * full-vocabulary postings with df DENORMALIZED in at build time
+    * (term-grain join paid once, so probes pay zero term-grain joins)
+    * plus the 1-row corpus stats. In production `post` is persisted
+    * bucketed by term — every probe's postings join is then
+    * exchange-free on the index side; `tot` is two numbers.
+    */
+  final case class Bm25Index(post: DataFrame, tot: DataFrame)
+
+  def bm25Index(docs: DataFrame): Bm25Index = {
+    val toks = split(col("text"), " ")
+    val post0 = docs
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dft = post0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Bm25Index(
+      post0.join(dft, Seq("term")),
+      docs.select(size(toks).as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl")))
+  }
+
+  /** Probe a (q_id, text) query batch against a static [[Bm25Index]]:
+    * the batch's distinct terms broadcast into the postings join, so
+    * per-probe cost is proportional to the matched postings, never the
+    * corpus. Same scoring kernel as q125 (exact fixed-point scores);
+    * no self-exclusion — serving queries are not corpus docs.
+    */
+  def bm25Probe(queries: DataFrame, idx: Bm25Index, k: Int): DataFrame = {
+    val qterms = queries.select(col("q_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    bm25Rank(queries.sparkSession,
+      idx.post.join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(idx.tot)), k)
+  }
+
   def surprisalFit(s: SparkSession, d: String): (Map[String, Long], Long) = {
     val counts = Tables.spread(Tables(s, d, "documents"))
       .select(explode(split(col("text"), " ")).as("token"))

@@ -371,6 +371,23 @@ object StatefulOps {
     * is a per-row fold, verdicts are batch-independent —
     * `StatefulOpsSpec` pins stream ≡ batch.
     */
+  /** Streaming BM25 serving: (q_id, text) query microbatches probe a
+    * STATIC [[graft.queries.TextAnalysis.Bm25Index]] (built once from
+    * the corpus — the lexical sibling of [[annSearch]]'s embedding
+    * serving). Stateless; per-batch cost ∝ matched postings of the
+    * batch's terms, never the corpus; scores are the exact fixed-point
+    * values q125 emits, so stream ≡ batch is pinnable to equality.
+    */
+  def bm25Search(queries: DataFrame, idx: graft.queries.TextAnalysis.Bm25Index,
+      k: Int, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.TextAnalysis.bm25Probe(batch, idx, k), id); ()
+      }
+      .start()
+
   /** Streaming form of q123's exact-substring detection: gate incoming
     * docs against a STATIC corpus span index ([[graft.queries.Pipeline
     * .spanIndex]] — distinct winnowing-anchored window hashes, built

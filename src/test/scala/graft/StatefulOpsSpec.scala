@@ -330,6 +330,50 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bm25Search: streamed queries equal the batch probe, scores exact vs hand computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.TextAnalysis._
+    // planted corpus with hand-checkable stats: N=4, dl=3 each, avgdl=3
+    val corpus = Seq(
+      1L -> "apple banana cherry",
+      2L -> "apple banana banana",
+      3L -> "apple dates edam",
+      4L -> "figs grape honey").toDF("doc_id", "text")
+    val idx = bm25Index(corpus)
+    // driver-exact expectation for query "banana dates":
+    //   banana: df=2, idf=bits(4/2)=2; dates: df=1, idf=bits(4/1)=3
+    //   dl=avgdl ⇒ denom = tf + 1.2; tsc = idf * tf*2.2 / (tf+1.2)
+    def fp(x: Double) = math.floor(x * FixedPoint.toDouble)
+    val sBanana1 = fp(2.0 * (1.0 * 2.2) / (1.0 + 1.2)) / FixedPoint.toDouble
+    val sBanana2 = fp(2.0 * (2.0 * 2.2) / (2.0 + 1.2)) / FixedPoint.toDouble
+    val sDates = fp(3.0 * (1.0 * 2.2) / (1.0 + 1.2)) / FixedPoint.toDouble
+    val expected = Set(
+      (10L, 3L, 1, sDates),                   // rare term: idf 3, saturated tf
+      (10L, 2L, 2, sBanana2),                 // two bananas, common term
+      (10L, 1L, 3, sBanana1))
+    val batch = bm25Probe(Seq(10L -> "banana dates").toDF("q_id", "text"), idx, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(batch == expected, s"batch probe: $batch\nexpected: $expected")
+    // stream over two batches — results must equal the batch probe
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int, Double)]
+    val q = StatefulOps.bm25Search(in.toDF().toDF("q_id", "text"), idx, 3,
+      tmpDir("bm25search").toString) { (top, _) =>
+      got ++= top.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    }
+    try {
+      in.addData(10L -> "banana dates")
+      q.processAllAvailable()
+      in.addData(11L -> "figs apple")
+      q.processAllAvailable()
+      val expected11 = bm25Probe(Seq(11L -> "figs apple").toDF("q_id", "text"), idx, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(got.toSet == expected ++ expected11,
+        s"stream/batch divergence: ${got.toSet diff (expected ++ expected11)}")
+    } finally q.stop()
+  }
+
   test("spanGate: verbatim quotes are caught at any offset, verdicts batch-independent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
