@@ -234,7 +234,16 @@ object Pipeline {
     * SpanAnchorMod) is the property the whole family rests on: two
     * copies of a run pick identical interior anchors at any offset.
     */
-  def spanWindows(docs: DataFrame): DataFrame = {
+  def spanWindows(docs: DataFrame): DataFrame =
+    spanWindowsPos(docs).select(col("doc_id"), col("h"))
+
+  /** [[spanWindows]] with the 0-based window start position kept —
+    * q126's scrub needs to know WHERE the duplicated window sits.
+    * Consumers that only need (doc_id, h) go through [[spanWindows]];
+    * column pruning drops `i` before any shuffle there, so the narrower
+    * consumers pay nothing for the shared derivation.
+    */
+  def spanWindowsPos(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     def anchorHash(c: Column) =
       conv(substring(md5(c), 1, 4), 16, 10).cast("long")
@@ -244,7 +253,7 @@ object Pipeline {
     docs.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
       .filter(col("n") >= SpanTokens)
       .select(col("doc_id"), col("toks"), explode(anchors).as("i"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("i"),
         conv(substring(md5(array_join(
           slice(col("toks"), col("i") + 1, lit(SpanTokens)), " ")), 1, 15), 16, 10)
           .cast("long").as("h"))
@@ -1217,6 +1226,69 @@ object Pipeline {
               |SELECT t.doc_id, t.source, CAST(t.n AS INT) AS n_tok,
               |  coalesce(pd.n_win, 0) AS n_win, coalesce(pd.dup_win, 0) AS dup_win
               |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin),
+      headline = true),
+
+    // ---- exact-substring REMOVAL (q123 detects; this is Lee et al.
+    //      2022's actual dedup transform): excise every token covered by
+    //      a window that also occurs in a LOWER-id document — the lowest
+    //      doc_id holding a span keeps its text, every later copy loses
+    //      exactly the duplicated run. Within-doc repetition (cnt ≥ 2
+    //      all inside the keeper doc) is deliberately NOT scrubbed —
+    //      that's q122/q96's axis; this one is cross-document. 100 TB
+    //      shape: same single (h-partitioned) shuffle as q123 — count
+    //      AND keeper come from one window over that exchange; scrub
+    //      starts roll up doc-grain (bounded by ~n/SpanAnchorMod starts
+    //      per doc); the mask is a per-row HOF — per-doc cost
+    //      O(n × scrubbed windows), quadratic only for a pathological
+    //      fully-duplicated long doc, which the dup_win signal (q123)
+    //      would route to whole-doc drop before any scrub pass.
+    "q126_span_scrub" -> Q(
+      (s, d) => {
+        val docs = Tables.spread(Tables(s, d, "documents"))
+        val w = Window.partitionBy(col("h"))
+        val scrub = spanWindowsPos(docs)
+          .withColumn("cnt", count(lit(1)).over(w))
+          .withColumn("keeper", min(col("doc_id")).over(w))
+          .filter(col("cnt") >= 2 && col("doc_id") =!= col("keeper"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("i"))).as("starts"))
+        val toks = split(col("text"), " ")
+        val kept = filter(toks, (x, j) =>
+          !exists(col("starts"), st => j >= st && st + SpanTokens > j))
+        docs.join(scrub, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("starts").isNull, col("text"))
+              .otherwise(concat_ws(" ", kept)).as("clean_text"),
+            when(col("starts").isNull, lit(0))
+              .otherwise(size(toks) - size(kept)).cast("int").as("removed"),
+            size(toks).cast("int").as("n_tok"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks,
+              |    len(string_split(text,' ')) AS n FROM documents),
+              |w AS (SELECT doc_id, i,
+              |    CAST('0x' || substr(md5(array_to_string(
+              |      toks[i : i + ${SpanTokens - 1}], ' ')), 1, 15) AS BIGINT) AS h
+              |  FROM (SELECT doc_id, toks,
+              |      unnest(generate_series(1, n - ${SpanTokens - 1})) AS i
+              |    FROM t WHERE n >= $SpanTokens)
+              |  WHERE CAST('0x' || substr(md5(toks[i]), 1, 4) AS BIGINT)
+              |    % $SpanAnchorMod = 0),
+              |f AS (SELECT doc_id, i FROM (
+              |    SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS cnt,
+              |           min(doc_id) OVER (PARTITION BY h) AS keeper FROM w)
+              |  WHERE cnt >= 2 AND doc_id <> keeper),
+              |s AS (SELECT doc_id, list(i ORDER BY i) AS starts FROM f GROUP BY doc_id)
+              |SELECT t.doc_id,
+              |  CASE WHEN s.starts IS NULL THEN t.text
+              |    ELSE array_to_string(list_filter(t.toks, (x, j) ->
+              |      len(list_filter(s.starts, st ->
+              |        j >= st AND st + $SpanTokens > j)) = 0), ' ') END AS clean_text,
+              |  CASE WHEN s.starts IS NULL THEN 0
+              |    ELSE CAST(t.n - len(list_filter(t.toks, (x, j) ->
+              |      len(list_filter(s.starts, st ->
+              |        j >= st AND st + $SpanTokens > j)) = 0)) AS INT) END AS removed,
+              |  CAST(t.n AS INT) AS n_tok
+              |FROM t LEFT JOIN s USING (doc_id)""".stripMargin),
       headline = true)
   )
 

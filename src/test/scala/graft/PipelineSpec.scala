@@ -213,6 +213,62 @@ class PipelineSpec extends SparkSuite {
     assert(out(3L) == 0, s"unique doc flagged: $out")
   }
 
+  test("q126 scrub equals a driver-side winnowing + keeper-mask recomputation") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => "%02x".format(b & 0xff)).mkString
+    val W = graft.queries.Pipeline.SpanTokens
+    val M = graft.queries.Pipeline.SpanAnchorMod
+    def anchor(t: String) = java.lang.Long.parseLong(md5hex(t).take(4), 16) % M == 0
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < W) Seq.empty
+      else (0 to toks.length - W).filter(i => anchor(toks(i)))
+        .map(i => (md5hex(toks.slice(i, i + W).mkString(" ")).take(15), id, i))
+    }
+    val byH = wins.groupBy(_._1)
+    val scrub: Map[Long, Seq[Int]] = wins.filter { case (h, id, _) =>
+      byH(h).size >= 2 && id != byH(h).map(_._2).min
+    }.groupBy(_._2).map { case (id, xs) => id -> xs.map(_._3).toSeq }
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val starts = scrub.getOrElse(id, Seq.empty)
+      val kept = toks.zipWithIndex.collect {
+        case (t, j) if !starts.exists(st => j >= st && st + W > j) => t }
+      (id, if (starts.isEmpty) text else kept.mkString(" "),
+        if (starts.isEmpty) 0 else toks.length - kept.length, toks.length)
+    }.toSet
+    val out = run("q126_span_scrub", sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(out == expected)
+    assert(expected.exists(_._3 > 0), "fixture scrubbed nothing")
+  }
+
+  test("q126 keeper asymmetry: the lowest doc keeps the shared run, the copy loses it") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => "%02x".format(b & 0xff)).mkString
+    val M = graft.queries.Pipeline.SpanAnchorMod
+    def anchor(t: String) = java.lang.Long.parseLong(md5hex(t).take(4), 16) % M == 0
+    val anchorTok = (1 to 10000).map(i => s"a$i").find(anchor).get
+    val sharedRun = anchorTok +: (1 to 39).map(i => s"r$i")
+    val docA = ((1 to 3).map(i => s"ua$i") ++ sharedRun ++
+      (1 to 20).map(i => s"va$i")).mkString(" ")
+    val docB = ((1 to 7).map(i => s"ub$i") ++ sharedRun ++
+      (1 to 20).map(i => s"vb$i")).mkString(" ")
+    val docC = (1 to 60).map(i => s"uc$i").mkString(" ")
+    val dir = corpus(Seq(1L -> docA, 2L -> docB, 3L -> docC), "spanscrub")
+    val out = run("q126_span_scrub", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((docA, 0)), s"keeper doc modified: ${out(1L)}")
+    assert(out(2L)._2 > 0, s"copy untouched: ${out(2L)}")
+    assert(!out(2L)._1.contains(anchorTok), "duplicated anchor survives in the copy")
+    assert(out(2L)._1.contains("ub1") && out(2L)._1.contains("vb20"),
+      s"unique text lost: ${out(2L)}")
+    assert(out(3L) == ((docC, 0)), s"unrelated doc modified: ${out(3L)}")
+  }
+
   test("q116 sequences reconstruct exactly from a driver-side re-pack") {
     val budget = graft.queries.Pipeline.PackBudget
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
