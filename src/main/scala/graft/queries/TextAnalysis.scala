@@ -543,6 +543,59 @@ object TextAnalysis {
               |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
               |    ORDER BY fsc DESC, n_id) AS rk FROM sc)
               |WHERE rk <= $Bm25TopK""".stripMargin),
+      headline = true),
+
+    // ---- DSIR data selection (Xie et al. 2023): score every non-target
+    //      doc by its importance log-weight under target-vs-raw unigram
+    //      models — Σ_t (raw_bits − target_bits) in q118's integer-
+    //      quantized log2 — and resample with probability ∝ exp(weight),
+    //      which for an integer log2 weight is EXACTLY
+    //      min(1, 2^(w+DsirShift)): the keep verdict is a BIGINT
+    //      shift/compare against the doc's deterministic md5 u32
+    //      fraction (q93's sampling coin) — no float pow/exp/log on
+    //      either engine. 100 TB shape: ONE corpus-sized token hash-agg
+    //      fits BOTH models (conditional count), the merged ≤2V-entry
+    //      delta map ships as a literal, and scoring+resampling are a
+    //      zero-shuffle per-row fold in the scan stage.
+    "q127_dsir_weight" -> Q(
+      (s, d) => {
+        val (delta, oov) = dsirFit(s, d)
+        dsirScore(
+          Tables.spread(Tables(s, d, "documents"))
+            .filter(col("source") =!= DsirTarget), delta, oov)
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("w_bits"), col("w_per_tok"), col("keep"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS token
+              |  FROM documents),
+              |c AS (SELECT token, count(*) AS tf_all,
+              |    count(*) FILTER (WHERE source = '$DsirTarget') AS tf_t
+              |  FROM tok GROUP BY token),
+              |tt AS (SELECT CAST(sum(tf_t) AS BIGINT) AS total_t,
+              |    CAST(sum(tf_all - tf_t) AS BIGINT) AS total_r FROM c),
+              |vt AS (SELECT token, CAST(length(bin(CAST((SELECT total_t FROM tt) // tf_t AS BIGINT))) AS BIGINT) AS bits
+              |  FROM (SELECT token, tf_t FROM c WHERE tf_t > 0
+              |        ORDER BY tf_t DESC, token LIMIT $VocabTopV)),
+              |vr AS (SELECT token, CAST(length(bin(CAST((SELECT total_r FROM tt) // tf_r AS BIGINT))) AS BIGINT) AS bits
+              |  FROM (SELECT token, tf_all - tf_t AS tf_r FROM c WHERE tf_all - tf_t > 0
+              |        ORDER BY tf_all - tf_t DESC, token LIMIT $VocabTopV)),
+              |oo AS (SELECT CAST(length(bin(total_r)) AS BIGINT) AS oov_r,
+              |    CAST(length(bin(total_t)) AS BIGINT) AS oov_t FROM tt),
+              |t2 AS (SELECT doc_id, source, token FROM tok WHERE source <> '$DsirTarget'),
+              |w AS (SELECT t2.doc_id, t2.source,
+              |    CAST(count(*) AS BIGINT) AS n_tok,
+              |    CAST(sum(coalesce(vr.bits, (SELECT oov_r FROM oo))
+              |           - coalesce(vt.bits, (SELECT oov_t FROM oo))) AS BIGINT) AS w_bits
+              |  FROM t2 LEFT JOIN vr ON vr.token = t2.token
+              |    LEFT JOIN vt ON vt.token = t2.token
+              |  GROUP BY t2.doc_id, t2.source)
+              |SELECT doc_id, source, n_tok, w_bits,
+              |  CAST(w_bits AS DOUBLE) / n_tok AS w_per_tok,
+              |  CASE WHEN w_bits + $DsirShift >= 0 THEN true
+              |       WHEN 32 + w_bits + $DsirShift < 0 THEN false
+              |       ELSE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT)
+              |            < (CAST(1 AS BIGINT) << CAST(32 + w_bits + $DsirShift AS INT)) END AS keep
+              |FROM w""".stripMargin),
       headline = true)
   )
 
@@ -690,6 +743,82 @@ object TextAnalysis {
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("bits_per_tok", col("surp_bits").cast("double") / size(toks))
   }
+
+  /** q127's dual-model fit (DSIR, Xie et al. 2023 "Data Selection for
+    * Language Models via Importance Resampling"): a TARGET unigram model
+    * over the docs of [[DsirTarget]] and a RAW model over everything
+    * else, both in q118's integer-quantized form (top-[[VocabTopV]] head,
+    * length(bin(total div tf)) bits, OOV floor = bits(total)). Returned
+    * pre-MERGED as token → (raw_bits − target_bits) over the union of
+    * the two heads, with the default = oov_raw − oov_target, so scoring
+    * is ONE fold over one map literal. 100 TB shape: both models come
+    * out of a single corpus-sized token hash-agg with a conditional
+    * count (never two corpus scans); the aggregate is vocabulary-sized
+    * and persisted across its three small reductions (totals + two
+    * heads); the artifact is ≤ 2·V entries — the q51 trained-centroid
+    * precedent (a bounded model, not data).
+    */
+  def dsirFit(s: SparkSession, d: String): (Map[String, Long], Long) = {
+    val c = Tables.spread(Tables(s, d, "documents"))
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf_all"),
+        count_if(col("source") === DsirTarget).as("tf_t"))
+      .persist()
+    try {
+      val tfR = col("tf_all") - col("tf_t")
+      val tot = c.agg(sum(col("tf_t")).as("tt"), sum(tfR).as("tr")).collect()(0)
+      val totalT = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+      val totalR = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+      def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+      def head(tf: Column, total: Long): Map[String, Long] =
+        c.filter(tf > 0).orderBy(tf.desc, col("token").asc).limit(VocabTopV)
+          .select(col("token"), tf.as("tf")).collect()
+          .map(r => r.getString(0) -> bits(total / r.getLong(1))).toMap
+      val hT = head(col("tf_t"), totalT)
+      val hR = head(tfR, totalR)
+      val (oovT, oovR) = (bits(totalT), bits(totalR))
+      val delta = (hT.keySet ++ hR.keySet).iterator
+        .map(t => t -> (hR.getOrElse(t, oovR) - hT.getOrElse(t, oovT))).toMap
+      (delta, oovR - oovT)
+    } finally { c.unpersist(); () }
+  }
+
+  /** Score rows with (doc_id, text) under a [[dsirFit]] model: appends
+    * n_tok, w_bits = Σ_t (raw_bits − target_bits) (the DSIR importance
+    * log-weight, in quantized log2 bits — higher ⇒ more target-like),
+    * w_per_tok, and the resampling verdict `keep`. Because the weight
+    * is an INTEGER log2, the paper's keep-probability ∝ exp(w) is
+    * exactly min(1, 2^(w_bits + [[DsirShift]])) — decided against the
+    * doc's deterministic md5 u32 fraction in pure BIGINT shift/compare
+    * arithmetic: no float pow/exp anywhere (the q118 no-float-log rule
+    * applied to resampling). Zero-shuffle per-row fold in the scan
+    * stage; streams verbatim — see `StatefulOps.dsirGate`.
+    */
+  def dsirScore(df: DataFrame, delta: Map[String, Long], deltaOov: Long): DataFrame = {
+    val dm = typedLit(delta)
+    val toks = split(col("text"), " ")
+    val w = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(dm, t), lit(deltaOov)))
+    df.withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("w_bits", w)
+      .withColumn("w_per_tok", col("w_bits").cast("double") / size(toks))
+      .withColumn("keep",
+        when(col("w_bits") + lit(DsirShift) >= 0, lit(true))
+          .when(col("w_bits") + lit(DsirShift) + 32 < 0, lit(false))
+          .otherwise(
+            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") <
+              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(w_bits + $DsirShift + 32 AS INT))")))
+  }
+
+  /** q127: the DSIR target domain (the source whose distribution the
+    * selection steers toward) and the resampling exponent shift —
+    * keep-probability = min(1, 2^(w_bits + DsirShift)), chosen so the
+    * verdict is non-degenerate across the fixture SFs (measured
+    * 235/475, 301/475, 4747/4750 keeps at sf0.001/0.01/0.1).
+    */
+  val DsirTarget = "src0"
+  val DsirShift = 16
 
   /** q108: vocabulary prefix size for the coverage curve. */
   val VocabTopV = 50

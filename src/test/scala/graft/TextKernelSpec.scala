@@ -314,4 +314,53 @@ class TextKernelSpec extends SparkSuite {
     assert(out == expected, s"spark=${out.toSeq.sorted}\nexp=${expected.toSeq.sorted}")
     assert(out.size == Bm25Queries * Bm25TopK, "retrieval depth not full")
   }
+
+  test("q127 DSIR: weights match a driver-side dual fit, keep is the exact 2^w coin") {
+    import graft.queries.TextAnalysis.{DsirShift, DsirTarget, VocabTopV}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // dual unigram fit from one conceptual pass: per-token (tf_all, tf_target)
+    val tfAll = scala.collection.mutable.Map.empty[String, Long]
+    val tfT = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, src, txt) =>
+      txt.split(" ", -1).foreach { t =>
+        tfAll(t) = tfAll.getOrElse(t, 0L) + 1
+        if (src == DsirTarget) tfT(t) = tfT.getOrElse(t, 0L) + 1
+      }
+    }
+    val totalT = tfT.values.sum
+    val totalR = tfAll.values.sum - totalT
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    def head(tf: Map[String, Long], total: Long): Map[String, Long] =
+      tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(VocabTopV)
+        .map { case (t, c) => t -> bits(total / c) }.toMap
+    val hT = head(tfT.toMap, totalT)
+    val hR = head(tfAll.map { case (t, c) => t -> (c - tfT.getOrElse(t, 0L)) }
+      .filter(_._2 > 0).toMap, totalR)
+    val (oovT, oovR) = (bits(totalT), bits(totalR))
+    def u32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      // mask each byte: JVM bytes are signed (the NOTES.md footgun)
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val expected = docs.filter(_._2 != DsirTarget).map { case (id, src, txt) =>
+      val w = txt.split(" ", -1)
+        .map(t => hR.getOrElse(t, oovR) - hT.getOrElse(t, oovT)).sum
+      val keep =
+        if (w + DsirShift >= 0) true
+        else if (32 + w + DsirShift < 0) false
+        else u32(id) < (1L << (32 + w + DsirShift))
+      id -> ((src, w, keep))
+    }.toMap
+    val out = graft.queries.Catalog.all("q127_dsir_weight").build(spark, sf())
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getBoolean(5))))
+      .toMap
+    assert(out == expected)
+    // the resampling coin must be non-degenerate on the fixture
+    assert(out.values.exists(_._3) && out.values.exists(!_._3),
+      "keep verdict degenerate on the fixture corpus")
+  }
 }
