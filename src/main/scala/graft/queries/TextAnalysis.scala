@@ -42,6 +42,11 @@ object TextAnalysis {
   val Bm25B = "0.75"
   val FixedPoint = 1048576L
 
+  /** q128's reciprocal-rank-fusion constant (the k=60 of Cormack et al.
+    * 2009) — each list contributes floor(2^20 / (RrfK + rank)).
+    */
+  val RrfK = 60
+
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
 
@@ -487,33 +492,7 @@ object TextAnalysis {
     //      graft_topk collapses candidates to ≤ k per partition before
     //      the per-query shuffle — no ranking window over the corpus.
     "q125_bm25" -> Q(
-      (s, d) => {
-        val docs = Tables.spread(Tables(s, d, "documents"))
-        val toks = split(col("text"), " ")
-        val tot = docs.select(size(toks).as("dl"))
-          .agg(count(lit(1)).as("n_docs"),
-            (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-        val qterms = docs.filter(col("doc_id") < Bm25Queries)
-          .select(col("doc_id").as("q_id"),
-            explode(array_distinct(toks)).as("term"))
-        // one-shot shape: postings restricted to the query terms BEFORE
-        // the tf shuffle (prune-at-scan) — optimal when the query set is
-        // known up front. The serving shape ([[bm25Index]]/[[bm25Probe]])
-        // instead precomputes full-vocabulary postings once and probes
-        // them per batch; same scoring kernel, different amortization.
-        val post = docs
-          .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
-          .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-        val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        bm25Rank(s,
-          post.join(broadcast(dft), Seq("term"))
-            .crossJoin(broadcast(tot))
-            .join(broadcast(qterms), Seq("term"))
-            .filter(col("doc_id") =!= col("q_id")),
-          Bm25TopK)
-      },
+      (s, d) => bm25SelfRank(s, d),
       Some(s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
               |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
               |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
@@ -596,6 +575,81 @@ object TextAnalysis {
               |       ELSE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT)
               |            < (CAST(1 AS BIGINT) << CAST(32 + w_bits + $DsirShift AS INT)) END AS keep
               |FROM w""".stripMargin),
+      headline = true),
+
+    // ---- hybrid retrieval (RRF, Cormack et al. 2009): fuse the q125
+    //      lexical rank list with the dense cosine rank list over the
+    //      same id domain by reciprocal-rank fusion. The fused score is
+    //      EXACT integer fixed point — Σ floor(2^20 / (K + rank)) as
+    //      BIGINT, never a float 1/(K+r) sum — so both engines agree
+    //      bit-for-bit. 100 TB shape: each leg is its own already-
+    //      bounded top-k pipeline (BM25: prune-at-scan postings +
+    //      graft_topk; dense: broadcast query batch + graft_topk); the
+    //      fusion join and final rank see only queries×k rows — ≤ 2k
+    //      candidates per query — so the window after the legs is
+    //      negligible at any corpus size.
+    "q128_hybrid_rrf" -> Q(
+      (s, d) => {
+        val e = Tables.spread(Tables(s, d, "embeddings"))
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val den = Similarity.searchTopK(s, e,
+          e.filter(col("vec_id") < Bm25Queries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")), Bm25TopK)
+        rrfFuse(bm25SelfRank(s, d), den, Bm25TopK)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              |  FROM docs),
+              |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+              |       FROM docs WHERE doc_id < $Bm25Queries),
+              |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |    CAST(any_value(dl) AS BIGINT) AS dl
+              |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+              |  WHERE term IN (SELECT DISTINCT term FROM qt)
+              |  GROUP BY doc_id, term),
+              |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+              |lsc AS (SELECT q.q_id, p.doc_id AS n_id,
+              |    CAST(sum(CAST(floor(
+              |      CAST(length(bin(t.n_docs // f.df)) AS DOUBLE)
+              |        * (CAST(p.tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
+              |        / (CAST(p.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+              |           * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+              |              + CAST($Bm25B AS DOUBLE) * (CAST(p.dl AS DOUBLE) / t.avgdl)))
+              |      * $FixedPoint.0) AS BIGINT)) AS BIGINT) AS fsc
+              |  FROM post p JOIN qt q USING (term) JOIN dft f USING (term)
+              |    CROSS JOIN tot t
+              |  WHERE p.doc_id <> q.q_id
+              |  GROUP BY q.q_id, p.doc_id),
+              |lexr AS (SELECT q_id, n_id, rk
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY fsc DESC, n_id) AS rk FROM lsc)
+              |  WHERE rk <= $Bm25TopK),
+              |e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $Bm25Queries),
+              |dsc AS (SELECT q_id, e.vec_id AS n_id,
+              |    list_dot_product(qv, e.v)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+              |  FROM q JOIN e ON e.vec_id <> q.q_id),
+              |denr AS (SELECT q_id, n_id, rk
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS rk FROM dsc)
+              |  WHERE rk <= $Bm25TopK),
+              |f AS (SELECT coalesce(l.q_id, dn.q_id) AS q_id,
+              |    coalesce(l.n_id, dn.n_id) AS n_id,
+              |    l.rk AS lex_rk, dn.rk AS den_rk,
+              |    coalesce($FixedPoint // ($RrfK + l.rk), 0)
+              |      + coalesce($FixedPoint // ($RrfK + dn.rk), 0) AS rrf_fp
+              |  FROM lexr l FULL JOIN denr dn
+              |    ON l.q_id = dn.q_id AND l.n_id = dn.n_id)
+              |SELECT q_id, n_id, CAST(lex_rk AS INT) AS lex_rk,
+              |  CAST(den_rk AS INT) AS den_rk, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+              |  CAST(rk AS INT) AS rk
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY rrf_fp DESC, n_id) AS rk FROM f)
+              |WHERE rk <= $Bm25TopK""".stripMargin),
       headline = true)
   )
 
@@ -670,6 +724,60 @@ object TextAnalysis {
         .select(col("q_id"), col("n_id"), col("rk").cast("int").as("rk"),
           col("score"))
     }
+  }
+
+  /** q125's one-shot self-retrieval: the first [[Bm25Queries]] docs as
+    * queries against the whole corpus, top [[Bm25TopK]] by exact
+    * fixed-point BM25. Postings are restricted to the query terms
+    * BEFORE the tf shuffle (prune-at-scan) — optimal when the query set
+    * is known up front; the serving shape ([[bm25Index]]/[[bm25Probe]])
+    * instead precomputes full-vocabulary postings once and probes them
+    * per batch. Shared by q125 and q128's lexical leg.
+    */
+  private def bm25SelfRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables(s, d, "documents"))
+    val toks = split(col("text"), " ")
+    val tot = docs.select(size(toks).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qterms = docs.filter(col("doc_id") < Bm25Queries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(toks)).as("term"))
+    val post = docs
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Rank(s,
+      post.join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(tot))
+        .join(broadcast(qterms), Seq("term"))
+        .filter(col("doc_id") =!= col("q_id")),
+      Bm25TopK)
+  }
+
+  /** q128's fusion kernel: two (q_id, n_id, rk) rank lists → per-query
+    * top-k by reciprocal-rank fusion. The fused score is
+    * Σ floor(2^20 / ([[RrfK]] + rank)) summed as BIGINT — integer
+    * division, order-free, bit-identical across engines; a float
+    * 1/(K+r) sum would not be. Inputs are k-sized per query, so the
+    * full-outer fusion join and the final ranking window see ≤ 2k rows
+    * per query regardless of corpus size.
+    */
+  def rrfFuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame = {
+    val contrib = (rk: String) =>
+      coalesce(expr(s"CAST($FixedPoint DIV ($RrfK + $rk) AS BIGINT)"), lit(0L))
+    val fused = lex.select(col("q_id"), col("n_id"), col("rk").as("lex_rk"))
+      .join(den.select(col("q_id"), col("n_id"), col("rk").as("den_rk")),
+        Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf_fp", contrib("lex_rk") + contrib("den_rk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_fp").desc, col("n_id").asc)
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("lex_rk").cast("int").as("lex_rk"),
+        col("den_rk").cast("int").as("den_rk"), col("rrf_fp"),
+        col("rk").cast("int").as("rk"))
   }
 
   /** The static BM25 serving index over a (doc_id, text, …) corpus:

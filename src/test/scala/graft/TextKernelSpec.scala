@@ -363,4 +363,39 @@ class TextKernelSpec extends SparkSuite {
     assert(out.values.exists(_._3) && out.values.exists(!_._3),
       "keep verdict degenerate on the fixture corpus")
   }
+
+  test("q128 RRF fusion: both-lists, lex-only, den-only branches are exact") {
+    import graft.queries.TextAnalysis
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 12L, 1))
+      .toDF("q_id", "n_id", "rk")
+    val den = Seq((0L, 10L, 1), (0L, 13L, 2), (1L, 14L, 1))
+      .toDF("q_id", "n_id", "rk")
+    val out = TextAnalysis.rrfFuse(lex, den, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), r.getLong(4), r.getInt(5)))
+      .toSet
+    // floor(2^20/61) = 17189, floor(2^20/62) = 16912; the n11/n13 tie
+    // at 16912 breaks by n_id ASC, as does the cross-query n12/n14 tie
+    val expected = Set(
+      (0L, 10L, Some(1), Some(1), 2 * 17189L, 1),
+      (0L, 11L, Some(2), None, 16912L, 2),
+      (0L, 13L, None, Some(2), 16912L, 3),
+      (1L, 12L, Some(1), None, 17189L, 1),
+      (1L, 14L, None, Some(1), 17189L, 2))
+    assert(out == expected)
+  }
+
+  test("q128 on the fixture: full depth, contiguous ranks, fused order") {
+    import graft.queries.TextAnalysis.{Bm25Queries, Bm25TopK}
+    val rows = graft.queries.Catalog.all("q128_hybrid_rrf").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getInt(5)))
+    assert(rows.length == Bm25Queries * Bm25TopK)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to Bm25TopK), s"q=$q ranks")
+      // fused score must be non-increasing in rank
+      val byRk = rs.sortBy(_._3).map(_._2)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b }, s"q=$q order")
+    }
+  }
 }
