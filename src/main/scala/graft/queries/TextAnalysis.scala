@@ -817,6 +817,20 @@ object TextAnalysis {
         .crossJoin(broadcast(idx.tot)), k)
   }
 
+  /** q128's serving shape: probe a (q_id, text, qv) query batch against
+    * BOTH static indexes — the [[Bm25Index]] lexical postings and the
+    * dense corpus (vec_id, v) — and fuse the two top-k lists with
+    * [[rrfFuse]]. Per-batch cost = matched postings + one corpus scan;
+    * the fusion itself touches only queries×k rows. Streaming form:
+    * [[graft.streaming.StatefulOps.hybridSearch]].
+    */
+  def hybridProbe(queries: DataFrame, idx: Bm25Index, corpus: DataFrame,
+                  k: Int): DataFrame =
+    rrfFuse(
+      bm25Probe(queries.select(col("q_id"), col("text")), idx, k),
+      Similarity.searchTopK(queries.sparkSession, corpus,
+        queries.select(col("q_id"), col("qv")), k), k)
+
   def surprisalFit(s: SparkSession, d: String): (Map[String, Long], Long) = {
     val counts = Tables.spread(Tables(s, d, "documents"))
       .select(explode(split(col("text"), " ")).as("token"))

@@ -388,6 +388,25 @@ object StatefulOps {
       }
       .start()
 
+  /** Streaming hybrid retrieval: (q_id, text, qv) query microbatches
+    * probe BOTH static indexes — the [[graft.queries.TextAnalysis
+    * .Bm25Index]] lexical postings and the dense corpus (vec_id, v) —
+    * and each batch is answered with the exact integer-fixed-point RRF
+    * fusion of the two top-k lists (q128's kernel). Stateless; both
+    * legs are the already-amortized serving shapes ([[bm25Search]],
+    * [[annSearch]]), so per-batch cost is matched postings + one corpus
+    * scan, and stream ≡ batch is pinnable to equality.
+    */
+  def hybridSearch(queries: DataFrame, idx: graft.queries.TextAnalysis.Bm25Index,
+      corpus: DataFrame, k: Int, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.TextAnalysis.hybridProbe(batch, idx, corpus, k), id); ()
+      }
+      .start()
+
   /** Streaming form of q123's exact-substring detection: gate incoming
     * docs against a STATIC corpus span index ([[graft.queries.Pipeline
     * .spanIndex]] — distinct winnowing-anchored window hashes, built

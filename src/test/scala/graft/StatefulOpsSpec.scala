@@ -374,6 +374,40 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("hybridSearch: streamed queries equal the batch hybrid probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.TextAnalysis._
+    val docs = Tables(spark, sf("sf0.001"), "documents").select("doc_id", "text")
+    val idx = bm25Index(docs)
+    val corpus = Tables(spark, sf("sf0.001"), "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val queries = docs.filter(col("doc_id") < 3)
+      .join(corpus.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select(col("doc_id").as("q_id"), col("text"), col("v").as("qv"))
+    val expected = hybridProbe(queries, idx, corpus, 5)
+      .select("q_id", "n_id", "rrf_fp", "rk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // both legs must actually contribute somewhere on this fixture
+    assert(expected.nonEmpty)
+    val in = MemoryStream[(Long, String, Seq[Double])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Int)]
+    val q = StatefulOps.hybridSearch(in.toDF().toDF("q_id", "text", "qv"),
+      idx, corpus, 5, tmpDir("hybridsearch").toString) { (top, _) =>
+      got ++= top.select("q_id", "n_id", "rrf_fp", "rk")
+        .as[(Long, Long, Long, Int)].collect()
+    }
+    try {
+      val qs = queries.as[(Long, String, Seq[Double])].collect()
+      in.addData(qs.take(1).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(qs.drop(1).toIndexedSeq)
+      q.processAllAvailable()
+      assert(got.toSet == expected,
+        s"stream/batch divergence: ${(got.toSet diff expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("spanGate: verbatim quotes are caught at any offset, verdicts batch-independent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
