@@ -108,7 +108,8 @@ class PlanSpec extends SparkSuite {
     "q124_semdedup",   // corpus × broadcast k-centroid LocalRelation (q51's shape)
     "q10_cross_join", "q107_mixture_plan",
     "q108_vocab_coverage", "q114_token_spectrum", "q121_mixture_sample",
-    "q125_bm25")       // matched postings × a broadcast 1-row (N, avgdl) total
+    "q125_bm25",       // matched postings × a broadcast 1-row (N, avgdl) total
+    "q128_hybrid_rrf") // both legs: q125's 1-row total + q50's broadcast query batch
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
