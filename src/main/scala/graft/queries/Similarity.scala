@@ -517,6 +517,75 @@ object Similarity {
               |SELECT w.vec_id, w.c_id, round(w.cosc, 4) AS cosc,
               |  (d.vec_id IS NOT NULL) AS is_dup
               |FROM wc w LEFT JOIN dup d USING (vec_id)""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- cluster profile: corpus cartography over the q51 trained
+    //      index — per cluster: size, dominant source (+ its share),
+    //      mean centroid-cosine (cohesion), mean doc length. Means are
+    //      EXACT: fixed-point floor(cos·2^20) BIGINT sums (order-free)
+    //      and BIGINT char sums, one double division at the end. The
+    //      dominant source is an argmin of (-cnt, source) — count DESC,
+    //      source ASC — as a struct-min aggregate, not a ranking window
+    //      over the corpus. 100 TB shape: assignment is the broadcast
+    //      k-row index probe; everything after is (c_id, source)- then
+    //      c_id-grain — output ∝ k, never corpus; the doc join is an
+    //      id-equijoin AQE broadcasts or co-partitions.
+    "q129_cluster_profile" -> Q(
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = trainCentroids(s, d)
+        val asg = assignToCentroids(s, e, cents)
+          .join(broadcast(cents), Seq("c_id"))
+          .select(col("c_id"), col("vec_id"),
+            cosine(s, col("v"), col("cv")).as("cosc"))
+        val docs = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val j = asg.join(docs, asg("vec_id") === docs("doc_id"))
+        val stats = j.groupBy(col("c_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr(s"CAST(floor(cosc * $FixedPointScale.0) AS BIGINT)")).as("fcos"),
+            sum(col("n_chars")).as("chars"))
+        val mode = j.groupBy(col("c_id"), col("source"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("c_id"))
+          .agg(min(struct((-col("cnt")).as("neg"), col("source"))).as("m"))
+          .select(col("c_id"), col("m.source").as("top_source"),
+            (-col("m.neg")).as("top_cnt"))
+        stats.join(mode, Seq("c_id"))
+          .select(col("c_id"), col("n_docs"), col("top_source"),
+            (col("top_cnt").cast("double") / col("n_docs").cast("double"))
+              .as("top_share"),
+            (col("fcos").cast("double") / lit(FixedPointScale.toDouble) /
+              col("n_docs").cast("double")).as("mean_cosc"),
+            (col("chars").cast("double") / col("n_docs").cast("double"))
+              .as("mean_chars"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+              |${kmeansIterSql}
+              |asg AS (SELECT vec_id, c_id, v FROM (
+              |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn = 1),
+              |wc AS (SELECT a.c_id, a.vec_id, ${sqlCos("a.v", "c.cv")} AS cosc
+              |       FROM asg a JOIN c$KMeansIters c USING (c_id)),
+              |j AS (SELECT w.c_id, w.vec_id, w.cosc, d.source, d.n_chars
+              |      FROM wc w JOIN documents d ON d.doc_id = w.vec_id),
+              |stats AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(CAST(floor(cosc * $FixedPointScale.0) AS BIGINT)) AS BIGINT) AS fcos,
+              |    CAST(sum(n_chars) AS BIGINT) AS chars
+              |  FROM j GROUP BY c_id),
+              |mode AS (SELECT c_id, source AS top_source, cnt AS top_cnt FROM (
+              |  SELECT c_id, source, CAST(count(*) AS BIGINT) AS cnt,
+              |    row_number() OVER (PARTITION BY c_id
+              |      ORDER BY count(*) DESC, source) AS rn
+              |  FROM j GROUP BY c_id, source) WHERE rn = 1)
+              |SELECT s.c_id, s.n_docs, m.top_source,
+              |  CAST(m.top_cnt AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS top_share,
+              |  CAST(s.fcos AS DOUBLE) / $FixedPointScale.0
+              |    / CAST(s.n_docs AS DOUBLE) AS mean_cosc,
+              |  CAST(s.chars AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS mean_chars
+              |FROM stats s JOIN mode m USING (c_id)""".stripMargin))
   )
 }

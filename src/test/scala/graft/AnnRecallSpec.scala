@@ -159,4 +159,33 @@ class AnnRecallSpec extends SparkSuite {
     }
     assert(out.count(_._4) > 0, "fixture produced no semantic duplicate")
   }
+
+  test("q129 cluster profile: conservation, share bounds, mode correctness") {
+    val out = graft.queries.Catalog.all("q129_cluster_profile").build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val corpusN = Tables(spark, sf(), "embeddings").count()
+    assert(out.map(_._2).sum == corpusN, "cluster sizes must partition the corpus")
+    out.foreach { case (c, n, src, share, cosc, chars) =>
+      assert(n > 0 && share > 0.0 && share <= 1.0, s"cluster $c share $share")
+      assert(cosc >= -1.0 && cosc <= 1.0, s"cluster $c mean cosc $cosc")
+      assert(chars > 0.0, s"cluster $c mean chars $chars")
+      assert(src.nonEmpty)
+    }
+    // the dominant source really dominates: recompute one cluster's mode
+    // from the q124 assignment (same trained index) + the documents table
+    val asg = graft.queries.Catalog.all("q124_semdedup").build(spark, sf())
+      .select(col("vec_id"), col("c_id"))
+    val docs = Tables(spark, sf(), "documents").select(col("doc_id"), col("source"))
+    val counts = asg.join(docs, asg("vec_id") === docs("doc_id"))
+      .groupBy(col("c_id"), col("source")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expectedMode = counts.groupBy(_._1).map { case (c, rows) =>
+      c -> rows.minBy(x => (-x._3, x._2))._2
+    }
+    out.foreach { case (c, _, src, _, _, _) =>
+      assert(expectedMode(c) == src, s"cluster $c mode: $src vs ${expectedMode(c)}")
+    }
+  }
 }

@@ -51,7 +51,8 @@ object PlanDump {
     "q125_bm25" -> "BM25 retrieval: query-term set broadcast prunes corpus tokens in the scan stage, one matched-postings tf shuffle, df broadcast back, map-side-combinable fixed-point score aggregate, graft_topk bounded heap per query",
     "q126_span_scrub" -> "span scrub: q123's single h shuffle feeds count AND keeper from one window; scrub starts roll up doc-grain; the token mask is a scan-stage HOF over the rejoined text",
     "q127_dsir_weight" -> "DSIR selection: ONE conditional-count token hash-agg fits both unigram models, the merged ≤2V delta map ships as a literal, scoring + the 2^w integer resampling coin are a zero-shuffle scan-stage fold",
-    "q128_hybrid_rrf" -> "hybrid RRF: each leg is its own bounded top-k pipeline (BM25 prune-at-scan, dense broadcast-probe); the fusion join + final window see only queries×k rows — integer fixed-point 2^20/(K+rk) fused score")
+    "q128_hybrid_rrf" -> "hybrid RRF: each leg is its own bounded top-k pipeline (BM25 prune-at-scan, dense broadcast-probe); the fusion join + final window see only queries×k rows — integer fixed-point 2^20/(K+rk) fused score",
+    "q129_cluster_profile" -> "cluster profile: broadcast k-row index probe, then (c_id, source)- and c_id-grain aggregates only — output ∝ k; dominant source via struct-min argmax, no ranking window; exact fixed-point means")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
