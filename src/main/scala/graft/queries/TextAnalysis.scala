@@ -47,6 +47,9 @@ object TextAnalysis {
     */
   val RrfK = 60
 
+  /** q130: number of BPE merge rounds learned from the corpus. */
+  val BpeMerges = 4
+
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
 
@@ -650,6 +653,82 @@ object TextAnalysis {
               |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
               |    ORDER BY rrf_fp DESC, n_id) AS rk FROM f)
               |WHERE rk <= $Bm25TopK""".stripMargin),
+      headline = true),
+
+    // ---- BPE merge induction (Sennrich et al. 2016): learn the first
+    //      [[BpeMerges]] byte-pair merges from the corpus. Words live as
+    //      space-joined symbol strings (' a b c '), so applying a merge
+    //      is a plain non-overlapping left-to-right replace(' a b ',
+    //      ' ab ') — IDENTICAL greedy semantics in Spark and DuckDB,
+    //      no list-fold needed. Each round's argmax (count DESC, pair
+    //      ASC) is a 1-row driver collect — the trainCentroids
+    //      precedent: a bounded model artifact, not data. 100 TB shape:
+    //      the corpus is scanned ONCE into the word-vocab aggregate;
+    //      every round after runs at vocab grain (pair counts collapse
+    //      map-side to symbol-pair cardinality), so M rounds cost M
+    //      vocab scans, never M corpus scans.
+    "q130_bpe_merges" -> Q(
+      (s, d) => {
+        val words = Tables.spread(Tables(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+          .select(concat(lit(" "),
+            array_join(split(col("word"), ""), " "), lit(" ")).as("w"), col("wn"))
+        var cur = words
+        val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+        var k = 1
+        var exhausted = false
+        while (k <= BpeMerges && !exhausted) {
+          val top = bpePairCounts(cur)
+            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+              top(0).getLong(2))
+            merges += ((k, a, b, cnt))
+            cur = cur.select(
+              replace(col("w"), lit(s" $a $b "), lit(s" $a$b ")).as("w"),
+              col("wn"))
+            k += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("round", IntegerType, nullable = false),
+          StructField("sym_a", StringType, nullable = true),
+          StructField("sym_b", StringType, nullable = true),
+          StructField("cnt", LongType, nullable = false)))
+        s.createDataFrame(
+          merges.toList.map(m =>
+            org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava, schema)
+      },
+      Some {
+        val rounds = (1 to BpeMerges).map { k =>
+          val p = k - 1
+          s"""p$k AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
+             |  FROM (SELECT string_split(trim(w), ' ') AS s, wn FROM w$p),
+             |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) l
+             |  GROUP BY 1, 2),
+             |t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+             |w$k AS (SELECT replace(w,
+             |    ' ' || (SELECT a FROM t$k) || ' ' || (SELECT b FROM t$k) || ' ',
+             |    ' ' || (SELECT a FROM t$k) || (SELECT b FROM t$k) || ' ') AS w, wn
+             |  FROM w$p)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to BpeMerges).map { k =>
+          s"SELECT CAST($k AS INT) AS round, a AS sym_a, b AS sym_b, cnt FROM t$k"
+        }.mkString(" UNION ALL ")
+        s"""WITH w0 AS (
+           |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w,
+           |    CAST(count(*) AS BIGINT) AS wn
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE word <> '' GROUP BY 1),
+           |$rounds
+           |SELECT * FROM ($union)""".stripMargin
+      },
       headline = true)
   )
 
@@ -865,6 +944,24 @@ object TextAnalysis {
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("bits_per_tok", col("surp_bits").cast("double") / size(toks))
   }
+
+  /** q130's one-round symbol-pair counting at vocab grain: (w, wn)
+    * space-joined symbol words → (a, b, cnt) adjacent-pair weights.
+    * Pair rows collapse map-side to symbol-pair cardinality. The
+    * size<2 guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    * instead of returning empty, so a single-symbol word would emit a
+    * phantom pair without it.
+    */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(split(trim(col("w")), " ").as("s"), col("wn"))
+      .select(explode(when(size(col("s")) < 2,
+          expr("CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"))
+        .otherwise(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> struct(element_at(s, i) AS a,
+            |              element_at(s, i + 1) AS b))""".stripMargin)))
+        .as("p"), col("wn"))
+      .groupBy(col("p.a"), col("p.b")).agg(sum(col("wn")).as("cnt"))
 
   /** q127's dual-model fit (DSIR, Xie et al. 2023 "Data Selection for
     * Language Models via Importance Resampling"): a TARGET unigram model

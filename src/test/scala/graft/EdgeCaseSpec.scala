@@ -87,7 +87,7 @@ class EdgeCaseSpec extends SparkSuite {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
       .write.parquet(s"$dir/embeddings.parquet")
     val affected = graft.queries.Catalog.all.keys.filter(n =>
-      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[4-9].*|q11[0-9].*|q12[0-8].*"))
+      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[4-9].*|q11[0-9].*|q1[23][0-9].*"))
     affected.foreach { name =>
       val n = graft.queries.Catalog.all(name).build(spark, dir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")

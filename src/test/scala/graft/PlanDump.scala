@@ -52,7 +52,8 @@ object PlanDump {
     "q126_span_scrub" -> "span scrub: q123's single h shuffle feeds count AND keeper from one window; scrub starts roll up doc-grain; the token mask is a scan-stage HOF over the rejoined text",
     "q127_dsir_weight" -> "DSIR selection: ONE conditional-count token hash-agg fits both unigram models, the merged ≤2V delta map ships as a literal, scoring + the 2^w integer resampling coin are a zero-shuffle scan-stage fold",
     "q128_hybrid_rrf" -> "hybrid RRF: each leg is its own bounded top-k pipeline (BM25 prune-at-scan, dense broadcast-probe); the fusion join + final window see only queries×k rows — integer fixed-point 2^20/(K+rk) fused score",
-    "q129_cluster_profile" -> "cluster profile: broadcast k-row index probe, then (c_id, source)- and c_id-grain aggregates only — output ∝ k; dominant source via struct-min argmax, no ranking window; exact fixed-point means")
+    "q129_cluster_profile" -> "cluster profile: broadcast k-row index probe, then (c_id, source)- and c_id-grain aggregates only — output ∝ k; dominant source via struct-min argmax, no ranking window; exact fixed-point means",
+    "q130_bpe_merges" -> "BPE induction: ONE corpus scan into the word-vocab aggregate; each merge round runs at vocab grain with map-side pair collapse; the learned merge table is the emitted LocalRelation artifact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -364,6 +364,46 @@ class TextKernelSpec extends SparkSuite {
       "keep verdict degenerate on the fixture corpus")
   }
 
+  test("q130 BPE: pair counts guard single-symbol words; fixture merges match a reference learner") {
+    import graft.queries.TextAnalysis
+    import spark.implicits._
+    // planted vocab: 'aaa'×2, 'ab'×3, 'a'×5 — the single-symbol word
+    // must contribute NO pair (Spark's sequence(1,0) descends!)
+    val vocab = Seq((" a a a ", 2L), (" a b ", 3L), (" a ", 5L))
+      .toDF("w", "wn")
+    val counts = TextAnalysis.bpePairCounts(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("a", "a") -> 4L, ("a", "b") -> 3L), s"$counts")
+
+    // reference learner over the fixture corpus, greedy left-to-right
+    val words = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("text").collect().map(_.getString(0))
+      .filter(_ != null).flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var vocabRef: Map[List[String], Long] =
+      words.groupBy { case (w, _) => w.split("").toList }
+        .view.mapValues(_.values.sum).toMap
+    val expected = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to TextAnalysis.BpeMerges) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocabRef.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + n)
+      }
+      val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+      expected += ((k, a, b, cnt))
+      def merge(s: List[String]): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest)
+        case x :: rest => x :: merge(rest)
+        case Nil => Nil
+      }
+      vocabRef = vocabRef.groupBy { case (s, _) => merge(s) }
+        .view.mapValues(_.values.sum).toMap
+    }
+    val out = graft.queries.Catalog.all("q130_bpe_merges").build(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toList == expected.toList, s"spark=${out.toList}\nref=${expected.toList}")
+  }
+
   test("q128 RRF fusion: both-lists, lex-only, den-only branches are exact") {
     import graft.queries.TextAnalysis
     import spark.implicits._
