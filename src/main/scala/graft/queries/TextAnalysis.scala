@@ -669,31 +669,6 @@ object TextAnalysis {
     //      vocab scans, never M corpus scans.
     "q130_bpe_merges" -> Q(
       (s, d) => {
-        val words = Tables.spread(Tables(s, d, "documents"))
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
-          .select(concat(lit(" "),
-            array_join(split(col("word"), ""), " "), lit(" ")).as("w"), col("wn"))
-        var cur = words
-        val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-        var k = 1
-        var exhausted = false
-        while (k <= BpeMerges && !exhausted) {
-          val top = bpePairCounts(cur)
-            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()
-          if (top.isEmpty) exhausted = true
-          else {
-            val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
-              top(0).getLong(2))
-            merges += ((k, a, b, cnt))
-            cur = cur.select(
-              replace(col("w"), lit(s" $a $b "), lit(s" $a$b ")).as("w"),
-              col("wn"))
-            k += 1
-          }
-        }
         import scala.jdk.CollectionConverters._
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(
@@ -702,8 +677,8 @@ object TextAnalysis {
           StructField("sym_b", StringType, nullable = true),
           StructField("cnt", LongType, nullable = false)))
         s.createDataFrame(
-          merges.toList.map(m =>
-            org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava, schema)
+          bpeFit(s, d).zipWithIndex.map { case ((a, b, cnt), i) =>
+            org.apache.spark.sql.Row(i + 1, a, b, cnt) }.asJava, schema)
       },
       Some {
         val rounds = (1 to BpeMerges).map { k =>
@@ -729,7 +704,65 @@ object TextAnalysis {
            |$rounds
            |SELECT * FROM ($union)""".stripMargin
       },
-      headline = true)
+      headline = true),
+
+    // ---- tokenizer fertility: apply q130's learned merges back to the
+    //      corpus and report tokens-per-word by source — the metric a
+    //      tokenizer team watches per feed (fertility ↑ = the vocab
+    //      serves that source poorly). 100 TB shape: merges apply at
+    //      VOCAB grain (never re-scanning the corpus per round); the
+    //      per-(source, word) counts come from one scan; the vocab join
+    //      is dictionary-sized — broadcastable or co-partitioned; output
+    //      is #sources rows. Fertility = Σc·syms / Σc with BIGINT sums
+    //      and ONE double division — exact cross-engine.
+    "q131_bpe_fertility" -> Q(
+      (s, d) => {
+        val merges = bpeFit(s, d).map(m => (m._1, m._2))
+        val vocab = bpeVocab(s, d).select(col("word"),
+          size(split(trim(bpeApply(col("w"), merges)), " "))
+            .cast("long").as("n_syms"))
+        val sw = Tables.spread(Tables(s, d, "documents"))
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+        sw.join(vocab, Seq("word"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * col("n_syms")).as("n_tokens"))
+          .select(col("source"), col("n_words"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"))
+      },
+      Some {
+        val rounds = (1 to BpeMerges).map { k =>
+          val p = k - 1
+          s"""p$k AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
+             |  FROM (SELECT string_split(trim(w), ' ') AS s, wn FROM w$p),
+             |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) l
+             |  GROUP BY 1, 2),
+             |t$k AS (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+             |w$k AS (SELECT word, replace(w,
+             |    ' ' || (SELECT a FROM t$k) || ' ' || (SELECT b FROM t$k) || ' ',
+             |    ' ' || (SELECT a FROM t$k) || (SELECT b FROM t$k) || ' ') AS w, wn
+             |  FROM w$p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w0 AS (
+           |  SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w,
+           |    CAST(count(*) AS BIGINT) AS wn
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE word <> '' GROUP BY 1),
+           |$rounds,
+           |va AS (SELECT word,
+           |    CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_syms
+           |  FROM w$BpeMerges),
+           |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM
+           |    (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE word <> '' GROUP BY 1, 2)
+           |SELECT source, CAST(sum(c) AS BIGINT) AS n_words,
+           |  CAST(sum(c * n_syms) AS BIGINT) AS n_tokens,
+           |  CAST(sum(c * n_syms) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS fertility
+           |FROM sw JOIN va USING (word) GROUP BY source""".stripMargin
+      })
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and
@@ -962,6 +995,53 @@ object TextAnalysis {
             |              element_at(s, i + 1) AS b))""".stripMargin)))
         .as("p"), col("wn"))
       .groupBy(col("p.a"), col("p.b")).agg(sum(col("wn")).as("cnt"))
+
+  /** The corpus word vocabulary in q130's space-joined symbol form:
+    * (word, w = ' c h a r s ', wn). ONE corpus scan; vocab grain after.
+    */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .select(col("word"), concat(lit(" "),
+        array_join(split(col("word"), ""), " "), lit(" ")).as("w"), col("wn"))
+
+  /** q130's learner: the first [[BpeMerges]] byte-pair merges with their
+    * counts, in learned order. Each round's argmax (count DESC, pair
+    * ASC) is a 1-row driver collect — the trainCentroids precedent: a
+    * bounded model artifact, not data. All rounds run at vocab grain.
+    */
+  def bpeFit(s: SparkSession, d: String): List[(String, String, Long)] = {
+    var cur = bpeVocab(s, d).select(col("w"), col("wn"))
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMerges && !exhausted) {
+      val top = bpePairCounts(cur)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((a, b, cnt))
+        cur = cur.select(
+          replace(col("w"), lit(s" $a $b "), lit(s" $a$b ")).as("w"),
+          col("wn"))
+        k += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** Apply learned merges to a space-joined symbol column, in order —
+    * the tokenizer the q130 artifact defines, as a pure Column fold.
+    */
+  def bpeApply(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(w) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    }
 
   /** q127's dual-model fit (DSIR, Xie et al. 2023 "Data Selection for
     * Language Models via Importance Resampling"): a TARGET unigram model

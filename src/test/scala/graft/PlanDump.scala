@@ -53,7 +53,8 @@ object PlanDump {
     "q127_dsir_weight" -> "DSIR selection: ONE conditional-count token hash-agg fits both unigram models, the merged ≤2V delta map ships as a literal, scoring + the 2^w integer resampling coin are a zero-shuffle scan-stage fold",
     "q128_hybrid_rrf" -> "hybrid RRF: each leg is its own bounded top-k pipeline (BM25 prune-at-scan, dense broadcast-probe); the fusion join + final window see only queries×k rows — integer fixed-point 2^20/(K+rk) fused score",
     "q129_cluster_profile" -> "cluster profile: broadcast k-row index probe, then (c_id, source)- and c_id-grain aggregates only — output ∝ k; dominant source via struct-min argmax, no ranking window; exact fixed-point means",
-    "q130_bpe_merges" -> "BPE induction: ONE corpus scan into the word-vocab aggregate; each merge round runs at vocab grain with map-side pair collapse; the learned merge table is the emitted LocalRelation artifact")
+    "q130_bpe_merges" -> "BPE induction: ONE corpus scan into the word-vocab aggregate; each merge round runs at vocab grain with map-side pair collapse; the learned merge table is the emitted LocalRelation artifact",
+    "q131_bpe_fertility" -> "tokenizer fertility: merges apply at vocab grain (a fold of replaces in one projection); per-(source, word) counts from one scan; dictionary-sized vocab join; #sources-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

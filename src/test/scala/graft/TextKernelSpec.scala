@@ -376,32 +376,71 @@ class TextKernelSpec extends SparkSuite {
     assert(counts == Map(("a", "a") -> 4L, ("a", "b") -> 3L), s"$counts")
 
     // reference learner over the fixture corpus, greedy left-to-right
-    val words = spark.read.parquet(s"${sf()}/documents.parquet")
+    val (expected, _) = referenceBpe(fixtureWordCounts(), TextAnalysis.BpeMerges)
+    val out = graft.queries.Catalog.all("q130_bpe_merges").build(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toList == expected, s"spark=${out.toList}\nref=$expected")
+  }
+
+  private def fixtureWordCounts(): Map[String, Long] =
+    spark.read.parquet(s"${sf()}/documents.parquet")
       .selectExpr("text").collect().map(_.getString(0))
       .filter(_ != null).flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    var vocabRef: Map[List[String], Long] =
-      words.groupBy { case (w, _) => w.split("").toList }
-        .view.mapValues(_.values.sum).toMap
-    val expected = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (k <- 1 to TextAnalysis.BpeMerges) {
+
+  /** Greedy left-to-right reference BPE: learned merges + each word's
+    * final symbol count.
+    */
+  private def referenceBpe(words: Map[String, Long], m: Int)
+      : (List[(Int, String, String, Long)], Map[String, Int]) = {
+    var split: Map[String, List[String]] =
+      words.keys.map(w => w -> w.split("").toList).toMap
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to m) {
       val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocabRef.foreach { case (syms, n) =>
+      split.foreach { case (w, syms) =>
+        val n = words(w)
         syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + n)
       }
-      val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
-      expected += ((k, a, b, cnt))
-      def merge(s: List[String]): List[String] = s match {
-        case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest)
-        case x :: rest => x :: merge(rest)
-        case Nil => Nil
+      if (pairs.nonEmpty) {
+        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((k, a, b, cnt))
+        def merge(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest)
+          case x :: rest => x :: merge(rest)
+          case Nil => Nil
+        }
+        split = split.view.mapValues(merge).toMap
       }
-      vocabRef = vocabRef.groupBy { case (s, _) => merge(s) }
-        .view.mapValues(_.values.sum).toMap
     }
-    val out = graft.queries.Catalog.all("q130_bpe_merges").build(spark, sf())
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(out.toList == expected.toList, s"spark=${out.toList}\nref=${expected.toList}")
+    (merges.toList, split.view.mapValues(_.length).toMap)
+  }
+
+  test("q131 fertility: matches the reference tokenizer's per-source tokens/word") {
+    import graft.queries.TextAnalysis
+    val (_, nSyms) = referenceBpe(fixtureWordCounts(), TextAnalysis.BpeMerges)
+    val bySource = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2 != null)
+      .flatMap { case (src, t) => t.split(" ").filter(_.nonEmpty).map(src -> _) }
+      .groupBy(_._1)
+    val expected = bySource.map { case (src, ws) =>
+      val words = ws.map(_._2)
+      val toks = words.map(w => nSyms(w).toLong).sum
+      src -> ((words.length.toLong, toks, toks.toDouble / words.length.toDouble))
+    }
+    val out = graft.queries.Catalog.all("q131_bpe_fertility").build(spark, sf())
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == expected, s"spark=$out\nref=$expected")
+    // merges must actually compress: fertility strictly below chars/word
+    out.foreach { case (src, (nw, nt, f)) =>
+      val chars = bySource(src).map(_._2.length.toLong).sum
+      assert(f < chars.toDouble / nw.toDouble, s"$src fertility $f not compressed")
+      assert(f >= 1.0 && nt >= nw)
+    }
   }
 
   test("q128 RRF fusion: both-lists, lex-only, den-only branches are exact") {
