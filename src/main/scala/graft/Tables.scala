@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * scale-factor directory. All query builders go through here so the scan
   * path (predicate pushdown, column pruning) stays uniform.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects outright. We read it as raw nanos
-  * (`nanosAsLong`) and convert to a microsecond timestamp — the same
-  * truncation DuckDB's epoch_ms applies, so oracle parity holds.
+  * `events.ts` has shipped in two physical forms across fixture
+  * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+  * reader rejects — read as raw nanos via `nanosAsLong`, truncate to
+  * micros, the same truncation DuckDB's epoch_ms applies) and native
+  * TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ — cast to
+  * the session-zone timestamp, an identity on the wall-clock fields
+  * under the UTC session every entrypoint pins). Both normalize to the
+  * same TIMESTAMP column, so oracle parity holds either way.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -35,8 +39,14 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
