@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * `events.ts` has shipped in two physical forms across fixture
   * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
-  * reader rejects — read as raw nanos via `nanosAsLong`, truncate to
-  * micros, the same truncation DuckDB's epoch_ms applies) and native
-  * TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ — cast to
-  * the session-zone timestamp, an identity on the wall-clock fields
-  * under the UTC session every entrypoint pins). Both normalize to the
-  * same TIMESTAMP column, so oracle parity holds either way.
+  * reader rejects — read as raw nanos via `nanosAsLong`, truncate with
+  * `div 1000` to the micros a TIMESTAMP column carries, exactly what
+  * DuckDB's nanos→TIMESTAMP read does) and native TIMESTAMP(MICROS)
+  * without timezone (read as TIMESTAMP_NTZ — cast to the session-zone
+  * timestamp, an identity on the wall-clock fields under the UTC
+  * session every entrypoint pins). Both normalize to the same TIMESTAMP
+  * column, so oracle parity holds either way; any OTHER physical form
+  * throws at load (EventsTsSpec pins both supported forms end to end).
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -42,10 +44,20 @@ object Tables {
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
+          // With nanosAsLong set, LongType means parquet TIMESTAMP(NANOS)
+          // (a plain-INT64 ts would surface identically — if a future
+          // fixture ships epoch-micros/millis as bare INT64 this scaling
+          // is wrong; the log line is the loud breadcrumb for that day)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .info("events.ts is INT64: treating as TIMESTAMP(NANOS) and truncating to micros")
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
+        case org.apache.spark.sql.types.TimestampType => raw
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — expected " +
+            "TIMESTAMP(NANOS) (int64), TIMESTAMP_NTZ, or TIMESTAMP; refusing " +
+            "to guess a unit (silent mis-scaling would corrupt every window)")
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

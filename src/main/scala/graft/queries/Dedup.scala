@@ -226,7 +226,7 @@ object Dedup {
       },
       Some("""SELECT min(doc_id) AS keeper, count(*) AS n_copies
              |FROM documents GROUP BY text""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q40: MinHash + LSH near-dup. Signatures are computed per-doc
     //      in one pass (native kernel / HOF fallback — no 32× row
@@ -245,7 +245,7 @@ object Dedup {
     "q42_dedup_simhash" -> Q(
       (s, d) => simhashed(s, d),
       Some(simhashCte + "\nSELECT doc_id, simhash FROM sh2"),
-      headline = true),
+      headline = false),
 
     // ---- Q40 variant: SimHash near-dup PAIRS — exact-dup collapse
     //      first, then TWO-LEVEL banding: 4 × 8-bit byte bands × 4 ×

@@ -417,7 +417,7 @@ object Pipeline {
               |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
               |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               |  FROM documents) WHERE rn <= $SamplePerStratum""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- weighted source mixing: keep each doc with its source's
     //      sampling rate, decided by the doc's own hash fraction —
@@ -536,7 +536,7 @@ object Pipeline {
               |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
               |      ROWS UNBOUNDED PRECEDING) AS cum
               |  FROM documents)""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- benchmark decontamination: drop training docs that share any
     //      word 4-gram with the held-out benchmark set (the standard

@@ -82,7 +82,7 @@ object Relational {
              |  round(sum(o_totalprice), 2) AS total_spend
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q9: shuffle (sort-merge) join between the two fact tables
     "q04_join_sortmerge" -> Q(
@@ -223,7 +223,7 @@ object Relational {
              |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |  ROWS UNBOUNDED PRECEDING), 2) AS running_spend
              |FROM orders""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q21: analytic window functions (lag/lead)
     "q14_lag_lead" -> Q(
@@ -284,7 +284,7 @@ object Relational {
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q24: set operations (distinct semantics in both engines)
     "q18_setops" -> Q(
@@ -392,7 +392,7 @@ object Relational {
       },
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
              |FROM events GROUP BY 1""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q31 multi-key: ONE schema-pruned from_json parse per row
     //      (a single JsonToStructs in the plan — PlanSpec pins it),
@@ -533,7 +533,7 @@ object Relational {
              |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q44: UDTF-style generator via typed Dataset.flatMap (documents
     //      → one row per token with its 1-based position)
@@ -868,7 +868,7 @@ object Relational {
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_val
              |FROM events GROUP BY event_type""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q13: range/interval join — events against literal weekly
     //      windows; the 5-row window table broadcasts so the non-equi
@@ -897,6 +897,6 @@ object Relational {
            |FROM events JOIN wins ON ts >= lo AND ts < hi
            |GROUP BY win""".stripMargin
       },
-      headline = true)
+      headline = false)
   )
 }

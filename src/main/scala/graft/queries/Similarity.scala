@@ -31,6 +31,15 @@ object Similarity {
   val TopK = 5
   val Probes = 2
 
+  /** Probe count for q132's IVF dense hybrid leg. Deeper than q51's
+    * (4/8 vs 2/8 centroids): fusion quality is bounded by the weaker
+    * leg, so the hybrid leg carries a recall floor of 0.95 vs the brute
+    * dense leg (AnnRecallSpec) where standalone IVF accepts 0.8. Still
+    * scans only probes/centroids of the corpus; at production k (k ∝
+    * corpus, thousands of centroids) the same nprobe ratio holds.
+    */
+  val HybridProbes = 4
+
   /** q51 IVF training: Lloyd iterations from first-NumCentroids seeds,
     * and the fixed-point scale (2^20) for the exact integer cluster-mean
     * summation. floor(x·2^20) is exact for these inputs (a power-of-two
@@ -70,7 +79,7 @@ object Similarity {
     * per-dimension means, c_k = re-centered centroids (empty clusters
     * keep their previous centroid via the LEFT JOIN + coalesce).
     */
-  private def kmeansIterSql: String = (1 to KMeansIters).map { k =>
+  private[queries] def kmeansIterSql: String = (1 to KMeansIters).map { k =>
     s"""a$k AS (SELECT vec_id, c_id, v FROM (
        |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
@@ -213,8 +222,42 @@ object Similarity {
     }
 
   /** SQL fragment: cosine between two DOUBLE-list columns. */
-  private def sqlCos(a: String, b: String): String =
+  private[queries] def sqlCos(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** IVF probe-search: queries (q_id, qv) pick their top-`probes`
+    * centroids from the broadcast k-row index (graft_topk bounded heap —
+    * the NumCentroids candidates per query collapse map-side, no ranking
+    * window), then rerank with EXACT cosine restricted to the probed
+    * partitions of `assign` (vec_id, c_id, v), excluding the self-match
+    * (both callers are self-retrieval). 100 TB shape: the corpus-sized
+    * side is touched only through the probed-partition join — scanned
+    * fraction ≈ probes/centroids — and candidates collapse through the
+    * bounded heap before the per-query shuffle. Shared by q51 and
+    * q132's dense hybrid leg.
+    */
+  def ivfSearchTopK(s: SparkSession, assign: DataFrame, queries: DataFrame,
+                    cents: DataFrame, probes: Int, k: Int): DataFrame = {
+    val qCand = queries.crossJoin(broadcast(cents))
+      .withColumn("qcos", cosine(s, col("qv"), col("cv")))
+    val probed =
+      if (s.catalog.functionExists("graft_topk"))
+        qCand.groupBy(col("q_id"))
+          .agg(call_function("graft_topk", col("qcos"), col("c_id"),
+            lit(probes)).as("top"), first(col("qv")).as("qv"))
+          .select(col("q_id"), col("qv"), explode(col("top.id")).as("c_id"))
+      else {
+        val wProbe = Window.partitionBy(col("q_id"))
+          .orderBy(col("qcos").desc, col("c_id").asc)
+        qCand.withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= probes)
+          .select(col("q_id"), col("qv"), col("c_id"))
+      }
+    topkPerQuery(s, probed.join(assign, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(s, col("qv"), col("v")).as("cos")), k)
+  }
 
   /** Exact cosine top-k of `queries` (q_id, qv) against `corpus`
     * (vec_id, v): the small query batch broadcasts, the corpus is
@@ -260,38 +303,14 @@ object Similarity {
     "q51_ann_ivf" -> Q(
       (s, d) => {
         val e = vecs(s, d)
-        // train offline, ship the index, probe it — see [[trainCentroids]]
-        // and [[assignToCentroids]] for the shapes
+        // train offline, ship the index, probe it — the probe/rerank
+        // pipeline lives in [[ivfSearchTopK]] (shared with q132's dense
+        // hybrid leg; all bounded-heap aggregates, no ranking window)
         val cents = trainCentroids(s, d)
-        val assign = assignToCentroids(s, e, cents)
-        // queries → top-`Probes` centroids. Native path: the same
-        // graft_topk bounded-heap aggregate the final ranking uses —
-        // partial aggregation collapses the NumCentroids candidates per
-        // query map-side, so no ranking window (and its full-candidate
-        // shuffle) remains anywhere in the ANN path. qv rides along via
-        // first(): it is functionally dependent on the group key.
-        val qCand = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-          .crossJoin(broadcast(cents))
-          .withColumn("qcos", cosine(s, col("qv"), col("cv")))
-        val probes =
-          if (s.catalog.functionExists("graft_topk"))
-            qCand.groupBy(col("q_id"))
-              .agg(call_function("graft_topk", col("qcos"), col("c_id"),
-                lit(Probes)).as("top"), first(col("qv")).as("qv"))
-              .select(col("q_id"), col("qv"), explode(col("top.id")).as("c_id"))
-          else {
-            val wProbe = Window.partitionBy(col("q_id"))
-              .orderBy(col("qcos").desc, col("c_id").asc)
-            qCand.withColumn("rn", row_number().over(wProbe))
-              .filter(col("rn") <= Probes)
-              .select(col("q_id"), col("qv"), col("c_id"))
-          }
-        // search only the probed partitions
-        topkPerQuery(s, probes.join(assign, "c_id")
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine(s, col("qv"), col("v")).as("cos")), TopK)
+        ivfSearchTopK(s, assignToCentroids(s, e, cents),
+          e.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          cents, Probes, TopK)
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

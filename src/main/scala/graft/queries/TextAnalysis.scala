@@ -47,8 +47,13 @@ object TextAnalysis {
     */
   val RrfK = 60
 
-  /** q130: number of BPE merge rounds learned from the corpus. */
-  val BpeMerges = 4
+  /** q130: number of BPE merge rounds learned from the corpus, and the
+    * candidate-window size for the batched argmax (how many top pairs
+    * one driver round-trip collects — a bounded model artifact, never
+    * data; see [[bpeFit]] for the exactness argument).
+    */
+  val BpeMerges = 32
+  val BpeBatch = 64
 
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
@@ -131,7 +136,7 @@ object TextAnalysis {
              |  round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
              |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS quality
              |FROM f""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- token counting: whitespace tokens + a BPE-ish regex lexer
     //      (letter runs / digit runs / single punctuation).
@@ -159,7 +164,7 @@ object TextAnalysis {
       Some("""SELECT doc_id,
              |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
              |FROM documents""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- corpus term frequency: top-20 tokens (classic tf; partial
     //      aggregation absorbs the explode before the shuffle)
@@ -655,6 +660,100 @@ object TextAnalysis {
               |WHERE rk <= $Bm25TopK""".stripMargin),
       headline = true),
 
+    // ---- hybrid RRF with the IVF dense leg — the 100 TB form of q128.
+    //      q128's dense leg is a brute full-corpus cosine scan per query
+    //      batch (fine as the correctness baseline, a scale-killer for
+    //      ad-hoc retrieval); this variant probes the q51 trained IVF
+    //      index instead: queries pick their top-HybridProbes centroids
+    //      from the broadcast k-row index, the exact-cosine rerank
+    //      touches only the probed partitions (~probes/centroids of the
+    //      corpus), and candidates collapse through the graft_topk
+    //      bounded heap. Probe depth 4/8 (vs q51's 2/8) because fusion
+    //      quality is bounded by the weaker leg — recall floor 0.95 vs
+    //      the brute dense leg, pinned in AnnRecallSpec. Lexical leg and
+    //      fusion are exactly q128's (shared code: [[bm25SelfRank]],
+    //      [[rrfFuse]]); the oracle replays the whole pipeline including
+    //      deterministic Lloyd training, so this is hash-checked end to
+    //      end, not just recall-floored.
+    "q132_hybrid_rrf_ivf" -> Q(
+      (s, d) => {
+        val e = Tables.spread(Tables(s, d, "embeddings"))
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val cents = Similarity.trainCentroids(s, d)
+        val den = Similarity.ivfSearchTopK(s,
+          Similarity.assignToCentroids(s, e, cents),
+          e.filter(col("vec_id") < Bm25Queries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          cents, Similarity.HybridProbes, Bm25TopK)
+        rrfFuse(bm25SelfRank(s, d), den, Bm25TopK)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              |  FROM docs),
+              |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+              |       FROM docs WHERE doc_id < $Bm25Queries),
+              |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |    CAST(any_value(dl) AS BIGINT) AS dl
+              |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+              |  WHERE term IN (SELECT DISTINCT term FROM qt)
+              |  GROUP BY doc_id, term),
+              |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+              |lsc AS (SELECT q.q_id, p.doc_id AS n_id,
+              |    CAST(sum(CAST(floor(
+              |      CAST(length(bin(t.n_docs // f.df)) AS DOUBLE)
+              |        * (CAST(p.tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
+              |        / (CAST(p.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+              |           * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+              |              + CAST($Bm25B AS DOUBLE) * (CAST(p.dl AS DOUBLE) / t.avgdl)))
+              |      * $FixedPoint.0) AS BIGINT)) AS BIGINT) AS fsc
+              |  FROM post p JOIN qt q USING (term) JOIN dft f USING (term)
+              |    CROSS JOIN tot t
+              |  WHERE p.doc_id <> q.q_id
+              |  GROUP BY q.q_id, p.doc_id),
+              |lexr AS (SELECT q_id, n_id, rk
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY fsc DESC, n_id) AS rk FROM lsc)
+              |  WHERE rk <= $Bm25TopK),
+              |e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e
+              |       WHERE vec_id < ${Similarity.NumCentroids}),
+              |${Similarity.kmeansIterSql}
+              |asg AS (SELECT vec_id, c_id, v FROM (
+              |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${Similarity.sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c${Similarity.KMeansIters} c) WHERE rn = 1),
+              |probes AS (SELECT q_id, qv, c_id FROM (
+              |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id, row_number() OVER (
+              |    PARTITION BY e.vec_id
+              |    ORDER BY ${Similarity.sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c${Similarity.KMeansIters} c
+              |  WHERE e.vec_id < $Bm25Queries) WHERE rn <= ${Similarity.HybridProbes}),
+              |dsc AS (SELECT p.q_id, a.vec_id AS n_id,
+              |    ${Similarity.sqlCos("p.qv", "a.v")} AS cos
+              |  FROM probes p JOIN asg a ON a.c_id = p.c_id
+              |  WHERE a.vec_id <> p.q_id),
+              |denr AS (SELECT q_id, n_id, rk
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS rk FROM dsc)
+              |  WHERE rk <= $Bm25TopK),
+              |f AS (SELECT coalesce(l.q_id, dn.q_id) AS q_id,
+              |    coalesce(l.n_id, dn.n_id) AS n_id,
+              |    l.rk AS lex_rk, dn.rk AS den_rk,
+              |    coalesce($FixedPoint // ($RrfK + l.rk), 0)
+              |      + coalesce($FixedPoint // ($RrfK + dn.rk), 0) AS rrf_fp
+              |  FROM lexr l FULL JOIN denr dn
+              |    ON l.q_id = dn.q_id AND l.n_id = dn.n_id)
+              |SELECT q_id, n_id, CAST(lex_rk AS INT) AS lex_rk,
+              |  CAST(den_rk AS INT) AS den_rk, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+              |  CAST(rk AS INT) AS rk
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY rrf_fp DESC, n_id) AS rk FROM f)
+              |WHERE rk <= $Bm25TopK""".stripMargin),
+      headline = true),
+
     // ---- BPE merge induction (Sennrich et al. 2016): learn the first
     //      [[BpeMerges]] byte-pair merges from the corpus. Words live as
     //      space-joined symbol strings (' a b c '), so applying a merge
@@ -683,12 +782,12 @@ object TextAnalysis {
       Some {
         val rounds = (1 to BpeMerges).map { k =>
           val p = k - 1
-          s"""p$k AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
+          s"""p$k AS MATERIALIZED (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
              |  FROM (SELECT string_split(trim(w), ' ') AS s, wn FROM w$p),
              |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) l
              |  GROUP BY 1, 2),
-             |t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-             |w$k AS (SELECT replace(w,
+             |t$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+             |w$k AS MATERIALIZED (SELECT replace(w,
              |    ' ' || (SELECT a FROM t$k) || ' ' || (SELECT b FROM t$k) || ' ',
              |    ' ' || (SELECT a FROM t$k) || (SELECT b FROM t$k) || ' ') AS w, wn
              |  FROM w$p)""".stripMargin
@@ -696,7 +795,7 @@ object TextAnalysis {
         val union = (1 to BpeMerges).map { k =>
           s"SELECT CAST($k AS INT) AS round, a AS sym_a, b AS sym_b, cnt FROM t$k"
         }.mkString(" UNION ALL ")
-        s"""WITH w0 AS (
+        s"""WITH w0 AS MATERIALIZED (
            |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w,
            |    CAST(count(*) AS BIGINT) AS wn
            |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -736,17 +835,17 @@ object TextAnalysis {
       Some {
         val rounds = (1 to BpeMerges).map { k =>
           val p = k - 1
-          s"""p$k AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
+          s"""p$k AS MATERIALIZED (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
              |  FROM (SELECT string_split(trim(w), ' ') AS s, wn FROM w$p),
              |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) l
              |  GROUP BY 1, 2),
-             |t$k AS (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-             |w$k AS (SELECT word, replace(w,
+             |t$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+             |w$k AS MATERIALIZED (SELECT word, replace(w,
              |    ' ' || (SELECT a FROM t$k) || ' ' || (SELECT b FROM t$k) || ' ',
              |    ' ' || (SELECT a FROM t$k) || (SELECT b FROM t$k) || ' ') AS w, wn
              |  FROM w$p)""".stripMargin
         }.mkString(",\n")
-        s"""WITH w0 AS (
+        s"""WITH w0 AS MATERIALIZED (
            |  SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w,
            |    CAST(count(*) AS BIGINT) AS wn
            |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -847,19 +946,35 @@ object TextAnalysis {
     * per batch. Shared by q125 and q128's lexical leg.
     */
   private def bm25SelfRank(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(Tables(s, d, "documents"))
-    val toks = split(col("text"), " ")
-    val tot = docs.select(size(toks).as("dl"))
+    val toksOf = split(col("text"), " ")
+    // ONE tokenized projection of the corpus, persisted and shared by
+    // every downstream consumer — tot, qterms, and the postings all
+    // derive from it. Without the persist each subtree re-runs the
+    // parquet scan + split (5 scans/tokenizations of the corpus for one
+    // query). The trade at 100 TB: one extra stored pass of
+    // (doc_id, toks, dl) vs four redundant corpus scans — and a
+    // standing deployment skips this entirely by probing the persisted
+    // [[bm25Index]] postings instead (the serving shape). Bench clears
+    // the cache after every run, so each sample pays the cold pipeline.
+    val tokd = Tables.spread(Tables(s, d, "documents"))
+      .select(col("doc_id"), toksOf.as("toks"), size(toksOf).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = tokd
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val qterms = docs.filter(col("doc_id") < Bm25Queries)
+    val qterms = tokd.filter(col("doc_id") < Bm25Queries)
       .select(col("doc_id").as("q_id"),
-        explode(array_distinct(toks)).as("term"))
-    val post = docs
-      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+        explode(array_distinct(col("toks"))).as("term"))
+    // postings persist too: they feed BOTH the df aggregate and the
+    // scoring join, and they are small by construction (matched
+    // postings only — pruned against the broadcast query-term set
+    // before the shuffle)
+    val post = tokd
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     bm25Rank(s,
       post.join(broadcast(dft), Seq("term"))
@@ -877,19 +992,54 @@ object TextAnalysis {
     * full-outer fusion join and the final ranking window see ≤ 2k rows
     * per query regardless of corpus size.
     */
-  def rrfFuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame = {
+  def rrfFuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame =
+    rrfFuseVia(lex, den, k,
+      useHeap = lex.sparkSession.catalog.functionExists("graft_topk"))
+
+  /** [[rrfFuse]] with the path pinned, for the parity spec. The heap
+    * path mirrors the legs' graft_topk shape: because the heap carries
+    * only (score, id) pairs and re-reading the fused rows would re-run
+    * BOTH leg pipelines, (n_id, lex_rk, den_rk) ride the id as a packed
+    * 47+8+8-bit BIGINT (ranks ≤ k ≤ 255 by construction here; the
+    * 47-bit id contract is enforced with raise_error, and n_id owns the
+    * high bits so heap tie-order (score DESC, id ASC) still breaks ties
+    * by n_id ASC exactly like the window's ORDER BY). Falls back to the
+    * ranking window — same result, one extra shuffle of the ≤ 2k-per-
+    * query fused rows — when the kernel is absent or k needs > 8 bits.
+    */
+  private[graft] def rrfFuseVia(lex: DataFrame, den: DataFrame, k: Int,
+      useHeap: Boolean): DataFrame = {
     val contrib = (rk: String) =>
       coalesce(expr(s"CAST($FixedPoint DIV ($RrfK + $rk) AS BIGINT)"), lit(0L))
     val fused = lex.select(col("q_id"), col("n_id"), col("rk").as("lex_rk"))
       .join(den.select(col("q_id"), col("n_id"), col("rk").as("den_rk")),
         Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf_fp", contrib("lex_rk") + contrib("den_rk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("rrf_fp").desc, col("n_id").asc)
-    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("lex_rk").cast("int").as("lex_rk"),
-        col("den_rk").cast("int").as("den_rk"), col("rrf_fp"),
-        col("rk").cast("int").as("rk"))
+    if (useHeap && k <= 0xff) {
+      val packed = fused.select(col("q_id"), col("rrf_fp").cast("double").as("sc"),
+        expr(s"""CASE WHEN n_id >= 0 AND n_id < ${1L << 47}
+                |THEN shiftleft(n_id, 16) + shiftleft(coalesce(lex_rk, 0L), 8)
+                |     + coalesce(den_rk, 0L)
+                |ELSE CAST(raise_error('rrfFuse heap path: n_id exceeds 47 bits')
+                |     AS BIGINT) END""".stripMargin).as("pid"))
+      packed.groupBy(col("q_id"))
+        .agg(call_function("graft_topk", col("sc"), col("pid"), lit(k)).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"),
+          shiftright(col("t.id"), 16).as("n_id"),
+          nullif(pmod(shiftright(col("t.id"), 8), lit(256)), lit(0))
+            .cast("int").as("lex_rk"),
+          nullif(pmod(col("t.id"), lit(256)), lit(0)).cast("int").as("den_rk"),
+          col("t.score").cast("bigint").as("rrf_fp"),
+          (col("pos") + 1).cast("int").as("rk"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("rrf_fp").desc, col("n_id").asc)
+      fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("q_id"), col("n_id"), col("lex_rk").cast("int").as("lex_rk"),
+          col("den_rk").cast("int").as("den_rk"), col("rrf_fp"),
+          col("rk").cast("int").as("rk"))
+    }
   }
 
   /** The static BM25 serving index over a (doc_id, text, …) corpus:
@@ -1008,31 +1158,98 @@ object TextAnalysis {
         array_join(split(col("word"), ""), " "), lit(" ")).as("w"), col("wn"))
 
   /** q130's learner: the first [[BpeMerges]] byte-pair merges with their
-    * counts, in learned order. Each round's argmax (count DESC, pair
-    * ASC) is a 1-row driver collect — the trainCentroids precedent: a
-    * bounded model artifact, not data. All rounds run at vocab grain.
+    * counts, in learned order — EXACTLY the sequential textbook argmax
+    * (count DESC, pair ASC per round; the oracle SQL unrolls that
+    * sequential form), with two scale fixes over the naive loop:
+    *
+    *   - each round's vocab is persisted and the previous round's
+    *     unpersisted, so round k is ONE vocab-grain pass instead of a
+    *     corpus re-scan plus a k-deep merge-chain replay (O(M) total
+    *     vocab passes, not O(M²) — the fix that makes M=32 viable);
+    *   - the per-round argmax collects the top-[[BpeBatch]] candidates
+    *     and accepts a provably-safe PREFIX in one driver round-trip.
+    *     Safety argument: merging (a, b) only changes counts of pairs
+    *     sharing a symbol with it, and every pair it creates has count
+    *     bounded by an old sharing pair's count (an occurrence of
+    *     (x, ab) was an occurrence of (x, a)). So a candidate that is
+    *     symbol-disjoint from everything accepted this batch, and whose
+    *     count STRICTLY exceeds both every skipped sharing candidate
+    *     and the batch floor (the B-th count — the bound on every
+    *     uncollected pair), is exactly the next sequential argmax,
+    *     lex-tie-breaks included. TextKernelSpec pins batched ≡
+    *     sequential end to end at M=[[BpeMerges]].
     */
-  def bpeFit(s: SparkSession, d: String): List[(String, String, Long)] = {
-    var cur = bpeVocab(s, d).select(col("w"), col("wn"))
+  def bpeFit(s: SparkSession, d: String): List[(String, String, Long)] =
+    bpeFitBatched(s, d, BpeMerges, BpeBatch)._1
+
+  /** The [[bpeFit]] engine with explicit merge count and batch width;
+    * returns (merges, driver round-trips). batch = 1 IS the sequential
+    * learner — the spec runs both and asserts identical output with
+    * fewer trips.
+    */
+  private[graft] def bpeFitBatched(s: SparkSession, d: String, m: Int,
+      batch: Int): (List[(String, String, Long)], Int) = {
+    // localCheckpoint (eager), NOT persist: it materializes the round's
+    // vocab AND truncates lineage. A persist chain keeps every prior
+    // round in the analyzed plan — and a chain of InMemoryRelations
+    // prints its children through both the logical and cached-physical
+    // representations, so the plan-description string Spark builds per
+    // job grows exponentially in rounds (measured: OOM at M=32).
+    // Checkpoint blocks are vocab-grain and freed by the context
+    // cleaner when the previous round's RDD is GC'd.
+    var cur = bpeVocab(s, d).select(col("w"), col("wn")).localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
-    var k = 1
+    var trips = 0
     var exhausted = false
-    while (k <= BpeMerges && !exhausted) {
+    while (merges.size < m && !exhausted) {
       val top = bpePairCounts(cur)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+        .limit(batch).collect()
+      trips += 1
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((a, b, cnt))
-        cur = cur.select(
-          replace(col("w"), lit(s" $a $b "), lit(s" $a$b ")).as("w"),
-          col("wn"))
-        k += 1
+        val cands = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // every pair OUTSIDE the collected window has cnt <= floor
+        val floor = if (cands.length < batch) 0L else cands.last._3
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var done = false
+        for ((a, b, cnt) <- cands if !done) {
+          if (merges.size + accepted.size >= m) done = true
+          else if (accepted.isEmpty) { accepted += ((a, b, cnt)); touched += a += b }
+          else if (touched(a) || touched(b)) () // count may have changed — skip
+          else {
+            // every pair an accepted merge changed or created is bounded
+            // by some NON-accepted candidate sharing a symbol with the
+            // accepted set — a new (x, ab) was an occurrence of old
+            // (x, a), and (a, b) itself was consumed — or by `floor` if
+            // that sharing pair fell outside the window. The bound must
+            // be taken over the WHOLE window, ties rejecting: an
+            // equal-count sharing pair LATER in lex order still bounds a
+            // new pair that could tie cnt and win the (a ASC, b ASC)
+            // tie-break (e.g. merge (c,o) creating (co,lu) at the same
+            // 978 as disjoint candidate (lu,m) — the fixture case the
+            // q130 reference spec caught when this scanned only the
+            // already-visited prefix)
+            val acceptedSet = accepted.map(p => (p._1, p._2)).toSet
+            val sharingMax = cands.iterator
+              .filter { case (x, y, _) =>
+                (touched(x) || touched(y)) && !acceptedSet((x, y)) }
+              .map(_._3).foldLeft(0L)(math.max)
+            if (cnt > floor && cnt > sharingMax) {
+              accepted += ((a, b, cnt)); touched += a += b
+            } else done = true
+          }
+        }
+        merges ++= accepted
+        // accepted merges are symbol-disjoint: the replaces commute
+        cur = accepted.foldLeft(cur) { case (c, (a, b, _)) =>
+          c.select(replace(col("w"), lit(s" $a $b "), lit(s" $a$b ")).as("w"),
+            col("wn"))
+        }.localCheckpoint()
       }
     }
-    merges.toList
+    (merges.toList, trips)
   }
 
   /** Apply learned merges to a space-joined symbol column, in order —

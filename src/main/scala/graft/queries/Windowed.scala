@@ -42,7 +42,7 @@ object Windowed {
              |    PARTITION BY e.event_id ORDER BY st.st_ts DESC, st.o_orderkey DESC) AS rn
              |  FROM events e JOIN st ON st.o_custkey = e.user_id AND st.st_ts <= e.ts)
              |SELECT event_id, o_orderkey FROM j WHERE rn = 1""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q34: tumbling window aggregate (epoch-aligned 1h windows)
     "q30_window_tumbling" -> Q(
@@ -56,7 +56,7 @@ object Windowed {
       Some("""SELECT epoch_ms(ts) // 3600000 * 3600000 AS w_start, event_type,
              |  count(*) AS n, round(sum(value), 4) AS sum_val
              |FROM events GROUP BY 1, 2""".stripMargin),
-      headline = true),
+      headline = false),
 
     // ---- Q34: sliding window (1h length, 30m slide → each event in 2)
     "q31_window_sliding" -> Q(

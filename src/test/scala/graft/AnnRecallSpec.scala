@@ -47,6 +47,30 @@ class AnnRecallSpec extends SparkSuite {
     assert(diff.isEmpty, "graft_hamming diverges from the zip_with fold")
   }
 
+  test("q132 IVF dense hybrid leg recall vs the brute dense leg") {
+    // the dense leg of q132_hybrid_rrf_ivf, run standalone against the
+    // q50 brute-force truth (same 5 queries, same k): fusion quality is
+    // bounded by the weaker leg, so the hybrid leg carries a HIGHER
+    // floor (0.95) than standalone IVF's 0.8 — that is the whole reason
+    // HybridProbes=4 exists instead of reusing Probes=2.
+    val e = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
+    val cents = queries.Similarity.trainCentroids(spark, sf())
+    val ivf = queries.Similarity.ivfSearchTopK(spark,
+        queries.Similarity.assignToCentroids(spark, e, cents),
+        e.filter(col("vec_id") < queries.TextAnalysis.Bm25Queries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")),
+        cents, queries.Similarity.HybridProbes, queries.TextAnalysis.Bm25TopK)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & truth).size.toDouble / truth.size
+    info(f"hybrid dense-leg recall at sf0.001: ${(ivf & truth).size}/${truth.size} " +
+      f"= $recall%.2f (${queries.Similarity.HybridProbes}/" +
+      s"${queries.Similarity.NumCentroids} centroids probed)")
+    assert(recall >= 0.95, f"hybrid dense-leg recall below floor 0.95: $recall%.2f")
+  }
+
   test("q52_ann_lsh recall vs brute-force ground truth") {
     val lsh = topkSet("q52_ann_lsh")
     val recall = (lsh & truth).size.toDouble / truth.size

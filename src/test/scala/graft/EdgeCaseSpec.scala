@@ -88,6 +88,9 @@ class EdgeCaseSpec extends SparkSuite {
       .write.parquet(s"$dir/embeddings.parquet")
     val affected = graft.queries.Catalog.all.keys.filter(n =>
       n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[4-9].*|q11[0-9].*|q1[23][0-9].*"))
+      // q133 is an AUDIT query (orders-backed, like q87/q88/q89) that the
+      // numeric range accidentally catches — not a corpus query
+      .filterNot(_ == "q133_session_rollup")
     affected.foreach { name =>
       val n = graft.queries.Catalog.all(name).build(spark, dir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")

@@ -59,6 +59,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("row_number"), s"ranking window survives in:\n$p")
   }
 
+  test("q132 dense leg probes the broadcast IVF index through bounded heaps") {
+    val p = plan("q132_hybrid_rrf_ivf")
+    // centroid index rides a broadcast (k-row LocalRelation), never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"no broadcast index probe in:\n$p")
+    // every corpus-sized ranking is a graft_topk bounded heap; the ONLY
+    // ranking window left is rrfFuse's, over ≤ 2k fused rows per query
+    assert(p.contains("graft_topk"), s"bounded-heap aggregate missing in:\n$p")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window "))
+    assert(windows <= 1, s"expected only the fusion ranking window, got $windows:\n$p")
+  }
+
   test("q103 multi-key JSON is one JsonToStructs parse, not per-key walks") {
     val p = plan("q103_json_multikey")
     assert(p.sliding("from_json(".length).count(_ == "from_json(") == 1,
@@ -110,7 +122,8 @@ class PlanSpec extends SparkSuite {
     "q10_cross_join", "q107_mixture_plan",
     "q108_vocab_coverage", "q114_token_spectrum", "q121_mixture_sample",
     "q125_bm25",       // matched postings × a broadcast 1-row (N, avgdl) total
-    "q128_hybrid_rrf") // both legs: q125's 1-row total + q50's broadcast query batch
+    "q128_hybrid_rrf", // both legs: q125's 1-row total + q50's broadcast query batch
+    "q132_hybrid_rrf_ivf") // q125's 1-row total + q51's broadcast k-centroid probe
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>

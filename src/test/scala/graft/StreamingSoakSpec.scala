@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StatefulOps
+
+/** Long-horizon soak for the stateful dedup/monitor family: the short
+  * StatefulOpsSpec streams prove semantics; this proves the property a
+  * standing deployment actually depends on — STATE SIZE PLATEAUS. Each
+  * op runs 100+ micro-batches under the RocksDB provider with event
+  * time advancing well past the watermark horizon, and the per-batch
+  * `stateOperators.numRowsTotal` series must flatten at the horizon
+  * working-set instead of growing with stream history. Every bound
+  * below is pinned from the op's own state contract (buckets or open
+  * windows per horizon), with ~2× slack for expiry lag — NOT from
+  * observed values, so a state leak (dropped timeout, watermark
+  * regression) fails loudly.
+  */
+class StreamingSoakSpec extends SparkSuite {
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  /** Drive `batches` micro-batches through `mkRows`, recording the
+    * summed numRowsTotal across state operators after each batch.
+    */
+  private def soak[A](in: MemoryStream[A], q: org.apache.spark.sql.streaming.StreamingQuery,
+      batches: Int)(mkRows: Int => Seq[A]): Vector[Long] = {
+    val state = Vector.newBuilder[Long]
+    for (b <- 0 until batches) {
+      in.addData(mkRows(b): _*)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        state += p.stateOperators.map(_.numRowsTotal).sum
+    }
+    state.result()
+  }
+
+  test("soak: minhashPairsStream bucket state plateaus at the watermark horizon (120 batches)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val docs = in.toDF().toDF("doc_id", "text", "ts")
+      val q = StatefulOps.minhashPairsStream(docs, "text", "ts", "60 seconds")
+        .writeStream.format("memory").queryName("soak_pairs")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val docsPerBatch = 5
+        var id = 0L
+        val series = soak(in, q, 120) { b =>
+          (0 until docsPerBatch).map { _ =>
+            id += 1
+            // unique 8-token texts (distinct shingle sets → distinct
+            // buckets — the worst case for state growth)
+            val words = (0 until 8).map(w => s"w${(id * 13 + w * 7) % 997}_$id")
+            (id, words.mkString(" "), ts(b * 10L))
+          }
+        }
+        // contract: live buckets ∝ docs-per-horizon × NumBands, never
+        // stream length. Horizon = 60 s delay + 1 batch step at 10 s/batch
+        // → ≤ ~8 live batches × 5 docs × 8 bands = 320; pinned at 2×.
+        val bound = 640L
+        info(s"state series (every 10th): ${series.grouped(10).map(_.last).mkString(", ")}")
+        assert(series.max <= bound,
+          s"bucket state exceeded the horizon bound $bound: max=${series.max}")
+        val inserted = 120L * docsPerBatch * graft.queries.Dedup.NumBands
+        assert(inserted >= 4 * series.max,
+          "soak too short to prove expiry: lengthen the run or tighten the bound")
+        // plateau, not growth: the last quarter must not exceed the peak
+        // of the middle of the run (state stops growing once the first
+        // horizon has expired)
+        assert(series.takeRight(30).max <= series.slice(30, 90).max,
+          s"state still growing in the last quarter: ${series.takeRight(30).max} > " +
+            s"${series.slice(30, 90).max}")
+      } finally q.stop()
+    }
+  }
+
+  test("soak: windowed quality + funnel monitors hold open-window state only (100 batches)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[(Timestamp, String, String)]
+      val docs = in.toDF().toDF("ts", "source", "text")
+      val ql = StatefulOps.qualityMonitor(docs, "text", "ts", "source",
+          "60 seconds", "30 seconds")
+        .writeStream.format("memory").queryName("soak_quality")
+        .outputMode(OutputMode.Append).start()
+      val fn = StatefulOps.funnelMonitor(docs, "text", "ts", "source",
+          "60 seconds", "30 seconds")
+        .writeStream.format("memory").queryName("soak_funnel")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val qlState = Vector.newBuilder[Long]
+        val fnState = Vector.newBuilder[Long]
+        for (b <- 0 until 100) {
+          val rows = Seq("src0", "src1").map { src =>
+            (ts(b * 10L), src, s"the quick document $b from $src of the corpus")
+          }
+          in.addData(rows: _*)
+          ql.processAllAvailable(); fn.processAllAvailable()
+          Seq(ql -> qlState, fn -> fnState).foreach { case (q, buf) =>
+            val p = q.lastProgress
+            if (p != null && p.stateOperators.nonEmpty)
+              buf += p.stateOperators.map(_.numRowsTotal).sum
+          }
+        }
+        // contract: state = open (window × key) rows. 30 s windows under
+        // a 60 s watermark at 10 s/batch → ≤ ~4 open windows × 2 keys
+        // = 8 agg rows; pinned generously at 64 to absorb the provider's
+        // internal rows — still 25× below the 1,600 windows the run
+        // creates, so unbounded growth cannot pass.
+        for ((name, series) <- Seq("quality" -> qlState.result(), "funnel" -> fnState.result())) {
+          info(s"$name state series (every 10th): ${series.grouped(10).map(_.last).mkString(", ")}")
+          assert(series.max <= 64L,
+            s"$name monitor state exceeded the open-window bound: max=${series.max}")
+          assert(series.takeRight(25).max <= series.slice(25, 75).max,
+            s"$name monitor state still growing in the last quarter")
+        }
+        // both monitors must have emitted closed windows (soak is not vacuous)
+        assert(spark.table("soak_quality").count() > 50)
+        assert(spark.table("soak_funnel").count() > 50)
+      } finally { ql.stop(); fn.stop() }
+    }
+  }
+}

@@ -382,6 +382,27 @@ class TextKernelSpec extends SparkSuite {
     assert(out.toList == expected, s"spark=${out.toList}\nref=$expected")
   }
 
+  test("q130 batched argmax is exactly the sequential learner, in fewer driver trips") {
+    import graft.queries.TextAnalysis
+    // batch=1 IS the textbook one-argmax-per-round loop; the batched
+    // window must produce the identical merge list (the disjoint-prefix
+    // acceptance proof in bpeFit's scaladoc) while spending sublinearly
+    // many driver round-trips in M — the fix that makes M=32 a loop a
+    // 1000-executor job can drive without M sequential barrier waits.
+    val (batched, trips) =
+      TextAnalysis.bpeFitBatched(spark, sf(), TextAnalysis.BpeMerges, TextAnalysis.BpeBatch)
+    val (seq, seqTrips) =
+      TextAnalysis.bpeFitBatched(spark, sf(), TextAnalysis.BpeMerges, 1)
+    assert(batched == seq, s"batched diverges from sequential:\n$batched\n$seq")
+    info(s"driver round-trips at M=${TextAnalysis.BpeMerges}: " +
+      s"batched=$trips sequential=$seqTrips")
+    // measured 18 vs 32 on the fixture (ties force conservative batch
+    // stops — exactness over depth); the floor pins ≥ 1/3 savings so a
+    // regression to one-merge-per-trip fails
+    assert(trips * 3 <= seqTrips * 2,
+      s"batching saved too little: $trips vs $seqTrips sequential trips")
+  }
+
   private def fixtureWordCounts(): Map[String, Long] =
     spark.read.parquet(s"${sf()}/documents.parquet")
       .selectExpr("text").collect().map(_.getString(0))
@@ -463,6 +484,29 @@ class TextKernelSpec extends SparkSuite {
       (1L, 12L, Some(1), None, 17189L, 1),
       (1L, 14L, None, Some(1), 17189L, 2))
     assert(out == expected)
+  }
+
+  test("rrfFuse bounded-heap path equals the ranking-window path, packed ids intact") {
+    import graft.queries.TextAnalysis
+    import spark.implicits._
+    // ids near the 47-bit packing boundary + rank ties + single-leg rows
+    val big = (1L << 47) - 2
+    val lex = Seq((0L, big, 1), (0L, 11L, 2), (0L, 12L, 3), (1L, big - 1, 1))
+      .toDF("q_id", "n_id", "rk")
+    val den = Seq((0L, big, 1), (0L, 13L, 2), (1L, 14L, 1), (1L, big - 1, 2))
+      .toDF("q_id", "n_id", "rk")
+    def rows(useHeap: Boolean): Set[(Long, Long, Option[Any], Option[Any], Long, Int)] =
+      TextAnalysis.rrfFuseVia(lex, den, 3, useHeap).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), r.getLong(4), r.getInt(5)))
+        .toSet
+    assert(rows(useHeap = true) == rows(useHeap = false))
+    // the 47-bit id contract fails loudly, never wraps silently
+    val over = Seq((0L, 1L << 47, 1)).toDF("q_id", "n_id", "rk")
+    val ex = intercept[Exception] {
+      TextAnalysis.rrfFuseVia(over, den.limit(0), 3, useHeap = true).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("q128 on the fixture: full depth, contiguous ranks, fused order") {
