@@ -53,8 +53,12 @@ object PlanDump {
     "q127_dsir_weight" -> "DSIR selection: ONE conditional-count token hash-agg fits both unigram models, the merged ≤2V delta map ships as a literal, scoring + the 2^w integer resampling coin are a zero-shuffle scan-stage fold",
     "q128_hybrid_rrf" -> "hybrid RRF: each leg is its own bounded top-k pipeline (BM25 prune-at-scan, dense broadcast-probe); the fusion join + final window see only queries×k rows — integer fixed-point 2^20/(K+rk) fused score",
     "q129_cluster_profile" -> "cluster profile: broadcast k-row index probe, then (c_id, source)- and c_id-grain aggregates only — output ∝ k; dominant source via struct-min argmax, no ranking window; exact fixed-point means",
-    "q130_bpe_merges" -> "BPE induction: ONE corpus scan into the word-vocab aggregate; each merge round runs at vocab grain with map-side pair collapse; the learned merge table is the emitted LocalRelation artifact",
-    "q131_bpe_fertility" -> "tokenizer fertility: merges apply at vocab grain (a fold of replaces in one projection); per-(source, word) counts from one scan; dictionary-sized vocab join; #sources-row output")
+    "q130_bpe_merges" -> "BPE induction: ONE corpus scan into the word-vocab aggregate; each round localCheckpoints the vocab (lineage truncated) and the batched argmax accepts an exactness-proven disjoint prefix per driver trip; the learned merge table is the emitted LocalRelation artifact",
+    "q131_bpe_fertility" -> "tokenizer fertility: merges apply at vocab grain (a fold of replaces in one projection); per-(source, word) counts from one scan; dictionary-sized vocab join; #sources-row output",
+    "q132_hybrid_rrf_ivf" -> "hybrid RRF, IVF dense leg: lexical leg = q125's prune-at-scan pipeline over ONE persisted tokenized projection; dense leg probes the broadcast k-row trained-centroid index at 4/8 centroids — rerank touches ~probes/centroids of the corpus; all corpus-sized rankings are graft_topk bounded heaps, the only window is rrfFuse's over ≤2k rows/query",
+    "q88_failed_actions" -> "audit failed-action report: XML envelope parse in the scan stage, returncode filter post-parse, (user, object)-grain hash-agg — low-cardinality output, no wide shuffle",
+    "q89_ses_actions" -> "ses_actions decode: per-row 16-char mask split + posexplode + filter in the scan stage — zero shuffles at any audit-trail size",
+    "q133_session_rollup" -> "per-login rollup: envelope parse in the scan stage, (db_user, userhost)-grain aggregate with distinct session/object counts — user×host-bounded output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
