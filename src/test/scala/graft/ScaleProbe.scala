@@ -170,6 +170,30 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
       time(s"q110_source_overlap S=$s2 D=$d2 shared=$sharedRun")(
         queries.Catalog.all("q110_source_overlap").build(spark, probeDir).count())
+    } else if (args.lift(1).contains("--bpe")) {
+      // BPE growth probe: fit wall-time and driver round-trips as the
+      // merge count M doubles, batched (top-64 window) vs sequential
+      // (batch=1). The properties probed: per-merge cost FALLS with M
+      // (the corpus scan amortizes over vocab-grain rounds — cost is
+      // corpus + M·vocab, not M·corpus) and batched trips grow
+      // sublinearly in M (one trip accepts an exactness-proven disjoint
+      // prefix). The printed trend is the evidence behind the q130
+      // "sub-linear in M" claim.
+      val ms = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(8, 16, 32))
+      ms.foreach { m =>
+        val t0 = System.nanoTime()
+        val (mergesB, tripsB) =
+          queries.TextAnalysis.bpeFitBatched(spark, dir, m, queries.TextAnalysis.BpeBatch)
+        val tB = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (mergesS, tripsS) = queries.TextAnalysis.bpeFitBatched(spark, dir, m, 1)
+        val tS = (System.nanoTime() - t1) / 1e9
+        require(mergesB == mergesS, s"batched != sequential at M=$m")
+        println(f"bpe M=$m%-3d batched: $tB%5.1f s / $tripsB trips   " +
+          f"sequential: $tS%5.1f s / $tripsS trips   " +
+          f"(per-merge batched ${tB / m * 1000}%4.0f ms)")
+      }
     } else {
       time("q41_minhash_capped")(
         queries.Dedup.minhashPairs(spark, dir, queries.Dedup.BucketCap).count())
