@@ -109,6 +109,20 @@ object Similarity {
   /** q112: outliers reported per label (the farthest-from-centroid k). */
   val OutlierK = 5
 
+  /** q134 kNN graph: neighbors kept per vector, and the IVF probe depth
+    * used when EVERY vector is a query. Whole-corpus querying includes
+    * every cluster-boundary vector, so graph recall is strictly harder
+    * than q51's 5-query case: measured at sf0.001, 2/8 probes = 0.49,
+    * 4/8 = 0.75 (floor frozen at 0.7 in AnnRecallSpec). The fixture is
+    * the documented adversarial regime — true neighbors at cos
+    * 0.28–0.39, near-orthogonal, where partition-based ANN degrades by
+    * construction; production embedding corpora cluster far tighter,
+    * and KnnProbes is the recall/cost knob (scan fraction ≈
+    * probes/centroids at any scale).
+    */
+  val KnnK = 5
+  val KnnProbes = 4
+
   /** q124 SemDeDup cosine threshold — the q44 near-dup value, which the
     * fixture's planted near-pairs sit just above (max pairwise cosine
     * 0.48/0.51/0.60 at sf0.001/0.01/0.1), so the output is non-degenerate
@@ -536,6 +550,47 @@ object Similarity {
               |SELECT w.vec_id, w.c_id, round(w.cosc, 4) AS cosc,
               |  (d.vec_id IS NOT NULL) AS is_dup
               |FROM wc w LEFT JOIN dup d USING (vec_id)""".stripMargin),
+      headline = true),
+
+    // ---- kNN graph (the all-vectors form of q51): every vector's
+    //      top-KnnK cosine neighbors, searched cluster-locally over the
+    //      trained IVF index — the backbone artifact for graph-based
+    //      diversity sampling, dedup clustering, and retrieval-quality
+    //      audits, where brute all-pairs is n² and impossible at 100 TB.
+    //      Every vector probes its top-KnnProbes centroids (broadcast
+    //      k-row index, bounded heap); candidates = the probed clusters'
+    //      members via ONE c_id equijoin (the Σ|c|²-shaped stage SemDeDup
+    //      also pays — bounded by k ∝ corpus keeping |c| flat); the
+    //      per-vector top-k collapses map-side through graft_topk before
+    //      the per-query shuffle. The oracle replays the whole pipeline
+    //      (training included), so the full edge set is hash-checked;
+    //      AnnRecallSpec pins graph recall vs the brute n² edge set.
+    "q134_knn_graph" -> Q(
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = trainCentroids(s, d)
+        ivfSearchTopK(s, assignToCentroids(s, e, cents),
+          e.select(col("vec_id").as("q_id"), col("v").as("qv")),
+          cents, KnnProbes, KnnK)
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+              |${kmeansIterSql}
+              |asg AS (SELECT vec_id, c_id, v FROM (
+              |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn = 1),
+              |probes AS (SELECT q_id, qv, c_id FROM (
+              |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id, row_number() OVER (
+              |    PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn <= $KnnProbes),
+              |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${sqlCos("p.qv", "a.v")} AS cos
+              |       FROM probes p JOIN asg a ON a.c_id = p.c_id
+              |       WHERE a.vec_id <> p.q_id)
+              |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $KnnK""".stripMargin),
       headline = true),
 
     // ---- cluster profile: corpus cartography over the q51 trained
