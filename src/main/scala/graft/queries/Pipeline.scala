@@ -403,19 +403,38 @@ object Pipeline {
     //      corpus-build sample must have; a seeded RNG gives none of
     //      them across engines). At scale this is one ranking window
     //      per stratum — no global sort, no collect.
+    //      Rank key = md5-prefix u32 (the q93/q127 deterministic-coin
+    //      pattern), so the per-stratum top-N rides the graft_topk
+    //      bounded heap: every partition collapses to ≤ N candidates
+    //      map-side BEFORE the per-stratum shuffle — the old ranking
+    //      window shuffled the WHOLE corpus into per-stratum sorts (the
+    //      difference at 100 TB between moving N×#strata rows and
+    //      moving everything). Window fallback is result-identical.
     "q92_stratified_sample" -> Q(
       (s, d) => {
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        Tables.spread(Tables(s, d, "documents"))
-          .select(col("doc_id"), col("lang"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= SamplePerStratum)
-          .select(col("doc_id"), col("lang"), col("rn").cast("int").as("rn"))
+        val h = expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        val docs = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("lang"), h.as("h"))
+        if (s.catalog.functionExists("graft_topk"))
+          docs.groupBy(col("lang"))
+            .agg(call_function("graft_topk", (-col("h")).cast("double"),
+              col("doc_id"), lit(SamplePerStratum)).as("top"))
+            .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+            .select(col("t.id").as("doc_id"), col("lang"),
+              (col("pos") + 1).cast("int").as("rn"))
+        else {
+          val w = Window.partitionBy(col("lang"))
+            .orderBy(col("h").asc, col("doc_id").asc)
+          docs.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= SamplePerStratum)
+            .select(col("doc_id"), col("lang"), col("rn").cast("int").as("rn"))
+        }
       },
       Some(s"""SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
               |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |      AS BIGINT), doc_id) AS rn
               |  FROM documents) WHERE rn <= $SamplePerStratum""".stripMargin),
       headline = false),
 

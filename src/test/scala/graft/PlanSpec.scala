@@ -71,6 +71,12 @@ class PlanSpec extends SparkSuite {
     assert(windows <= 1, s"expected only the fusion ranking window, got $windows:\n$p")
   }
 
+  test("q92 per-stratum sample is a bounded heap, not a corpus-wide ranking window") {
+    val p = plan("q92_stratified_sample")
+    assert(p.contains("graft_topk"), s"bounded-heap aggregate missing in:\n$p")
+    assert(!p.contains("row_number"), s"ranking window survives in:\n$p")
+  }
+
   test("q103 multi-key JSON is one JsonToStructs parse, not per-key walks") {
     val p = plan("q103_json_multikey")
     assert(p.sliding("from_json(".length).count(_ == "from_json(") == 1,
