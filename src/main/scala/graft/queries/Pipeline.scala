@@ -1308,6 +1308,68 @@ object Pipeline {
               |        j >= st AND st + $SpanTokens > j)) = 0)) AS INT) END AS removed,
               |  CAST(t.n AS INT) AS n_tok
               |FROM t LEFT JOIN s USING (doc_id)""".stripMargin),
+      headline = true),
+
+    // ---- source drift report: per source, the TOTAL-VARIATION distance
+    //      between its token distribution and the whole corpus's — the
+    //      "which feed changed under me" audit an intake pipeline runs
+    //      before retraining mixture weights. TVD = ½Σ|p−q| deliberately
+    //      instead of PSI/KL: no logarithms, so the whole metric is
+    //      exact fixed-point arithmetic (floor(|p−q|·2^20) BIGINT sums,
+    //      order-free — the q51/q118 no-float-accumulation rule applied
+    //      to a divergence). Tokens a source never emits contribute
+    //      Σ_absent q = 1 − Σ_present q, so only PRESENT (source, token)
+    //      rows are ever materialized. 100 TB shape: ONE corpus-token
+    //      aggregate at (source, token) grain, persisted and reused by
+    //      all three reductions (token totals, source totals, the term
+    //      join); the term stage is a token-grain equijoin; output is
+    //      #sources rows. DriftTau = 0.06 splits the fixture
+    //      non-degenerately at every SF (measured 0.04–0.08).
+    "q135_source_drift" -> Q(
+      (s, d) => {
+        val st = Tables.spread(Tables(s, d, "documents"))
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .filter(col("t") =!= "")
+          .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tt = st.groupBy(col("t")).agg(sum(col("c")).as("ct"))
+        val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+        val g = tt.agg(sum(col("ct")).as("n"))
+        val terms = st.join(tt, Seq("t"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(g))
+          .select(col("source"), col("n_s"),
+            expr(s"CAST(floor(abs(CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE) " +
+              s"- CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * $DriftFp.0D) AS BIGINT)")
+              .as("dfp"),
+            expr(s"CAST(floor(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) * $DriftFp.0D) " +
+              "AS BIGINT)").as("qfp"))
+        terms.groupBy(col("source"))
+          .agg(first(col("n_s")).as("n_tokens"),
+            sum(col("dfp")).as("sd"), sum(col("qfp")).as("sq"))
+          .select(col("source"), col("n_tokens"),
+            ((col("sd") + (lit(DriftFp) - col("sq"))).cast("double") /
+              lit(2.0 * DriftFp)).as("tvd"))
+          .withColumn("drifted", col("tvd") > DriftTau)
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+              |             FROM documents),
+              |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              |       FROM tok WHERE t <> '' GROUP BY 1, 2),
+              |tt AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+              |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+              |g AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tt),
+              |terms AS (SELECT st.source, ns.n_s,
+              |    CAST(floor(abs(CAST(st.c AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
+              |      - CAST(tt.ct AS DOUBLE) / CAST(g.n AS DOUBLE)) * $DriftFp.0) AS BIGINT) AS dfp,
+              |    CAST(floor(CAST(tt.ct AS DOUBLE) / CAST(g.n AS DOUBLE) * $DriftFp.0) AS BIGINT) AS qfp
+              |  FROM st JOIN tt USING (t) JOIN ns USING (source) CROSS JOIN g)
+              |SELECT source, CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+              |  CAST(CAST(sum(dfp) AS BIGINT) + ($DriftFp - CAST(sum(qfp) AS BIGINT)) AS DOUBLE)
+              |    / ${2 * DriftFp}.0 AS tvd,
+              |  (CAST(CAST(sum(dfp) AS BIGINT) + ($DriftFp - CAST(sum(qfp) AS BIGINT)) AS DOUBLE)
+              |    / ${2 * DriftFp}.0) > $DriftTau AS drifted
+              |FROM terms GROUP BY 1""".stripMargin),
       headline = true)
   )
 
@@ -1360,4 +1422,14 @@ object Pipeline {
     * files-per-worker); fixture-scale 8 keeps every shard populated.
     */
   val NumShards = 8
+
+  /** q135 drift metric: the fixed-point scale (2^20, the q51 value) for
+    * order-free TVD term sums, and the drifted-flag threshold — 0.06
+    * splits the fixture's measured per-source TVDs (0.04–0.08)
+    * non-degenerately at every SF. Production corpora set this from the
+    * alerting budget; the comparison is bit-identical cross-engine
+    * because the tvd value itself is.
+    */
+  val DriftFp = 1048576L
+  val DriftTau = 0.06
 }

@@ -59,7 +59,8 @@ object PlanDump {
     "q88_failed_actions" -> "audit failed-action report: XML envelope parse in the scan stage, returncode filter post-parse, (user, object)-grain hash-agg — low-cardinality output, no wide shuffle",
     "q89_ses_actions" -> "ses_actions decode: per-row 16-char mask split + posexplode + filter in the scan stage — zero shuffles at any audit-trail size",
     "q133_session_rollup" -> "per-login rollup: envelope parse in the scan stage, (db_user, userhost)-grain aggregate with distinct session/object counts — user×host-bounded output",
-    "q134_knn_graph" -> "kNN graph: every vector probes the broadcast k-row trained-centroid index (bounded heap), candidates from ONE c_id equijoin against the assignment — Σ|c|² cluster-local, never n² — per-vector top-k collapses map-side through graft_topk")
+    "q134_knn_graph" -> "kNN graph: every vector probes the broadcast k-row trained-centroid index (bounded heap), candidates from ONE c_id equijoin against the assignment — Σ|c|² cluster-local, never n² — per-vector top-k collapses map-side through graft_topk",
+    "q135_source_drift" -> "source drift: ONE persisted (source, token) aggregate feeds token totals, source totals, and the TVD term join; fixed-point BIGINT term sums (no float accumulation, no logs); broadcast 1-row grand total; #sources-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

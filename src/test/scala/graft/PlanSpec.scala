@@ -130,7 +130,8 @@ class PlanSpec extends SparkSuite {
     "q125_bm25",       // matched postings × a broadcast 1-row (N, avgdl) total
     "q128_hybrid_rrf", // both legs: q125's 1-row total + q50's broadcast query batch
     "q132_hybrid_rrf_ivf", // q125's 1-row total + q51's broadcast k-centroid probe
-    "q134_knn_graph")  // corpus × broadcast k-centroid LocalRelation (q51's shape)
+    "q134_knn_graph",  // corpus × broadcast k-centroid LocalRelation (q51's shape)
+    "q135_source_drift") // token terms × a broadcast 1-row grand total (q107's shape)
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
