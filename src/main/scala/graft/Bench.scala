@@ -42,17 +42,19 @@ object Bench {
       try {
         val df = Catalog.all(name).build(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
+        // stop the clock BEFORE the finally: cache teardown is between-
+        // runs hygiene, not part of the query being measured
+        (System.nanoTime() - t0) / 1e9
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
       } finally {
         // Queries that persist an intermediate (q125's tokenized-docs
         // projection) must not hand the NEXT timed run a warm cache —
         // every sample pays the full cold pipeline.
         spark.sharedState.cacheManager.clearCache()
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q125_bm25,q128_hybrid_rrf

@@ -1322,7 +1322,9 @@ object Pipeline {
     //      rows are ever materialized. 100 TB shape: ONE corpus-token
     //      aggregate at (source, token) grain, persisted and reused by
     //      all three reductions (token totals, source totals, the term
-    //      join); the term stage is a token-grain equijoin; output is
+    //      join — caller contract as in bm25SelfRank: Bench/Verify
+    //      clearCache() between builds, long-lived sessions should too);
+    //      the term stage is a token-grain equijoin; output is
     //      #sources rows. DriftTau = 0.06 splits the fixture
     //      non-degenerately at every SF (measured 0.04–0.08).
     "q135_source_drift" -> Q(

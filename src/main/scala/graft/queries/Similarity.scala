@@ -149,7 +149,7 @@ object Similarity {
     s"((CAST($h3 AS DOUBLE) / $M.0) * 2 - 1)"
   }
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[queries] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables(s, d, "embeddings"))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 

@@ -598,9 +598,7 @@ object TextAnalysis {
     //      negligible at any corpus size.
     "q128_hybrid_rrf" -> Q(
       (s, d) => {
-        val e = Tables.spread(Tables(s, d, "embeddings"))
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val e = Similarity.vecs(s, d)
         val den = Similarity.searchTopK(s, e,
           e.filter(col("vec_id") < Bm25Queries)
             .select(col("vec_id").as("q_id"), col("v").as("qv")), Bm25TopK)
@@ -677,9 +675,7 @@ object TextAnalysis {
     //      end, not just recall-floored.
     "q132_hybrid_rrf_ivf" -> Q(
       (s, d) => {
-        val e = Tables.spread(Tables(s, d, "embeddings"))
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val e = Similarity.vecs(s, d)
         val cents = Similarity.trainCentroids(s, d)
         val den = Similarity.ivfSearchTopK(s,
           Similarity.assignToCentroids(s, e, cents),
@@ -954,8 +950,11 @@ object TextAnalysis {
     // query). The trade at 100 TB: one extra stored pass of
     // (doc_id, toks, dl) vs four redundant corpus scans — and a
     // standing deployment skips this entirely by probing the persisted
-    // [[bm25Index]] postings instead (the serving shape). Bench clears
-    // the cache after every run, so each sample pays the cold pipeline.
+    // [[bm25Index]] postings instead (the serving shape). CALLER
+    // CONTRACT: the persist has no unpersist path inside the returned
+    // plan — Bench/Verify clearCache() between builds; any other
+    // long-lived session building catalog entries repeatedly should do
+    // the same or cached projections accumulate for the session.
     val tokd = Tables.spread(Tables(s, d, "documents"))
       .select(col("doc_id"), toksOf.as("toks"), size(toksOf).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1162,10 +1161,13 @@ object TextAnalysis {
     * (count DESC, pair ASC per round; the oracle SQL unrolls that
     * sequential form), with two scale fixes over the naive loop:
     *
-    *   - each round's vocab is persisted and the previous round's
-    *     unpersisted, so round k is ONE vocab-grain pass instead of a
-    *     corpus re-scan plus a k-deep merge-chain replay (O(M) total
-    *     vocab passes, not O(M²) — the fix that makes M=32 viable);
+    *   - each round's vocab is eagerly localCheckpoint-ed (lineage
+    *     truncated, blocks freed by the context cleaner on GC), so
+    *     round k is ONE vocab-grain pass instead of a corpus re-scan
+    *     plus a k-deep merge-chain replay (O(M) total vocab passes,
+    *     not O(M²)). NOT a persist chain: chained InMemoryRelations
+    *     blow up the per-job plan-description string exponentially —
+    *     the engine-body comment records the measured OOM;
     *   - the per-round argmax collects the top-[[BpeBatch]] candidates
     *     and accepts a provably-safe PREFIX in one driver round-trip.
     *     Safety argument: merging (a, b) only changes counts of pairs
@@ -1216,6 +1218,13 @@ object TextAnalysis {
         var done = false
         for ((a, b, cnt) <- cands if !done) {
           if (merges.size + accepted.size >= m) done = true
+          // a SELF-pair merge (a, a) breaks the bound below: the pairs it
+          // creates ((aa, a), (aa, aa) from symbol runs) are bounded only
+          // by the accepted pair ITSELF, which the sharingMax scan
+          // excludes — so nothing may be accepted after it this batch
+          // (corpus " a a a a "×600 + " b c "×550: sequential round 2 is
+          // (aa, aa, 600), but an unguarded batch would take (b, c, 550))
+          else if (accepted.lastOption.exists(p => p._1 == p._2)) done = true
           else if (accepted.isEmpty) { accepted += ((a, b, cnt)); touched += a += b }
           else if (touched(a) || touched(b)) () // count may have changed — skip
           else {

@@ -33,10 +33,12 @@ class EventsTsSpec extends SparkSuite {
     // by `writeEvents` in the encoding under test
     def cloneDir(name: String)(writeEvents: Path => Unit): String = {
       val dir = tmpDir(name)
-      Files.list(src).forEach { p =>
-        val f = p.getFileName.toString
-        if (f.endsWith(".parquet") && f != "events.parquet")
-          Files.createLink(dir.resolve(f), p)
+      scala.util.Using.resource(Files.list(src)) { listing =>
+        listing.forEach { p =>
+          val f = p.getFileName.toString
+          if (f.endsWith(".parquet") && f != "events.parquet")
+            Files.createLink(dir.resolve(f), p)
+        }
       }
       writeEvents(dir.resolve("events.parquet"))
       dir.toString

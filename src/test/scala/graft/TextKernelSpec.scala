@@ -403,6 +403,31 @@ class TextKernelSpec extends SparkSuite {
       s"batching saved too little: $trips vs $seqTrips sequential trips")
   }
 
+  test("q130 batched argmax stays sequential-exact on self-pair merges (symbol runs)") {
+    import graft.queries.TextAnalysis
+    import spark.implicits._
+    // ' a a a a '×600 + ' b c '×550: round 1 merges the SELF-pair (a, a).
+    // Under the shipped non-overlapping left-to-right string replace the
+    // word becomes ' aa a a ' (the match consumes the shared space), so
+    // the cascade is (a,a,1800) → (a,a,600) → (aa,aa,600) → (b,c,550) —
+    // every post-round-1 winner is a pair the self-merge touched or
+    // created, each outscoring the disjoint (b, c, 550) that an
+    // unguarded batch would accept in round-1's trip. The guard stops
+    // the batch after any accepted self-pair.
+    val dir = tmpDir("bpe_selfpair").toString
+    val docs = (0 until 60).map(i => (i.toLong, ("aaaa " * 10).trim, "en", "src0")) ++
+      (60 until 115).map(i => (i.toLong, ("bc " * 10).trim, "en", "src0"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val (batched, _) = TextAnalysis.bpeFitBatched(spark, dir, 4, TextAnalysis.BpeBatch)
+    val (seq, _) = TextAnalysis.bpeFitBatched(spark, dir, 4, 1)
+    assert(batched == seq, s"self-pair batch divergence:\n$batched\n$seq")
+    assert(seq.take(3).map(m => (m._1, m._2)) ==
+      List(("a", "a"), ("a", "a"), ("aa", "aa")),
+      s"planted corpus did not produce the self-pair cascade: $seq")
+  }
+
   private def fixtureWordCounts(): Map[String, Long] =
     spark.read.parquet(s"${sf()}/documents.parquet")
       .selectExpr("text").collect().map(_.getString(0))
@@ -411,6 +436,15 @@ class TextKernelSpec extends SparkSuite {
 
   /** Greedy left-to-right reference BPE: learned merges + each word's
     * final symbol count.
+    *
+    * CAVEAT — list-based greedy, which differs from the shipped
+    * string-replace form on runs of 4+ identical symbols: merging (a,a)
+    * over [a,a,a,a] yields [aa,aa] here but [aa,a,a] under the
+    * non-overlapping string replace (the match consumes the shared
+    * separator space). The fixture corpus has no such runs, so this
+    * reference stays valid for it; the self-pair test below exercises
+    * the run case against the SHIPPED semantics (batched vs batch=1),
+    * not against this reference.
     */
   private def referenceBpe(words: Map[String, Long], m: Int)
       : (List[(Int, String, String, Long)], Map[String, Int]) = {
