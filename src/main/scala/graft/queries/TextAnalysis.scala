@@ -1117,6 +1117,50 @@ object TextAnalysis {
     * fold in the scan stage (the model rides along as a map literal);
     * streams verbatim — see `StatefulOps.surprisalGate`.
     */
+  /** Per-DOCUMENT total-variation distance against a reference unigram
+    * model (token → probability-mass map literal): ½[Σ_{t∈doc}|p_t−q_t|
+    * + (1 − Σ_{t∈doc}q_t)] — the second term folds in every reference
+    * token the doc lacks, so only the doc's own tokens are walked.
+    * Stateless per-row HOF arithmetic in the scan stage (the model
+    * rides as a literal), so it streams verbatim — q135 measures the
+    * corpus-level TVD (which needs token-grain state and cannot stream
+    * in one aggregate); this is its per-doc intake form, shared by
+    * `StatefulOps.driftMonitor` and its spec's batch recompute.
+    */
+  def docTvd(text: Column, ref: Map[String, Double]): Column = {
+    val refMap = typedLit(ref)
+    val toks = split(text, " ")
+    val n = size(toks).cast("double")
+    val dist = array_distinct(toks)
+    val q = (t: Column) => coalesce(element_at(refMap, t), lit(0.0))
+    val sumAbs = aggregate(dist, lit(0.0), (acc, t) =>
+      acc + abs(size(filter(toks, x => x === t)).cast("double") / n - q(t)))
+    val sumQ = aggregate(dist, lit(0.0), (acc, t) => acc + q(t))
+    (sumAbs + (lit(1.0) - sumQ)) / 2
+  }
+
+  /** Fit the reference model [[docTvd]] consumes: the corpus's
+    * top-[[VocabTopV]] token shares (probability mass per token). The
+    * artifact is ≤ V entries — the trainCentroids bounded-model
+    * precedent — shipped to the monitor as a map literal.
+    */
+  def driftRef(s: SparkSession, d: String): Map[String, Double] = {
+    val counts = Tables.spread(Tables(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val total = counts.agg(sum(col("tf"))).collect()(0) match {
+        case r if r.isNullAt(0) => 1L
+        case r => r.getLong(0)
+      }
+      counts.orderBy(col("tf").desc, col("token").asc).limit(VocabTopV)
+        .collect().map(r => r.getString(0) ->
+          r.getLong(1).toDouble / total.toDouble).toMap
+    } finally { counts.unpersist(); () }
+  }
+
   def surprisalScore(df: DataFrame, vocab: Map[String, Long], oovBits: Long): DataFrame = {
     val surpMap = typedLit(vocab)
     val toks = split(col("text"), " ")

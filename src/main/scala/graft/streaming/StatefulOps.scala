@@ -164,6 +164,33 @@ object StatefulOps {
         col("n_all_gates"), col("approx_distinct_final"))
   }
 
+  /** q135's intake sibling: per (event window, key) — mean per-doc
+    * total-variation distance against a REFERENCE unigram model
+    * ([[graft.queries.TextAnalysis.driftRef]], fitted offline on the
+    * trusted corpus and shipped as a map literal), plus the count and
+    * share of docs past `tau`. The per-doc TVD
+    * ([[graft.queries.TextAnalysis.docTvd]]) is stateless scan-stage
+    * arithmetic, so the monitor is ONE windowed aggregate — the
+    * corpus-level q135 TVD needs token-grain state and has no such
+    * single-aggregate streaming form. A rising mean or drifted share in
+    * a window is the "this feed changed under me" page. State ∝ open
+    * windows × keys under the watermark (the qualityMonitor contract).
+    */
+  def driftMonitor(docs: DataFrame, textCol: String, tsCol: String,
+                   keyCol: String, lateness: String, win: String,
+                   ref: Map[String, Double], tau: Double): DataFrame =
+    docs
+      .withColumn("__tvd", graft.queries.TextAnalysis.docTvd(col(textCol), ref))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), win), col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("__tvd")).as("mean_tvd"),
+        sum(when(col("__tvd") > tau, 1L).otherwise(0L)).as("n_drifted"))
+      .select(col("window.start").as("w_start"), col(keyCol),
+        col("n_docs"), col("mean_tvd"), col("n_drifted"),
+        (col("n_drifted").cast("double") / col("n_docs").cast("double"))
+          .as("drifted_frac"))
+
   /** Q40 on the ingest stream: near-dup suppression by SimHash
     * fingerprint equality. The fingerprint is the stateless per-row
     * kernel (graft_simhash — q42's batch kernel, which streams as-is),

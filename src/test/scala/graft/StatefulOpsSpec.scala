@@ -75,6 +75,51 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed drift monitor: off-distribution feed flags, stream equals batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.TextAnalysis
+
+    // reference model fitted on the trusted fixture corpus
+    val ref = TextAnalysis.driftRef(spark, sf())
+    assert(ref.nonEmpty && math.abs(ref.values.sum) <= 1.0 + 1e-9)
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "source", "text")
+    val q = StatefulOps.driftMonitor(docs, "text", "ts", "source",
+        lateness = "10 seconds", win = "30 seconds", ref, tau = 0.9)
+      .writeStream.format("memory").queryName("dmon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // srcA ships in-distribution text (reference tokens); srcB ships
+      // tokens the reference has never seen → per-doc TVD = 1.0 exactly
+      // (sumQ = 0, sumAbs = 1): the planted drifted feed
+      val common = ref.toSeq.sortBy(-_._2).take(6).map(_._1).mkString(" ")
+      val batch = Seq(
+        (ts(5), "srcA", common),
+        (ts(10), "srcA", common + " " + common),
+        (ts(12), "srcB", "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5"))
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      in.addData((ts(300), "srcA", common)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("dmon")
+        .select("w_start", "source", "n_docs", "mean_tvd", "n_drifted")
+        .as[(Timestamp, String, Long, Double, Long)]
+        .collect().map(r => (r._2) -> r).toMap
+      // the alien feed is fully drifted; the in-distribution feed is not
+      assert(rows("srcB")._4 == 1.0 && rows("srcB")._5 == 1L, s"got $rows")
+      assert(rows("srcA")._4 < 0.9 && rows("srcA")._5 == 0L, s"got $rows")
+      // stream ≡ batch: same kernel over the same rows gives the same means
+      val expected = batch.toDF("ts", "source", "text")
+        .groupBy(col("source"))
+        .agg(avg(TextAnalysis.docTvd(col("text"), ref)).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(rows("srcA")._4 == expected("srcA") && rows("srcB")._4 == expected("srcB"),
+        s"stream diverges from batch: $rows vs $expected")
+    } finally q.stop()
+  }
+
   test("windowed quality monitor flags boilerplate per window and key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
