@@ -829,24 +829,7 @@ object TextAnalysis {
               .as("fertility"))
       },
       Some {
-        val rounds = (1 to BpeMerges).map { k =>
-          val p = k - 1
-          s"""p$k AS MATERIALIZED (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
-             |  FROM (SELECT string_split(trim(w), ' ') AS s, wn FROM w$p),
-             |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) l
-             |  GROUP BY 1, 2),
-             |t$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-             |w$k AS MATERIALIZED (SELECT word, replace(w,
-             |    ' ' || (SELECT a FROM t$k) || ' ' || (SELECT b FROM t$k) || ' ',
-             |    ' ' || (SELECT a FROM t$k) || (SELECT b FROM t$k) || ' ') AS w, wn
-             |  FROM w$p)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH w0 AS MATERIALIZED (
-           |  SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w,
-           |    CAST(count(*) AS BIGINT) AS wn
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           |  WHERE word <> '' GROUP BY 1),
-           |$rounds,
+        s"""WITH $bpeWordRoundsSql,
            |va AS (SELECT word,
            |    CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_syms
            |  FROM w$BpeMerges),
@@ -857,7 +840,69 @@ object TextAnalysis {
            |  CAST(sum(c * n_syms) AS BIGINT) AS n_tokens,
            |  CAST(sum(c * n_syms) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS fertility
            |FROM sw JOIN va USING (word) GROUP BY source""".stripMargin
-      })
+      }),
+
+    // ---- BPE corpus encoding — the arc's last step (q130 learns the
+    //      merges, q131 audits fertility, this MATERIALIZES the
+    //      tokenized corpus): per doc, the full token-id array under
+    //      the learned tokenizer. Words encode ONCE at vocab grain
+    //      (apply the merge fold, split to symbols, map symbol → id);
+    //      the id table is the final symbol set — bounded by initial
+    //      chars + M merges, a driver artifact like the trained
+    //      centroids — with ids assigned by lexicographic rank so both
+    //      engines derive identical ids with no shared state. Docs then
+    //      re-encode via ONE dictionary join on word (broadcastable —
+    //      vocab ≪ corpus) and a per-doc ordered reassembly; that
+    //      doc-grain shuffle IS the output materialization, the one
+    //      unavoidable movement. Oracle replays the entire chain —
+    //      training, encoding, reassembly — so every id of every doc is
+    //      hash-checked.
+    "q136_bpe_encode" -> Q(
+      (s, d) => {
+        val merges = bpeFit(s, d).map(m => (m._1, m._2))
+        val vocab = bpeVocab(s, d).select(col("word"),
+            split(trim(bpeApply(col("w"), merges)), " ").as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val symIds: Map[String, Int] = vocab
+          .select(explode(col("syms")).as("sy")).distinct()
+          .orderBy(col("sy")).collect().map(_.getString(0))
+          .zipWithIndex.map { case (sy, i) => sy -> (i + 1) }.toMap
+        val ids = typedLit(symIds)
+        val wordIds = vocab.select(col("word"),
+          transform(col("syms"), sy => element_at(ids, sy)).as("ids"))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+          .join(wordIds, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), " +
+              "p -> p.ids))").as("token_ids"))
+          // rendered as a space-joined STRING: the driver's row hash
+          // (and pandas sort) cannot canonicalize array cells — same
+          // information, one hashable value per doc
+          .select(col("doc_id"), col("n_words"),
+            size(col("token_ids")).cast("long").as("n_ids"),
+            array_join(col("token_ids"), " ").as("ids_str"))
+      },
+      Some(s"""WITH $bpeWordRoundsSql,
+              |va AS (SELECT word, string_split(trim(w), ' ') AS syms FROM w$BpeMerges),
+              |sid AS (SELECT sy, CAST(row_number() OVER (ORDER BY sy) AS INT) AS id
+              |        FROM (SELECT DISTINCT unnest(syms) AS sy FROM va)),
+              |we AS (SELECT word, i, syms[i] AS sy FROM va,
+              |       LATERAL (SELECT unnest(generate_series(1, len(syms))) AS i) l),
+              |wi AS (SELECT word, list(id ORDER BY i) AS ids
+              |       FROM we JOIN sid USING (sy) GROUP BY word),
+              |tok AS (SELECT doc_id, i, ws[i] AS word
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) l2
+              |  WHERE ws[i] <> ''),
+              |enc AS (SELECT t.doc_id, t.i, wi.ids FROM tok t JOIN wi USING (word))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(len(flatten(list(ids ORDER BY i))) AS BIGINT) AS n_ids,
+              |  array_to_string(flatten(list(ids ORDER BY i)), ' ') AS ids_str
+              |FROM enc GROUP BY doc_id""".stripMargin))
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and
@@ -1169,6 +1214,33 @@ object TextAnalysis {
     df.withColumn("surp_bits", surp)
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("bits_per_tok", col("surp_bits").cast("double") / size(toks))
+  }
+
+  /** DuckDB mirror of the full word-grain merge chain — w0 (word →
+    * ' c h a r s ', wn) through w[[BpeMerges]] with each round's argmax
+    * — shared by the q131 and q136 oracles. Every CTE is MATERIALIZED:
+    * DuckDB inlines CTEs per reference, which is exponential over the
+    * 32 unrolled rounds ("too many open files" was the symptom).
+    */
+  private def bpeWordRoundsSql: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      val p = k - 1
+      s"""p$k AS MATERIALIZED (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wn) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(w), ' ') AS s, wn FROM w$p),
+         |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) l
+         |  GROUP BY 1, 2),
+         |t$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT word, replace(w,
+         |    ' ' || (SELECT a FROM t$k) || ' ' || (SELECT b FROM t$k) || ' ',
+         |    ' ' || (SELECT a FROM t$k) || (SELECT b FROM t$k) || ' ') AS w, wn
+         |  FROM w$p)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w,
+       |    CAST(count(*) AS BIGINT) AS wn
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |$rounds""".stripMargin
   }
 
   /** q130's one-round symbol-pair counting at vocab grain: (w, wn)
