@@ -528,6 +528,68 @@ object Pipeline {
               |    * 10000.0 + 0.5) / 10000.0 AS epochs
               |FROM w CROSS JOIN tot""".stripMargin)),
 
+    // ---- temperature mixture plan (α = 0.5): q107 plans from GIVEN
+    //      weights; this DERIVES them with temperature sampling — the
+    //      multilingual scheme where weight ∝ tokens^α flattens the
+    //      head and boosts the tail (α=1 proportional, α=0 uniform).
+    //      α is fixed at 0.5 because sqrt is a correctly-rounded
+    //      IEEE-754 primitive with identical results in both engines,
+    //      where a float pow is not; the weight is then QUANTIZED —
+    //      floor(sqrt·2^20) BIGINT — so the weight SUM is order-free
+    //      integer addition (a raw double sum of irrational sqrts would
+    //      hash-diverge on partition order — the q51 fixed-point rule).
+    //      Same 100 TB shape as q107: one #sources-grain aggregate × a
+    //      broadcast 1-row total; the intentional 1-row BNLJ is
+    //      allowlisted in PlanSpec.
+    "q137_mixture_temperature" -> Q(
+      (s, d) => {
+        val byedrc = Tables.spread(Tables(s, d, "documents"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+          .withColumn("wfp", expr(
+            s"CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * $DriftFp.0D) AS BIGINT)"))
+        val tot = byedrc.agg(
+          sum(col("tokens")).cast("double").as("all_toks"),
+          sum(col("wfp")).as("swfp"))
+        val share = "(CAST(wfp AS DOUBLE) / CAST(swfp AS DOUBLE))"
+        val tgt = s"all_toks * CAST($MixBudgetFrac AS DOUBLE) * $share"
+        def r4(e: String) = s"floor(($e) * 10000.0D + 0.5D) / 10000.0D"
+        val perTok = s"($tgt) / CAST(nullif(tokens, 0L) AS DOUBLE)"
+        byedrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            expr(r4(share)).as("share"),
+            expr(r4(tgt)).as("target_tokens"),
+            expr(r4(s"CASE WHEN ($perTok) IS NULL THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE least(CAST(1.0 AS DOUBLE), $perTok) END")).as("rate"),
+            expr(r4(perTok)).as("epochs"))
+      },
+      Some(s"""WITH t AS (SELECT source, count(*) AS n_docs,
+              |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+              |  FROM documents GROUP BY source),
+              |w AS (SELECT source, n_docs, tokens,
+              |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * $DriftFp.0) AS BIGINT) AS wfp
+              |  FROM t),
+              |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS all_toks,
+              |    CAST(sum(wfp) AS BIGINT) AS swfp FROM w)
+              |SELECT source, n_docs, tokens,
+              |  floor((CAST(wfp AS DOUBLE) / CAST(swfp AS DOUBLE))
+              |    * 10000.0 + 0.5) / 10000.0 AS share,
+              |  floor((all_toks * CAST($MixBudgetFrac AS DOUBLE)
+              |      * CAST(wfp AS DOUBLE) / CAST(swfp AS DOUBLE))
+              |    * 10000.0 + 0.5) / 10000.0 AS target_tokens,
+              |  floor((CASE WHEN nullif(tokens, 0) IS NULL THEN CAST(NULL AS DOUBLE)
+              |      ELSE least(CAST(1.0 AS DOUBLE),
+              |        all_toks * CAST($MixBudgetFrac AS DOUBLE)
+              |          * CAST(wfp AS DOUBLE) / CAST(swfp AS DOUBLE)
+              |          / CAST(tokens AS DOUBLE)) END)
+              |    * 10000.0 + 0.5) / 10000.0 AS rate,
+              |  floor((all_toks * CAST($MixBudgetFrac AS DOUBLE)
+              |      * CAST(wfp AS DOUBLE) / CAST(swfp AS DOUBLE)
+              |      / CAST(nullif(tokens, 0) AS DOUBLE))
+              |    * 10000.0 + 0.5) / 10000.0 AS epochs
+              |FROM w CROSS JOIN tot""".stripMargin)),
+
     // ---- sequence packing: assign docs to fixed-token-budget training
     //      bins — greedy by cumulative token count in a deterministic
     //      hash order (the common "concat then cut" pretraining

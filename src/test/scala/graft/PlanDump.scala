@@ -61,7 +61,8 @@ object PlanDump {
     "q133_session_rollup" -> "per-login rollup: envelope parse in the scan stage, (db_user, userhost)-grain aggregate with distinct session/object counts — user×host-bounded output",
     "q134_knn_graph" -> "kNN graph: every vector probes the broadcast k-row trained-centroid index (bounded heap), candidates from ONE c_id equijoin against the assignment — Σ|c|² cluster-local, never n² — per-vector top-k collapses map-side through graft_topk",
     "q135_source_drift" -> "source drift: ONE persisted (source, token) aggregate feeds token totals, source totals, and the TVD term join; fixed-point BIGINT term sums (no float accumulation, no logs); broadcast 1-row grand total; #sources-row output",
-    "q136_bpe_encode" -> "BPE encoding: words encode once at vocab grain (merge fold + symbol-id map literal); docs re-encode via one dictionary join on word (vocab ≪ corpus — broadcastable); the per-doc ordered reassembly is the only corpus-sized shuffle, and it IS the output")
+    "q136_bpe_encode" -> "BPE encoding: words encode once at vocab grain (merge fold + symbol-id map literal); docs re-encode via one dictionary join on word (vocab ≪ corpus — broadcastable); the per-doc ordered reassembly is the only corpus-sized shuffle, and it IS the output",
+    "q137_mixture_temperature" -> "temperature mixture: one #sources-grain token aggregate, quantized sqrt weights (order-free BIGINT weight sum), broadcast 1-row total — q107's shape with derived instead of given weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

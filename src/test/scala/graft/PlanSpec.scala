@@ -118,7 +118,8 @@ class PlanSpec extends SparkSuite {
     "q107_mixture_plan",   // 7 sources × a broadcast 1-row total
     "q108_vocab_coverage", // top-V rows × a broadcast 1-row total
     "q114_token_spectrum", // spectrum rows × a broadcast 1-row total
-    "q121_mixture_sample") // #sources rows × a broadcast 1-row total (q107's shape)
+    "q121_mixture_sample", // #sources rows × a broadcast 1-row total (q107's shape)
+    "q137_mixture_temperature") // same 1-row-total cross as q107
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -131,7 +132,8 @@ class PlanSpec extends SparkSuite {
     "q128_hybrid_rrf", // both legs: q125's 1-row total + q50's broadcast query batch
     "q132_hybrid_rrf_ivf", // q125's 1-row total + q51's broadcast k-centroid probe
     "q134_knn_graph",  // corpus × broadcast k-centroid LocalRelation (q51's shape)
-    "q135_source_drift") // token terms × a broadcast 1-row grand total (q107's shape)
+    "q135_source_drift", // token terms × a broadcast 1-row grand total (q107's shape)
+    "q137_mixture_temperature") // #sources rows × a broadcast 1-row total (q107's shape)
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
