@@ -588,7 +588,8 @@ object Pipeline {
               |      * CAST(wfp AS DOUBLE) / CAST(swfp AS DOUBLE)
               |      / CAST(nullif(tokens, 0) AS DOUBLE))
               |    * 10000.0 + 0.5) / 10000.0 AS epochs
-              |FROM w CROSS JOIN tot""".stripMargin)),
+              |FROM w CROSS JOIN tot""".stripMargin),
+      headline = true),
 
     // ---- sequence packing: assign docs to fixed-token-budget training
     //      bins — greedy by cumulative token count in a deterministic

@@ -902,7 +902,8 @@ object TextAnalysis {
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
               |  CAST(len(flatten(list(ids ORDER BY i))) AS BIGINT) AS n_ids,
               |  array_to_string(flatten(list(ids ORDER BY i)), ' ') AS ids_str
-              |FROM enc GROUP BY doc_id""".stripMargin))
+              |FROM enc GROUP BY doc_id""".stripMargin),
+      headline = true)
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and
