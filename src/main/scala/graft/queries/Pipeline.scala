@@ -543,10 +543,17 @@ object Pipeline {
     //      allowlisted in PlanSpec.
     "q137_mixture_temperature" -> Q(
       (s, d) => {
+        // NULL-text docs count 0 tokens EXPLICITLY: Spark's size(NULL)
+        // is -1 under the legacy default while DuckDB's sum skips the
+        // NULL row — the only formulation both engines agree on is the
+        // spelled-out CASE (q107/q121 carry the latent asymmetric form;
+        // fixture texts are never NULL, so all three hash alike today)
         val byedrc = Tables.spread(Tables(s, d, "documents"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+            sum(when(col("text").isNotNull,
+              size(split(col("text"), " ")).cast("long")).otherwise(0L))
+              .as("tokens"))
           .withColumn("wfp", expr(
             s"CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * $DriftFp.0D) AS BIGINT)"))
         val tot = byedrc.agg(
@@ -565,7 +572,8 @@ object Pipeline {
             expr(r4(perTok)).as("epochs"))
       },
       Some(s"""WITH t AS (SELECT source, count(*) AS n_docs,
-              |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+              |    CAST(sum(CASE WHEN text IS NULL THEN 0
+              |      ELSE len(string_split(text, ' ')) END) AS BIGINT) AS tokens
               |  FROM documents GROUP BY source),
               |w AS (SELECT source, n_docs, tokens,
               |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * $DriftFp.0) AS BIGINT) AS wfp

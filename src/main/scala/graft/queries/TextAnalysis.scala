@@ -1175,14 +1175,22 @@ object TextAnalysis {
     */
   def docTvd(text: Column, ref: Map[String, Double]): Column = {
     val refMap = typedLit(ref)
-    val toks = split(text, " ")
+    // empty-split artifacts are NOT tokens: "a  b" must score like
+    // "a b", or a whitespace-formatting change alone pages the drift
+    // monitor (the same =!= "" rule every sibling kernel applies)
+    val toks = filter(split(text, " "), t => t =!= "")
     val n = size(toks).cast("double")
     val dist = array_distinct(toks)
     val q = (t: Column) => coalesce(element_at(refMap, t), lit(0.0))
     val sumAbs = aggregate(dist, lit(0.0), (acc, t) =>
       acc + abs(size(filter(toks, x => x === t)).cast("double") / n - q(t)))
     val sumQ = aggregate(dist, lit(0.0), (acc, t) => acc + q(t))
-    (sumAbs + (lit(1.0) - sumQ)) / 2
+    // TOTAL by definition: a NULL-text or zero-token doc is maximally
+    // drifted (1.0), never NULL — a feed that starts shipping empty
+    // payloads must make the monitor louder, not quieter (NULL tvd
+    // would fall out of avg() and the > tau count both)
+    when(text.isNull || n === 0.0, lit(1.0))
+      .otherwise((sumAbs + (lit(1.0) - sumQ)) / 2)
   }
 
   /** Fit the reference model [[docTvd]] consumes: the corpus's

@@ -91,14 +91,18 @@ class StatefulOpsSpec extends SparkSuite {
       .writeStream.format("memory").queryName("dmon")
       .outputMode(OutputMode.Append).start()
     try {
-      // srcA ships in-distribution text (reference tokens); srcB ships
-      // tokens the reference has never seen → per-doc TVD = 1.0 exactly
-      // (sumQ = 0, sumAbs = 1): the planted drifted feed
+      // srcA ships in-distribution text (reference tokens; the doubled
+      // doc also carries a double space — split artifacts must NOT
+      // shift its TVD); srcB ships tokens the reference has never seen
+      // (per-doc TVD = 1.0: sumQ = 0, sumAbs = 1) plus a NULL-text doc
+      // (broken upstream parser — TOTAL docTvd pins it at 1.0, counted
+      // drifted, never silently dropped from the window stats)
       val common = ref.toSeq.sortBy(-_._2).take(6).map(_._1).mkString(" ")
       val batch = Seq(
         (ts(5), "srcA", common),
-        (ts(10), "srcA", common + " " + common),
-        (ts(12), "srcB", "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5"))
+        (ts(10), "srcA", common + "  " + common),
+        (ts(12), "srcB", "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5"),
+        (ts(14), "srcB", null))
       in.addData(batch: _*)
       q.processAllAvailable()
       in.addData((ts(300), "srcA", common)) // advance watermark
@@ -107,8 +111,10 @@ class StatefulOpsSpec extends SparkSuite {
         .select("w_start", "source", "n_docs", "mean_tvd", "n_drifted")
         .as[(Timestamp, String, Long, Double, Long)]
         .collect().map(r => (r._2) -> r).toMap
-      // the alien feed is fully drifted; the in-distribution feed is not
-      assert(rows("srcB")._4 == 1.0 && rows("srcB")._5 == 1L, s"got $rows")
+      // the alien feed is fully drifted — alien tokens AND the NULL doc
+      // both at exactly 1.0; the in-distribution feed is not
+      assert(rows("srcB")._3 == 2L && rows("srcB")._4 == 1.0 &&
+        rows("srcB")._5 == 2L, s"got $rows")
       assert(rows("srcA")._4 < 0.9 && rows("srcA")._5 == 0L, s"got $rows")
       // stream ≡ batch: same kernel over the same rows gives the same means
       val expected = batch.toDF("ts", "source", "text")
