@@ -273,6 +273,46 @@ object Similarity {
         cosine(s, col("qv"), col("v")).as("cos")), k)
   }
 
+  /** q134's edge pipeline, shared by every graph-derived operator
+    * (q138 outliers, q139 clusters, q140 triplets): all vectors' top-KnnK
+    * IVF-probed cosine neighbors as (q_id, n_id, rk, cos) — cos emitted
+    * rounded to 4 (topkPerQuery's precision), which is the value ALL
+    * downstream math uses so the oracles replay bit-identically.
+    */
+  def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val cents = trainCentroids(s, d)
+    ivfSearchTopK(s, assignToCentroids(s, e, cents),
+      e.select(col("vec_id").as("q_id"), col("v").as("qv")),
+      cents, KnnProbes, KnnK)
+  }
+
+  /** The DuckDB mirror of [[knnEdges]] as a CTE prefix ending in
+    * `knn(q_id, n_id, rk, cos)` — rank computed on the unrounded cosine
+    * (what the bounded heap orders by), cos emitted rounded to 4 (what
+    * topkPerQuery emits). Downstream oracles splice their reductions
+    * after it; q134's final select is this CTE re-emitted verbatim.
+    */
+  private[queries] def knnOracleCte: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       |${kmeansIterSql}
+       |asg AS (SELECT vec_id, c_id, v FROM (
+       |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, c_id FROM (
+       |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn <= $KnnProbes),
+       |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${sqlCos("p.qv", "a.v")} AS cos
+       |       FROM probes p JOIN asg a ON a.c_id = p.c_id
+       |       WHERE a.vec_id <> p.q_id),
+       |knn AS (SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $KnnK)""".stripMargin
+
   /** Exact cosine top-k of `queries` (q_id, qv) against `corpus`
     * (vec_id, v): the small query batch broadcasts, the corpus is
     * scanned once, candidates collapse map-side through the graft_topk
@@ -566,32 +606,151 @@ object Similarity {
     //      (training included), so the full edge set is hash-checked;
     //      AnnRecallSpec pins graph recall vs the brute n² edge set.
     "q134_knn_graph" -> Q(
-      (s, d) => {
-        val e = vecs(s, d)
-        val cents = trainCentroids(s, d)
-        ivfSearchTopK(s, assignToCentroids(s, e, cents),
-          e.select(col("vec_id").as("q_id"), col("v").as("qv")),
-          cents, KnnProbes, KnnK)
-      },
-      Some(s"""WITH e AS (SELECT vec_id,
-              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-              |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
-              |${kmeansIterSql}
-              |asg AS (SELECT vec_id, c_id, v FROM (
-              |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
-              |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
-              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn = 1),
-              |probes AS (SELECT q_id, qv, c_id FROM (
-              |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id, row_number() OVER (
-              |    PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
-              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn <= $KnnProbes),
-              |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${sqlCos("p.qv", "a.v")} AS cos
-              |       FROM probes p JOIN asg a ON a.c_id = p.c_id
-              |       WHERE a.vec_id <> p.q_id)
-              |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
-              |  SELECT *, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $KnnK""".stripMargin),
+      (s, d) => knnEdges(s, d),
+      Some(knnOracleCte + "\nSELECT q_id, n_id, rk, cos FROM knn"),
       headline = true),
+
+    // ---- kNN-distance outlier score (the graph-native complement of
+    //      q112's centroid distance): a vector whose own top-KnnK
+    //      neighborhood is far (low mean cosine) is isolated — the
+    //      classic kNN-outlier signal, catching points BETWEEN clusters
+    //      that sit close to no one yet near their own centroid. The mean
+    //      over the (deterministic, hash-checked) q134 edge set is exact:
+    //      fixed-point floor(cos·2^20) BIGINT sums, one double division.
+    //      The global bottom-OutlierK flag rides the graft_topk bounded
+    //      heap on the NEGATED score — a single group whose partials
+    //      collapse map-side to ≤ K rows per partition, so no global sort
+    //      ever ranks the corpus; the K flagged ids broadcast back.
+    //      100 TB shape: edges from the IVF probe (never n²), a
+    //      vector-grain aggregate, and a K-row broadcast join.
+    "q138_knn_outlier" -> Q(
+      (s, d) => {
+        val scores = knnEdges(s, d).groupBy(col("q_id"))
+          .agg(sum(expr(s"CAST(floor(cos * $FixedPointScale.0) AS BIGINT)")).as("fsum"),
+            count(lit(1)).as("n"))
+          .select(col("q_id").as("vec_id"),
+            (col("fsum").cast("double") / lit(FixedPointScale.toDouble) /
+              col("n").cast("double")).as("mean_cos"))
+        val flagged =
+          if (s.catalog.functionExists("graft_topk"))
+            scores.agg(call_function("graft_topk", -col("mean_cos"),
+                col("vec_id"), lit(OutlierK)).as("top"))
+              .select(explode(col("top.id")).as("vec_id"),
+                lit(true).as("is_outlier"))
+          else {
+            val w = Window.orderBy(col("mean_cos").asc, col("vec_id").asc)
+            scores.withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= OutlierK)
+              .select(col("vec_id"), lit(true).as("is_outlier"))
+          }
+        scores.join(broadcast(flagged), Seq("vec_id"), "left")
+          .select(col("vec_id"), round(col("mean_cos"), 4).as("mean_cos"),
+            coalesce(col("is_outlier"), lit(false)).as("is_outlier"))
+      },
+      Some(knnOracleCte + s""",
+           |sco AS (SELECT q_id AS vec_id,
+           |    CAST(sum(CAST(floor(cos * $FixedPointScale.0) AS BIGINT)) AS DOUBLE)
+           |      / $FixedPointScale.0 / CAST(count(*) AS DOUBLE) AS mean_cos
+           |  FROM knn GROUP BY q_id),
+           |flg AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (
+           |    ORDER BY mean_cos, vec_id) AS rn FROM sco) WHERE rn <= $OutlierK)
+           |SELECT s.vec_id, round(s.mean_cos, 4) AS mean_cos,
+           |  (f.vec_id IS NOT NULL) AS is_outlier
+           |FROM sco s LEFT JOIN flg f USING (vec_id)""".stripMargin)),
+
+    // ---- semantic dup CLUSTERS at corpus scale: connected components
+    //      over the kNN graph's cos ≥ SemDedupTau edges — the transitive
+    //      closure SemDeDup (q124) deliberately does not take (it marks
+    //      pairwise within k-means cells, so an A≈B≈C chain spanning two
+    //      cells never unifies). This is the artifact canonical-id
+    //      assignment and dedup attribution want, built the 100 TB way:
+    //      candidate edges from the IVF kNN graph (never n² — a vector
+    //      can only link to its top-KnnK neighbors), then the q101
+    //      closure kernel (min-label propagation escalating to star
+    //      contraction, per-round lineage truncation). Every vector
+    //      emits a row; singletons are their own keeper.
+    "q139_semantic_clusters" -> Q(
+      (s, d) => {
+        val pairs = knnEdges(s, d)
+          .filter(col("cos") >= SemDedupTau && col("q_id") =!= col("n_id"))
+          .select(least(col("q_id"), col("n_id")).as("doc_a"),
+            greatest(col("q_id"), col("n_id")).as("doc_b"))
+          .distinct()
+        val labeled = Dedup.clusterPairs(pairs)
+        Tables(s, d, "embeddings").select(col("vec_id"))
+          .join(labeled.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+            coalesce(col("keeper"), lit(true)).as("keeper"))
+      },
+      Some(knnOracleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+           |prs AS (SELECT least(q_id, n_id) AS pa, greatest(q_id, n_id) AS pb
+           |        FROM knn WHERE cos >= $SemDedupTau AND q_id <> n_id
+           |        GROUP BY 1, 2),
+           |e2 AS (SELECT pa AS v, pb AS u FROM prs
+           |       UNION SELECT pb, pa FROM prs),
+           |reach AS (
+           |  SELECT v, u FROM e2
+           |  UNION
+           |  SELECT r.v, e3.u FROM reach r JOIN e2 e3 ON e3.v = r.u),
+           |lbl AS (SELECT v, least(v, min(u)) AS l FROM reach GROUP BY v),
+           |csz AS (SELECT l, CAST(count(*) AS BIGINT) AS n FROM lbl GROUP BY l)
+           |SELECT em.vec_id, coalesce(lbl.l, em.vec_id) AS cluster_id,
+           |  CAST(coalesce(csz.n, 1) AS BIGINT) AS cluster_size,
+           |  coalesce(lbl.v = lbl.l, TRUE) AS keeper
+           |FROM embeddings em LEFT JOIN lbl ON lbl.v = em.vec_id
+           |  LEFT JOIN csz ON csz.l = lbl.l""".stripMargin),
+      headline = true),
+
+    // ---- batch-hard triplet mining (Hermans et al. 2017, arXiv:
+    //      1703.07737): per anchor, its most-similar SAME-label neighbor
+    //      (positive) and most-similar DIFFERENT-label neighbor (hard
+    //      negative) — the training pairs an embedding fine-tune mines
+    //      from its own corpus. Restricted to the q134 kNN graph by
+    //      construction (global hardest-negative mining is n²;
+    //      within-top-k is the standard scalable relaxation), and an
+    //      anchor emits only when both exist in its neighborhood.
+    //      Selection is a struct-max CONDITIONAL aggregate — max of
+    //      (cos, -n_id) under each label predicate — so the per-anchor
+    //      argmax collapses map-side; no ranking window touches the edge
+    //      set. Labels arrive via two id-equijoins on the two-column
+    //      (vec_id, label) projection (AQE broadcasts or co-partitions).
+    "q140_contrastive_pairs" -> Q(
+      (s, d) => {
+        val lab = Tables(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val j = knnEdges(s, d)
+          .join(lab.select(col("vec_id").as("q_id"), col("label").as("a_label")), "q_id")
+          .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+        j.groupBy(col("q_id"), col("a_label"))
+          .agg(
+            max(when(col("n_label") === col("a_label"),
+              struct(col("cos"), (-col("n_id")).as("nid")))).as("p"),
+            max(when(col("n_label") =!= col("a_label"),
+              struct(col("cos"), (-col("n_id")).as("nid")))).as("ng"))
+          .filter(col("p").isNotNull && col("ng").isNotNull)
+          .select(col("q_id").as("anchor_id"), col("a_label").as("label"),
+            (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+            (-col("ng.nid")).as("neg_id"), col("ng.cos").as("neg_cos"))
+      },
+      Some(knnOracleCte + """,
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |j AS (SELECT k.q_id, la.label AS a_label, k.n_id, k.cos,
+           |        lb.label AS n_label
+           |      FROM knn k JOIN lab la ON la.vec_id = k.q_id
+           |        JOIN lab lb ON lb.vec_id = k.n_id),
+           |pos AS (SELECT q_id, a_label, n_id, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, n_id) AS rn FROM j
+           |  WHERE n_label = a_label) WHERE rn = 1),
+           |neg AS (SELECT q_id, n_id, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, n_id) AS rn FROM j
+           |  WHERE n_label <> a_label) WHERE rn = 1)
+           |SELECT p.q_id AS anchor_id, p.a_label AS label,
+           |  p.n_id AS pos_id, p.cos AS pos_cos,
+           |  n.n_id AS neg_id, n.cos AS neg_cos
+           |FROM pos p JOIN neg n USING (q_id)""".stripMargin)),
 
     // ---- cluster profile: corpus cartography over the q51 trained
     //      index — per cluster: size, dominant source (+ its share),

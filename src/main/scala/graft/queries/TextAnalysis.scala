@@ -452,6 +452,57 @@ object TextAnalysis {
               |FROM t LEFT JOIN v USING (token) GROUP BY t.doc_id""".stripMargin),
       headline = true),
 
+    // ---- learned source classifier: multinomial Naive Bayes over token
+    //      counts predicting `source` — the trained-classifier verb of
+    //      the quality/domain-filter family (the fastText-classifier
+    //      pattern of CCNet/LLaMA data curation, where a model scores
+    //      "looks like the target domain"; q115 is the HEURISTIC langid
+    //      confusion, this one is FIT on the corpus). All arithmetic is
+    //      q118's integer-quantized log2: class prior bits(N/docs_c),
+    //      per-token channel cost bits(ctot_c/tf_{c,t}) over the global
+    //      top-V vocabulary head, OOV floor bits(ctot_c) — exact BIGINT
+    //      everywhere, no float log, so the argmin and margins are
+    //      bit-identical cross-engine. 100 TB shape: the fit is ONE
+    //      (source, token) hash-agg (C×V model rows collected — the
+    //      trainCentroids bounded-artifact precedent); scoring ships the
+    //      C maps as literals and is a zero-shuffle scan-stage fold;
+    //      prediction is array_sort over C structs per row, no
+    //      per-class shuffle or window anywhere.
+    "q141_nb_sourceid" -> Q(
+      (s, d) => nbScore(Tables.spread(Tables(s, d, "documents")), nbFit(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |    unnest(string_split(text,' ')) AS token FROM documents),
+              |gtf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+              |voc AS (SELECT token FROM gtf ORDER BY tf DESC, token LIMIT $VocabTopV),
+              |cls AS (SELECT source, CAST(count(*) AS BIGINT) AS docs
+              |        FROM documents GROUP BY source),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              |ctot AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
+              |         FROM t GROUP BY source),
+              |ctf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM t
+              |        WHERE token IN (SELECT token FROM voc) GROUP BY source, token),
+              |model AS (SELECT c.source, c.token,
+              |    CAST(length(bin(CAST(ct.ct // c.tf AS BIGINT))) AS BIGINT) AS bits
+              |  FROM ctf c JOIN ctot ct USING (source)),
+              |prior AS (SELECT cls.source,
+              |    CAST(length(bin(CAST((SELECT n FROM nd) // cls.docs AS BIGINT)))
+              |      AS BIGINT) AS pbits,
+              |    CAST(length(bin(ct.ct)) AS BIGINT) AS oov
+              |  FROM cls JOIN ctot ct USING (source)),
+              |sc AS (SELECT t.doc_id, p.source AS cls,
+              |    CAST(p.pbits + sum(coalesce(m.bits, p.oov)) AS BIGINT) AS bits
+              |  FROM t CROSS JOIN prior p
+              |    LEFT JOIN model m ON m.source = p.source AND m.token = t.token
+              |  GROUP BY t.doc_id, p.source, p.pbits),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY bits, cls) AS rn FROM sc)
+              |SELECT b.doc_id, d.source, b.cls AS pred_source, b.bits AS bits,
+              |  CAST(r.bits - b.bits AS BIGINT) AS margin_bits,
+              |  (b.cls = d.source) AS correct
+              |FROM rk b JOIN rk r ON r.doc_id = b.doc_id AND r.rn = 2
+              |  JOIN documents d ON d.doc_id = b.doc_id
+              |WHERE b.rn = 1""".stripMargin)),
+
     // ---- stutter scrub: collapse CONSECUTIVE repeated tokens ("spam
     //      spam spam" → "spam") — the cheapest of the standard repetition
     //      cleaning passes (OCR stutter, scraper echo, keyboard bounce);
@@ -1137,6 +1188,87 @@ object TextAnalysis {
       bm25Probe(queries.select(col("q_id"), col("text")), idx, k),
       Similarity.searchTopK(queries.sparkSession, corpus,
         queries.select(col("q_id"), col("qv")), k), k)
+
+  /** One fitted Naive-Bayes class (q141): prior + OOV cost and the
+    * per-token channel costs, all in q118's integer-quantized log2 bits.
+    * The whole model is ≤ C×(V+2) longs — a bounded artifact shipped to
+    * the scorer as map literals (the trainCentroids precedent).
+    */
+  final case class NbClass(source: String, priorBits: Long, oovBits: Long,
+                           bits: Map[String, Long])
+
+  /** q141's model fit — ONE (source, token) hash-agg over the corpus
+    * (plus its two tiny rollups), everything after at model grain:
+    * classes = distinct sources (ASC — the argmin tie-break order),
+    * vocabulary = the GLOBAL top-[[VocabTopV]] token head (q118's rule;
+    * ties token ASC), channel cost bits(ctot_c/tf) for class-present
+    * vocab tokens, OOV floor bits(ctot_c) for everything else.
+    * Tokenization is exactly q118's (split on ' ', no empty-string
+    * filter) so the two models stay comparable.
+    */
+  def nbFit(s: SparkSession, d: String): Seq[NbClass] = {
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val docs = Tables.spread(Tables(s, d, "documents"))
+    val ctf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val voc = ctf.groupBy(col("token")).agg(sum(col("tf")).as("gtf"))
+        .orderBy(col("gtf").desc, col("token").asc).limit(VocabTopV)
+        .select(col("token")).collect().map(_.getString(0)).toSet
+      val ctot = ctf.groupBy(col("source")).agg(sum(col("tf")).as("ct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val classDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("docs"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDocs = classDocs.values.sum
+      // vocab filter BEFORE the collect: the driver sees C×V rows, never
+      // the full (source, token) domain
+      val chan = ctf.filter(col("token").isInCollection(voc)).collect()
+        .groupBy(_.getString(0))
+        .map { case (src, rows) =>
+          src -> rows.map(r =>
+            r.getString(1) -> bits(ctot(src) / r.getLong(2))).toMap
+        }
+      classDocs.keys.toSeq.sorted.map(src => NbClass(src,
+        bits(nDocs / classDocs(src)), bits(ctot(src)),
+        chan.getOrElse(src, Map.empty)))
+    } finally { ctf.unpersist(); () }
+  }
+
+  /** Score rows with (doc_id, source, text) under a fitted [[nbFit]]
+    * model: per class one zero-shuffle fold (prior + Σ channel bits with
+    * OOV fallback), then argmin + runner-up via array_sort over the C
+    * (bits, cls) structs — ordering (bits ASC, source ASC) matches the
+    * oracle's (bits, cls) window exactly. Stateless scan-stage work, so
+    * it streams verbatim.
+    */
+  def nbScore(df: DataFrame, classes: Seq[NbClass]): DataFrame = {
+    // empty corpus (no classes at all) → empty result with the right
+    // schema, the first-microbatch rule every corpus verb follows;
+    // exactly ONE class is real misuse (margin undefined) and throws
+    if (classes.isEmpty)
+      return df.select(col("doc_id"), col("source"),
+        lit(null).cast("string").as("pred_source"),
+        lit(null).cast("long").as("bits"),
+        lit(null).cast("long").as("margin_bits"),
+        lit(null).cast("boolean").as("correct")).filter(lit(false))
+    require(classes.size >= 2, s"NB needs >= 2 classes, got ${classes.size}")
+    val toks = split(col("text"), " ")
+    val scored = classes.map { c =>
+      val m = typedLit(c.bits)
+      val b = aggregate(toks, lit(c.priorBits),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(c.oovBits)))
+      struct(b.as("bits"), lit(c.source).as("cls"))
+    }
+    val arr = array_sort(array(scored: _*))
+    df.select(col("doc_id"), col("source"),
+      arr.getItem(0).getField("cls").as("pred_source"),
+      arr.getItem(0).getField("bits").as("bits"),
+      (arr.getItem(1).getField("bits") - arr.getItem(0).getField("bits"))
+        .as("margin_bits"),
+      (arr.getItem(0).getField("cls") === col("source")).as("correct"))
+  }
 
   def surprisalFit(s: SparkSession, d: String): (Map[String, Long], Long) = {
     val counts = Tables.spread(Tables(s, d, "documents"))
