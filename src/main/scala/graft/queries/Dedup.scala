@@ -304,6 +304,23 @@ object Dedup {
       Some(ngramJaccardOracle(DfCap)),
       headline = true),
 
+    // ---- shingle CONTAINMENT pairs (Broder's c/min(|A|,|B|) — the
+    //      near-superset detector Jaccard structurally misses: a snippet
+    //      quoted whole inside a much longer doc has tiny union-
+    //      normalized similarity but containment → 1). Same exact-dup
+    //      collapse + capped hashed inverted index as q43 (ONE shared
+    //      core, [[shinglePairCore]]); only the final pair-grain score
+    //      differs, so the 100 TB story is q43's verbatim: pair work
+    //      bounded by dfCap² per posting, 8-byte shuffle keys,
+    //      denominators carried through the index join-free. NB the
+    //      fixture corpus contains no partial-containment pairs (its
+    //      planted near-dups are same-length, so q143's rows coincide
+    //      with q43's there); the snippet-vs-jaccard regime difference
+    //      is pinned by ContainmentSpec's planted-snippet test.
+    "q143_containment" -> Q(
+      (s, d) => ngramContainment(s, d, DfCap),
+      Some(ngramContainmentOracle(DfCap))),
+
     // ---- pair → CLUSTER resolution: the transitive closure every
     //      production dedup actually needs (A~B and B~C must collapse to
     //      ONE keeper even when A~C was never emitted). Connected
@@ -386,6 +403,12 @@ object Dedup {
     * uncapped on test data.
     */
   val DfCap = 1000
+
+  /** q143 containment threshold: higher than q43's 0.5 Jaccard floor
+    * because containment ≥ Jaccard by construction — the interesting
+    * rows are HIGH containment (snippet swallowed whole) regardless of
+    * the docs' size ratio. */
+  val ContainTau = 0.7
 
   /** q41/q44/q45's LSH band-bucket cap: each (band, signature) bucket
     * contributes pairs from at most BucketCap members (the first by id
@@ -835,9 +858,42 @@ object Dedup {
     * (computed before hashing, both engines).
     */
   def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    // Exact-dup collapse first ([[textGroups]]): the inverted-index core
-    // runs once per DISTINCT text. ScaleProbe on an 8×-duplicated
-    // 40k-doc corpus: 91 s → 5 s, identical output (see NOTES.md).
+    val (cnts, groups) = shinglePairCore(s, d, dfCap)
+    val repPairs = cnts
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac").as("score"))
+    expandPairs(repPairs, groups)
+      .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("jaccard"))
+  }
+
+  /** q143's shared builder — identical candidate machinery to [[ngramJaccard]]
+    * but scored by Broder CONTAINMENT c/min(|A|,|B|): the near-SUPERSET
+    * detector. A quote or snippet embedded in a much longer doc keeps
+    * containment high while the union-normalized Jaccard collapses, so
+    * the two thresholds surface disjoint duplication regimes. Exact-dup
+    * members are mutual containments (selfScore 1.0 — identical texts).
+    */
+  def ngramContainment(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val (cnts, groups) = shinglePairCore(s, d, dfCap)
+    val repPairs = cnts
+      .withColumn("cont",
+        col("c").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("cont") >= ContainTau)
+      .select(col("doc_a"), col("doc_b"), col("cont").as("score"))
+    expandPairs(repPairs, groups)
+      .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("containment"))
+  }
+
+  /** The shingle-pair intersection core shared by [[ngramJaccard]] and
+    * [[ngramContainment]]: exact-dup collapse first ([[textGroups]] — the
+    * inverted-index core runs once per DISTINCT text; ScaleProbe on an
+    * 8×-duplicated 40k-doc corpus: 91 s → 5 s, identical output, see
+    * NOTES.md), then the hashed inverted index with capped posting
+    * lists, returning rep-grain ((doc_a, doc_b, na, nb, c), groups).
+    */
+  private def shinglePairCore(s: SparkSession, d: String,
+                              dfCap: Int): (DataFrame, DataFrame) = {
     val groups = textGroups(s, d)
     val docs = shingledReps(s, groups)
     val hs = if (native(s)) call_function("graft_hash60", col("s0"))
@@ -850,7 +906,7 @@ object Dedup {
     // (just enough to witness the overflow) is result-identical while the
     // buffer for a stopword-run shingle stays O(dfCap), not O(df).
     val witnessCap = if (dfCap == Int.MaxValue) dfCap else dfCap + 1
-    val repPairs = observeCap(e.groupBy(col("s"))
+    val cnts = observeCap(e.groupBy(col("s"))
       .agg(collectCapped(s, struct(col("doc_id"), col("n")), witnessCap).as("ids")),
       "ngram_df_caps", "ids", dfCap, truncate = false)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
@@ -858,11 +914,7 @@ object Dedup {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jac").as("score"))
-    expandPairs(repPairs, groups)
-      .select(col("doc_a"), col("doc_b"), round(col("score"), 4).as("jaccard"))
+    (cnts, groups)
   }
 
   /** q101's shared builder — connected components over [[minhashPairs]]'
@@ -1130,4 +1182,23 @@ object Dedup {
         |SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
         |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5""".stripMargin
+
+  /** The DuckDB mirror of [[ngramContainment]] — [[ngramJaccardOracle]]'s
+    * candidate CTEs with the containment score. The filter comparison is
+    * explicit-DOUBLE on both sides (the DECIMAL-division trap: DuckDB's
+    * `x * 1.0 / y` is DECIMAL arithmetic, fine under round(·,4) but not
+    * inside a threshold predicate Spark computes in DOUBLE).
+    */
+  def ngramContainmentOracle(dfCap: Int): String =
+    shingleCte + ",\n" + s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hs AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS s FROM sh),
+        |keep AS (SELECT s FROM hs GROUP BY s HAVING count(*) <= $dfCap),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM hs a JOIN hs b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          JOIN keep k ON k.s = a.s
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $ContainTau""".stripMargin
 }

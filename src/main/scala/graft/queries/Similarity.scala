@@ -313,6 +313,53 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $KnnK)""".stripMargin
 
+  /** Members kept per semantic cluster by q144's diversity sample. */
+  val ClusterSampleM = 2
+
+  /** q139's builder, shared with q144: connected components over the
+    * kNN graph's cos ≥ [[SemDedupTau]] edges through the q101 closure
+    * kernel; every vector emits a row (singletons self-keep).
+    */
+  def semanticClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = knnEdges(s, d)
+      .filter(col("cos") >= SemDedupTau && col("q_id") =!= col("n_id"))
+      .select(least(col("q_id"), col("n_id")).as("doc_a"),
+        greatest(col("q_id"), col("n_id")).as("doc_b"))
+      .distinct()
+    val labeled = Dedup.clusterPairs(pairs)
+    Tables(s, d, "embeddings").select(col("vec_id"))
+      .join(labeled.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        coalesce(col("keeper"), lit(true)).as("keeper"))
+  }
+
+  /** The DuckDB mirror of [[semanticClusters]] as a CTE prefix ending in
+    * `cl(vec_id, cluster_id, cluster_size, keeper)`: [[knnOracleCte]]
+    * promoted to WITH RECURSIVE + the q101-style set-union closure
+    * (terminates — UNION deduplicates the frontier), label = min
+    * reachable id, singletons folded in by the embeddings LEFT JOIN.
+    */
+  private[queries] def semanticClustersOracleCte: String =
+    knnOracleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+       |prs AS (SELECT least(q_id, n_id) AS pa, greatest(q_id, n_id) AS pb
+       |        FROM knn WHERE cos >= $SemDedupTau AND q_id <> n_id
+       |        GROUP BY 1, 2),
+       |e2 AS (SELECT pa AS v, pb AS u FROM prs
+       |       UNION SELECT pb, pa FROM prs),
+       |reach AS (
+       |  SELECT v, u FROM e2
+       |  UNION
+       |  SELECT r.v, e3.u FROM reach r JOIN e2 e3 ON e3.v = r.u),
+       |lbl AS (SELECT v, least(v, min(u)) AS l FROM reach GROUP BY v),
+       |csz AS (SELECT l, CAST(count(*) AS BIGINT) AS n FROM lbl GROUP BY l),
+       |cl AS (SELECT em.vec_id, coalesce(lbl.l, em.vec_id) AS cluster_id,
+       |  CAST(coalesce(csz.n, 1) AS BIGINT) AS cluster_size,
+       |  coalesce(lbl.v = lbl.l, TRUE) AS keeper
+       |FROM embeddings em LEFT JOIN lbl ON lbl.v = em.vec_id
+       |  LEFT JOIN csz ON csz.l = lbl.l)""".stripMargin
+
   /** Exact cosine top-k of `queries` (q_id, qv) against `corpus`
     * (vec_id, v): the small query batch broadcasts, the corpus is
     * scanned once, candidates collapse map-side through the graft_topk
@@ -670,38 +717,54 @@ object Similarity {
     //      contraction, per-round lineage truncation). Every vector
     //      emits a row; singletons are their own keeper.
     "q139_semantic_clusters" -> Q(
-      (s, d) => {
-        val pairs = knnEdges(s, d)
-          .filter(col("cos") >= SemDedupTau && col("q_id") =!= col("n_id"))
-          .select(least(col("q_id"), col("n_id")).as("doc_a"),
-            greatest(col("q_id"), col("n_id")).as("doc_b"))
-          .distinct()
-        val labeled = Dedup.clusterPairs(pairs)
-        Tables(s, d, "embeddings").select(col("vec_id"))
-          .join(labeled.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
-            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
-            coalesce(col("keeper"), lit(true)).as("keeper"))
-      },
-      Some(knnOracleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
-           |prs AS (SELECT least(q_id, n_id) AS pa, greatest(q_id, n_id) AS pb
-           |        FROM knn WHERE cos >= $SemDedupTau AND q_id <> n_id
-           |        GROUP BY 1, 2),
-           |e2 AS (SELECT pa AS v, pb AS u FROM prs
-           |       UNION SELECT pb, pa FROM prs),
-           |reach AS (
-           |  SELECT v, u FROM e2
-           |  UNION
-           |  SELECT r.v, e3.u FROM reach r JOIN e2 e3 ON e3.v = r.u),
-           |lbl AS (SELECT v, least(v, min(u)) AS l FROM reach GROUP BY v),
-           |csz AS (SELECT l, CAST(count(*) AS BIGINT) AS n FROM lbl GROUP BY l)
-           |SELECT em.vec_id, coalesce(lbl.l, em.vec_id) AS cluster_id,
-           |  CAST(coalesce(csz.n, 1) AS BIGINT) AS cluster_size,
-           |  coalesce(lbl.v = lbl.l, TRUE) AS keeper
-           |FROM embeddings em LEFT JOIN lbl ON lbl.v = em.vec_id
-           |  LEFT JOIN csz ON csz.l = lbl.l""".stripMargin),
+      (s, d) => semanticClusters(s, d),
+      Some(semanticClustersOracleCte +
+        "\nSELECT vec_id, cluster_id, cluster_size, keeper FROM cl"),
       headline = true),
+
+    // ---- cluster-capped diversity sample: keep at most
+    //      ClusterSampleM members of every q139 semantic cluster,
+    //      chosen by deterministic hash order (md5 of the id — q92's
+    //      reproducible-sampling coin) — the graph-based diversity
+    //      sampling the kNN-graph family exists for: redundancy capped
+    //      per semantic neighborhood while singleton content always
+    //      survives. The per-cluster pick is the graft_topk bounded
+    //      heap (map-side collapse, no ranking window over the corpus);
+    //      cluster ids come from the q139 closure (in production a
+    //      persisted artifact; rebuilt inline here so the oracle can
+    //      replay end to end).
+    "q144_cluster_sample" -> Q(
+      (s, d) => {
+        val h = expr(
+          "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        val c = semanticClusters(s, d)
+          .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+          .withColumn("h", h)
+        if (s.catalog.functionExists("graft_topk"))
+          c.groupBy(col("cluster_id"))
+            .agg(call_function("graft_topk", (-col("h")).cast("double"),
+                col("vec_id"), lit(ClusterSampleM)).as("top"),
+              first(col("cluster_size")).as("cluster_size"))
+            .select(col("cluster_id"), col("cluster_size"),
+              posexplode(col("top")).as(Seq("pos", "t")))
+            .select(col("cluster_id"), col("t.id").as("vec_id"),
+              (col("pos") + 1).cast("int").as("rn"), col("cluster_size"))
+        else {
+          val w = Window.partitionBy(col("cluster_id"))
+            .orderBy(col("h").asc, col("vec_id").asc)
+          c.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= ClusterSampleM)
+            .select(col("cluster_id"), col("vec_id"),
+              col("rn").cast("int").as("rn"), col("cluster_size"))
+        }
+      },
+      Some(semanticClustersOracleCte + s"""
+           |SELECT cluster_id, vec_id, CAST(rn AS INT) AS rn, cluster_size FROM (
+           |  SELECT cluster_id, vec_id, cluster_size, row_number() OVER (
+           |    PARTITION BY cluster_id ORDER BY
+           |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           |      vec_id) AS rn
+           |  FROM cl) WHERE rn <= $ClusterSampleM""".stripMargin)),
 
     // ---- batch-hard triplet mining (Hermans et al. 2017, arXiv:
     //      1703.07737): per anchor, its most-similar SAME-label neighbor

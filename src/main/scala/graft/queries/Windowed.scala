@@ -94,6 +94,47 @@ object Windowed {
              |FROM sess GROUP BY user_id, sid""".stripMargin),
       headline = true),
 
+    // ---- event-sequence transition matrix: per-user Markov bigram
+    //      counts over the event stream (lag window ordered by (ts,
+    //      event_id) — event_id breaks timestamp ties, so the sequence
+    //      is total-ordered and deterministic) plus the per-source-state
+    //      transition probability — the behavioral-analytics sibling of
+    //      q109's text bigrams (funnel drop-off, bot-loop detection,
+    //      session-model fitting all start here). 100 TB shape: the
+    //      per-user sort is the same user_id-partitioned exchange q32's
+    //      sessionization pays (state ∝ one user's events, never
+    //      global); transition rows collapse map-side to the #types²
+    //      grain; the row-total normalizer joins at #types grain
+    //      (broadcast). One exact integer division pair → double p.
+    "q142_event_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cnt = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy(col("prev_type")).agg(sum(col("n")).as("t"))
+        cnt.join(broadcast(tot), Seq("prev_type"))
+          .select(col("prev_type"), col("event_type").as("next_type"), col("n"),
+            (col("n").cast("double") / col("t").cast("double")).as("p"))
+      },
+      Some("""WITH tr AS (SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |cnt AS (SELECT prev_type, event_type AS next_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t
+             |        FROM cnt GROUP BY 1)
+             |SELECT c.prev_type, c.next_type, c.n,
+             |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+             |FROM cnt c JOIN tot t USING (prev_type)""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

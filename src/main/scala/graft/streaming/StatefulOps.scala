@@ -454,6 +454,24 @@ object StatefulOps {
       }
       .start()
 
+  /** q141's intake sibling: classify each incoming (doc_id, source,
+    * text) microbatch under a fitted
+    * [[graft.queries.TextAnalysis.nbFit]] model — the learned
+    * domain/quality filter applied at ingest. Stateless: the C-class
+    * model rides the plan as map literals, so verdicts are
+    * batch-independent and identical to the batch scorer's (spec-pinned
+    * stream ≡ batch). Route on `pred_source`/`margin_bits` downstream.
+    */
+  def nbGate(incoming: DataFrame,
+      classes: Seq[graft.queries.TextAnalysis.NbClass], checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.TextAnalysis.nbScore(batch, classes), id); ()
+      }
+      .start()
+
   def surprisalGate(incoming: DataFrame, vocab: Map[String, Long], oovBits: Long,
       maxBits: Double, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =

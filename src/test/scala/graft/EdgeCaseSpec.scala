@@ -87,10 +87,11 @@ class EdgeCaseSpec extends SparkSuite {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
       .write.parquet(s"$dir/embeddings.parquet")
     val affected = graft.queries.Catalog.all.keys.filter(n =>
-      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[4-9].*|q11[0-9].*|q1[23][0-9].*"))
-      // q133 is an AUDIT query (orders-backed, like q87/q88/q89) that the
-      // numeric range accidentally catches — not a corpus query
-      .filterNot(_ == "q133_session_rollup")
+      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[4-9].*|q11[0-9].*|q1[234][0-9].*"))
+      // q133 (orders-backed audit rollup) and q142 (events-backed
+      // transition matrix) are not corpus queries — the numeric range
+      // accidentally catches them
+      .filterNot(n => n == "q133_session_rollup" || n == "q142_event_transitions")
     affected.foreach { name =>
       val n = graft.queries.Catalog.all(name).build(spark, dir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")

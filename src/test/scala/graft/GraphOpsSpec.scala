@@ -87,6 +87,31 @@ class GraphOpsSpec extends SparkSuite {
     assert(got == ref, s"triplet mismatch; e.g. ${(got.toSet -- ref.toSet).take(3)}")
   }
 
+  test("q144 diversity sample = hash-ordered top-M of every q139 cluster") {
+    def h32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val clusters = graft.queries.Catalog.all("q139_semantic_clusters")
+      .build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = graft.queries.Similarity.ClusterSampleM
+    val expected = clusters.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      members.sortBy(v => (h32(v._1), v._1)).take(m).zipWithIndex.map {
+        case ((vid, _, sz), i) => (cid, vid, i + 1, sz)
+      }.toSeq
+    }.toSet
+    val got = graft.queries.Catalog.all("q144_cluster_sample").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected, s"e.g. ${(got -- expected).take(3)}")
+    // the sample caps multi-member clusters and keeps every singleton
+    val multi = clusters.groupBy(_._2).count(_._2.length > m)
+    info(s"clusters over the cap at sf0.001: $multi (of ${clusters.map(_._2).distinct.length})")
+    assert(got.size == clusters.groupBy(_._2).values.map(g => math.min(g.size, m)).sum)
+  }
+
   test("q141 NB classifier matches a sequential from-scratch reference") {
     val docs = Tables(spark, sf(), "documents")
       .select(col("doc_id"), col("source"), col("text"))

@@ -132,6 +132,10 @@ class PlanSpec extends SparkSuite {
     "q128_hybrid_rrf", // both legs: q125's 1-row total + q50's broadcast query batch
     "q132_hybrid_rrf_ivf", // q125's 1-row total + q51's broadcast k-centroid probe
     "q134_knn_graph",  // corpus × broadcast k-centroid LocalRelation (q51's shape)
+    "q138_knn_outlier",       // q134's edge pipeline (same k-centroid probe)
+    "q139_semantic_clusters", // q134's edge pipeline feeding the closure kernel
+    "q140_contrastive_pairs", // q134's edge pipeline + label equijoins
+    "q144_cluster_sample",    // q139's cluster table (same k-centroid probe)
     "q135_source_drift", // token terms × a broadcast 1-row grand total (q107's shape)
     "q137_mixture_temperature") // #sources rows × a broadcast 1-row total (q107's shape)
 

@@ -534,4 +534,38 @@ class StatefulOpsSpec extends SparkSuite {
       assert(got(100L)._3 && got(300L)._3)
     } finally q.stop()
   }
+
+  test("NB gate: stream classifications equal batch scoring under the same fit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // fit on the static fixture corpus, outside the stream (the q141 fit)
+    val classes = graft.queries.TextAnalysis.nbFit(spark, sf())
+    assert(classes.size >= 2, "fixture must have >= 2 sources")
+    // rows drawn from the fixture so predictions are non-trivial, plus a
+    // pure-OOV doc (prediction then rides prior + OOV floors alone)
+    val rows = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq :+
+      ((9999L, classes.head.source, "zzyzx qwfp vexillology"))
+
+    val in = MemoryStream[(Long, String, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (String, Long, Long)]
+    val q = StatefulOps.nbGate(in.toDF().toDF("doc_id", "source", "text"),
+        classes, tmpDir("nbgate").toString) { (scored, _) =>
+      scored.select("doc_id", "pred_source", "bits", "margin_bits").collect()
+        .foreach(r => got(r.getLong(0)) = (r.getString(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val batch = graft.queries.TextAnalysis.nbScore(
+          rows.toDF("doc_id", "source", "text"), classes)
+        .select("doc_id", "pred_source", "bits", "margin_bits").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got.toMap == batch, s"stream $got vs batch $batch")
+      assert(got.contains(9999L) && got.size == rows.size)
+    } finally q.stop()
+  }
 }
