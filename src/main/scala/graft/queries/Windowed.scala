@@ -18,6 +18,52 @@ import scala.collection.immutable.ListMap
   */
 object Windowed {
 
+  /** Users flagged by q145's global most-anomalous pick. */
+  val AnomalyK = 5
+
+  /** q145's fitted transition model: per-(prev, next) surprisal in
+    * q118's integer-quantized log2 bits (length(bin(rowTotal div n))),
+    * per-prev OOV floor bits(rowTotal), and the global floor for a
+    * never-seen source state. Bounded by #types² + #types + 1 entries —
+    * a map-literal-sized artifact like the q118/q141 fits.
+    */
+  final case class TransModel(bits: Map[String, Long], oov: Map[String, Long],
+                              globalOov: Long)
+
+  /** The (prev_type, next_type, n) transition counts q142 emits and
+    * q145 fits on — ONE lag window over the user_id exchange + a
+    * #types²-grain aggregate.
+    */
+  private def transitionCounts(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fit [[TransModel]] from the corpus's own transition counts —
+    * #types² rows collected (the trainCentroids bounded-artifact
+    * precedent). Keys are `prev|next` strings so the scorer is a single
+    * map lookup per transition.
+    */
+  def transFit(s: org.apache.spark.sql.SparkSession, d: String): TransModel = {
+    def b(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val rows = transitionCounts(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = rows.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).sum }
+    val grand = tot.values.sum
+    TransModel(
+      rows.map { case (p, n, c) => s"$p|$n" -> b(tot(p) / c) }.toMap,
+      tot.map { case (p, t) => p -> b(t) },
+      b(math.max(grand, 1L)))
+  }
+
   def defs: ListMap[String, Q] = ListMap(
 
     // ---- Q14: as-of join — each event picks up the user's latest prior
@@ -108,15 +154,7 @@ object Windowed {
     //      (broadcast). One exact integer division pair → double p.
     "q142_event_transitions" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val cnt = Tables(s, d, "events")
-          .select(col("user_id"), col("event_type"),
-            lag(col("event_type"), 1).over(w).as("prev_type"))
-          .filter(col("prev_type").isNotNull)
-          .groupBy(col("prev_type"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
+        val cnt = transitionCounts(s, d)
         val tot = cnt.groupBy(col("prev_type")).agg(sum(col("n")).as("t"))
         cnt.join(broadcast(tot), Seq("prev_type"))
           .select(col("prev_type"), col("event_type").as("next_type"), col("n"),
@@ -134,6 +172,78 @@ object Windowed {
              |SELECT c.prev_type, c.next_type, c.n,
              |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
              |FROM cnt c JOIN tot t USING (prev_type)""".stripMargin)),
+
+    // ---- behavioral anomaly score: per-user summed transition
+    //      surprisal under the q142-fitted Markov model — the bot-loop /
+    //      compromised-account detector (a user whose event sequence is
+    //      improbable under the corpus's own transition statistics pages
+    //      out). Same fit→map-literal→zero-shuffle-score arc as
+    //      q118/q141, but over SEQUENCES: bits = length(bin(rowTotal
+    //      div n)) per transition (q118's no-float-log rule), one lag
+    //      window (the q32 sessionization exchange), user-grain BIGINT
+    //      sums, one double division. The global most-anomalous-K flag
+    //      is the bounded heap in a single group — q138's shape. The
+    //      per-prev OOV fallback never fires when fit corpus = scored
+    //      corpus (the oracle joins exactly); it exists for the serving
+    //      path where new event types arrive.
+    "q145_transition_anomaly" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = transFit(s, d)
+        val bmap = typedLit(m.bits)
+        val omap = typedLit(m.oov)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val sc = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type").as("nxt"),
+            lag(col("event_type"), 1).over(w).as("prv"))
+          .filter(col("prv").isNotNull)
+          .select(col("user_id"), coalesce(
+            element_at(bmap, concat(col("prv"), lit("|"), col("nxt"))),
+            element_at(omap, col("prv")), lit(m.globalOov)).as("b"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("b")).as("surp_bits"), count(lit(1)).as("n_trans"))
+          .select(col("user_id"), col("n_trans"), col("surp_bits"),
+            (col("surp_bits").cast("double") / col("n_trans").cast("double"))
+              .as("bits_per_trans"))
+        val flagged =
+          if (s.catalog.functionExists("graft_topk"))
+            sc.agg(call_function("graft_topk", col("bits_per_trans"),
+                col("user_id"), lit(AnomalyK)).as("top"))
+              .select(explode(col("top.id")).as("user_id"),
+                lit(true).as("is_anomalous"))
+          else {
+            val wg = Window.orderBy(col("bits_per_trans").desc, col("user_id").asc)
+            sc.withColumn("rn", row_number().over(wg))
+              .filter(col("rn") <= AnomalyK)
+              .select(col("user_id"), lit(true).as("is_anomalous"))
+          }
+        sc.join(broadcast(flagged), Seq("user_id"), "left")
+          .select(col("user_id"), col("n_trans"), col("surp_bits"),
+            col("bits_per_trans"),
+            coalesce(col("is_anomalous"), lit(false)).as("is_anomalous"))
+      },
+      Some(s"""WITH tr AS (SELECT user_id, event_type AS nxt,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prv
+             |  FROM events),
+             |t2 AS (SELECT user_id, prv, nxt FROM tr WHERE prv IS NOT NULL),
+             |cnt AS (SELECT prv, nxt, CAST(count(*) AS BIGINT) AS n
+             |        FROM t2 GROUP BY 1, 2),
+             |tot AS (SELECT prv, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+             |mdl AS (SELECT c.prv, c.nxt,
+             |    CAST(length(bin(CAST(t.t // c.n AS BIGINT))) AS BIGINT) AS bits
+             |  FROM cnt c JOIN tot t USING (prv)),
+             |sc AS (SELECT t2.user_id, CAST(sum(m.bits) AS BIGINT) AS surp_bits,
+             |    CAST(count(*) AS BIGINT) AS n_trans
+             |  FROM t2 JOIN mdl m USING (prv, nxt) GROUP BY t2.user_id),
+             |flg AS (SELECT user_id FROM (SELECT user_id, row_number() OVER (
+             |    ORDER BY CAST(surp_bits AS DOUBLE) / CAST(n_trans AS DOUBLE) DESC,
+             |      user_id) AS rn FROM sc) WHERE rn <= $AnomalyK)
+             |SELECT s.user_id, s.n_trans, s.surp_bits,
+             |  CAST(s.surp_bits AS DOUBLE) / CAST(s.n_trans AS DOUBLE) AS bits_per_trans,
+             |  (f.user_id IS NOT NULL) AS is_anomalous
+             |FROM sc s LEFT JOIN flg f USING (user_id)""".stripMargin)),
 
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames

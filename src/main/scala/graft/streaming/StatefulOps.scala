@@ -454,6 +454,53 @@ object StatefulOps {
       }
       .start()
 
+  final case class EvRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                         event_type: String)
+  final case class TransState(lastType: String, lastTs: Long)
+  final case class TransOut(user_id: Long, prev: String, next: String,
+                            ts: java.sql.Timestamp)
+
+  /** q142/q145's intake sibling: per-user event-TRANSITION extraction
+    * over a stream — each user's state is exactly its last event type
+    * (plus its event time), so a cross-microbatch boundary emits the
+    * bridging transition exactly once and the store is bounded by
+    * ACTIVE users (event-time timeout expires idle ones at the
+    * watermark + delay horizon — the minhashPairsStream TTL pattern).
+    * Within a batch rows are processed in (ts, event_id) order for
+    * replay determinism; rows older than the watermark are dropped by
+    * the engine, and within-horizon cross-batch disorder yields the
+    * arrival-order sequence (the standard stateful-sequence caveat —
+    * the batch q142/q145 recompute is the exact-order form). Feed the
+    * emitted transitions to any downstream windowed aggregate, or score
+    * them against a fitted [[graft.queries.Windowed.TransModel]].
+    */
+  def transitionMonitor(events: DataFrame, delay: String): Dataset[TransOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", delay)
+      .as[EvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[EvRow], state: GroupState[TransState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            var last = state.getOption
+            val out = List.newBuilder[TransOut]
+            sorted.foreach { r =>
+              last.foreach(l => out += TransOut(uid, l.lastType, r.event_type, r.ts))
+              last = Some(TransState(r.event_type, r.ts.getTime))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(l.lastTs, delay)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** q141's intake sibling: classify each incoming (doc_id, source,
     * text) microbatch under a fitted
     * [[graft.queries.TextAnalysis.nbFit]] model — the learned

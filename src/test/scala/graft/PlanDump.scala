@@ -62,7 +62,14 @@ object PlanDump {
     "q134_knn_graph" -> "kNN graph: every vector probes the broadcast k-row trained-centroid index (bounded heap), candidates from ONE c_id equijoin against the assignment — Σ|c|² cluster-local, never n² — per-vector top-k collapses map-side through graft_topk",
     "q135_source_drift" -> "source drift: ONE persisted (source, token) aggregate feeds token totals, source totals, and the TVD term join; fixed-point BIGINT term sums (no float accumulation, no logs); broadcast 1-row grand total; #sources-row output",
     "q136_bpe_encode" -> "BPE encoding: words encode once at vocab grain (merge fold + symbol-id map literal); docs re-encode via one dictionary join on word (vocab ≪ corpus — broadcastable); the per-doc ordered reassembly is the only corpus-sized shuffle, and it IS the output",
-    "q137_mixture_temperature" -> "temperature mixture: one #sources-grain token aggregate, quantized sqrt weights (order-free BIGINT weight sum), broadcast 1-row total — q107's shape with derived instead of given weights")
+    "q137_mixture_temperature" -> "temperature mixture: one #sources-grain token aggregate, quantized sqrt weights (order-free BIGINT weight sum), broadcast 1-row total — q107's shape with derived instead of given weights",
+    "q138_knn_outlier" -> "kNN outliers: q134's edge pipeline, vector-grain fixed-point mean aggregate, global bottom-K via the bounded heap in a SINGLE group (map-side collapse to ≤K per partition — no global sort), K-row broadcast flag join",
+    "q139_semantic_clusters" -> "semantic clusters: thresholded kNN edges (bounded by k·KnnK) into the q101 closure kernel — min-label propagation rounds with eager lineage truncation; the final size join and singleton left-join are id-equijoins",
+    "q140_contrastive_pairs" -> "triplet mining: kNN edges + two label equijoins, per-anchor positive/negative via struct-max CONDITIONAL aggregates — map-side collapse, no ranking window over the edge set",
+    "q141_nb_sourceid" -> "NB classifier: the fit collapses to C map literals at build (one (source, token) hash-agg, C×V collected); the scoring plan is ONE scan-stage projection — C folds + array_sort over C structs, zero shuffles",
+    "q142_event_transitions" -> "event transitions: per-user lag window on the user_id exchange (q32's sessionization shape), #types²-grain map-side-combined counts, broadcast #types-row normalizer join",
+    "q143_containment" -> "containment pairs: q43's shared candidate core (exact-dup collapse, graft_hash60 inverted index, capped posting lists) with the c/min(na, nb) pair score — one extra column, zero extra shuffles",
+    "q144_cluster_sample" -> "diversity sample: the q139 cluster table grouped per cluster_id through the graft_topk bounded heap on the md5 coin — map-side collapse, no corpus-wide ranking window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -36,4 +36,68 @@ class SequenceOpsSpec extends SparkSuite {
       assert(s == tot(p), s"row total mismatch for '$p'")
     }
   }
+
+  test("q145 anomaly scores match a sequential fit + score recompute") {
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    }
+    val trans = perUser.toSeq.flatMap { case (u, seq) =>
+      seq.zip(seq.drop(1)).map { case (a, b) => (u, a, b) }
+    }
+    val cnt = trans.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+    val tot = cnt.toSeq.groupBy(_._1._1).map { case (p, m) => p -> m.map(_._2).sum }
+    val scored = trans.groupBy(_._1).map { case (u, ts) =>
+      val sb = ts.map { case (_, p, n) => bits(tot(p) / cnt((p, n))) }.sum
+      (u, ts.size.toLong, sb, sb.toDouble / ts.size)
+    }.toSeq
+    val k = graft.queries.Windowed.AnomalyK
+    val flagged = scored.sortBy(s => (-s._4, s._1)).take(k).map(_._1).toSet
+    val expected = scored.map(s => (s._1, s._2, s._3, s._4, flagged(s._1))).toSet
+    val got = graft.queries.Catalog.all("q145_transition_anomaly")
+      .build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    assert(got == expected, s"e.g. ${(got -- expected).take(3)}")
+    assert(flagged.size == k)
+  }
+
+  test("transition monitor: cross-batch bridging transition emitted exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = graft.streaming.StatefulOps
+      .transitionMonitor(in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("transmon").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.TransOut],
+         _: Long) =>
+          b.collect().foreach(r => got += ((r.user_id, r.prev, r.next)))
+          ()
+      }.start()
+    try {
+      // batch 1: user 1 emits one in-batch transition; user 2 has a
+      // single event (state only, nothing emitted)
+      in.addData((1L, t(0), 0L, "signup"), (1L, t(1), 1L, "view"),
+        (2L, t(1), 2L, "view"))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "signup", "view")), s"batch1: $got")
+      // batch 2: both users continue — the cross-batch bridges come from
+      // STATE, each exactly once
+      in.addData((1L, t(2), 3L, "purchase"), (2L, t(2), 4L, "error"))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "signup", "view"), (1L, "view", "purchase"),
+        (2L, "view", "error")), s"batch2: $got")
+      assert(got.size == 3, s"duplicate emission: $got")
+    } finally q.stop()
+  }
 }
