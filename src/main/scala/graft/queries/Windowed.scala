@@ -245,6 +245,99 @@ object Windowed {
              |  (f.user_id IS NOT NULL) AS is_anomalous
              |FROM sc s LEFT JOIN flg f USING (user_id)""".stripMargin)),
 
+    // ---- ordered conversion funnel: users reaching signup → view →
+    //      purchase IN ORDER (each step strictly after the previous
+    //      step's first completion — the sequencing q113's stateless doc
+    //      gates don't have). Three user-grain min-ts aggregates chained
+    //      by id-equijoins (co-partitioned or AQE-broadcast — never a
+    //      corpus-wide window); the 3-row summary crosses a broadcast
+    //      1-row base for conversion rates (q107's intended-BNLJ shape).
+    "q146_event_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val t1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "view")
+          .join(t1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val steps = t1.agg(count(lit(1)).as("n_users"))
+          .select(lit(1).as("step"), lit("signup").as("step_name"), col("n_users"))
+          .unionByName(t2.agg(count(lit(1)).as("n_users"))
+            .select(lit(2).as("step"), lit("view").as("step_name"), col("n_users")))
+          .unionByName(t3.agg(count(lit(1)).as("n_users"))
+            .select(lit(3).as("step"), lit("purchase").as("step_name"), col("n_users")))
+        val base = t1.agg(count(lit(1)).as("base"))
+        steps.crossJoin(broadcast(base))
+          .select(col("step"), col("step_name"), col("n_users"),
+            (col("n_users").cast("double") / col("base").cast("double"))
+              .as("conversion"))
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'signup' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN t1 ON t1.user_id = e.user_id
+             |       WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN t2 ON t2.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1),
+             |n AS (SELECT CAST(1 AS INT) AS step, 'signup' AS step_name,
+             |        CAST(count(*) AS BIGINT) AS n_users FROM t1
+             |  UNION ALL SELECT CAST(2 AS INT), 'view',
+             |        CAST(count(*) AS BIGINT) FROM t2
+             |  UNION ALL SELECT CAST(3 AS INT), 'purchase',
+             |        CAST(count(*) AS BIGINT) FROM t3)
+             |SELECT step, step_name, n_users,
+             |  CAST(n_users AS DOUBLE) /
+             |    CAST((SELECT n_users FROM n WHERE step = 1) AS DOUBLE) AS conversion
+             |FROM n""".stripMargin)),
+
+    // ---- retention cohorts: users grouped by first-event week, distinct
+    //      activity per week offset — THE product-analytics rollup.
+    //      cohort/offset are integer epoch-day arithmetic (div 7 — no
+    //      float dates); retention = offset actives / cohort size, where
+    //      size = the offset-0 row (every user is active in its own
+    //      first week by construction). All grains after the first
+    //      aggregate are (cohort, offset) ≪ corpus; the distinct-user
+    //      count is the one corpus-sized shuffle.
+    "q147_retention_cohorts" -> Q(
+      (s, d) => {
+        def wk(name: String) = expr(
+          s"CAST(datediff(CAST($name AS DATE), DATE'2024-01-01') div 7 AS BIGINT)")
+        val ev = Tables(s, d, "events").select(col("user_id"), col("ts"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .select(col("user_id"), wk("t0").as("cohort_week"))
+        val act = ev.join(first, "user_id")
+          .select(col("user_id"), col("cohort_week"),
+            (wk("ts") - col("cohort_week")).as("week_offset"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val size = act.filter(col("week_offset") === 0)
+          .select(col("cohort_week"), col("n_users").as("cohort_size"))
+        act.join(broadcast(size), Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"), col("n_users"),
+            (col("n_users").cast("double") / col("cohort_size").cast("double"))
+              .as("retention"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |    CAST(date_diff('day', DATE '2024-01-01',
+             |      CAST(min(ts) AS DATE)) // 7 AS BIGINT) AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |act AS (SELECT f.cohort_week,
+             |    CAST(date_diff('day', DATE '2024-01-01',
+             |      CAST(e.ts AS DATE)) // 7 AS BIGINT) - f.cohort_week AS week_offset,
+             |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |  FROM events e JOIN f USING (user_id)
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT cohort_week, n_users AS cohort_size FROM act
+             |       WHERE week_offset = 0)
+             |SELECT a.cohort_week, a.week_offset, a.n_users,
+             |  CAST(a.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+             |FROM act a JOIN sz s USING (cohort_week)""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

@@ -119,7 +119,8 @@ class PlanSpec extends SparkSuite {
     "q108_vocab_coverage", // top-V rows × a broadcast 1-row total
     "q114_token_spectrum", // spectrum rows × a broadcast 1-row total
     "q121_mixture_sample", // #sources rows × a broadcast 1-row total (q107's shape)
-    "q137_mixture_temperature") // same 1-row-total cross as q107
+    "q137_mixture_temperature", // same 1-row-total cross as q107
+    "q146_event_funnel")   // 3 summary rows × a broadcast 1-row base
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -136,6 +137,7 @@ class PlanSpec extends SparkSuite {
     "q139_semantic_clusters", // q134's edge pipeline feeding the closure kernel
     "q140_contrastive_pairs", // q134's edge pipeline + label equijoins
     "q144_cluster_sample",    // q139's cluster table (same k-centroid probe)
+    "q146_event_funnel",      // 3 summary rows × a broadcast 1-row base
     "q135_source_drift", // token terms × a broadcast 1-row grand total (q107's shape)
     "q137_mixture_temperature") // #sources rows × a broadcast 1-row total (q107's shape)
 

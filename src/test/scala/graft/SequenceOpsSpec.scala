@@ -66,6 +66,56 @@ class SequenceOpsSpec extends SparkSuite {
     assert(flagged.size == k)
   }
 
+  test("q146 funnel matches a sequential per-user step walk") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    def stepTimes(rows: Array[(Long, Long, String)]): (Option[Long], Option[Long], Option[Long]) = {
+      val t1 = rows.filter(_._3 == "signup").map(_._2).minOption
+      val t2 = t1.flatMap(a => rows.filter(r => r._3 == "view" && r._2 > a).map(_._2).minOption)
+      val t3 = t2.flatMap(b => rows.filter(r => r._3 == "purchase" && r._2 > b).map(_._2).minOption)
+      (t1, t2, t3)
+    }
+    val steps = byUser.values.map(rows => stepTimes(rows.toArray))
+    val (n1, n2, n3) = (steps.count(_._1.isDefined).toLong,
+      steps.count(_._2.isDefined).toLong, steps.count(_._3.isDefined).toLong)
+    val expected = Set(
+      (1, "signup", n1, n1.toDouble / n1),
+      (2, "view", n2, n2.toDouble / n1),
+      (3, "purchase", n3, n3.toDouble / n1))
+    val got = graft.queries.Catalog.all("q146_event_funnel").build(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, s"got $got vs $expected")
+    // at sf0.001 every signup user eventually completes the funnel
+    // (~13 users × ~75 events each), so narrowing is only monotone here;
+    // the driver's sf0.01 oracle run exercises the non-trivial drop-off
+    assert(n1 >= n2 && n2 >= n3 && n3 > 0, s"funnel not monotone: $n1/$n2/$n3")
+  }
+
+  test("q147 cohort retention matches a sequential recompute") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("ts"))
+      .collect().map(r => (r.getLong(0),
+        // UTC explicitly: Spark's CAST(ts AS DATE) runs under the UTC
+        // session zone; the JVM default zone must not leak in here
+        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate))
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    def wk(dt: java.time.LocalDate): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(epoch, dt) / 7
+    val first = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(r => wk(r._2)).min }
+    val act = ev.map { case (u, dt) => (first(u), wk(dt) - first(u), u) }.distinct
+    val cnt = act.groupBy(a => (a._1, a._2)).map { case (k, v) => k -> v.map(_._3).toSet.size.toLong }
+    val size = cnt.collect { case ((c, 0L), n) => c -> n }
+    val expected = cnt.map { case ((c, w), n) =>
+      (c, w, n, n.toDouble / size(c))
+    }.toSet
+    val got = graft.queries.Catalog.all("q147_retention_cohorts").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, s"e.g. ${(got -- expected).take(3)}")
+    assert(expected.exists(_._2 > 0), "fixture must have multi-week activity")
+  }
+
   test("transition monitor: cross-batch bridging transition emitted exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
