@@ -316,6 +316,12 @@ object Similarity {
   /** Members kept per semantic cluster by q144's diversity sample. */
   val ClusterSampleM = 2
 
+  /** q148 power-iteration rounds. Three rounds separate hub scores from
+    * the uniform start on a k-regular-ish graph; the count is a
+    * constant (like KMeansIters) because the oracle unrolls it.
+    */
+  val PageRankIters = 3
+
   /** q139's builder, shared with q144: connected components over the
     * kNN graph's cos ≥ [[SemDedupTau]] edges through the q101 closure
     * kernel; every vector emits a row (singletons self-keep).
@@ -765,6 +771,72 @@ object Similarity {
            |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
            |      vec_id) AS rn
            |  FROM cl) WHERE rn <= $ClusterSampleM""".stripMargin)),
+
+    // ---- graph centrality over the kNN graph: PageRank power
+    //      iteration ([[PageRankIters]] rounds, damping 0.85) — the
+    //      "which documents does the corpus orbit" signal behind
+    //      importance-weighted sampling and hub-aware dedup ordering
+    //      (keep the hub, drop its satellites). EVERY number is
+    //      fixed-point integer: r₀ = 2^20 div n, per-edge contribution
+    //      r div outdeg, update base + (85·Σ) div 100 — BIGINT sums are
+    //      order-free, integer division is identical cross-engine, so
+    //      the whole iteration is bit-identical at any parallelism and
+    //      in the oracle's unrolled replay (the kmeansIterSql
+    //      precedent; float PageRank would be order-sensitive in the
+    //      partial-sum tree). 100 TB shape: the edge set (IVF kNN —
+    //      never n²) and out-degrees persist ONCE; each round is one
+    //      id-equijoin + map-side-combinable sum at vector grain; a
+    //      LEFT join folds in no-inbound nodes at the teleport base.
+    "q148_graph_rank" -> Q(
+      (s, d) => {
+        val e = knnEdges(s, d).select(col("q_id"), col("n_id")).persist()
+        val deg = e.groupBy(col("q_id")).agg(count(lit(1)).as("deg"))
+        val verts = Tables(s, d, "embeddings").select(col("vec_id"))
+        // n is a 1-number driver artifact (the fit-collect precedent):
+        // r0 and the teleport base are integer constants both engines
+        // derive from it identically
+        val n = math.max(verts.count(), 1L)
+        val r0v = FixedPointScale / n
+        val base = (15L * r0v) / 100L
+        val r0 = verts.select(col("vec_id"), lit(r0v).as("r"))
+        val ranked = (1 to PageRankIters).foldLeft(r0) { (r, _) =>
+          val contrib = e
+            .join(r.select(col("vec_id").as("q_id"), col("r")), "q_id")
+            .join(deg, "q_id")
+            .select(col("n_id").as("vec_id"), expr("r div deg").as("c"))
+            .groupBy(col("vec_id")).agg(sum(col("c")).as("sm"))
+          verts.join(contrib, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              (lit(base) + expr("(85 * coalesce(sm, CAST(0 AS BIGINT))) div 100"))
+                .as("r"))
+        }
+        ranked.select(col("vec_id"), col("r").as("rank_fp"),
+          (col("r").cast("double") / lit(FixedPointScale.toDouble)).as("rank"))
+      },
+      Some {
+        // round CTEs are pc/pr-prefixed: the spliced kmeansIterSql inside
+        // knnOracleCte already owns the bare c1/c2 names
+        val rounds = (1 to PageRankIters).map { k =>
+          val p = k - 1
+          s"""pc$k AS (SELECT kn.n_id AS vec_id, CAST(sum(pr$p.r // d.deg) AS BIGINT) AS sm
+             |  FROM knn kn JOIN pr$p ON pr$p.vec_id = kn.q_id
+             |    JOIN deg d ON d.q_id = kn.q_id
+             |  GROUP BY 1),
+             |pr$k AS (SELECT em.vec_id, CAST(
+             |    (15 * (1048576 // (SELECT n FROM n0))) // 100
+             |    + (85 * coalesce(pc$k.sm, 0)) // 100 AS BIGINT) AS r
+             |  FROM embeddings em LEFT JOIN pc$k USING (vec_id))""".stripMargin
+        }.mkString(",\n")
+        knnOracleCte + s""",
+           |deg AS (SELECT q_id, CAST(count(*) AS BIGINT) AS deg FROM knn GROUP BY q_id),
+           |n0 AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n FROM embeddings),
+           |pr0 AS (SELECT vec_id,
+           |    CAST(1048576 // (SELECT n FROM n0) AS BIGINT) AS r FROM embeddings),
+           |$rounds
+           |SELECT vec_id, r AS rank_fp,
+           |  CAST(r AS DOUBLE) / 1048576.0 AS rank
+           |FROM pr$PageRankIters""".stripMargin
+      }),
 
     // ---- batch-hard triplet mining (Hermans et al. 2017, arXiv:
     //      1703.07737): per anchor, its most-similar SAME-label neighbor

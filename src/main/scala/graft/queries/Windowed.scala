@@ -338,6 +338,46 @@ object Windowed {
              |  CAST(a.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
              |FROM act a JOIN sz s USING (cohort_week)""".stripMargin)),
 
+    // ---- calendar-spine gap fill: per-day event counts INCLUDING
+    //      zero-activity days — the dashboard/time-series verb a plain
+    //      GROUP BY day silently gets wrong (missing days vanish
+    //      instead of reading 0). The spine is generated from the
+    //      1-row min/max bounds (sequence + explode — rows ∝ days,
+    //      never events) and left-joins the day-grain aggregate; the
+    //      one corpus-sized operation is the day hash-agg. sum(value)
+    //      is rounded at 4 (the q30 idiom — the only order-sensitive
+    //      float aggregate, tolerance-rounded in both engines). NB the
+    //      fixture has no gap days (events cover all 30); the zero-fill
+    //      branch is pinned by SequenceOpsSpec's planted-gap corpus.
+    "q149_daily_gapfill" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(expr("CAST(ts AS DATE)").as("day"), col("value"), col("user_id"))
+        val daily = ev.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("value")), 4).as("sum_val"))
+        val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            coalesce(col("sum_val"), lit(0.0)).as("sum_val"))
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, value, user_id FROM events),
+             |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |    round(sum(value), 4) AS sum_val
+             |  FROM ev GROUP BY day),
+             |spine AS (SELECT unnest(generate_series(
+             |    (SELECT min(day) FROM ev), (SELECT max(day) FROM ev),
+             |    INTERVAL 1 DAY))::DATE AS day)
+             |SELECT s.day, CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+             |  CAST(coalesce(d.n_users, 0) AS BIGINT) AS n_users,
+             |  CAST(coalesce(d.sum_val, 0.0) AS DOUBLE) AS sum_val
+             |FROM spine s LEFT JOIN daily d USING (day)""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

@@ -501,6 +501,50 @@ object StatefulOps {
         })
   }
 
+  final case class FunnelState(step: Int, lastTs: Long)
+  final case class FunnelOut(user_id: Long, step: Int, step_name: String,
+                             ts: java.sql.Timestamp)
+
+  /** q146's intake sibling: ordered funnel progression over a stream —
+    * per-user state is (next step index, last event time), and a row is
+    * emitted the moment a user completes a step, so step k+1 only
+    * counts strictly after step k (q146's ordering contract; at equal
+    * timestamps the stream breaks ties by event_id processing order
+    * where batch q146 requires a strictly later ts — the one documented
+    * divergence). State is TWO ints per ACTIVE user, expired by
+    * event-time timeout — the cheapest per-key state in the whole
+    * streaming surface.
+    */
+  def funnelProgress(events: DataFrame, steps: Seq[String],
+                     delay: String): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnelProgress needs >= 1 step")
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", delay)
+      .as[EvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[EvRow], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.map(_.step).getOrElse(0)
+            var maxTs = state.getOption.map(_.lastTs).getOrElse(0L)
+            val out = List.newBuilder[FunnelOut]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (cur < steps.length && r.event_type == steps(cur)) {
+                cur += 1
+                out += FunnelOut(uid, cur, steps(cur - 1), r.ts)
+              }
+            }
+            state.update(FunnelState(cur, maxTs))
+            state.setTimeoutTimestamp(maxTs, delay)
+            out.result().iterator
+          }
+        })
+  }
+
   /** q141's intake sibling: classify each incoming (doc_id, source,
     * text) microbatch under a fitted
     * [[graft.queries.TextAnalysis.nbFit]] model — the learned

@@ -112,6 +112,35 @@ class GraphOpsSpec extends SparkSuite {
     assert(got.size == clusters.groupBy(_._2).values.map(g => math.min(g.size, m)).sum)
   }
 
+  test("q148 fixed-point PageRank matches a sequential power iteration") {
+    val iters = graft.queries.Similarity.PageRankIters
+    val dir = edges.map(e => (e._1, e._2))
+    val deg = dir.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val verts = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val n = math.max(verts.length.toLong, 1L)
+    val r0 = 1048576L / n
+    val base = (15L * r0) / 100L
+    var rank = verts.map(_ -> r0).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      dir.foreach { case (v, u) => contrib(u) += rank(v) / deg(v) }
+      rank = verts.map(v => v -> (base + (85L * contrib(v)) / 100L)).toMap
+    }
+    val got = graft.queries.Catalog.all("q148_graph_rank").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == verts.length)
+    got.foreach { case (v, fp, d) =>
+      assert(fp == rank(v), s"vec $v: $fp vs ${rank(v)}")
+      assert(d == fp.toDouble / 1048576.0)
+    }
+    // mass sanity: total rank stays near 2^20 (integer floors only lose)
+    val mass = rank.values.sum
+    assert(mass <= 1048576L && mass > 900000L, s"rank mass $mass out of range")
+    info(s"rank mass after $iters rounds: $mass / 1048576; " +
+      s"spread ${rank.values.min}..${rank.values.max}")
+  }
+
   test("q141 NB classifier matches a sequential from-scratch reference") {
     val docs = Tables(spark, sf(), "documents")
       .select(col("doc_id"), col("source"), col("text"))

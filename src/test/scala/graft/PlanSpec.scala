@@ -138,6 +138,7 @@ class PlanSpec extends SparkSuite {
     "q140_contrastive_pairs", // q134's edge pipeline + label equijoins
     "q144_cluster_sample",    // q139's cluster table (same k-centroid probe)
     "q146_event_funnel",      // 3 summary rows × a broadcast 1-row base
+    "q148_graph_rank",        // q134's edge pipeline (same k-centroid probe)
     "q135_source_drift", // token terms × a broadcast 1-row grand total (q107's shape)
     "q137_mixture_temperature") // #sources rows × a broadcast 1-row total (q107's shape)
 

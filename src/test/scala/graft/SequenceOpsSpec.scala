@@ -116,6 +116,65 @@ class SequenceOpsSpec extends SparkSuite {
     assert(expected.exists(_._2 > 0), "fixture must have multi-week activity")
   }
 
+  test("q149 gap fill: planted gap days emit zero rows, spine covers the range") {
+    import spark.implicits._
+    // the fixture has events on every day, so the zero-fill branch needs
+    // a planted corpus: events on Jan 1, 4, 5 → Jan 2-3 must read 0
+    val dir = tmpDir("gapfill").toString
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    Seq((0L, t(1), 7L, "view", 1.5, "{}"), (1L, t(4), 7L, "view", 2.5, "{}"),
+        (2L, t(4), 8L, "click", 1.0, "{}"), (3L, t(5), 7L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.Catalog.all("q149_daily_gapfill").build(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01", 1L, 1L, 1.5), ("2024-01-02", 0L, 0L, 0.0),
+      ("2024-01-03", 0L, 0L, 0.0), ("2024-01-04", 2L, 2L, 3.5),
+      ("2024-01-05", 1L, 1L, 4.0)), s"got $got")
+    // and on the real fixture: one row per day in range, all non-null
+    val full = graft.queries.Catalog.all("q149_daily_gapfill").build(spark, sf())
+      .collect()
+    assert(full.length == 30, s"${full.length} days")
+  }
+
+  test("funnel progress: steps complete in order, across batches, state-bridged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val q = graft.streaming.StatefulOps
+      .funnelProgress(in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        Seq("signup", "view", "purchase"), "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("funnelprog").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.FunnelOut],
+         _: Long) =>
+          b.collect().foreach(r => got += ((r.user_id, r.step, r.step_name)))
+          ()
+      }.start()
+    try {
+      // user 1: signup then view in one batch; user 2: view BEFORE any
+      // signup — out-of-order steps must NOT progress
+      in.addData((1L, t(0), 0L, "signup"), (1L, t(1), 1L, "view"),
+        (2L, t(0), 2L, "view"), (2L, t(1), 3L, "click"))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, 1, "signup"), (1L, 2, "view")), s"batch1: $got")
+      // batch 2: user 1 purchases (cross-batch step 3 from state); user 2
+      // finally signs up (step 1) — its earlier view stays unconsumed
+      in.addData((1L, t(2), 4L, "purchase"), (2L, t(2), 5L, "signup"))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, 1, "signup"), (1L, 2, "view"),
+        (1L, 3, "purchase"), (2L, 1, "signup")), s"batch2: $got")
+      assert(got.size == 4, s"duplicate emission: $got")
+    } finally q.stop()
+  }
+
   test("transition monitor: cross-batch bridging transition emitted exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
