@@ -341,6 +341,46 @@ object Similarity {
         coalesce(col("keeper"), lit(true)).as("keeper"))
   }
 
+  /** q148's engine, iteration-count explicit for ScaleProbe: fixed-point
+    * integer PageRank over the kNN edge set. The edge set + degrees are
+    * derived once and persisted; each round's rank table is eagerly
+    * localCheckpoint-ed (the clusterPairs/bpeFit lineage rule — round k
+    * re-evaluates ONE join+aggregate, never the k-deep chain; swap for a
+    * reliable checkpoint under a configured checkpoint dir in
+    * production). n is a 1-number driver artifact, so r₀ = 2^20 div n
+    * and the teleport base are integer constants both engines derive
+    * identically. The returned plan reads only checkpointed data, so
+    * the edge persist is released before return.
+    */
+  def pageRank(s: SparkSession, d: String, iters: Int,
+               onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+    val e = knnEdges(s, d).select(col("q_id"), col("n_id")).persist()
+    try {
+      val deg = e.groupBy(col("q_id")).agg(count(lit(1)).as("deg"))
+      val verts = Tables(s, d, "embeddings").select(col("vec_id"))
+      val n = math.max(verts.count(), 1L)
+      val r0v = FixedPointScale / n
+      val base = (15L * r0v) / 100L
+      var r = verts.select(col("vec_id"), lit(r0v).as("r")).localCheckpoint()
+      (1 to iters).foreach { k =>
+        val t0 = System.nanoTime()
+        val contrib = e
+          .join(r.select(col("vec_id").as("q_id"), col("r")), "q_id")
+          .join(deg, "q_id")
+          .select(col("n_id").as("vec_id"), expr("r div deg").as("c"))
+          .groupBy(col("vec_id")).agg(sum(col("c")).as("sm"))
+        r = verts.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(base) + expr("(85 * coalesce(sm, CAST(0 AS BIGINT))) div 100"))
+              .as("r"))
+          .localCheckpoint()
+        onRound(k, (System.nanoTime() - t0) / 1e9)
+      }
+      r.select(col("vec_id"), col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(FixedPointScale.toDouble)).as("rank"))
+    } finally { e.unpersist(blocking = false); () }
+  }
+
   /** The DuckDB mirror of [[semanticClusters]] as a CTE prefix ending in
     * `cl(vec_id, cluster_id, cluster_size, keeper)`: [[knnOracleCte]]
     * promoted to WITH RECURSIVE + the q101-style set-union closure
@@ -788,31 +828,7 @@ object Similarity {
     //      id-equijoin + map-side-combinable sum at vector grain; a
     //      LEFT join folds in no-inbound nodes at the teleport base.
     "q148_graph_rank" -> Q(
-      (s, d) => {
-        val e = knnEdges(s, d).select(col("q_id"), col("n_id")).persist()
-        val deg = e.groupBy(col("q_id")).agg(count(lit(1)).as("deg"))
-        val verts = Tables(s, d, "embeddings").select(col("vec_id"))
-        // n is a 1-number driver artifact (the fit-collect precedent):
-        // r0 and the teleport base are integer constants both engines
-        // derive from it identically
-        val n = math.max(verts.count(), 1L)
-        val r0v = FixedPointScale / n
-        val base = (15L * r0v) / 100L
-        val r0 = verts.select(col("vec_id"), lit(r0v).as("r"))
-        val ranked = (1 to PageRankIters).foldLeft(r0) { (r, _) =>
-          val contrib = e
-            .join(r.select(col("vec_id").as("q_id"), col("r")), "q_id")
-            .join(deg, "q_id")
-            .select(col("n_id").as("vec_id"), expr("r div deg").as("c"))
-            .groupBy(col("vec_id")).agg(sum(col("c")).as("sm"))
-          verts.join(contrib, Seq("vec_id"), "left")
-            .select(col("vec_id"),
-              (lit(base) + expr("(85 * coalesce(sm, CAST(0 AS BIGINT))) div 100"))
-                .as("r"))
-        }
-        ranked.select(col("vec_id"), col("r").as("rank_fp"),
-          (col("r").cast("double") / lit(FixedPointScale.toDouble)).as("rank"))
-      },
+      (s, d) => pageRank(s, d, PageRankIters),
       Some {
         // round CTEs are pc/pr-prefixed: the spliced kmeansIterSql inside
         // knnOracleCte already owns the bare c1/c2 names

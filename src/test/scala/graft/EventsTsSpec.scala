@@ -23,7 +23,10 @@ class EventsTsSpec extends SparkSuite {
     "q09_asof_join", "q14_lag_lead", "q23_json", "q27_audit_summary",
     "q28_maps", "q30_window_tumbling", "q31_window_sliding",
     "q32_session_window", "q38_range_join", "q39_salted_agg",
-    "q74_json_roundtrip", "q103_json_multikey")
+    "q74_json_roundtrip", "q103_json_multikey",
+    // the round-9 behavioral family — all ts-ordered or ts-bucketed
+    "q142_event_transitions", "q145_transition_anomaly",
+    "q146_event_funnel", "q147_retention_cohorts", "q149_daily_gapfill")
 
   test("every events-touching catalog query is identical over both ts encodings") {
     import java.nio.file._

@@ -194,6 +194,18 @@ object ScaleProbe {
           f"sequential: $tS%5.1f s / $tripsS trips   " +
           f"(per-merge batched ${tB / m * 1000}%4.0f ms)")
       }
+    } else if (args.lift(1).contains("--rank")) {
+      // PageRank round-cost probe: per-round seconds at a deeper
+      // iteration count than the catalog's 3. The property probed:
+      // per-round cost is FLAT (each round's rank table is eagerly
+      // localCheckpoint-ed, so round k re-evaluates one join+aggregate,
+      // never the k-deep lineage chain — the clusterPairs rule). A
+      // growing per-round trend here means the truncation regressed.
+      val iters = args.lift(2).map(_.toInt).getOrElse(12)
+      val t0 = System.nanoTime()
+      val n = queries.Similarity.pageRank(spark, dir, iters,
+        (k, sec) => println(f"rank round $k%2d: $sec%5.2f s")).count()
+      println(f"pageRank iters=$iters total ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
     } else {
       time("q41_minhash_capped")(
         queries.Dedup.minhashPairs(spark, dir, queries.Dedup.BucketCap).count())
