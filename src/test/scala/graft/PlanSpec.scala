@@ -110,6 +110,17 @@ class PlanSpec extends SparkSuite {
       s"c_id exchange not shared between self-join legs:\n$p")
   }
 
+  test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
+    // the NB fit runs at build time as its own jobs; the RETURNED plan
+    // must be pure scan-stage scoring (C map-literal folds + array_sort)
+    // — the only allowed exchange is Tables.spread's fixture-only
+    // round-robin input rebalance (the q98 precedent)
+    val p = plan("q141_nb_sourceid")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"NB scoring must not shuffle:\n$p")
+  }
+
   // Whole-catalog audit: expensive join strategies may appear ONLY where
   // the query's semantics require them. An accidental cartesian (from a
   // dropped join condition) or nested loop (from a non-equi rewrite

@@ -138,4 +138,65 @@ class StreamingSoakSpec extends SparkSuite {
       } finally { ql.stop(); fn.stop() }
     }
   }
+
+  test("soak: per-user transition + funnel state expires with the user churn (100 batches)") {
+    // the round-9 per-user ops (transitionMonitor, funnelProgress) keep
+    // ONE state row per ACTIVE user with an event-time timeout; a user
+    // population that churns (2 new users per batch, each active for 5
+    // batches) must plateau at the active+expiry-lag working set, not
+    // accumulate all 200+ users ever seen.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val inT = MemoryStream[(Long, Timestamp, Long, String)]
+      val inF = MemoryStream[(Long, Timestamp, Long, String)]
+      val types = Seq("signup", "view", "purchase", "click")
+      def events(b: Int, eidBase: Long): Seq[(Long, Timestamp, Long, String)] = {
+        // users 2b..2b+9 are active in batch b → each user lives 5 batches
+        (0 until 10).map { i =>
+          val uid = (b * 2 + i).toLong
+          (uid, ts(b * 10L), eidBase + b * 100 + i, types((b + i) % types.size))
+        }
+      }
+      val qT = graft.streaming.StatefulOps
+        .transitionMonitor(inT.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+          "60 seconds")
+        .writeStream.format("memory").queryName("soak_trans")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("soak_trans").toString).start()
+      val qF = graft.streaming.StatefulOps
+        .funnelProgress(inF.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+          Seq("signup", "view", "purchase"), "60 seconds")
+        .writeStream.format("memory").queryName("soak_funnelp")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("soak_funnelp").toString).start()
+      try {
+        val tState = Vector.newBuilder[Long]
+        val fState = Vector.newBuilder[Long]
+        for (b <- 0 until 100) {
+          inT.addData(events(b, 0L): _*)
+          inF.addData(events(b, 1000000L): _*)
+          qT.processAllAvailable(); qF.processAllAvailable()
+          Seq(qT -> tState, qF -> fState).foreach { case (q, buf) =>
+            val p = q.lastProgress
+            if (p != null && p.stateOperators.nonEmpty)
+              buf += p.stateOperators.map(_.numRowsTotal).sum
+          }
+        }
+        // contract: ~10 active users + a 60 s (6-batch) expiry lag of 2
+        // users/batch = ~22 rows; pinned at 64 (≈3× slack) — 200+ users
+        // are created over the run, so a dropped timeout cannot pass
+        for ((name, series) <- Seq("transition" -> tState.result(),
+            "funnelProgress" -> fState.result())) {
+          info(s"$name state series (every 10th): ${series.grouped(10).map(_.last).mkString(", ")}")
+          assert(series.max <= 64L,
+            s"$name state exceeded the active-user bound: max=${series.max}")
+          assert(series.takeRight(25).max <= series.slice(25, 75).max,
+            s"$name state still growing in the last quarter")
+        }
+        assert(spark.table("soak_trans").count() > 100, "transitions must flow")
+        assert(spark.table("soak_funnelp").count() > 20, "steps must complete")
+      } finally { qT.stop(); qF.stop() }
+    }
+  }
 }
