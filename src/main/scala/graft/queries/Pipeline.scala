@@ -1443,8 +1443,60 @@ object Pipeline {
               |  (CAST(CAST(sum(dfp) AS BIGINT) + ($DriftFp - CAST(sum(qfp) AS BIGINT)) AS DOUBLE)
               |    / ${2 * DriftFp}.0) > $DriftTau AS drifted
               |FROM terms GROUP BY 1""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- corpus snapshot diff: added / removed / changed docs between
+    //      two crawl snapshots by content-digest compare — the
+    //      incremental-refresh verb (what changed since the last crawl
+    //      decides what re-enters the dedup/gate pipeline; q97's
+    //      anti-join only sees ADDED). The fixture ships one documents
+    //      table, so the two snapshots are DERIVED deterministically
+    //      (the q143 planted-regime precedent): old drops doc_id≡3
+    //      (mod 17), new drops doc_id≡7 (mod 19) and revises text on
+    //      doc_id≡0 (mod 13) — all four statuses occur. 100 TB shape:
+    //      digests are computed at scan stage, so the full-outer join
+    //      shuffles ONLY (doc_id, 16-byte digest) — never text; output
+    //      ∝ churn because unchanged rows are filtered before emit.
+    "q151_snapshot_diff" -> Q(
+      (s, d) => {
+        val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val old = base.filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"), md5(col("text")).as("old_digest"))
+        val neu = base.filter(col("doc_id") % 19 =!= 7)
+          .select(col("doc_id"), md5(
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))).as("new_digest"))
+        snapshotDiff(old, neu).filter(col("status") =!= "same")
+      },
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS od FROM documents
+             |             WHERE doc_id % 17 <> 3),
+             |neu AS (SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+             |        ELSE text END) AS nd
+             |  FROM documents WHERE doc_id % 19 <> 7),
+             |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.od, n.nd
+             |      FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+             |SELECT doc_id,
+             |  CASE WHEN od IS NULL THEN 'added'
+             |       WHEN nd IS NULL THEN 'removed'
+             |       WHEN od <> nd THEN 'changed' ELSE 'same' END AS status
+             |FROM j
+             |WHERE od IS NULL OR nd IS NULL OR od <> nd""".stripMargin))
   )
+
+  /** q151's kernel: classify every doc_id across two snapshot digests
+    * as added / removed / changed / same. Inputs carry
+    * (doc_id, old_digest) and (doc_id, new_digest); the join moves only
+    * ids and digests. Exposed so specs (and real two-snapshot callers)
+    * can feed independent snapshots.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame): DataFrame =
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
 
   /** The exact-decontamination oracle, shared by q95 and q100 (the Bloom
     * prune is output-invariant by construction).

@@ -970,6 +970,68 @@ object Similarity {
               |  CAST(s.fcos AS DOUBLE) / $FixedPointScale.0
               |    / CAST(s.n_docs AS DOUBLE) AS mean_cosc,
               |  CAST(s.chars AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS mean_chars
-              |FROM stats s JOIN mode m USING (c_id)""".stripMargin))
+              |FROM stats s JOIN mode m USING (c_id)""".stripMargin)),
+
+    // ---- triangle census over the kNN graph: per-vertex triangle count
+    //      and local clustering coefficient — the graph-cohesion read
+    //      (a high-clustering region is a topical community; a hub with
+    //      zero triangles is a hubness artifact worth auditing before
+    //      q148 ranks on it). Edges are canonicalized a<b, so each
+    //      triangle a<b<c is enumerated exactly once as
+    //      (a,b)⋈(b,c)⋈(a,c); cc = 2·T / (deg·(deg−1)) is one double
+    //      division of exact BIGINTs. 100 TB shape: degree ≤ 2·KnnK by
+    //      construction, so the wedge join produces ≤ Σ deg(v)² ≈
+    //      4k²·|V| rows — linear in vertices, never n²; all joins are
+    //      id-equijoins over the slim (a, b) edge projection.
+    "q152_graph_triangles" -> Q(
+      (s, d) => {
+        val und = knnEdges(s, d).filter(col("q_id") =!= col("n_id"))
+          .select(least(col("q_id"), col("n_id")).as("a"),
+            greatest(col("q_id"), col("n_id")).as("b"))
+          .distinct()
+        triangleStats(und)
+      },
+      Some(knnOracleCte + """,
+           |und AS (SELECT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b
+           |        FROM knn WHERE q_id <> n_id GROUP BY 1, 2),
+           |degs AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+           |tris AS (SELECT e1.a, e1.b, e2.b AS c FROM und e1
+           |  JOIN und e2 ON e2.a = e1.b
+           |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+           |    SELECT a AS v FROM tris UNION ALL SELECT b AS v FROM tris
+           |    UNION ALL SELECT c AS v FROM tris) GROUP BY 1)
+           |SELECT dg.v AS vec_id, dg.deg,
+           |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           |  CASE WHEN dg.deg < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+           |    CAST(coalesce(t.n_tri, 0) * 2 AS DOUBLE)
+           |      / CAST(dg.deg * (dg.deg - 1) AS DOUBLE) END AS clustering
+           |FROM degs dg LEFT JOIN tv t USING (v)""".stripMargin))
   )
+
+  /** q152's kernel over any canonical undirected edge set (a < b per
+    * row, deduplicated): per-vertex degree, triangle count, and local
+    * clustering coefficient. Exposed separately so specs can feed
+    * planted graphs (a triangle scores 1.0; a square scores 0.0).
+    */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val ab = und.select(col("a"), col("b"))
+    val deg = ab.select(col("a").as("v"))
+      .unionAll(ab.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val bc = ab.select(col("a").as("b"), col("b").as("c"))
+    val ac = ab.select(col("a").as("a2"), col("b").as("c2"))
+    val tri = ab.join(bc, "b")
+      .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    val tv = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tv, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")).as("clustering"))
+  }
 }

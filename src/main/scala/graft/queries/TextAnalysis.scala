@@ -55,6 +55,13 @@ object TextAnalysis {
   val BpeMerges = 32
   val BpeBatch = 64
 
+  /** q150: keywords kept per document; q154: minimum bigram count for a
+    * collocation candidate and the global top-K emitted.
+    */
+  val TfidfTopK = 3
+  val PmiMinPair = 5
+  val PmiTopK = 25
+
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
 
@@ -954,6 +961,165 @@ object TextAnalysis {
               |  CAST(len(flatten(list(ids ORDER BY i))) AS BIGINT) AS n_ids,
               |  array_to_string(flatten(list(ids ORDER BY i)), ' ') AS ids_str
               |FROM enc GROUP BY doc_id""".stripMargin),
+      headline = true),
+
+    // ---- per-doc TF-IDF keywords: the top-[[TfidfTopK]] terms of every
+    //      document by tf × quantized idf — the lightweight
+    //      keyword-extraction verb (doc tagging, index hints, cluster
+    //      labeling). IDF is q118's integer-quantized log2
+    //      (length(bin(N div df)) — no float log anywhere), so the score
+    //      is an exact BIGINT product both engines order identically.
+    //      100 TB shape: ONE (doc_id, term) hash-agg (map-side
+    //      combinable); df rides a term-partition window over the SAME
+    //      reduced table (vocab-grain counts — no second corpus scan, no
+    //      full-vocab broadcast); the final ranking window partitions by
+    //      doc_id, so every partition is bounded by one doc's distinct
+    //      terms, never the corpus.
+    "q150_tfidf_keywords" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val n = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf") * expr("CAST(length(bin(n_docs div df)) AS BIGINT)"))
+              .as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TfidfTopK)
+          .select(col("doc_id"), col("rank").cast("int").as("rank"),
+            col("term"), col("tf"), col("df"), col("score"))
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, token AS term,
+              |    CAST(count(*) AS BIGINT) AS tf FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |    FROM documents) GROUP BY 1, 2),
+              |wd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+              |       FROM tf),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              |sc AS (SELECT doc_id, term, tf, df,
+              |    tf * CAST(length(bin(CAST(n_docs // df AS BIGINT))) AS BIGINT) AS score
+              |  FROM wd CROSS JOIN n),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, term) AS rank FROM sc)
+              |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+              |FROM r WHERE rank <= $TfidfTopK""".stripMargin),
+      headline = true),
+
+    // ---- source × lang chi-square independence report: the
+    //      metadata-association sanity check a corpus intake runs (is
+    //      language distribution independent of source, or does one feed
+    //      skew?). Per-cell observed/expected/contribution plus the
+    //      order-free total: expected and contribution are fixed
+    //      expression trees of exact BIGINT marginals (bit-identical
+    //      IEEE in both engines), and the total sums the ROUNDED
+    //      contributions as DECIMAL(38,4) — exact and order-free, where
+    //      a double sum over cells would be partial-sum-order-sensitive.
+    //      100 TB shape: one (source, lang)-grain hash-agg; marginals
+    //      re-aggregate the cell table (≪ corpus) and ride broadcasts.
+    "q153_chisq_independence" -> Q(
+      (s, d) => {
+        val cells = Tables(s, d, "documents")
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        val rt = cells.groupBy(col("source")).agg(sum(col("n")).as("row_tot"))
+        val ct = cells.groupBy(col("lang")).agg(sum(col("n")).as("col_tot"))
+        val g = cells.agg(sum(col("n")).as("grand"))
+        val k = cells.join(broadcast(rt), "source").join(broadcast(ct), "lang")
+          .crossJoin(broadcast(g))
+          .select(col("source"), col("lang"), col("n"),
+            ((col("row_tot").cast("double") * col("col_tot").cast("double")) /
+              col("grand").cast("double")).as("expected"))
+          .select(col("source"), col("lang"), col("n"), col("expected"),
+            (((col("n").cast("double") - col("expected")) *
+              (col("n").cast("double") - col("expected"))) / col("expected"))
+              .as("contrib"))
+        val tot = k.agg(
+          sum(round(col("contrib"), 4).cast("decimal(38,4)")).as("chi2"))
+        k.crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("n"),
+            round(col("expected"), 4).as("expected"),
+            round(col("contrib"), 4).as("contrib"),
+            col("chi2").cast("double").as("chi2_total"))
+      },
+      Some("""WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+             |               FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT source, CAST(sum(n) AS BIGINT) AS row_tot
+             |       FROM cells GROUP BY 1),
+             |ct AS (SELECT lang, CAST(sum(n) AS BIGINT) AS col_tot
+             |       FROM cells GROUP BY 1),
+             |g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM cells),
+             |e AS (SELECT c.source, c.lang, c.n,
+             |    (CAST(r.row_tot AS DOUBLE) * CAST(t.col_tot AS DOUBLE))
+             |      / CAST(g.grand AS DOUBLE) AS expected
+             |  FROM cells c JOIN rt r USING (source) JOIN ct t USING (lang)
+             |  CROSS JOIN g),
+             |k AS (SELECT source, lang, n, expected,
+             |    ((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected))
+             |      / expected AS contrib FROM e),
+             |tot AS (SELECT CAST(sum(CAST(round(contrib, 4) AS DECIMAL(38,4)))
+             |    AS DOUBLE) AS chi2_total FROM k)
+             |SELECT source, lang, n, round(expected, 4) AS expected,
+             |  round(contrib, 4) AS contrib, chi2_total
+             |FROM k CROSS JOIN tot""".stripMargin)),
+
+    // ---- PMI collocations: the global top-[[PmiTopK]] adjacent bigrams
+    //      by pointwise-mutual-information lift (n_ab·N / (n_a·n_b)) with
+    //      a [[PmiMinPair]] support floor — the multiword-expression /
+    //      tokenizer-merge-candidate miner. The lift is ONE fixed
+    //      expression tree over exactly-representable BIGINT counts
+    //      (two products, one division — bit-identical IEEE both
+    //      engines; no logs, so no transcendental drift). 100 TB shape:
+    //      unigram and bigram hash-aggs are the only corpus-sized
+    //      shuffles (both map-side combinable); the support floor prunes
+    //      BEFORE the two vocab-grain count joins, so those see
+    //      filtered-bigram grain; the global top-K is
+    //      TakeOrderedAndProject (map-side heaps), never a global sort.
+    "q154_pmi_collocations" -> Q(
+      (s, d) => {
+        val toks = Tables.spread(Tables(s, d, "documents"))
+          .select(split(col("text"), " ").as("toks"))
+        val uni = toks.select(explode(col("toks")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val nTok = uni.agg(sum(col("c")).as("n_tok"))
+        val pairs = toks.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> " +
+              "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= PmiMinPair)
+        pairs
+          .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(nTok))
+          .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("c_b"),
+            ((col("n_ab").cast("double") * col("n_tok").cast("double")) /
+              (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
+          .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+          .limit(PmiTopK)
+      },
+      Some(s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+              |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+              |    SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+              |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+              |bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM (
+              |    SELECT toks[i] AS a, toks[i + 1] AS b FROM t,
+              |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) l
+              |    WHERE len(toks) >= 2)
+              |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinPair),
+              |sc AS (SELECT bc.a, bc.b, bc.n_ab, ua.c AS c_a, ub.c AS c_b,
+              |    (CAST(bc.n_ab AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) /
+              |    (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+              |  FROM bc JOIN uc ua ON ua.tok = bc.a
+              |  JOIN uc ub ON ub.tok = bc.b CROSS JOIN n)
+              |SELECT a, b, n_ab, c_a, c_b, lift FROM sc
+              |ORDER BY lift DESC, a, b LIMIT $PmiTopK""".stripMargin),
       headline = true)
   )
 

@@ -378,6 +378,52 @@ object Windowed {
              |  CAST(coalesce(d.sum_val, 0.0) AS DOUBLE) AS sum_val
              |FROM spine s LEFT JOIN daily d USING (day)""".stripMargin)),
 
+    // ---- inter-event dwell-time histogram: the distribution of gaps
+    //      between a user's consecutive events, bucketed by the
+    //      integer log2 of the gap in microseconds
+    //      (length(bin(gap_us + 1)) — q118's no-float-log rule, and the
+    //      natural grain for think-time data spanning ms to days). The
+    //      session-gap / bot-cadence tuning read: a 6h session window
+    //      (q32) is justified exactly when this histogram shows a valley
+    //      at that bucket. 100 TB shape: ONE lag window on the q32
+    //      user_id sessionization exchange, then a ≤64-bucket-grain
+    //      hash-agg (map-side combinable); the share normalizer is a
+    //      broadcast 1-row cross.
+    "q156_gap_histogram" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val gaps = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .select(col("user_id"), (col("us") - lag(col("us"), 1).over(w)).as("gap_us"))
+          .filter(col("gap_us").isNotNull)
+        val h = gaps
+          .groupBy(expr("CAST(length(bin(gap_us + 1)) AS INT)").as("bucket_bits"))
+          .agg(count(lit(1)).as("n"), min(col("gap_us")).as("min_gap_us"),
+            max(col("gap_us")).as("max_gap_us"))
+        val tot = h.agg(sum(col("n")).as("total"))
+        h.crossJoin(broadcast(tot))
+          .select(col("bucket_bits"), col("n"), col("min_gap_us"),
+            col("max_gap_us"),
+            (col("n").cast("double") / col("total").cast("double")).as("share"))
+      },
+      Some("""WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |f AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+             |h AS (SELECT CAST(length(bin(CAST(gap_us + 1 AS BIGINT))) AS INT)
+             |      AS bucket_bits,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+             |    CAST(max(gap_us) AS BIGINT) AS max_gap_us
+             |  FROM f GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+             |SELECT bucket_bits, n, min_gap_us, max_gap_us,
+             |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+             |FROM h CROSS JOIN tot""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-9 analytics pack (q150 TF-IDF keywords, q151 snapshot diff,
+  * q152 triangle census, q153 chi-square independence, q154 PMI
+  * collocations, q156 gap histogram) against independent driver-side
+  * reference recomputations from the raw fixture — the same
+  * small-scale-only cross-check pattern as GraphOpsSpec/ContainmentSpec.
+  * Planted-graph/planted-snapshot tests pin the factored kernels'
+  * semantics where the fixture can't (a square has zero triangles; all
+  * four diff statuses).
+  */
+class AnalyticsPackSpec extends SparkSuite {
+
+  private def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("q150 keywords match a sequential tf-idf reference") {
+    val tf = docs.flatMap { case (id, t) => t.split(" ", -1).map(w => (id, w)) }
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val n = docs.size.toLong
+    val expected = tf.toSeq
+      .map { case ((id, w), f) => (id, w, f, df(w), f * bits(n / df(w))) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, w, _, _, sc) => (-sc, w) }
+          .take(graft.queries.TextAnalysis.TfidfTopK).zipWithIndex
+          .map { case ((id, w, f, d, sc), i) => (id, i + 1, w, f, d, sc) }
+      }.toSet
+    val got = graft.queries.Catalog.all("q150_tfidf_keywords").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    assert(got.nonEmpty && got.size == docs.size * graft.queries.TextAnalysis.TfidfTopK,
+      "every fixture doc has >= TfidfTopK distinct terms")
+  }
+
+  test("q154 collocations match a sequential PMI-lift reference") {
+    val toks = docs.map(_._2.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, vs) => w -> vs.size.toLong }
+    val nTok = uni.values.sum
+    val big = toks.filter(_.size >= 2)
+      .flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).map { case (p, vs) => p -> vs.size.toLong }
+      .filter(_._2 >= graft.queries.TextAnalysis.PmiMinPair)
+    val scored = big.toSeq.map { case ((a, b), nab) =>
+      (a, b, nab, uni(a), uni(b),
+        (nab.toDouble * nTok.toDouble) / (uni(a).toDouble * uni(b).toDouble))
+    }
+    val expected = scored.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+      .take(graft.queries.TextAnalysis.PmiTopK).toSet
+    val got = graft.queries.Catalog.all("q154_pmi_collocations").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    assert(got.nonEmpty, "fixture must yield >= 1 collocation at the support floor")
+  }
+
+  test("q153 cells match a sequential chi-square reference; total is the rounded-cell sum") {
+    val meta = Tables(spark, sf(), "documents").select(col("source"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = meta.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val rt = meta.groupBy(_._1).map { case (s, vs) => s -> vs.size.toLong }
+    val ct = meta.groupBy(_._2).map { case (l, vs) => l -> vs.size.toLong }
+    val grand = meta.size.toLong
+    val refCells = cells.map { case ((s, l), n) =>
+      val e = (rt(s).toDouble * ct(l).toDouble) / grand.toDouble
+      val c = ((n.toDouble - e) * (n.toDouble - e)) / e
+      (s, l, n, math.rint(e * 1e4) / 1e4, math.rint(c * 1e4) / 1e4)
+    }.toSet
+    val refTotal = BigDecimal(refCells.toSeq.map(r =>
+      BigDecimal(r._5).setScale(4)).sum.toString).toDouble
+    val got = graft.queries.Catalog.all("q153_chisq_independence").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet == refCells,
+      "cell rows differ from the sequential reference")
+    got.foreach(r => assert(math.abs(r._6 - refTotal) < 1e-9,
+      s"chi2_total ${r._6} vs reference $refTotal"))
+  }
+
+  test("q156 buckets match a sequential gap reference") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._2)
+      s.zip(s.tail).map { case (a, b) => b - a }
+    }.toSeq
+    val ref = gaps.groupBy(g => bits(g + 1).toInt).map { case (b, gs) =>
+      b -> ((gs.size.toLong, gs.min, gs.max))
+    }
+    val got = graft.queries.Catalog.all("q156_gap_histogram").build(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == ref.keySet, "bucket sets differ")
+    got.foreach { case (b, n, mn, mx, share) =>
+      val (rn, rmn, rmx) = ref(b)
+      assert(n == rn && mn == rmn && mx == rmx, s"bucket $b: ($n,$mn,$mx) vs $ref")
+      assert(math.abs(share - rn.toDouble / gaps.size.toDouble) < 1e-12)
+    }
+  }
+
+  test("snapshotDiff classifies all four statuses on a planted pair") {
+    import spark.implicits._
+    val old = Seq((1L, "ha"), (2L, "hb"), (3L, "hc"))
+      .toDF("doc_id", "old_digest")
+    val neu = Seq((2L, "hb"), (3L, "hx"), (4L, "hd"))
+      .toDF("doc_id", "new_digest")
+    val got = graft.queries.Pipeline.snapshotDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("triangleStats: planted triangle scores 1.0, planted square 0.0") {
+    import spark.implicits._
+    // triangle {1,2,3} + square {10,11,12,13} (no chord) + pendant 20-21
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L),
+      (20L, 21L)).toDF("a", "b")
+    val got = graft.queries.Similarity.triangleStats(und)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    Seq(1L, 2L, 3L).foreach(v => assert(got(v) == ((2L, 1L, 1.0)), s"triangle $v: ${got(v)}"))
+    Seq(10L, 11L, 12L, 13L).foreach(v => assert(got(v) == ((2L, 0L, 0.0)), s"square $v: ${got(v)}"))
+    Seq(20L, 21L).foreach(v => assert(got(v) == ((1L, 0L, 0.0)), s"pendant $v: ${got(v)}"))
+  }
+
+  test("q152 triangle census matches a sequential count over the q134 edges") {
+    val und = graft.queries.Catalog.all("q134_knn_graph").build(spark, sf())
+      .filter(col("q_id") =!= col("n_id"))
+      .select(least(col("q_id"), col("n_id")), greatest(col("q_id"), col("n_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val nTri = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count(p => und((math.min(p(0), p(1)), math.max(p(0), p(1)))))
+    }
+    val got = graft.queries.Catalog.all("q152_graph_triangles").build(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == adj.keySet, "vertex sets differ")
+    adj.foreach { case (v, ns) =>
+      val (deg, t, cc) = got(v)
+      assert(deg == ns.size.toLong, s"deg($v): $deg vs ${ns.size}")
+      assert(t == nTri(v).toLong, s"n_tri($v): $t vs ${nTri(v)}")
+      val expCc = if (ns.size < 2) 0.0
+        else (2.0 * nTri(v)) / (ns.size.toDouble * (ns.size - 1))
+      assert(math.abs(cc - expCc) < 1e-12, s"cc($v): $cc vs $expCc")
+    }
+    assert(nTri.values.sum > 0, "fixture kNN graph must contain >= 1 triangle")
+  }
+}

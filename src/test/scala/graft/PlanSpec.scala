@@ -151,7 +151,12 @@ class PlanSpec extends SparkSuite {
     "q146_event_funnel",      // 3 summary rows × a broadcast 1-row base
     "q148_graph_rank",        // q134's edge pipeline (same k-centroid probe)
     "q135_source_drift", // token terms × a broadcast 1-row grand total (q107's shape)
-    "q137_mixture_temperature") // #sources rows × a broadcast 1-row total (q107's shape)
+    "q137_mixture_temperature", // #sources rows × a broadcast 1-row total (q107's shape)
+    "q150_tfidf_keywords",      // (doc, term) tf rows × a broadcast 1-row doc count
+    "q152_graph_triangles",     // q134's edge pipeline (same k-centroid probe)
+    "q153_chisq_independence",  // cell rows × broadcast 1-row grand total + chi2 total
+    "q154_pmi_collocations",    // filtered bigram rows × a broadcast 1-row token total
+    "q156_gap_histogram")       // <=64 bucket rows × a broadcast 1-row total
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
