@@ -69,7 +69,13 @@ object PlanDump {
     "q141_nb_sourceid" -> "NB classifier: the fit collapses to C map literals at build (one (source, token) hash-agg, C×V collected); the scoring plan is ONE scan-stage projection — C folds + array_sort over C structs, zero shuffles",
     "q142_event_transitions" -> "event transitions: per-user lag window on the user_id exchange (q32's sessionization shape), #types²-grain map-side-combined counts, broadcast #types-row normalizer join",
     "q143_containment" -> "containment pairs: q43's shared candidate core (exact-dup collapse, graft_hash60 inverted index, capped posting lists) with the c/min(na, nb) pair score — one extra column, zero extra shuffles",
-    "q144_cluster_sample" -> "diversity sample: the q139 cluster table grouped per cluster_id through the graft_topk bounded heap on the md5 coin — map-side collapse, no corpus-wide ranking window")
+    "q144_cluster_sample" -> "diversity sample: the q139 cluster table grouped per cluster_id through the graft_topk bounded heap on the md5 coin — map-side collapse, no corpus-wide ranking window",
+    "q150_tfidf_keywords" -> "TF-IDF keywords: ONE (doc, term) hash-agg; df as a term-partition window over the same reduced table (no second corpus scan, no vocab broadcast); ranking window partitions by doc_id — every partition bounded by one doc's terms",
+    "q151_snapshot_diff" -> "snapshot diff: md5 digests computed in the scan stage on BOTH sides, so the full-outer SortMergeJoin shuffles only (doc_id, digest) — never text; churn filter after the join keeps output ∝ change",
+    "q152_graph_triangles" -> "triangle census: canonical a<b edge dedup off the kNN pipeline, wedge equijoin und⋈und (degree-bounded by 2·KnnK) closed by the (a,c) equijoin, per-vertex counts collapse map-side",
+    "q153_chisq_independence" -> "chi-square: one (source, lang)-grain hash-agg; marginals re-aggregate the tiny cell table and join back as broadcasts; the only 1-row crosses are the grand total and the DECIMAL chi2 sum",
+    "q154_pmi_collocations" -> "PMI collocations: unigram + bigram hash-aggs (map-side combinable) are the only corpus-sized shuffles; support floor filters BEFORE the two vocab-count joins; global top-K is TakeOrderedAndProject, never a full sort",
+    "q156_gap_histogram" -> "gap histogram: one lag window on the user_id sessionization exchange, then a ≤64-bucket integer-log2 hash-agg; share via broadcast 1-row cross")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
