@@ -1436,6 +1436,52 @@ object TextAnalysis {
       (arr.getItem(0).getField("cls") === col("source")).as("correct"))
   }
 
+  /** q150's serving fit: the top-[[VocabTopV]] document frequencies plus
+    * the corpus doc count — a bounded model artifact (the surprisalFit
+    * precedent). Only COMMON terms need fitted df (they are the ones
+    * idf must damp); a term outside the table is rare by construction
+    * and scores at the OOV floor df = 1 (maximum idf) in
+    * [[keywordProbe]].
+    */
+  def tfidfFit(s: SparkSession, d: String): (Map[String, Long], Long) = {
+    val docs = Tables.spread(Tables(s, d, "documents"))
+    val nDocs = math.max(docs.count(), 1L)
+    val df = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(VocabTopV)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (df, nDocs)
+  }
+
+  /** Tag (doc_id, text) rows with their top-k TF-IDF keywords under a
+    * static [[tfidfFit]] model. The df table rides as a map literal;
+    * the only shuffle is the (doc_id, term) aggregate of the BATCH —
+    * never the corpus — and the ranking window partitions by doc_id.
+    * Streams verbatim: see `StatefulOps.keywordTag`.
+    */
+  def keywordProbe(batch: DataFrame, df: Map[String, Long], nDocs: Long,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nDocs >= 1, "keywordProbe needs a non-empty fit corpus")
+    val dfMap = typedLit(df)
+    val scored = batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        coalesce(element_at(dfMap, col("term")), lit(1L)).as("df"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") *
+          expr(s"CAST(length(bin(CAST($nDocs AS BIGINT) div df)) AS BIGINT)"))
+          .as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
   def surprisalFit(s: SparkSession, d: String): (Map[String, Long], Long) = {
     val counts = Tables.spread(Tables(s, d, "documents"))
       .select(explode(split(col("text"), " ")).as("token"))

@@ -563,6 +563,24 @@ object StatefulOps {
       }
       .start()
 
+  /** Streaming keyword tagging — q150's intake sibling: each incoming
+    * (doc_id, text) microbatch is tagged with its top-k TF-IDF keywords
+    * under a STATIC [[graft.queries.TextAnalysis.tfidfFit]] model (fit
+    * once from the corpus; the df table rides as a map literal, OOV
+    * terms score at the rare-term idf floor). Stateless — per-batch
+    * cost ∝ batch tokens, never the corpus; verdicts are
+    * batch-independent and `StatefulOpsSpec` pins stream ≡ batch.
+    */
+  def keywordTag(incoming: DataFrame, df: Map[String, Long], nDocs: Long,
+      k: Int, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.TextAnalysis.keywordProbe(batch, df, nDocs, k), id); ()
+      }
+      .start()
+
   def surprisalGate(incoming: DataFrame, vocab: Map[String, Long], oovBits: Long,
       maxBits: Double, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =

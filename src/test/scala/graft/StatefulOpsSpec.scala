@@ -568,4 +568,39 @@ class StatefulOpsSpec extends SparkSuite {
       assert(got.contains(9999L) && got.size == rows.size)
     } finally q.stop()
   }
+
+  test("keyword tag: stream tags equal batch probe; OOV rarity outranks fitted stopwords") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // fit the df model on the static fixture corpus, outside the stream
+    val (df, nDocs) = graft.queries.TextAnalysis.tfidfFit(spark, sf())
+    assert(df.nonEmpty && nDocs > 0)
+    val common = df.maxBy(_._2)._1 // the most document-frequent fitted term
+    val texts = Seq(
+      // the rare OOV term must outrank the ubiquitous one (df floor = 1)
+      1L -> s"$common $common $common zzyzx",
+      2L -> "customer order data stream table") ++
+      Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+        .limit(10).collect().map(r => (r.getLong(0) + 1000L, r.getString(1))).toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Int), (String, Long)]
+    val q = StatefulOps.keywordTag(in.toDF().toDF("doc_id", "text"),
+        df, nDocs, 3, tmpDir("kwtag").toString) { (tagged, _) =>
+      tagged.select("doc_id", "rank", "term", "score").collect()
+        .foreach(r => got((r.getLong(0), r.getInt(1))) = (r.getString(2), r.getLong(3)))
+    }
+    try {
+      in.addData(texts: _*)
+      q.processAllAvailable()
+      val batch = graft.queries.TextAnalysis.keywordProbe(
+          texts.toDF("doc_id", "text"), df, nDocs, 3)
+        .select("doc_id", "rank", "term", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+      assert(got.toMap == batch, "stream tags must equal the batch probe")
+      assert(got((1L, 1))._1 == "zzyzx",
+        s"rare OOV term must rank first for doc 1, got ${got((1L, 1))}")
+    } finally q.stop()
+  }
 }
