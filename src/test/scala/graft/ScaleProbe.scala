@@ -194,6 +194,28 @@ object ScaleProbe {
           f"sequential: $tS%5.1f s / $tripsS trips   " +
           f"(per-merge batched ${tB / m * 1000}%4.0f ms)")
       }
+    } else if (args.lift(1).contains("--triangles")) {
+      // Triangle-census probe: synthetic k-regular-ish graphs at growing
+      // vertex counts with degree FIXED (the kNN contract: deg ≤ 2·KnnK).
+      // The property probed: wall-time grows ~linearly in |V| — the
+      // wedge join emits ≤ Σdeg² = d²·|V| rows, so doubling vertices at
+      // fixed degree doubles cost. Super-linear growth would mean the
+      // census lost the canonical-edge bound and is re-deriving wedges
+      // per closing probe. Each vertex connects to its d/2 successors
+      // (ring lattice — triangle-rich, like a kNN graph's local cliques).
+      import org.apache.spark.sql.functions._
+      val ns = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(100000, 200000, 400000))
+      val d = args.lift(3).map(_.toInt).getOrElse(16) // ring half-degree
+      ns.foreach { n =>
+        val und = spark.range(n.toLong).select(col("id").as("a"),
+            explode(sequence(lit(1), lit(d))).as("i"))
+          .filter(col("a") + col("i") < n) // open chain: keeps a < b canonical
+          .select(col("a"), (col("a") + col("i")).as("b"))
+          .repartition(32)
+        time(f"triangleStats |V|=$n%-7d deg<=${2 * d}")(
+          queries.Similarity.triangleStats(und).agg(sum("n_tri")).head.getLong(0))
+      }
     } else if (args.lift(1).contains("--rank")) {
       // PageRank round-cost probe: per-round seconds at a deeper
       // iteration count than the catalog's 3. The property probed:
