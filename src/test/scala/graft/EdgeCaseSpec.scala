@@ -87,13 +87,14 @@ class EdgeCaseSpec extends SparkSuite {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
       .write.parquet(s"$dir/embeddings.parquet")
     val affected = graft.queries.Catalog.all.keys.filter(n =>
-      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[4-9].*|q11[0-9].*|q1[234][0-9].*"))
+      n.matches("q4[0-5].*|q5[0-2].*|q6[0-5].*|q7[01].*|q8[56].*|q9[0-9].*|q10[0-2].*|q10[4-9].*|q11[0-9].*|q1[2345][0-9].*"))
       // q133 (orders-backed audit rollup) and the events-backed
       // behavioral family are not corpus queries — the numeric range
       // accidentally catches them
       .filterNot(Set("q133_session_rollup", "q142_event_transitions",
         "q145_transition_anomaly", "q146_event_funnel",
-        "q147_retention_cohorts", "q149_daily_gapfill"))
+        "q147_retention_cohorts", "q149_daily_gapfill",
+        "q156_gap_histogram"))
     affected.foreach { name =>
       val n = graft.queries.Catalog.all(name).build(spark, dir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")
