@@ -897,6 +897,73 @@ object Relational {
            |FROM events JOIN wins ON ts >= lo AND ts < hi
            |GROUP BY win""".stripMargin
       },
-      headline = false)
+      headline = false),
+
+    // ---- key-skew diagnostic: per candidate shuffle key, the
+    //      frequency-distribution stats that decide salting / AQE skew
+    //      handling BEFORE a 100 TB join melts a reducer: key count,
+    //      row count, hottest-key count, mean, the p99 frequency at
+    //      integer-log2-bucket resolution, and skew = max/mean. The p99
+    //      is deliberately bucketed (length(bin(c)) — q156's grain):
+    //      an EXACT p99 over per-key counts needs a window over up to
+    //      #keys distinct frequencies in one partition — itself a skew
+    //      hazard — while the log2 bucket caps the window at ≤64 rows
+    //      and an order-of-magnitude answer is what the salting
+    //      decision reads. 100 TB shape: one key-grain hash-agg per
+    //      audited key (map-side combinable), then bucket-grain
+    //      everything; exact integer threshold rank ceil(99·K/100) —
+    //      no float percentile math.
+    "q157_key_skew" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        def skewOf(key: String): DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          val cnt = ev.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          val hist = cnt
+            .groupBy(expr("CAST(length(bin(c)) AS INT)").as("bits"))
+            .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+              max(col("c")).as("max_c"))
+          val tot = hist.agg(sum(col("n_keys")).as("k"), sum(col("n_rows")).as("r"),
+            max(col("max_c")).as("mx"))
+          val wc = Window.orderBy(col("bits")).rowsBetween(Window.unboundedPreceding, 0)
+          val p99 = hist.crossJoin(broadcast(tot))
+            .withColumn("cum", sum(col("n_keys")).over(wc))
+            .filter(col("cum") * 100 >= col("k") * 99)
+            .agg(min(col("bits")).as("p99_bits"))
+          tot.crossJoin(broadcast(p99))
+            .select(lit(key).as("key_col"), col("k").as("n_keys"),
+              col("r").as("n_rows"), col("mx").as("max_count"),
+              (col("r").cast("double") / col("k").cast("double")).as("mean_count"),
+              col("p99_bits"),
+              (col("mx").cast("double") /
+                (col("r").cast("double") / col("k").cast("double"))).as("skew"))
+        }
+        skewOf("user_id").unionByName(skewOf("event_type"))
+      },
+      Some {
+        def sql(key: String) =
+          s"""sk_cnt_$key AS (SELECT $key, CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |sk_hist_$key AS (SELECT CAST(length(bin(CAST(c AS BIGINT))) AS INT) AS bits,
+             |    CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+             |    CAST(max(c) AS BIGINT) AS max_c
+             |  FROM sk_cnt_$key GROUP BY 1),
+             |sk_tot_$key AS (SELECT CAST(sum(n_keys) AS BIGINT) AS k,
+             |    CAST(sum(n_rows) AS BIGINT) AS r, CAST(max(max_c) AS BIGINT) AS mx
+             |  FROM sk_hist_$key),
+             |sk_p99_$key AS (SELECT CAST(min(bits) AS INT) AS p99_bits FROM (
+             |    SELECT bits, sum(n_keys) OVER (ORDER BY bits
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM sk_hist_$key)
+             |  CROSS JOIN sk_tot_$key WHERE cum * 100 >= k * 99),
+             |sk_row_$key AS (SELECT '$key' AS key_col, k AS n_keys, r AS n_rows,
+             |    mx AS max_count, CAST(r AS DOUBLE) / CAST(k AS DOUBLE) AS mean_count,
+             |    p99_bits,
+             |    CAST(mx AS DOUBLE) / (CAST(r AS DOUBLE) / CAST(k AS DOUBLE)) AS skew
+             |  FROM sk_tot_$key CROSS JOIN sk_p99_$key)""".stripMargin
+        s"""WITH ${sql("user_id")},
+           |${sql("event_type")}
+           |SELECT * FROM sk_row_user_id
+           |UNION ALL SELECT * FROM sk_row_event_type""".stripMargin
+      })
   )
 }

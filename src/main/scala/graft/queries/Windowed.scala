@@ -21,6 +21,9 @@ object Windowed {
   /** Users flagged by q145's global most-anomalous pick. */
   val AnomalyK = 5
 
+  /** q158: 3-step event paths kept by the global top-K. */
+  val PathTopK = 10
+
   /** q145's fitted transition model: per-(prev, next) surprisal in
     * q118's integer-quantized log2 bits (length(bin(rowTotal div n))),
     * per-prev OOV floor bits(rowTotal), and the global floor for a
@@ -423,6 +426,40 @@ object Windowed {
              |SELECT bucket_bits, n, min_gap_us, max_gap_us,
              |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
              |FROM h CROSS JOIN tot""".stripMargin)),
+
+    // ---- top event paths: the global top-K 3-step event-type
+    //      sequences users actually walk (path mining — q142's
+    //      transition matrix aggregates ONE hop; the common journeys
+    //      and loop signatures live at 3). Sequence order is the
+    //      (ts, event_id) total order q142 pins. 100 TB shape: two
+    //      leads ride ONE lag-family window on the q32 user_id
+    //      sessionization exchange (state ∝ one user's events); path
+    //      counts collapse map-side to the ≤ #types³ grain; the top-K
+    //      is TakeOrderedAndProject, never a global sort.
+    "q158_event_paths" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type").as("t0"),
+            lead(col("event_type"), 1).over(w).as("t1"),
+            lead(col("event_type"), 2).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(concat_ws(" > ", col("t0"), col("t1"), col("t2")).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(PathTopK)
+      },
+      Some(s"""WITH seq AS (SELECT event_type AS t0,
+              |    lead(event_type, 1) OVER w AS t1,
+              |    lead(event_type, 2) OVER w AS t2
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+              |  CAST(count(*) AS BIGINT) AS n
+              |FROM seq WHERE t2 IS NOT NULL
+              |GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin)),
 
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames

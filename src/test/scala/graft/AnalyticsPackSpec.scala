@@ -107,6 +107,52 @@ class AnalyticsPackSpec extends SparkSuite {
     }
   }
 
+  test("q157 skew stats match a sequential frequency-distribution reference") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ref(key: String, counts: Seq[Long]): (String, Long, Long, Long, Double, Int, Double) = {
+      val k = counts.size.toLong
+      val r = counts.sum
+      val mx = counts.max
+      val hist = counts.groupBy(c => bits(c).toInt)
+        .map { case (b, cs) => b -> cs.size.toLong }
+      val cums = hist.toSeq.sortBy(_._1)
+        .scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }.tail
+      val p99 = cums.find { case (_, cum) => cum * 100 >= k * 99 }.get._1
+      val mean = r.toDouble / k.toDouble
+      (key, k, r, mx, mean, p99, mx.toDouble / mean)
+    }
+    val expected = Set(
+      ref("user_id", ev.groupBy(_._1).values.map(_.size.toLong).toSeq),
+      ref("event_type", ev.groupBy(_._2).values.map(_.size.toLong).toSeq))
+    val got = graft.queries.Catalog.all("q157_key_skew").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5), r.getDouble(6))).toSet
+    assert(got == expected, s"got $got\nref $expected")
+  }
+
+  test("q158 paths match a sequential 3-step walk; event_type skew dwarfs user_id skew") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ts.sliding(3).filter(_.size == 3).map(_.mkString(" > "))
+    }.toSeq
+    val expected = paths.groupBy(identity).map { case (p, vs) => (p, vs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(graft.queries.Windowed.PathTopK).toSet
+    val got = graft.queries.Catalog.all("q158_event_paths").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"got $got\nref $expected")
+    // cross-op sanity: the few-valued event_type key must report higher
+    // skew pressure than the many-valued user_id key on this fixture
+    val skews = graft.queries.Catalog.all("q157_key_skew").build(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(skews("event_type") >= 1.0 && skews("user_id") >= 1.0)
+  }
+
   test("snapshotDiff classifies all four statuses on a planted pair") {
     import spark.implicits._
     val old = Seq((1L, "ha"), (2L, "hb"), (3L, "hc"))

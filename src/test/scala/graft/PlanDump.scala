@@ -75,7 +75,9 @@ object PlanDump {
     "q152_graph_triangles" -> "triangle census: canonical a<b edge dedup off the kNN pipeline, wedge equijoin und⋈und (degree-bounded by 2·KnnK) closed by the (a,c) equijoin, per-vertex counts collapse map-side",
     "q153_chisq_independence" -> "chi-square: one (source, lang)-grain hash-agg; marginals re-aggregate the tiny cell table and join back as broadcasts; the only 1-row crosses are the grand total and the DECIMAL chi2 sum",
     "q154_pmi_collocations" -> "PMI collocations: unigram + bigram hash-aggs (map-side combinable) are the only corpus-sized shuffles; support floor filters BEFORE the two vocab-count joins; global top-K is TakeOrderedAndProject, never a full sort",
-    "q156_gap_histogram" -> "gap histogram: one lag window on the user_id sessionization exchange, then a ≤64-bucket integer-log2 hash-agg; share via broadcast 1-row cross")
+    "q156_gap_histogram" -> "gap histogram: one lag window on the user_id sessionization exchange, then a ≤64-bucket integer-log2 hash-agg; share via broadcast 1-row cross",
+    "q157_key_skew" -> "key skew: per audited key one key-grain hash-agg, log2-bucket histogram, cumulative p99 window over ≤64 rows, 1-row total crosses",
+    "q158_event_paths" -> "event paths: two leads share ONE window on the user_id exchange, #types³-grain map-side-combined counts, TakeOrderedAndProject top-K")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

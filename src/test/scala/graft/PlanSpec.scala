@@ -156,7 +156,8 @@ class PlanSpec extends SparkSuite {
     "q152_graph_triangles",     // q134's edge pipeline (same k-centroid probe)
     "q153_chisq_independence",  // cell rows × broadcast 1-row grand total + chi2 total
     "q154_pmi_collocations",    // filtered bigram rows × a broadcast 1-row token total
-    "q156_gap_histogram")       // <=64 bucket rows × a broadcast 1-row total
+    "q156_gap_histogram",       // <=64 bucket rows × a broadcast 1-row total
+    "q157_key_skew")            // 1-row totals × 1-row p99 per audited key
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
@@ -179,7 +180,8 @@ class PlanSpec extends SparkSuite {
     // aggregate with a finite key domain), which the plan text can't
     // prove the way a LIMIT node can:
     val intentionalGlobalWindow = Set(
-      "q119_curriculum") // quality-bucket histogram: floor(q*1024) ∈ [0,1024]
+      "q119_curriculum", // quality-bucket histogram: floor(q*1024) ∈ [0,1024]
+      "q157_key_skew")   // p99 running sum over the ≤64-row log2 histogram
     val offenders = Catalog.all.keys.flatMap { name =>
       val p = plan(name)
       val hasGlobalWindow = unpartitioned.unanchored.matches(p)
