@@ -24,6 +24,13 @@ object Windowed {
   /** q158: 3-step event paths kept by the global top-K. */
   val PathTopK = 10
 
+  /** q160: number of hash-assigned experiment variants, and the
+    * big-ticket purchase value that counts as a conversion (every
+    * fixture user makes SOME purchase — see the q160 comment).
+    */
+  val AbVariants = 2
+  val AbConvValue = 150
+
   /** q145's fitted transition model: per-(prev, next) surprisal in
     * q118's integer-quantized log2 bits (length(bin(rowTotal div n))),
     * per-prev OOV floor bits(rowTotal), and the global floor for a
@@ -460,6 +467,138 @@ object Windowed {
               |  CAST(count(*) AS BIGINT) AS n
               |FROM seq WHERE t2 IS NOT NULL
               |GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin)),
+
+    // ---- transition-model evaluation: top-1 next-event prediction
+    //      accuracy of the q142-fitted Markov model, per source state —
+    //      the model-evaluation verb that closes the fit (q142) →
+    //      score (q145) → EVALUATE arc (is the transition model good
+    //      enough to drive the anomaly threshold?). Self-evaluation on
+    //      the fit corpus is the honest label here (the train/test
+    //      split verb is q99's). The argmax is a struct-MIN conditional
+    //      aggregate ((-n, next) — count desc, name asc on ties), never
+    //      a ranking window; correctness needs no float anywhere until
+    //      the final exact-int division. 100 TB shape: one lag window
+    //      (q32's user exchange), #types²-grain counts, the #types-row
+    //      prediction table broadcast back onto the pair stream.
+    "q159_transition_accuracy" -> Q(
+      (s, d) => {
+        val cnt = transitionCounts(s, d)
+        val pred = cnt.groupBy(col("prev_type"))
+          .agg(min(struct((-col("n")).as("nn"), col("event_type").as("p"))).as("m"))
+          .select(col("prev_type"), col("m.p").as("pred_next"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type").as("nxt"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .join(broadcast(pred), Seq("prev_type"))
+          .groupBy(col("prev_type"))
+          .agg(first(col("pred_next")).as("pred_next"),
+            count(lit(1)).as("n"),
+            sum(when(col("nxt") === col("pred_next"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("prev_type"), col("pred_next"), col("n"), col("n_correct"),
+            (col("n_correct").cast("double") / col("n").cast("double"))
+              .as("accuracy"))
+      },
+      Some("""WITH tr AS (SELECT user_id, event_type AS nxt,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |t2 AS (SELECT prev_type, nxt FROM tr WHERE prev_type IS NOT NULL),
+             |cnt AS (SELECT prev_type, nxt, CAST(count(*) AS BIGINT) AS n
+             |        FROM t2 GROUP BY 1, 2),
+             |pred AS (SELECT prev_type, nxt AS pred_next FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY prev_type
+             |      ORDER BY n DESC, nxt) AS rn FROM cnt) WHERE rn = 1)
+             |SELECT t2.prev_type, p.pred_next, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN t2.nxt = p.pred_next THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  CAST(sum(CASE WHEN t2.nxt = p.pred_next THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+             |FROM t2 JOIN pred p USING (prev_type)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- A/B experiment analysis: users hash-split into
+    //      [[AbVariants]] deterministic variants (the q99 md5-coin —
+    //      no RNG), conversion = a big-ticket purchase
+    //      (value ≥ [[AbConvValue]] — plain "ever purchased" is
+    //      degenerate on the fixture: EVERY user purchases, pooled
+    //      p = 1 and the z denominator hits √0, which is also why the
+    //      guard row exists); per-variant rates plus the pooled
+    //      two-proportion z statistic — the experimentation verb. The
+    //      z tree is written identically in both engines over exact
+    //      integer counts: every op (+,·,/,√) is correctly-rounded
+    //      IEEE (the q137 sqrt precedent), so the fixed tree is
+    //      bit-identical with no rounding fudge; the CASE guard pins
+    //      z = 0 when either arm is empty or pooled p ∈ {0, 1}
+    //      (ANSI Spark raises on the √0 division a silent engine
+    //      would NaN through). 100 TB shape: one user-grain
+    //      conversion aggregate (map-side combinable max), then
+    //      #variants-grain everything; the z cross is a broadcast
+    //      1-row pair.
+    "q160_ab_test" -> Q(
+      (s, d) => {
+        val conv = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") >= AbConvValue, 1L).otherwise(0L))
+            .as("converted"))
+          .select(
+            (hash60(col("user_id").cast("string")) % AbVariants).as("variant"),
+            col("converted"))
+        val byV = conv.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+        val z = byV
+          .agg(sum(when(col("variant") === 0, col("n_users"))).as("n0"),
+            sum(when(col("variant") === 0, col("n_conv"))).as("c0"),
+            sum(when(col("variant") === 1, col("n_users"))).as("n1"),
+            sum(when(col("variant") === 1, col("n_conv"))).as("c1"))
+          .select(expr(
+            """CASE WHEN coalesce(n0, CAST(0 AS BIGINT)) = 0
+              |     OR coalesce(n1, CAST(0 AS BIGINT)) = 0
+              |     OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(0.0 AS DOUBLE)
+              | ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              |   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              |   / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              |     * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+              | END""".stripMargin.replace("\n", " ")).as("z"))
+        byV.select(col("variant"), col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") / col("n_users").cast("double"))
+              .as("conv_rate"))
+          .crossJoin(broadcast(z))
+      },
+      Some(s"""WITH conv AS (SELECT user_id,
+              |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= $AbConvValue
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+              |  FROM events GROUP BY 1),
+              |v AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)
+              |        AS BIGINT) % $AbVariants AS variant, converted FROM conv),
+              |byv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+              |    CAST(sum(converted) AS BIGINT) AS n_conv
+              |  FROM v GROUP BY 1),
+              |t AS (SELECT
+              |    CAST(sum(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n0,
+              |    CAST(sum(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS c0,
+              |    CAST(sum(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n1,
+              |    CAST(sum(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS c1
+              |  FROM byv),
+              |z AS (SELECT CASE WHEN coalesce(n0, 0) = 0 OR coalesce(n1, 0) = 0
+              |      OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(0.0 AS DOUBLE)
+              |    ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              |      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              |      / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              |        * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+              |    END AS z
+              |  FROM t)
+              |SELECT b.variant, b.n_users, b.n_conv,
+              |  CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS conv_rate, z.z
+              |FROM byv b CROSS JOIN z""".stripMargin)),
 
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames

@@ -153,6 +153,67 @@ class AnalyticsPackSpec extends SparkSuite {
     assert(skews("event_type") >= 1.0 && skews("user_id") >= 1.0)
   }
 
+  test("q159 accuracy matches a sequential fit-and-walk reference") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ts.zip(ts.tail)
+    }.toSeq
+    val pred = pairs.groupBy(_._1).map { case (p, vs) =>
+      val byNext = vs.groupBy(_._2).map { case (n, xs) => n -> xs.size.toLong }
+      p -> byNext.toSeq.sortBy { case (n, c) => (-c, n) }.head._1
+    }
+    val expected = pairs.groupBy(_._1).map { case (p, vs) =>
+      val nc = vs.count(_._2 == pred(p)).toLong
+      (p, pred(p), vs.size.toLong, nc, nc.toDouble / vs.size.toDouble)
+    }.toSet
+    val got = graft.queries.Catalog.all("q159_transition_accuracy").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected, s"got $got\nref $expected")
+  }
+
+  test("q160 variant stats and z match a sequential two-proportion reference") {
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val thr = graft.queries.Windowed.AbConvValue
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val users = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      (hash60(u.toString) % graft.queries.Windowed.AbVariants,
+        if (es.exists(e => e._2 == "purchase" && e._3 >= thr)) 1L else 0L)
+    }
+    val byV = users.groupBy(_._1).map { case (v, us) =>
+      v -> ((us.size.toLong, us.map(_._2).sum))
+    }
+    val (n0, c0) = byV.getOrElse(0L, (0L, 0L))
+    val (n1, c1) = byV.getOrElse(1L, (0L, 0L))
+    val refZ =
+      if (n0 == 0 || n1 == 0 || c0 + c1 == 0 || c0 + c1 == n0 + n1) 0.0
+      else (c1.toDouble / n1.toDouble - c0.toDouble / n0.toDouble) /
+        math.sqrt((c0 + c1).toDouble / (n0 + n1).toDouble *
+          (1.0 - (c0 + c1).toDouble / (n0 + n1).toDouble) *
+          (1.0 / n0.toDouble + 1.0 / n1.toDouble))
+    val got = graft.queries.Catalog.all("q160_ab_test").build(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == byV.keySet.map(identity))
+    byV.foreach { case (v, (n, c)) =>
+      val (gn, gc, rate, z) = got(v)
+      assert(gn == n && gc == c, s"variant $v: ($gn,$gc) vs ($n,$c)")
+      assert(math.abs(rate - c.toDouble / n.toDouble) < 1e-15)
+      assert(math.abs(z - refZ) < 1e-12, s"z $z vs $refZ")
+    }
+    assert(byV.size == 2 && c0 > 0 && c0 < n0,
+      "fixture must split users and conversions across both variants")
+  }
+
   test("snapshotDiff classifies all four statuses on a planted pair") {
     import spark.implicits._
     val old = Seq((1L, "ha"), (2L, "hb"), (3L, "hc"))

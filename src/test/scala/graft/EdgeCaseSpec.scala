@@ -94,7 +94,8 @@ class EdgeCaseSpec extends SparkSuite {
       .filterNot(Set("q133_session_rollup", "q142_event_transitions",
         "q145_transition_anomaly", "q146_event_funnel",
         "q147_retention_cohorts", "q149_daily_gapfill",
-        "q156_gap_histogram", "q157_key_skew", "q158_event_paths"))
+        "q156_gap_histogram", "q157_key_skew", "q158_event_paths",
+        "q159_transition_accuracy"))
     affected.foreach { name =>
       val n = graft.queries.Catalog.all(name).build(spark, dir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")

@@ -77,7 +77,9 @@ object PlanDump {
     "q154_pmi_collocations" -> "PMI collocations: unigram + bigram hash-aggs (map-side combinable) are the only corpus-sized shuffles; support floor filters BEFORE the two vocab-count joins; global top-K is TakeOrderedAndProject, never a full sort",
     "q156_gap_histogram" -> "gap histogram: one lag window on the user_id sessionization exchange, then a ≤64-bucket integer-log2 hash-agg; share via broadcast 1-row cross",
     "q157_key_skew" -> "key skew: per audited key one key-grain hash-agg, log2-bucket histogram, cumulative p99 window over ≤64 rows, 1-row total crosses",
-    "q158_event_paths" -> "event paths: two leads share ONE window on the user_id exchange, #types³-grain map-side-combined counts, TakeOrderedAndProject top-K")
+    "q158_event_paths" -> "event paths: two leads share ONE window on the user_id exchange, #types³-grain map-side-combined counts, TakeOrderedAndProject top-K",
+    "q159_transition_accuracy" -> "transition accuracy: #types²-grain counts → struct-min argmax → #types-row broadcast prediction join onto the lag-pair stream; no ranking window",
+    "q160_ab_test" -> "A/B test: user-grain conversion max collapses map-side, #variants-grain stats, guarded z on a broadcast 1-row cross")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
