@@ -31,6 +31,28 @@ object Windowed {
   val AbVariants = 2
   val AbConvValue = 150
 
+  /** q161: trailing window length (days) and the |z| alert threshold. */
+  val AnomWin = 7
+  val AnomZ = 3.0
+
+  /** The guarded pooled two-proportion z statistic over columns
+    * n0/c0/n1/c1 — ONE copy of the fixed IEEE tree, shared by q160 and
+    * the streaming `StatefulOps.abMonitor` so the batch query and the
+    * intake monitor cannot drift. Guard: z = 0 when either arm is
+    * empty or pooled p ∈ {0, 1} (ANSI Spark raises on the √0 division
+    * a silent engine would NaN through).
+    */
+  def abZ: org.apache.spark.sql.Column = expr(
+    """CASE WHEN coalesce(n0, CAST(0 AS BIGINT)) = 0
+      |     OR coalesce(n1, CAST(0 AS BIGINT)) = 0
+      |     OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(0.0 AS DOUBLE)
+      | ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |   / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |     * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+      | END""".stripMargin.replace("\n", " "))
+
   /** q145's fitted transition model: per-(prev, next) surprisal in
     * q118's integer-quantized log2 bits (length(bin(rowTotal div n))),
     * per-prev OOV floor bits(rowTotal), and the global floor for a
@@ -557,16 +579,7 @@ object Windowed {
             sum(when(col("variant") === 0, col("n_conv"))).as("c0"),
             sum(when(col("variant") === 1, col("n_users"))).as("n1"),
             sum(when(col("variant") === 1, col("n_conv"))).as("c1"))
-          .select(expr(
-            """CASE WHEN coalesce(n0, CAST(0 AS BIGINT)) = 0
-              |     OR coalesce(n1, CAST(0 AS BIGINT)) = 0
-              |     OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(0.0 AS DOUBLE)
-              | ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-              |   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-              |   / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-              |     * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-              |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
-              | END""".stripMargin.replace("\n", " ")).as("z"))
+          .select(abZ.as("z"))
         byV.select(col("variant"), col("n_users"), col("n_conv"),
             (col("n_conv").cast("double") / col("n_users").cast("double"))
               .as("conv_rate"))
@@ -599,6 +612,71 @@ object Windowed {
               |SELECT b.variant, b.n_users, b.n_conv,
               |  CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS conv_rate, z.z
               |FROM byv b CROSS JOIN z""".stripMargin)),
+
+    // ---- daily-volume anomaly: per-day event counts (q149's
+    //      gap-filled spine, so a DEAD day scores as an anomaly
+    //      instead of vanishing) z-scored against the trailing
+    //      [[AnomWin]]-day window — the ops-monitoring verb (traffic
+    //      drop/spike paging). Variance comes from exact BIGINT
+    //      window sums (W·Σx² − (Σx)² — no float accumulation),
+    //      mean/std/z are fixed IEEE trees (√ correctly rounded, the
+    //      q137/q160 rule), and std = 0 guards z to 0. Only days with
+    //      a FULL trailing window emit (the warm-up rows have no
+    //      defensible baseline). 100 TB shape: the day hash-agg is the
+    //      one corpus-sized op; the trailing window runs at day grain
+    //      (rows ∝ days — the q119 grain-bounded-global-window class).
+    "q161_daily_anomaly" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, d, "events")
+          .select(expr("CAST(ts AS DATE)").as("day"))
+        val daily = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+        val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val filled = spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        val w = Window.orderBy(col("day")).rowsBetween(-AnomWin, -1)
+        filled
+          .select(col("day"), col("n"),
+            count(lit(1)).over(w).as("wn"),
+            sum(col("n")).over(w).as("s"),
+            sum(col("n") * col("n")).over(w).as("ss"))
+          .filter(col("wn") === AnomWin)
+          .select(col("day"), col("n"),
+            expr(s"CAST(s AS DOUBLE) / $AnomWin.0").as("mean"),
+            expr(s"sqrt(CAST($AnomWin * ss - s * s AS DOUBLE) " +
+              s"/ ${AnomWin * AnomWin}.0)").as("std"))
+          .select(col("day"), col("n"), col("mean"), col("std"),
+            expr("CASE WHEN std = 0.0 THEN CAST(0.0 AS DOUBLE) " +
+              "ELSE (CAST(n AS DOUBLE) - mean) / std END").as("z"))
+          .withColumn("is_anomalous", abs(col("z")) >= AnomZ)
+      },
+      Some(s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+              |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+              |          FROM ev GROUP BY 1),
+              |spine AS (SELECT unnest(generate_series(
+              |    (SELECT min(day) FROM ev), (SELECT max(day) FROM ev),
+              |    INTERVAL 1 DAY))::DATE AS day),
+              |filled AS (SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+              |           FROM spine s LEFT JOIN daily d USING (day)),
+              |win AS (SELECT day, n,
+              |    CAST(count(*) OVER w AS BIGINT) AS wn,
+              |    CAST(sum(n) OVER w AS BIGINT) AS s,
+              |    CAST(sum(n * n) OVER w AS BIGINT) AS ss
+              |  FROM filled
+              |  WINDOW w AS (ORDER BY day ROWS BETWEEN $AnomWin PRECEDING
+              |    AND 1 PRECEDING)),
+              |st AS (SELECT day, n,
+              |    CAST(s AS DOUBLE) / $AnomWin.0 AS mean,
+              |    sqrt(CAST($AnomWin * ss - s * s AS DOUBLE)
+              |      / ${AnomWin * AnomWin}.0) AS std
+              |  FROM win WHERE wn = $AnomWin),
+              |z AS (SELECT day, n, mean, std,
+              |    CASE WHEN std = 0.0 THEN CAST(0.0 AS DOUBLE)
+              |         ELSE (CAST(n AS DOUBLE) - mean) / std END AS z
+              |  FROM st)
+              |SELECT day, n, mean, std, z, abs(z) >= $AnomZ AS is_anomalous
+              |FROM z""".stripMargin)),
 
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames

@@ -563,6 +563,40 @@ object StatefulOps {
       }
       .start()
 
+  /** Streaming A/B experiment monitor — q160's intake sibling: per
+    * event-time window, both variants' event and big-ticket-conversion
+    * counts plus the guarded pooled two-proportion z (q160's exact
+    * tree), so a variant whose conversion rate shifts pages within a
+    * window of the change. Counts here are EVENT-grain (per-window
+    * trials = that window's events per arm) where batch q160 is
+    * user-grain "ever converted" — per-user-ever needs unbounded
+    * cross-batch user state, and the monitor's estimand is the rate
+    * SHIFT between arms, which event grain tracks under a stable
+    * event/user mix. ONE windowed aggregate (conditional integer sums
+    * collapse map-side; the variant never becomes a grouping key, so
+    * the z projection is stateless); state ∝ open windows under the
+    * watermark. `StatefulOpsSpec` pins stream ≡ the same kernel run in
+    * batch.
+    */
+  def abMonitor(events: DataFrame, lateness: String, win: String,
+                convValue: Double): DataFrame = {
+    import graft.functions.ParityFns.hash60
+    import graft.queries.Windowed.{AbVariants, abZ}
+    val v = hash60(col("user_id").cast("string")) % AbVariants
+    val conv = col("event_type") === "purchase" && col("value") >= convValue
+    events
+      .withColumn("__v", v).withColumn("__c", conv)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), win))
+      .agg(
+        sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__v") === 0 && col("__c"), 1L).otherwise(0L)).as("c0"),
+        sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__v") === 1 && col("__c"), 1L).otherwise(0L)).as("c1"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col("n0"), col("c0"), col("n1"), col("c1"), abZ.as("z"))
+  }
+
   /** Streaming keyword tagging — q150's intake sibling: each incoming
     * (doc_id, text) microbatch is tagged with its top-k TF-IDF keywords
     * under a STATIC [[graft.queries.TextAnalysis.tfidfFit]] model (fit

@@ -214,6 +214,57 @@ class AnalyticsPackSpec extends SparkSuite {
       "fixture must split users and conversions across both variants")
   }
 
+  test("q161 matches a sequential trailing-window reference; planted spike and dead day page") {
+    import spark.implicits._
+    // fixture reference: gap-filled daily counts, z over the trailing 7
+    val days = Tables(spark, sf(), "events")
+      .select(expr("CAST(ts AS DATE)").as("day")).collect()
+      .map(_.getDate(0).toLocalDate)
+    val byDay = days.groupBy(identity).map { case (d, vs) => d -> vs.size.toLong }
+    val (d0, d1) = (days.min, days.max)
+    val series = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => d -> byDay.getOrElse(d, 0L)).toSeq
+    val win = graft.queries.Windowed.AnomWin
+    val expected = series.indices.drop(win).map { i =>
+      val w = series.slice(i - win, i).map(_._2)
+      val (s, ss) = (w.sum, w.map(x => x * x).sum)
+      val mean = s.toDouble / win.toDouble
+      val std = math.sqrt((win * ss - s * s).toDouble / (win * win).toDouble)
+      val x = series(i)._2
+      val z = if (std == 0.0) 0.0 else (x.toDouble - mean) / std
+      (series(i)._1.toString, x, mean, std, z, math.abs(z) >= graft.queries.Windowed.AnomZ)
+    }.toSet
+    val got = graft.queries.Catalog.all("q161_daily_anomaly").build(spark, sf())
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+
+    // planted: 8 steady days (alternating 10/12 so std > 0), a DEAD
+    // day 9 (spine-filled zero), a normal day 10, then a 40-event
+    // spike day 11. Dead day precedes the spike on purpose: a spike
+    // inside the trailing window inflates std and masks later
+    // anomalies — trailing-z's known baseline-poisoning property, not
+    // a bug, so the plant keeps each anomaly's window clean.
+    val dir = tmpDir("anom").toString
+    def t(d: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 08:${i % 60}%02d:00")
+    val steady = (1 to 8).flatMap(d =>
+      (0 until (if (d % 2 == 0) 12 else 10)).map(i =>
+        ((d * 100 + i).toLong, t(d, i), 7L, "view", 1.0, "{}")))
+    val day10 = (0 until 10).map(i => ((800 + i).toLong, t(10, i), 7L, "view", 1.0, "{}"))
+    val spike = (0 until 40).map(i => ((900 + i).toLong, t(11, i), 7L, "view", 1.0, "{}"))
+    (steady ++ day10 ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val p = graft.queries.Catalog.all("q161_daily_anomaly").build(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(p("2024-03-09")._2 && p("2024-03-09")._1 < 0,
+      s"dead day must page: ${p("2024-03-09")}")
+    assert(p("2024-03-11")._2 && p("2024-03-11")._1 > 0,
+      s"spike day must page: ${p("2024-03-11")}")
+    assert(!p("2024-03-08")._2, s"steady day must not page: ${p("2024-03-08")}")
+  }
+
   test("snapshotDiff classifies all four statuses on a planted pair") {
     import spark.implicits._
     val old = Seq((1L, "ha"), (2L, "hb"), (3L, "hc"))

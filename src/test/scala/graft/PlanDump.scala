@@ -79,7 +79,8 @@ object PlanDump {
     "q157_key_skew" -> "key skew: per audited key one key-grain hash-agg, log2-bucket histogram, cumulative p99 window over ≤64 rows, 1-row total crosses",
     "q158_event_paths" -> "event paths: two leads share ONE window on the user_id exchange, #types³-grain map-side-combined counts, TakeOrderedAndProject top-K",
     "q159_transition_accuracy" -> "transition accuracy: #types²-grain counts → struct-min argmax → #types-row broadcast prediction join onto the lag-pair stream; no ranking window",
-    "q160_ab_test" -> "A/B test: user-grain conversion max collapses map-side, #variants-grain stats, guarded z on a broadcast 1-row cross")
+    "q160_ab_test" -> "A/B test: user-grain conversion max collapses map-side, #variants-grain stats, guarded z on a broadcast 1-row cross",
+    "q161_daily_anomaly" -> "daily anomaly: one corpus-sized day hash-agg, spine left-join, trailing-window BIGINT sums at day grain, fixed-tree z projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -182,7 +182,8 @@ class PlanSpec extends SparkSuite {
     // prove the way a LIMIT node can:
     val intentionalGlobalWindow = Set(
       "q119_curriculum", // quality-bucket histogram: floor(q*1024) ∈ [0,1024]
-      "q157_key_skew")   // p99 running sum over the ≤64-row log2 histogram
+      "q157_key_skew",   // p99 running sum over the ≤64-row log2 histogram
+      "q161_daily_anomaly") // trailing stats at day grain (rows ∝ days, q149's spine)
     val offenders = Catalog.all.keys.flatMap { name =>
       val p = plan(name)
       val hasGlobalWindow = unpartitioned.unanchored.matches(p)

@@ -569,6 +569,57 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("A/B monitor: stream window stats equal the batch kernel; planted shift pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // two 30 s windows; arm 1 converts heavily in the second window.
+    // user ids are chosen so the md5 coin splits them (checked below).
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val rows = (0 until 40).map { i =>
+      val uid = i.toLong
+      val w2 = i >= 20
+      val conv = w2 && (i % 2 == 0)
+      (uid, tsAt(if (w2) 35 else 5),
+        if (conv) "purchase" else "view",
+        if (conv) 999.0 else 1.0)
+    } :+ ((999L, tsAt(120), "view", 1.0)) // watermark pusher
+    val src = rows.toDF("user_id", "ts", "event_type", "value")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = StatefulOps.abMonitor(
+        in.toDF().toDF("user_id", "ts", "event_type", "value"),
+        "10 seconds", "30 seconds", 150.0)
+      .writeStream.format("memory").queryName("ab_mon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("abmon").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ab_mon")
+        .select("w_start", "n0", "c0", "n1", "c1", "z").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))).toMap
+      // batch recompute: the SAME kernel on the same rows (minus the
+      // unemitted open window holding the watermark pusher)
+      val batch = StatefulOps.abMonitor(src, "10 seconds", "30 seconds", 150.0)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))).toMap
+      got.foreach { case (w, v) =>
+        assert(batch(w) == v, s"window $w: stream $v vs batch ${batch(w)}")
+      }
+      assert(got.size == 2, s"both closed windows must emit: $got")
+      val (quiet, shifted) = (got.minBy(_._1)._2, got.maxBy(_._1)._2)
+      assert(quiet._2 == 0 && quiet._4 == 0 && quiet._5 == 0.0,
+        s"window 1 has no conversions: $quiet")
+      assert(shifted._2 + shifted._4 > 0 && math.abs(shifted._5) > 0.0,
+        s"window 2 must show a conversion signal: $shifted")
+      assert(quiet._1 > 0 && quiet._3 > 0,
+        "the md5 coin must populate both arms in window 1")
+    } finally q.stop()
+  }
+
   test("keyword tag: stream tags equal batch probe; OOV rarity outranks fitted stopwords") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
