@@ -210,4 +210,60 @@ class KernelPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("triangleStats == brute-force census on arbitrary random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(4, 14)
+      density <- Gen.chooseNum(1, 4)
+      pairs <- Gen.listOfN(n * density,
+        Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield pairs.collect { case (a, b) if a != b =>
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.distinct
+    samples(edgeGen, 25).filter(_.nonEmpty).foreach { und =>
+      val es = und.toSet
+      val adj = und.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      val got = graft.queries.Similarity.triangleStats(und.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == adj.keySet)
+      adj.foreach { case (v, ns) =>
+        val t = ns.toSeq.combinations(2)
+          .count(p => es((math.min(p(0), p(1)), math.max(p(0), p(1))))).toLong
+        val (gd, gt, gc) = got(v)
+        assert(gd == ns.size.toLong && gt == t, s"vertex $v: ($gd,$gt) vs (${ns.size},$t)")
+        assert(gc >= 0.0 && gc <= 1.0, s"cc out of range at $v: $gc")
+        val exp = if (ns.size < 2) 0.0 else 2.0 * t / (ns.size.toDouble * (ns.size - 1))
+        assert(math.abs(gc - exp) < 1e-12)
+      }
+      // each triangle contributes exactly 3 vertex participations
+      assert(got.values.map(_._2).sum % 3 == 0)
+    }
+  }
+
+  test("snapshotDiff statuses partition the id union on arbitrary snapshot pairs") {
+    import spark.implicits._
+    val snapGen = for {
+      ids <- Gen.listOfN(12, Gen.chooseNum(0L, 19L)).map(_.distinct)
+      mask <- Gen.listOfN(20, Gen.chooseNum(0, 3)) // 0=both-same 1=old-only 2=new-only 3=changed
+    } yield ids.map(i => i -> mask(i.toInt))
+    samples(snapGen, 25).filter(_.nonEmpty).foreach { plan =>
+      val old = plan.collect { case (i, m) if m != 2 => (i, s"d$i") }
+      val neu = plan.collect { case (i, m) if m != 1 =>
+        (i, if (m == 3) s"D$i" else s"d$i")
+      }
+      val got = graft.queries.Pipeline.snapshotDiff(
+          old.toDF("doc_id", "old_digest"), neu.toDF("doc_id", "new_digest"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.keySet == plan.map(_._1).toSet, "every id emits exactly one row")
+      plan.foreach { case (i, m) =>
+        val exp = m match {
+          case 0 => "same"; case 1 => "removed"; case 2 => "added"; case 3 => "changed"
+        }
+        assert(got(i) == exp, s"id $i mask $m: ${got(i)} != $exp")
+      }
+    }
+  }
 }
