@@ -47,7 +47,8 @@ object Relational {
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin),
-      headline = true),
+      // bench-trimmed (r9 advice #7): PlanSpec pins the shape, sub-second at sf0.1
+      headline = false),
 
     // ---- Q6/Q7: projection + filter with computed columns (pushdown check)
     "q02_filter_project" -> Q(
@@ -66,7 +67,8 @@ object Relational {
              |WHERE l_returnflag = 'R'
              |  AND l_shipdate >= TIMESTAMP '1997-01-01'
              |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin),
-      headline = true),
+      // bench-trimmed (r9 advice #7): PlanSpec pins the shape, sub-second at sf0.1
+      headline = false),
 
     // ---- Q8: broadcast hash join (small dim broadcast, explicitly hinted)
     "q03_join_broadcast" -> Q(
@@ -115,7 +117,8 @@ object Relational {
              |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey""".stripMargin),
-      headline = true),
+      // bench-trimmed (r9 advice #7): PlanSpec pins the shape, sub-second at sf0.1
+      headline = false),
 
     // ---- Q11: left semi join (EXISTS)
     "q06_semi_join" -> Q(
@@ -191,7 +194,8 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |  JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin),
-      headline = true),
+      // bench-trimmed (r9 advice #7): PlanSpec pins the shape, sub-second at sf0.1
+      headline = false),
 
     // ---- Q20/Q23: ranking window → per-group top-k
     "q12_window_topk" -> Q(
@@ -207,7 +211,8 @@ object Relational {
              |  SELECT o_custkey, o_orderkey, row_number() OVER (
              |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
              |  FROM orders) WHERE rk <= 3""".stripMargin),
-      headline = true),
+      // bench-trimmed (r9 advice #7): PlanSpec pins the shape, sub-second at sf0.1
+      headline = false),
 
     // ---- Q22: window aggregate with a running frame
     "q13_window_running" -> Q(

@@ -112,7 +112,8 @@ object TextAnalysis {
            |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS is_match
            |FROM scored""".stripMargin
       },
-      headline = true),
+      // bench-trimmed (r9 advice #7): PlanSpec pins the shape, sub-second at sf0.1
+      headline = false),
 
     // ---- quality score: length/stopword-ratio features → [0,1] score.
     //      Intermediates stay unrounded so both engines compare the same
@@ -187,7 +188,8 @@ object TextAnalysis {
       Some("""SELECT token, count(*) AS tf FROM (
              |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin),
-      headline = true),
+      // bench-trimmed (r9 advice #7): PlanSpec pins the shape, sub-second at sf0.1
+      headline = false),
 
     // ---- heavy hitters at scale: Misra–Gries sketch → candidate set →
     //      exact recount of candidates only. The sketch bounds state by
