@@ -678,6 +678,50 @@ object Windowed {
               |SELECT day, n, mean, std, z, abs(z) >= $AnomZ AS is_anomalous
               |FROM z""".stripMargin)),
 
+    // ---- rolling active users: per day, DAU, trailing-7-day WAU, and
+    //      stickiness = DAU/WAU — THE engagement topline. Rolling
+    //      DISTINCT does not compose from daily distincts (union ≠
+    //      sum), so each day-grain (day, user) activity row is
+    //      exploded onto the ≤7 future spine days it keeps the user
+    //      active for, and WAU is a plain distinct count at day grain
+    //      — exact, no approximation. 100 TB shape: the day-grain
+    //      (day, user) distinct FIRST collapses the corpus (events per
+    //      user-day amortize to one row), the ×7 explode then grows
+    //      that reduced table linearly with a constant, and both
+    //      distinct aggregates are ordinary hash shuffles. Emitted for
+    //      days with activity (the q149 spine fills dead days; a dead
+    //      day's DAU = 0 makes stickiness 0/wau — join the spine
+    //      first in that variant).
+    "q162_active_users" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+        val du = ev.distinct()
+        val dau = du.groupBy(col("day"))
+          .agg(count(lit(1)).as("dau")) // already distinct at (day, user)
+        val wau = du
+          .select(explode(expr(
+            "sequence(day, date_add(day, 6), interval 1 day)")).as("day"),
+            col("user_id"))
+          .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double"))
+              .as("stickiness"))
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+             |du AS (SELECT DISTINCT day, user_id FROM ev),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |        FROM du GROUP BY 1),
+             |cov AS (SELECT CAST(day + k * INTERVAL 1 DAY AS DATE) AS day,
+             |          user_id FROM du,
+             |        LATERAL (SELECT unnest(generate_series(0, 6)) AS k) l),
+             |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |        FROM cov GROUP BY 1)
+             |SELECT d.day, d.dau, w.wau,
+             |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+             |FROM dau d JOIN wau w USING (day)""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

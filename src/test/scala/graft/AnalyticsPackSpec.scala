@@ -265,6 +265,28 @@ class AnalyticsPackSpec extends SparkSuite {
     assert(!p("2024-03-08")._2, s"steady day must not page: ${p("2024-03-08")}")
   }
 
+  test("q162 DAU/WAU match a sequential rolling-distinct reference") {
+    val ev = Tables(spark, sf(), "events")
+      .select(expr("CAST(ts AS DATE)").as("day"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).distinct
+    val days = ev.map(_._1).distinct
+    val expected = days.map { d =>
+      val dau = ev.count(_._1 == d).toLong
+      val wau = ev.filter(e => !e._1.isAfter(d) && !e._1.isBefore(d.minusDays(6)))
+        .map(_._2).distinct.size.toLong
+      (d.toString, dau, wau, dau.toDouble / wau.toDouble)
+    }.toSet
+    val got = graft.queries.Catalog.all("q162_active_users").build(spark, sf())
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+    // stickiness is a ratio of distinct-user counts: bounded (0, 1]
+    got.foreach { case (d, dau, wau, st) =>
+      assert(dau >= 1 && wau >= dau && st > 0.0 && st <= 1.0, s"$d: $dau/$wau/$st")
+    }
+  }
+
   test("snapshotDiff classifies all four statuses on a planted pair") {
     import spark.implicits._
     val old = Seq((1L, "ha"), (2L, "hb"), (3L, "hc"))

@@ -80,7 +80,8 @@ object PlanDump {
     "q158_event_paths" -> "event paths: two leads share ONE window on the user_id exchange, #types³-grain map-side-combined counts, TakeOrderedAndProject top-K",
     "q159_transition_accuracy" -> "transition accuracy: #types²-grain counts → struct-min argmax → #types-row broadcast prediction join onto the lag-pair stream; no ranking window",
     "q160_ab_test" -> "A/B test: user-grain conversion max collapses map-side, #variants-grain stats, guarded z on a broadcast 1-row cross",
-    "q161_daily_anomaly" -> "daily anomaly: one corpus-sized day hash-agg, spine left-join, trailing-window BIGINT sums at day grain, fixed-tree z projection")
+    "q161_daily_anomaly" -> "daily anomaly: one corpus-sized day hash-agg, spine left-join, trailing-window BIGINT sums at day grain, fixed-tree z projection",
+    "q162_active_users" -> "active users: (day, user) distinct collapses the corpus first, ×7 coverage explode on the reduced table, two day-grain distinct aggregates — exact rolling distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
