@@ -216,6 +216,31 @@ object ScaleProbe {
         time(f"triangleStats |V|=$n%-7d deg<=${2 * d}")(
           queries.Similarity.triangleStats(und).agg(sum("n_tri")).head.getLong(0))
       }
+    } else if (args.lift(1).contains("--dau")) {
+      // q162 growth probe: k× event copies with k× disjoint user-id
+      // blocks (fresh event_ids too). The property probed: wall-time
+      // ~linear in events — the (day, user) distinct collapses the
+      // corpus FIRST, so the ×7 coverage explode and both distinct
+      // shuffles scale with user-days, not raw events. Super-linear
+      // growth would mean the explode moved above the collapse.
+      import org.apache.spark.sql.functions._
+      val ks = args.lift(2).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(2, 4, 8))
+      val src = Tables(spark, dir, "events")
+      val n = src.count()
+      time(s"q162_active_users@1x")(
+        queries.Catalog.all("q162_active_users").build(spark, dir).count())
+      ks.foreach { k =>
+        val probeDir = s"/tmp/dau_probe_$k"
+        src.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), col("props"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+          .select((col("event_id") + col("i") * n).as("event_id"), col("ts"),
+            (col("user_id") + col("i") * 100000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+        time(s"q162_active_users@${k}x")(
+          queries.Catalog.all("q162_active_users").build(spark, probeDir).count())
+      }
     } else if (args.lift(1).contains("--rank")) {
       // PageRank round-cost probe: per-round seconds at a deeper
       // iteration count than the catalog's 3. The property probed:
