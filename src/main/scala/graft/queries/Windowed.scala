@@ -305,7 +305,10 @@ object Windowed {
         val base = t1.agg(count(lit(1)).as("base"))
         steps.crossJoin(broadcast(base))
           .select(col("step"), col("step_name"), col("n_users"),
-            (col("n_users").cast("double") / col("base").cast("double"))
+            // base = 0 (nobody ever signed up) would make every row
+            // 0/0 = NaN; an empty funnel converts at 0, not NaN
+            when(col("base") === 0, lit(0.0))
+              .otherwise(col("n_users").cast("double") / col("base").cast("double"))
               .as("conversion"))
       },
       Some("""WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
@@ -323,8 +326,10 @@ object Windowed {
              |  UNION ALL SELECT CAST(3 AS INT), 'purchase',
              |        CAST(count(*) AS BIGINT) FROM t3)
              |SELECT step, step_name, n_users,
-             |  CAST(n_users AS DOUBLE) /
-             |    CAST((SELECT n_users FROM n WHERE step = 1) AS DOUBLE) AS conversion
+             |  CASE WHEN (SELECT n_users FROM n WHERE step = 1) = 0 THEN 0.0
+             |    ELSE CAST(n_users AS DOUBLE) /
+             |      CAST((SELECT n_users FROM n WHERE step = 1) AS DOUBLE)
+             |  END AS conversion
              |FROM n""".stripMargin)),
 
     // ---- retention cohorts: users grouped by first-event week, distinct
@@ -337,8 +342,14 @@ object Windowed {
     //      count is the one corpus-sized shuffle.
     "q147_retention_cohorts" -> Q(
       (s, d) => {
+        // floor(days / 7), NOT `div`: Spark's `div` truncates toward zero
+        // while DuckDB's `//` floors, and the two diverge on pre-epoch
+        // dates (-3 div 7 = 0 vs -3 // 7 = -1). The double division is
+        // exact — |days| ≪ 2^52 — so floor gives true floored weeks in
+        // both engines regardless of where the epoch sits relative to
+        // the data.
         def wk(name: String) = expr(
-          s"CAST(datediff(CAST($name AS DATE), DATE'2024-01-01') div 7 AS BIGINT)")
+          s"CAST(floor(datediff(CAST($name AS DATE), DATE'2024-01-01') / 7.0) AS BIGINT)")
         val ev = Tables(s, d, "events").select(col("user_id"), col("ts"))
         val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
           .select(col("user_id"), wk("t0").as("cohort_week"))
@@ -617,8 +628,11 @@ object Windowed {
     //      gap-filled spine, so a DEAD day scores as an anomaly
     //      instead of vanishing) z-scored against the trailing
     //      [[AnomWin]]-day window — the ops-monitoring verb (traffic
-    //      drop/spike paging). Variance comes from exact BIGINT
-    //      window sums (W·Σx² − (Σx)² — no float accumulation),
+    //      drop/spike paging). Variance comes from exact DECIMAL(38,0)
+    //      window sums (W·Σx² − (Σx)² — no float accumulation; BIGINT
+    //      n² would overflow once daily counts pass ~3e9, DECIMAL is
+    //      exact to ~2.7e18/day and ANSI-raises beyond — and rows are
+    //      ∝ days here, so the wider arithmetic costs nothing),
     //      mean/std/z are fixed IEEE trees (√ correctly rounded, the
     //      q137/q160 rule), and std = 0 guards z to 0. Only days with
     //      a FULL trailing window emit (the warm-up rows have no
@@ -639,8 +653,9 @@ object Windowed {
         filled
           .select(col("day"), col("n"),
             count(lit(1)).over(w).as("wn"),
-            sum(col("n")).over(w).as("s"),
-            sum(col("n") * col("n")).over(w).as("ss"))
+            sum(col("n").cast("decimal(20,0)")).over(w).as("s"),
+            sum((col("n").cast("decimal(20,0)") * col("n")).cast("decimal(38,0)"))
+              .over(w).as("ss"))
           .filter(col("wn") === AnomWin)
           .select(col("day"), col("n"),
             expr(s"CAST(s AS DOUBLE) / $AnomWin.0").as("mean"),
@@ -661,8 +676,9 @@ object Windowed {
               |           FROM spine s LEFT JOIN daily d USING (day)),
               |win AS (SELECT day, n,
               |    CAST(count(*) OVER w AS BIGINT) AS wn,
-              |    CAST(sum(n) OVER w AS BIGINT) AS s,
-              |    CAST(sum(n * n) OVER w AS BIGINT) AS ss
+              |    CAST(sum(CAST(n AS DECIMAL(20,0))) OVER w AS DECIMAL(38,0)) AS s,
+              |    CAST(sum(CAST(CAST(n AS DECIMAL(20,0)) * n AS DECIMAL(38,0)))
+              |      OVER w AS DECIMAL(38,0)) AS ss
               |  FROM filled
               |  WINDOW w AS (ORDER BY day ROWS BETWEEN $AnomWin PRECEDING
               |    AND 1 PRECEDING)),

@@ -15,18 +15,21 @@ import org.apache.spark.sql.types._
   */
 class EventsTsSpec extends SparkSuite {
 
-  /** Every catalog entry that reads the events table (grep
-    * `Tables(s, d, "events")` across queries/ — update when adding an
-    * events-backed query).
+  /** Every catalog entry that reads the events table, DERIVED from each
+    * query's own scan set (`DataFrame.inputFiles`) rather than a
+    * hand-maintained list — a new events-backed query is covered the
+    * moment it lands in the catalog, so the guard can't silently rot
+    * (round-9's manual list had already missed q156–q162). Building a
+    * catalog entry runs any driver-side model fits it carries, but at
+    * sf0.001 those are milliseconds; nothing here executes the final
+    * query itself.
     */
-  private val eventsQueries = Seq(
-    "q09_asof_join", "q14_lag_lead", "q23_json", "q27_audit_summary",
-    "q28_maps", "q30_window_tumbling", "q31_window_sliding",
-    "q32_session_window", "q38_range_join", "q39_salted_agg",
-    "q74_json_roundtrip", "q103_json_multikey",
-    // the round-9 behavioral family — all ts-ordered or ts-bucketed
-    "q142_event_transitions", "q145_transition_anomaly",
-    "q146_event_funnel", "q147_retention_cohorts", "q149_daily_gapfill")
+  private def eventsQueries: Seq[String] =
+    queries.Catalog.all.toSeq.collect {
+      case (name, q)
+          if q.build(spark, sf()).inputFiles.exists(_.contains("events.parquet")) =>
+        name
+    }
 
   test("every events-touching catalog query is identical over both ts encodings") {
     import java.nio.file._
@@ -65,7 +68,16 @@ class EventsTsSpec extends SparkSuite {
         .repartition(1).write.parquet(out.toString)
     }
 
-    eventsQueries.foreach { name =>
+    val derived = eventsQueries
+    // the derivation must at minimum rediscover the long-standing core
+    // (a refactor of Tables/inputFiles that broke it would empty the list
+    // and make the whole spec vacuously green)
+    val core = Seq("q09_asof_join", "q32_session_window",
+      "q142_event_transitions", "q162_active_users")
+    assert(core.forall(derived.contains),
+      s"events-query derivation lost known members: ${core.diff(derived)}")
+
+    derived.foreach { name =>
       val q = queries.Catalog.all(name)
       def rows(d: String): Seq[String] =
         q.build(spark, d).collect().map(_.toString).sorted.toSeq
