@@ -51,4 +51,41 @@ object CorpusSink {
       .mode("overwrite")
       .parquet(dir)
   }
+
+  /** Write an INDEX-side artifact as a bucketed, bucket-sorted table —
+    * the on-disk recurrence contract of the incremental gates (q97's
+    * sha2 digest set bucketed by `h`, q106's band index bucketed by
+    * (band, bsig)). Every future batch's join against the artifact
+    * requires hashpartitioning on exactly these keys, and a bucketed
+    * scan already PROVIDES it: the corpus side of the recurring join
+    * needs no Exchange — and, bucket-sorted with one file per bucket,
+    * no Sort — no matter how large the corpus grows; only the (small)
+    * batch side shuffles, to the bucket count. BucketedGateSpec pins
+    * both plans; ScaleProbe `--bucketgate` measures the recurrence.
+    *
+    * Bucketing metadata lives in the session catalog, not the files
+    * (Spark cannot express it through a bare `.parquet(dir)` write),
+    * hence saveAsTable with an explicit storage path. The repartition
+    * aligns write tasks with bucket ids — repartition(n, keys) and the
+    * bucket assignment use the same Murmur3 hashpartitioning, so each
+    * task holds exactly one bucket and each bucket gets ONE file, the
+    * precondition for Spark trusting the sortBy metadata at read time —
+    * note Spark 3.0+ additionally gates sorted-scan awareness behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off by
+    * default because a multi-file bucket has no global order); set it
+    * in deployments reading these single-file-per-bucket artifacts to
+    * shed the corpus-side Sort as well as the Exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, dir: String,
+                    bucketCols: Seq[String], nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucket columns required")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(nBuckets, bucketCols.map(col): _*)
+      .write
+      .option("path", dir)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
 }

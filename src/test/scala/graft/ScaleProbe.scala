@@ -241,6 +241,51 @@ object ScaleProbe {
         time(s"q162_active_users@${k}x")(
           queries.Catalog.all("q162_active_users").build(spark, probeDir).count())
       }
+    } else if (args.lift(1).contains("--bucketgate")) {
+      // On-disk recurrence probe (round-10): per-batch cost of the two
+      // incremental gates against a BUCKETED corpus artifact as the
+      // corpus grows k×, batch held FIXED. BucketedGateSpec pins the
+      // plan property (no Exchange/Sort on the corpus side); this
+      // measures its consequence — per-batch cost grows only at
+      // columnar-SCAN rate, not shuffle rate. Growth blocks are
+      // md5-mangled (every token distinct from the originals), so the
+      // batch's candidate/verify work is IDENTICAL at every k and the
+      // trend isolates pure index-size cost. The sorted-scan conf
+      // matches the writeBucketed contract (one file per bucket).
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val ks = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(1, 4, 16))
+      val src = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val n = src.count()
+      val base = src.filter(col("doc_id") % 10 < 8)
+      val batch = src.filter(col("doc_id") % 10 >= 8)
+      def mangled(i: Int) = base.select(
+        (col("doc_id") + lit(i.toLong) * n).as("doc_id"),
+        concat_ws(" ", (1 to 5).map(j =>
+          md5(concat(col("text"), lit(s"#$i#$j")))): _*).as("text"))
+      ks.foreach { k =>
+        val corpusK = (base +: (1 until k).map(mangled)).reduce(_ unionByName _)
+        // fit (untimed): the persisted artifacts production computes once
+        sinks.CorpusSink.writeBucketed(
+          corpusK.select(sha2(col("text"), 256).as("h")).distinct(),
+          s"bg_digests_$k", s"/tmp/bucketgate_${k}_digests", Seq("h"), 32)
+        sinks.CorpusSink.writeBucketed(
+          queries.Dedup.bandIndex(spark, corpusK, queries.Dedup.BucketCap),
+          s"bg_bands_$k", s"/tmp/bucketgate_${k}_bands", Seq("band", "bsig"), 32)
+        // merge hint: at probe scale the planner would broadcast the
+        // index and hide the bucketed-SMJ path that matters at 100 TB
+        time(f"q97  digest gate  corpus=${k}%2dx")(
+          queries.Pipeline.exactDedupGate(batch,
+            spark.table(s"bg_digests_$k").hint("merge")).count())
+        time(f"q106 fuzzy gate   corpus=${k}%2dx")(
+          queries.Dedup.fuzzyProbe(spark, batch,
+            spark.table(s"bg_bands_$k").hint("merge")).count())
+      }
+      ks.foreach { k =>
+        spark.sql(s"DROP TABLE IF EXISTS bg_digests_$k")
+        spark.sql(s"DROP TABLE IF EXISTS bg_bands_$k")
+      }
     } else if (args.lift(1).contains("--rank")) {
       // PageRank round-cost probe: per-round seconds at a deeper
       // iteration count than the catalog's 3. The property probed:
