@@ -181,18 +181,54 @@ object ScaleProbe {
       // "sub-linear in M" claim.
       val ms = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
         .getOrElse(Seq(8, 16, 32))
+      // sequential cross-check only at small M: M sequential rounds is M
+      // driver trips of pure job-scheduling latency (minutes at M=256
+      // regardless of data size); the batched argmax's exactness is
+      // PROVEN by TextKernelSpec's disjoint-prefix induction and
+      // re-verified empirically here up to the cap
+      val seqCheckMax = args.lift(3).map(_.toInt).getOrElse(64)
+      // `gen`: synthesize a corpus with a DEEP merge supply — the
+      // fixture vocabulary runs dry at ~89 merges, far below production
+      // merge counts. 997 distinct 12-hex-char words over a 16-symbol
+      // alphabet sustain hundreds of rounds; the fit cost model under
+      // test (corpus scanned once, rounds at vocab grain) is exactly
+      // the same, just exercised at real M.
+      val useDir = if (args.contains("gen")) {
+        import org.apache.spark.sql.functions._
+        val g = "/tmp/bpe_gen"
+        spark.range(5000).select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 40).map(p =>
+              substring(md5((((col("id") * 40 + p) * (col("id") + p + 7))
+                % 997).cast("string")), 1, 12)): _*).as("text"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$g/documents.parquet")
+        g
+      } else dir
       ms.foreach { m =>
         val t0 = System.nanoTime()
         val (mergesB, tripsB) =
-          queries.TextAnalysis.bpeFitBatched(spark, dir, m, queries.TextAnalysis.BpeBatch)
+          queries.TextAnalysis.bpeFitBatched(spark, useDir, m, queries.TextAnalysis.BpeBatch)
         val tB = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime()
-        val (mergesS, tripsS) = queries.TextAnalysis.bpeFitBatched(spark, dir, m, 1)
-        val tS = (System.nanoTime() - t1) / 1e9
-        require(mergesB == mergesS, s"batched != sequential at M=$m")
-        println(f"bpe M=$m%-3d batched: $tB%5.1f s / $tripsB trips   " +
-          f"sequential: $tS%5.1f s / $tripsS trips   " +
-          f"(per-merge batched ${tB / m * 1000}%4.0f ms)")
+        val seq = if (m <= seqCheckMax) {
+          val t1 = System.nanoTime()
+          val (mergesS, tripsS) = queries.TextAnalysis.bpeFitBatched(spark, useDir, m, 1)
+          val tS = (System.nanoTime() - t1) / 1e9
+          require(mergesB == mergesS, s"batched != sequential at M=$m")
+          f"sequential: $tS%5.1f s / $tripsS trips   "
+        } else "sequential: skipped (> cross-check cap)   "
+        val learned = mergesB.length // < m ⇒ the corpus pair supply ran dry
+        // window scaled WITH M: the fixed top-[[BpeBatch]] window accepts
+        // a ~constant merges-per-trip prefix (trips linear in M, slope
+        // ~0.4); a width-M window lets the verified disjoint prefix grow
+        // with M — the production setting for 10k-merge tokenizers
+        val t2 = System.nanoTime()
+        val (mergesW, tripsW) =
+          queries.TextAnalysis.bpeFitBatched(spark, useDir, m, m)
+        val tW = (System.nanoTime() - t2) / 1e9
+        require(mergesW == mergesB, s"width-M batched != width-64 batched at M=$m")
+        println(f"bpe M=$m%-3d learned=$learned%-3d batched(w=64): $tB%5.1f s / $tripsB trips   " +
+          f"batched(w=M): $tW%5.1f s / $tripsW trips   " + seq +
+          f"(per-merge w=M ${tW / learned * 1000}%4.0f ms)")
       }
     } else if (args.lift(1).contains("--triangles")) {
       // Triangle-census probe: synthetic k-regular-ish graphs at growing
