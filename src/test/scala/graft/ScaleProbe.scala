@@ -277,6 +277,41 @@ object ScaleProbe {
         time(s"q162_active_users@${k}x")(
           queries.Catalog.all("q162_active_users").build(spark, probeDir).count())
       }
+    } else if (args.lift(1).contains("--diameter")) {
+      // q101/q139 closure-diameter stress (round-10): a chain of D
+      // near-dup links — window vectors with EXACT cosine (w−k)/w, so
+      // the ≥τ graph derived by the real top-k search is precisely a
+      // diameter-D chain (ClosureDiameterSpec pins the D=32 cluster
+      // result). Properties probed: round count grows ~log₂D after the
+      // star-contraction escalation (propagation alone needs D rounds
+      // on a chain) and per-round cost is flat.
+      import org.apache.spark.sql.functions._
+      val ds = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(32, 64, 128))
+      val w = 3 // cos(v_i, v_{i+1}) = 2/3 ≥ τ(0.45); skip-2 = 1/3 < τ
+      ds.foreach { dD =>
+        val dim = dD + w + 1
+        val rows = (0 to dD).map { i =>
+          (i.toLong, (0 until dim).map(j =>
+            if (j >= i && j < i + w) 1.0 / math.sqrt(w) else 0.0))
+        }
+        val corpus = spark.createDataFrame(rows).toDF("vec_id", "v")
+          .repartition(32)
+        val edges = queries.Similarity.searchTopK(spark, corpus,
+          corpus.select(col("vec_id").as("q_id"), col("v").as("qv")), 4)
+        val pairs = edges.filter(col("cos") >= queries.Similarity.SemDedupTau &&
+            col("q_id") =!= col("n_id"))
+          .select(least(col("q_id"), col("n_id")).as("doc_a"),
+            greatest(col("q_id"), col("n_id")).as("doc_b"))
+          .distinct()
+        var rounds = 0
+        time(f"closure chain D=$dD%-4d")(
+          queries.Dedup.clusterPairsInstrumented(pairs, 24, 4,
+            (name, sec) => { rounds += 1
+              println(f"  round $name%-14s $sec%6.2f s") }).count())
+        println(f"  D=$dD%-4d rounds=$rounds  (log2 D ≈ " +
+          f"${(math.log(dD.toDouble) / math.log(2)).round})")
+      }
     } else if (args.lift(1).contains("--bucketgate")) {
       // On-disk recurrence probe (round-10): per-batch cost of the two
       // incremental gates against a BUCKETED corpus artifact as the
