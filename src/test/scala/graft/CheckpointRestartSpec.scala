@@ -98,4 +98,142 @@ class CheckpointRestartSpec extends SparkSuite {
     assert(math.abs(got(0)._6 - (-math.sqrt(2.0))) < 1e-12 && got(1)._6 == 0.0,
       s"z values: ${got.map(_._6)}")
   }
+
+  private val evSchema = StructType.fromDDL(
+    "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")
+
+  private def writeEvRows(dir: Path, name: String,
+      rows: Seq[(Long, String, Long, String)]): Unit = {
+    val body = rows.map { case (u, ts, id, et) =>
+      s"""{"user_id":$u,"ts":"$ts","event_id":$id,"event_type":"$et"}"""
+    }.mkString("\n")
+    Files.writeString(dir.resolve(name), body)
+  }
+
+  test("transitionMonitor restart bridges the stored last-event state exactly once") {
+    val src = tmpDir("tmr_src"); val out = tmpDir("tmr_out"); val ckpt = tmpDir("tmr_ckpt")
+    def startQuery() = graft.streaming.StatefulOps.transitionMonitor(
+        spark.readStream.schema(evSchema).json(src.toString), "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: A@2 then B@4 emits (A→B); state stores lastType=B
+    writeEvRows(src, "f1.json", Seq(
+      (1L, "2024-01-01T00:00:02Z", 1L, "A"),
+      (1L, "2024-01-01T00:00:04Z", 2L, "B")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; C@8 must emit the BRIDGING (B→C) exactly once —
+    // lost state would emit nothing, replayed state would re-emit (A→B)
+    writeEvRows(src, "f2.json", Seq((1L, "2024-01-01T00:00:08Z", 3L, "C")))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .select(col("user_id"), col("prev"), col("next"),
+        date_format(col("ts"), "ss").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).sortBy(_._4).toSeq
+    assert(got == Seq((1L, "A", "B", "04"), (1L, "B", "C", "08")),
+      s"expected exactly the two transitions, got: ${got.mkString(", ")}")
+  }
+
+  test("funnelProgress restart resumes the stored step index exactly once") {
+    val src = tmpDir("fpr_src"); val out = tmpDir("fpr_out"); val ckpt = tmpDir("fpr_ckpt")
+    def startQuery() = graft.streaming.StatefulOps.funnelProgress(
+        spark.readStream.schema(evSchema).json(src.toString),
+        Seq("signup", "view", "purchase"), "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: signup@2 (step 1), view@4 (step 2); state stores step=2
+    writeEvRows(src, "f1.json", Seq(
+      (1L, "2024-01-01T00:00:02Z", 1L, "signup"),
+      (1L, "2024-01-01T00:00:04Z", 2L, "view")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; purchase@8 completes step 3 exactly once — lost
+    // state would treat it as step-1-pending and emit nothing, replayed
+    // state would re-emit steps 1–2
+    writeEvRows(src, "f2.json", Seq((1L, "2024-01-01T00:00:08Z", 3L, "purchase")))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step"),
+        r.getAs[String]("step_name"))).sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1, "signup"), (1L, 2, "view"), (1L, 3, "purchase")),
+      s"expected each funnel step exactly once, got: ${got.mkString(", ")}")
+  }
+
+  test("driftMonitor restart emits each closed window exactly once") {
+    val src = tmpDir("dmr_src"); val out = tmpDir("dmr_out"); val ckpt = tmpDir("dmr_ckpt")
+    val schema = StructType.fromDDL("text STRING, ts TIMESTAMP, src STRING")
+    def writeDocs(name: String, rows: Seq[(String, String)]): Unit = {
+      val body = rows.map { case (t, ts) =>
+        s"""{"text":"$t","ts":"$ts","src":"feed"}"""
+      }.mkString("\n")
+      Files.writeString(src.resolve(name), body)
+    }
+    // ref model: uniform over {a, b} → text "a a" has TVD 0.5 (> tau),
+    // text "a b" has TVD 0.0
+    val ref = Map("a" -> 0.5, "b" -> 0.5)
+    def startQuery() = graft.streaming.StatefulOps.driftMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "text", "ts", "src", "0 seconds", "10 seconds", ref, 0.25)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: two docs in [0,10), closed by the t=25 doc
+    writeDocs("f1.json", Seq(
+      ("a a", "2024-01-01T00:00:02Z"), ("a b", "2024-01-01T00:00:04Z"),
+      ("a b", "2024-01-01T00:00:25Z")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) exactly once, [0,10) must
+    // not re-emit
+    writeDocs("f2.json", Seq(("a b", "2024-01-01T00:01:40Z")))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .select(date_format(col("w_start"), "ss").as("w"), col("n_docs"),
+        col("mean_tvd"), col("n_drifted"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(("00", 2L, 0.25, 1L), ("20", 1L, 0.0, 0L)),
+      s"expected each closed window exactly once, got: ${got.mkString(", ")}")
+  }
+
+  test("fuzzyGate restart gates each batch exactly once against the static index") {
+    val src = tmpDir("fgr_src"); val out = tmpDir("fgr_out"); val ckpt = tmpDir("fgr_ckpt")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val corpusText = "t1 t2 t3 t4 t5 t6 t7 t8"
+    import spark.implicits._
+    val idx = queries.Dedup.bandIndex(spark,
+      Seq((1L, corpusText)).toDF("doc_id", "text"), queries.Dedup.BucketCap)
+    def writeDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val body = rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+        .mkString("\n")
+      Files.writeString(src.resolve(name), body)
+    }
+    def startQuery() = graft.streaming.StatefulOps.fuzzyGate(
+      spark.readStream.schema(schema).json(src.toString), idx, ckpt.toString)(
+      (df, _) => df.write.mode("append").parquet(out.toString))
+
+    // phase 1: one exact corpus copy (gated) + one unrelated doc (kept)
+    writeDocs("f1.json", Seq(
+      (100L, corpusText), (101L, "u1 u2 u3 u4 u5 u6 u7 u8")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart from the checkpoint — phase-1 files must NOT be
+    // re-gated (no duplicate verdicts), the new file exactly once
+    writeDocs("f2.json", Seq(
+      (102L, corpusText), (103L, "w1 w2 w3 w4 w5 w6 w7 w8")))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_corpus_dups"), r.getAs[Boolean]("keep")))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((100L, 1, false), (101L, 0, true),
+      (102L, 1, false), (103L, 0, true)),
+      s"expected each doc gated exactly once, got: ${got.mkString(", ")}")
+  }
 }
