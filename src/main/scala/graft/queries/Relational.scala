@@ -875,6 +875,33 @@ object Relational {
              |FROM events GROUP BY event_type""".stripMargin),
       headline = false),
 
+    // ---- skew mitigation, JOIN side (q39's companion): the salted
+    //      equi-join rewrite — the skewed fact fans each key over 8
+    //      deterministic salt shards (hash of the unique line identity),
+    //      the other side replicates 8×, and the hot key's reducer load
+    //      drops ~8×. Result is EXACTLY the plain join (the oracle runs
+    //      the unsalted SQL); SkewJoinSpec pins the load-spread property
+    //      on a planted 50%-hot-key corpus and the AQE skew-split
+    //      alternative; ScaleProbe --skew measures both. Aggregated to
+    //      order grain so the catalog row count stays bounded.
+    "q163_salted_join" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .withColumn("__uid",
+            concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.SkewJoin.saltedJoin(li, o, "l_orderkey", "__uid", 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // ---- Q13: range/interval join — events against literal weekly
     //      windows; the 5-row window table broadcasts so the non-equi
     //      condition never shuffles the fact side

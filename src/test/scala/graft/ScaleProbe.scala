@@ -277,6 +277,58 @@ object ScaleProbe {
         time(s"q162_active_users@${k}x")(
           queries.Catalog.all("q162_active_users").build(spark, probeDir).count())
       }
+    } else if (args.lift(1).contains("--skew")) {
+      // Join-skew probe (round-10): a planted hot key owning 50% of the
+      // fact rows, joined to a 100k-key dim too big to broadcast
+      // comfortably. Three variants timed: plain SMJ (AQE skew split
+      // OFF — the hot reducer is the wall), AQE skew-join ON (runtime
+      // split), and the salted rewrite (SkewJoin.saltedJoin). Also
+      // prints the reducer-load distribution before/after salting —
+      // the hot task IS the 100 TB failure mode, wall-time at probe
+      // scale only hints at it.
+      import org.apache.spark.sql.functions._
+      val n = args.lift(2).map(_.toInt).getOrElse(4000000)
+      val keys = 100000
+      val fact = spark.range(n.toLong).select(
+          when(col("id") % 2 === 0, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(keys - 1)) + 1).as("k"),
+          col("id").as("uid"), (col("id") % 97).cast("double").as("v"))
+        .repartition(32)
+      val dim2 = spark.range(keys.toLong).select(col("id").as("k"),
+        concat(lit("g"), col("id") % 7).as("grp")).repartition(32)
+      def agg(j: org.apache.spark.sql.DataFrame): Long =
+        j.groupBy(col("grp")).agg(count(lit(1)).as("cnt")).count()
+      def withConf(kvs: (String, String)*)(f: => Unit): Unit = {
+        val prev = kvs.map { case (key, _) => key -> spark.conf.get(key) }
+        kvs.foreach { case (key, v) => spark.conf.set(key, v) }
+        try f finally prev.foreach { case (key, v) => spark.conf.set(key, v) }
+      }
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        time(s"plain SMJ (skew split off) n=$n")(agg(fact.join(dim2, Seq("k"))))
+      }
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB") {
+        time(s"AQE skew-join split      n=$n")(agg(fact.join(dim2, Seq("k"))))
+      }
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        time(s"salted join (8 shards)   n=$n")(
+          agg(operators.SkewJoin.saltedJoin(fact, dim2, "k", "uid", 8)))
+      }
+      def shares(parted: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val sizes = parted.groupBy(spark_partition_id().as("p"))
+          .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+        (sizes.max.toDouble / sizes.sum, sizes.sum.toDouble / sizes.length / sizes.sum)
+      }
+      val (bMax, bMean) = shares(fact.repartition(32, col("k")))
+      val (aMax, aMean) = shares(fact
+        .withColumn("__salt", pmod(xxhash64(col("uid")), lit(8)).cast("int"))
+        .repartition(32, col("k"), col("__salt")))
+      println(f"reducer load: unsalted max ${bMax * 100}%.1f%% (mean ${bMean * 100}%.1f%%)" +
+        f" -> salted max ${aMax * 100}%.1f%% (mean ${aMean * 100}%.1f%%)")
     } else if (args.lift(1).contains("--diameter")) {
       // q101/q139 closure-diameter stress (round-10): a chain of D
       // near-dup links — window vectors with EXACT cosine (w−k)/w, so
