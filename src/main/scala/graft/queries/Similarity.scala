@@ -322,6 +322,11 @@ object Similarity {
     */
   val PageRankIters = 3
 
+  /** q165's seed set: the first PprSeeds vectors (deterministic, like
+    * the centroid seeds). Production passes any curated id set.
+    */
+  val PprSeeds = 4
+
   /** q139's builder, shared with q144: connected components over the
     * kNN graph's cos ≥ [[SemDedupTau]] edges through the q101 closure
     * kernel; every vector emits a row (singletons self-keep).
@@ -396,15 +401,30 @@ object Similarity {
     * the edge persist is released before return.
     */
   def pageRank(s: SparkSession, d: String, iters: Int,
-               onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+               onRound: (Int, Double) => Unit = (_, _) => (),
+               seeds: Option[DataFrame] = None): DataFrame = {
     val e = knnEdges(s, d).select(col("q_id"), col("n_id")).persist()
     try {
       val deg = e.groupBy(col("q_id")).agg(count(lit(1)).as("deg"))
       val verts = Tables(s, d, "embeddings").select(col("vec_id"))
-      val n = math.max(verts.count(), 1L)
+      // PERSONALIZED variant (q165): the teleport mass lands only on the
+      // seed set instead of uniformly — r₀ and the per-round base are 0
+      // off-seed, so rank measures proximity to the seeds through the
+      // kNN graph (seeded expansion: "find more like THESE"). The seed
+      // flag is a broadcastable |S|-row join; with seeds = None every
+      // vertex is a seed over n and this is exactly the global q148.
+      val flagged = seeds match {
+        case None => verts.withColumn("__seed", lit(true))
+        case Some(sd) => verts.join(
+            broadcast(sd.select(col("vec_id")).withColumn("__seed", lit(true))),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      }
+      val n = math.max(seeds.map(_.count()).getOrElse(verts.count()), 1L)
       val r0v = FixedPointScale / n
-      val base = (15L * r0v) / 100L
-      var r = verts.select(col("vec_id"), lit(r0v).as("r")).localCheckpoint()
+      val baseCol = when(col("__seed"), lit((15L * r0v) / 100L)).otherwise(lit(0L))
+      var r = flagged.select(col("vec_id"),
+        when(col("__seed"), lit(r0v)).otherwise(lit(0L)).as("r")).localCheckpoint()
       (1 to iters).foreach { k =>
         val t0 = System.nanoTime()
         val contrib = e
@@ -412,9 +432,9 @@ object Similarity {
           .join(deg, "q_id")
           .select(col("n_id").as("vec_id"), expr("r div deg").as("c"))
           .groupBy(col("vec_id")).agg(sum(col("c")).as("sm"))
-        r = verts.join(contrib, Seq("vec_id"), "left")
+        r = flagged.join(contrib, Seq("vec_id"), "left")
           .select(col("vec_id"),
-            (lit(base) + expr("(85 * coalesce(sm, CAST(0 AS BIGINT))) div 100"))
+            (baseCol + expr("(85 * coalesce(sm, CAST(0 AS BIGINT))) div 100"))
               .as("r"))
           .localCheckpoint()
         onRound(k, (System.nanoTime() - t0) / 1e9)
@@ -916,6 +936,46 @@ object Similarity {
            |SELECT vec_id, r AS rank_fp,
            |  CAST(r AS DOUBLE) / 1048576.0 AS rank
            |FROM pr$PageRankIters""".stripMargin
+      }),
+
+    // ---- personalized PageRank (q148 with the teleport mass pinned to
+    //      a seed set): rank = proximity to the seeds through the kNN
+    //      graph — the seeded-expansion verb ("find more data like
+    //      THESE curated examples") behind targeted corpus growth and
+    //      seed-anchored dedup ordering. Same fixed-point integer
+    //      iteration (bit-identical at any parallelism and in the
+    //      oracle's unrolled replay); the only differences are r₀ and
+    //      the per-round base, zero off-seed. 100 TB shape: identical
+    //      to q148 — the |S|-row seed flag broadcasts, each round is
+    //      one id-equijoin + map-side-combinable sum.
+    "q165_personalized_pagerank" -> Q(
+      (s, d) => pageRank(s, d, PageRankIters, seeds = Some(
+        Tables(s, d, "embeddings").select(col("vec_id"))
+          .filter(col("vec_id") < PprSeeds))),
+      Some {
+        val rounds = (1 to PageRankIters).map { k =>
+          val p = k - 1
+          s"""ppc$k AS (SELECT kn.n_id AS vec_id, CAST(sum(ppr$p.r // d.deg) AS BIGINT) AS sm
+             |  FROM knn kn JOIN ppr$p ON ppr$p.vec_id = kn.q_id
+             |    JOIN deg d ON d.q_id = kn.q_id
+             |  GROUP BY 1),
+             |ppr$k AS (SELECT em.vec_id, CAST(
+             |    CASE WHEN em.vec_id < $PprSeeds
+             |      THEN (15 * (1048576 // (SELECT n FROM ns))) // 100 ELSE 0 END
+             |    + (85 * coalesce(ppc$k.sm, 0)) // 100 AS BIGINT) AS r
+             |  FROM embeddings em LEFT JOIN ppc$k USING (vec_id))""".stripMargin
+        }.mkString(",\n")
+        knnOracleCte + s""",
+           |deg AS (SELECT q_id, CAST(count(*) AS BIGINT) AS deg FROM knn GROUP BY q_id),
+           |ns AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n
+           |       FROM embeddings WHERE vec_id < $PprSeeds),
+           |ppr0 AS (SELECT vec_id, CAST(CASE WHEN vec_id < $PprSeeds
+           |    THEN 1048576 // (SELECT n FROM ns) ELSE 0 END AS BIGINT) AS r
+           |  FROM embeddings),
+           |$rounds
+           |SELECT vec_id, r AS rank_fp,
+           |  CAST(r AS DOUBLE) / 1048576.0 AS rank
+           |FROM ppr$PageRankIters""".stripMargin
       }),
 
     // ---- batch-hard triplet mining (Hermans et al. 2017, arXiv:

@@ -467,6 +467,60 @@ object Windowed {
              |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
              |FROM h CROSS JOIN tot""".stripMargin)),
 
+    // ---- session-DURATION histogram: q156's log2-bucket shape applied
+    //      to q32's sessionization output — the distribution of
+    //      (last event − first event) per session, the read that tunes
+    //      the session gap itself (a mass of near-zero durations means
+    //      the gap fragments real visits; a fat tail means bots or
+    //      stitched sessions) and sizes downstream per-session state.
+    //      100 TB shape: the one corpus-sized op is q32's user_id
+    //      sessionization exchange (state ∝ one user's events); the
+    //      histogram is a ≤64-bucket log2 grain re-aggregate; share
+    //      crosses the broadcast 1-row total (q107's intended-BNLJ
+    //      shape). Single-event sessions land in bucket bin(0+1) = 1.
+    "q164_session_duration" -> Q(
+      (s, d) => {
+        val sess = Tables(s, d, "events")
+          .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+              .as("dur_us"))
+        val h = sess
+          .groupBy(expr("CAST(length(bin(dur_us + 1)) AS INT)").as("bucket_bits"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            min(col("dur_us")).as("min_dur_us"),
+            max(col("dur_us")).as("max_dur_us"))
+        val tot = h.agg(sum(col("n_sessions")).as("total"))
+        h.crossJoin(broadcast(tot))
+          .select(col("bucket_bits"), col("n_sessions"), col("n_events"),
+            col("min_dur_us"), col("max_dur_us"),
+            (col("n_sessions").cast("double") / col("total").cast("double"))
+              .as("share"))
+      },
+      Some("""WITH brk AS (
+             |  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, sum(new_s) OVER (
+             |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM brk),
+             |sd AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+             |  FROM sess GROUP BY user_id, sid),
+             |h AS (SELECT CAST(length(bin(CAST(dur_us + 1 AS BIGINT))) AS INT)
+             |      AS bucket_bits,
+             |    CAST(count(*) AS BIGINT) AS n_sessions,
+             |    CAST(sum(n_events) AS BIGINT) AS n_events,
+             |    CAST(min(dur_us) AS BIGINT) AS min_dur_us,
+             |    CAST(max(dur_us) AS BIGINT) AS max_dur_us
+             |  FROM sd GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM h)
+             |SELECT bucket_bits, n_sessions, n_events, min_dur_us, max_dur_us,
+             |  CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE) AS share
+             |FROM h CROSS JOIN tot""".stripMargin)),
+
     // ---- top event paths: the global top-K 3-step event-type
     //      sequences users actually walk (path mining — q142's
     //      transition matrix aggregates ONE hop; the common journeys

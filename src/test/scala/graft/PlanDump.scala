@@ -80,8 +80,11 @@ object PlanDump {
     "q158_event_paths" -> "event paths: two leads share ONE window on the user_id exchange, #types³-grain map-side-combined counts, TakeOrderedAndProject top-K",
     "q159_transition_accuracy" -> "transition accuracy: #types²-grain counts → struct-min argmax → #types-row broadcast prediction join onto the lag-pair stream; no ranking window",
     "q160_ab_test" -> "A/B test: user-grain conversion max collapses map-side, #variants-grain stats, guarded z on a broadcast 1-row cross",
-    "q161_daily_anomaly" -> "daily anomaly: one corpus-sized day hash-agg, spine left-join, trailing-window BIGINT sums at day grain, fixed-tree z projection",
-    "q162_active_users" -> "active users: (day, user) distinct collapses the corpus first, ×7 coverage explode on the reduced table, two day-grain distinct aggregates — exact rolling distinct")
+    "q161_daily_anomaly" -> "daily anomaly: one corpus-sized day hash-agg, spine left-join, trailing-window exact DECIMAL(38,0) sums at day grain, fixed-tree z projection",
+    "q162_active_users" -> "active users: (day, user) distinct collapses the corpus first, ×7 coverage explode on the reduced table, two day-grain distinct aggregates — exact rolling distinct",
+    "q163_salted_join" -> "salted skew join: the fact side salts each key over 8 deterministic shards (hash of the unique line identity), the dim replicates 8× via explode — the hot key's reducer load drops ~8×; result identical to the plain join",
+    "q164_session_duration" -> "session durations: q32's one sessionization exchange, per-session min/max micros, ≤64-bucket integer-log2 re-aggregate, share via broadcast 1-row cross",
+    "q165_personalized_pagerank" -> "personalized PageRank: q148's fixed-point iteration with the teleport base pinned to a broadcast |S|-row seed flag — per round one id-equijoin + map-side-combinable BIGINT sum, rank tables localCheckpoint-ed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

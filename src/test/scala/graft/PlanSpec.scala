@@ -158,7 +158,9 @@ class PlanSpec extends SparkSuite {
     "q154_pmi_collocations",    // filtered bigram rows × a broadcast 1-row token total
     "q156_gap_histogram",       // <=64 bucket rows × a broadcast 1-row total
     "q157_key_skew",            // 1-row totals × 1-row p99 per audited key
-    "q160_ab_test")             // #variants rows × a broadcast 1-row z statistic
+    "q160_ab_test",             // #variants rows × a broadcast 1-row z statistic
+    "q164_session_duration",    // <=64 bucket rows × a broadcast 1-row total
+    "q165_personalized_pagerank") // q134's edge pipeline (same k-centroid probe)
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
