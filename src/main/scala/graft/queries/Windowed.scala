@@ -792,6 +792,124 @@ object Windowed {
              |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
              |FROM dau d JOIN wau w USING (day)""".stripMargin)),
 
+    // ---- activity concentration (Gini): how unequally event volume
+    //      spreads over users, per event type and overall — the "is one
+    //      crawler/bot generating half the feed" read behind sampling
+    //      weights and abuse triage. Declined in round 9 as a scale
+    //      hazard ("needs a global sorted cumulative"); THIS formulation
+    //      is exact AND scale-safe: activities are integer counts, so
+    //      users collapse to a COUNT-OF-COUNTS table (distinct activity
+    //      level → multiplicity) and the sorted cumulative runs at that
+    //      grain — rows ∝ distinct levels (≤ max per-user count), never
+    //      users. Σ rank·x over a tie group is closed-form
+    //      (c·(k·R_prev + k(k+1)/2) — tie order cannot matter since x is
+    //      equal), every sum is exact DECIMAL(38,0) (order-free), and
+    //      gini = 2S/(nT) − (n+1)/n is one fixed IEEE tree over exact
+    //      integers, identical cross-engine. 100 TB shape: one
+    //      (user, type) corpus hash-agg; everything after runs at
+    //      count-of-counts grain; the cumulative window partitions by
+    //      event_type (the q108/q119 grain-bounded class).
+    "q166_activity_gini" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ut = Tables(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val act = ut.unionByName(
+          ut.groupBy(col("user_id")).agg(sum(col("n")).as("n"))
+            .select(col("user_id"), lit("__all__").as("event_type"), col("n")))
+        val cc = act.groupBy(col("event_type"), col("n"))
+          .agg(count(lit(1)).as("k"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("n").asc)
+        val cum = cc.withColumn("rprev", sum(col("k")).over(w) - col("k"))
+        cum.groupBy(col("event_type"))
+          .agg(sum(col("k")).as("n_users"),
+            sum((col("n") * col("k")).cast("decimal(38,0)")).as("t"),
+            sum(expr("CAST(n AS DECIMAL(38,0)) * (CAST(k AS DECIMAL(38,0))" +
+              " * CAST(rprev AS DECIMAL(38,0))" +
+              " + CAST((k * (k + 1)) div 2 AS DECIMAL(38,0)))")).as("s"))
+          .select(col("event_type"), col("n_users"),
+            col("t").cast("bigint").as("total_events"),
+            expr("2.0 * CAST(s AS DOUBLE) / (CAST(n_users AS DOUBLE)" +
+              " * CAST(t AS DOUBLE))" +
+              " - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE)")
+              .as("gini"))
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |act AS (SELECT user_id, event_type, n FROM ut
+             |  UNION ALL SELECT user_id, '__all__', CAST(sum(n) AS BIGINT)
+             |  FROM ut GROUP BY user_id),
+             |cc AS (SELECT event_type, n, CAST(count(*) AS BIGINT) AS k
+             |  FROM act GROUP BY 1, 2),
+             |cum AS (SELECT event_type, n, k,
+             |    CAST(sum(k) OVER (PARTITION BY event_type ORDER BY n)
+             |      - k AS BIGINT) AS rprev
+             |  FROM cc),
+             |g AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS n_users,
+             |    CAST(sum(CAST(n * k AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t,
+             |    CAST(sum(CAST(n AS DECIMAL(38,0)) * (CAST(k AS DECIMAL(38,0))
+             |      * CAST(rprev AS DECIMAL(38,0))
+             |      + CAST((k * (k + 1)) // 2 AS DECIMAL(38,0)))) AS DECIMAL(38,0)) AS s
+             |  FROM cum GROUP BY event_type)
+             |SELECT event_type, n_users, CAST(t AS BIGINT) AS total_events,
+             |  2.0 * CAST(s AS DOUBLE) / (CAST(n_users AS DOUBLE)
+             |    * CAST(t AS DOUBLE))
+             |  - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE) AS gini
+             |FROM g""".stripMargin)),
+
+    // ---- Tukey-IQR activity outliers: user-days whose event count
+    //      falls outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the classic
+    //      box-plot outlier flag (burst bots, stuck clients) q161's
+    //      day-grain pager can't see because it aggregates users away.
+    //      Declined in round 9 over the exact-quantile sort hazard;
+    //      scale-safe here for the q166 reason: counts are integers, so
+    //      the quartiles are order statistics read off the count-of-
+    //      counts cumulative — q1/q3 = min level whose cumulative rank
+    //      reaches ⌈N/4⌉ / ⌈3N/4⌉ (type-1 inverse CDF, integer
+    //      arithmetic both engines share). Fences compare in DOUBLED
+    //      integers (2n vs 2q1 − 3·IQR) so the 1.5× never touches
+    //      floats. 100 TB shape: one (user, day) corpus hash-agg, a
+    //      cumulative window at distinct-count grain, a broadcast 1-row
+    //      fence cross; output ∝ outliers.
+    "q167_activity_outliers" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ud = Tables(s, d, "events")
+          .groupBy(col("user_id"), expr("CAST(ts AS DATE)").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val cc = ud.groupBy(col("n")).agg(count(lit(1)).as("k"))
+        val cum = cc.withColumn("rcum",
+          sum(col("k")).over(Window.orderBy(col("n").asc)))
+        val qs = cum
+          .crossJoin(broadcast(cum.agg(sum(col("k")).as("nn"))))
+          .agg(min(when(col("rcum") >= expr("(nn + 3) div 4"), col("n"))).as("q1"),
+            min(when(col("rcum") >= expr("(3 * nn + 3) div 4"), col("n"))).as("q3"))
+        ud.crossJoin(broadcast(qs))
+          .filter(expr("2 * n < 2 * q1 - 3 * (q3 - q1)" +
+            " OR 2 * n > 2 * q3 + 3 * (q3 - q1)"))
+          .select(col("user_id"), col("day"), col("n"), col("q1"), col("q3"),
+            when(expr("2 * n > 2 * q3 + 3 * (q3 - q1)"), lit("high"))
+              .otherwise(lit("low")).as("side"))
+      },
+      Some("""WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |cc AS (SELECT n, CAST(count(*) AS BIGINT) AS k FROM ud GROUP BY n),
+             |cum AS (SELECT n, CAST(sum(k) OVER (ORDER BY n) AS BIGINT) AS rcum
+             |  FROM cc),
+             |tot AS (SELECT CAST(sum(k) AS BIGINT) AS nn FROM cc),
+             |qs AS (SELECT
+             |    CAST(min(CASE WHEN rcum >= (nn + 3) // 4 THEN n END) AS BIGINT) AS q1,
+             |    CAST(min(CASE WHEN rcum >= (3 * nn + 3) // 4 THEN n END) AS BIGINT) AS q3
+             |  FROM cum CROSS JOIN tot)
+             |SELECT user_id, day, n, q1, q3,
+             |  CASE WHEN 2 * n > 2 * q3 + 3 * (q3 - q1) THEN 'high'
+             |       ELSE 'low' END AS side
+             |FROM ud CROSS JOIN qs
+             |WHERE 2 * n < 2 * q1 - 3 * (q3 - q1)
+             |   OR 2 * n > 2 * q3 + 3 * (q3 - q1)""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

@@ -160,7 +160,8 @@ class PlanSpec extends SparkSuite {
     "q157_key_skew",            // 1-row totals × 1-row p99 per audited key
     "q160_ab_test",             // #variants rows × a broadcast 1-row z statistic
     "q164_session_duration",    // <=64 bucket rows × a broadcast 1-row total
-    "q165_personalized_pagerank") // q134's edge pipeline (same k-centroid probe)
+    "q165_personalized_pagerank", // q134's edge pipeline (same k-centroid probe)
+    "q167_activity_outliers")   // count-of-counts grain × 1-row total; fences × user-days
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
@@ -185,7 +186,8 @@ class PlanSpec extends SparkSuite {
     val intentionalGlobalWindow = Set(
       "q119_curriculum", // quality-bucket histogram: floor(q*1024) ∈ [0,1024]
       "q157_key_skew",   // p99 running sum over the ≤64-row log2 histogram
-      "q161_daily_anomaly") // trailing stats at day grain (rows ∝ days, q149's spine)
+      "q161_daily_anomaly", // trailing stats at day grain (rows ∝ days, q149's spine)
+      "q167_activity_outliers") // quartile cumulative at count-of-counts grain (rows ∝ distinct user-day counts)
     val offenders = Catalog.all.keys.flatMap { name =>
       val p = plan(name)
       val hasGlobalWindow = unpartitioned.unanchored.matches(p)
