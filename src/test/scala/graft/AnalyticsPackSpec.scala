@@ -287,6 +287,117 @@ class AnalyticsPackSpec extends SparkSuite {
     }
   }
 
+  test("q164 duration buckets match a sequential sessionization reference") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gap = 6L * 3600 * 1000000
+    // per user: sort by (ts, event_id), split at gap >= 6h, duration =
+    // last - first per session (q32's boundary semantics)
+    val durs = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, t) =>
+        if (t - acc.head.head >= gap) List(t) :: acc
+        else (t :: acc.head) :: acc.tail
+      }
+      sessions.map(s => (s.head - s.last, s.size.toLong)) // desc-built: head=last
+    }.toSeq
+    val expected = durs.groupBy { case (d, _) => bits(d + 1) }
+      .map { case (b, xs) =>
+        (b.toInt, xs.size.toLong, xs.map(_._2).sum,
+          xs.map(_._1).min, xs.map(_._1).max,
+          xs.size.toDouble / durs.size.toDouble)
+      }.toSet
+    val got = graft.queries.Catalog.all("q164_session_duration").build(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+  }
+
+  test("q165 matches a sequential fixed-point personalized-PageRank replay") {
+    val fp = graft.queries.Similarity.FixedPointScale
+    val seeds = (0L until graft.queries.Similarity.PprSeeds).toSet
+    val edges = graft.queries.Catalog.all("q134_knn_graph").build(spark, sf())
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val verts = Tables(spark, sf(), "embeddings").select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val base = (15L * (fp / seeds.size)) / 100L
+    var r: Map[Long, Long] =
+      verts.map(v => v -> (if (seeds(v)) fp / seeds.size else 0L)).toMap
+    (1 to graft.queries.Similarity.PageRankIters).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = verts.map(v => v ->
+        ((if (seeds(v)) base else 0L) + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val got = graft.queries.Catalog.all("q165_personalized_pagerank")
+      .build(spark, sf())
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r, s"first diffs: ${
+      (got.toSet -- r.toSet).take(3)} vs ${(r.toSet -- got.toSet).take(3)}")
+    // proximity semantics: teleport mass never leaves the seed
+    // neighborhood — off-seed vertices with no inbound edges rank 0
+    val inbound = edges.map(_._2).toSet
+    verts.filterNot(seeds).filterNot(inbound)
+      .foreach(v => assert(got(v) == 0L, s"unreachable $v ranked ${got(v)}"))
+    assert(seeds.forall(s => got(s) >= base), "seed below its teleport base")
+  }
+
+  test("q166 matches a sequential sorted-rank Gini reference") {
+    val ut = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(identity).map { case ((u, t), xs) => (u, t, xs.size.toLong) }.toSeq
+    val groups = ut.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3) } +
+      ("__all__" -> ut.groupBy(_._1).map(_._2.map(_._3).sum).toSeq)
+    val expected = groups.map { case (t, xs) =>
+      val sorted = xs.sorted
+      val n = sorted.size.toLong
+      val tt = sorted.sum
+      val s = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      // the SAME IEEE tree as the query (and its oracle): exact integer
+      // inputs, identical op order -> bit-identical doubles
+      (t, n, tt,
+        2.0 * s.toDouble / (n.toDouble * tt.toDouble) -
+          (n.toDouble + 1.0) / n.toDouble)
+    }.toSet
+    val got = graft.queries.Catalog.all("q166_activity_gini").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+    got.foreach { case (t, _, _, g) =>
+      assert(g >= 0.0 && g < 1.0, s"gini($t) = $g out of range") }
+  }
+
+  test("q167 matches a sequential Tukey-fence reference and flags the fixture tail") {
+    val ud = Tables(spark, sf(), "events")
+      .select(col("user_id"), expr("CAST(ts AS DATE)").as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSeq
+      .groupBy(identity).map { case ((u, d), xs) => (u, d, xs.size.toLong) }.toSeq
+    val sorted = ud.map(_._3).sorted
+    val n = sorted.size.toLong
+    def rank(r: Long) = sorted((r - 1).toInt) // type-1: value at 1-indexed rank
+    val q1 = rank((n + 3) / 4)
+    val q3 = rank((3 * n + 3) / 4)
+    val expected = ud.filter { case (_, _, c) =>
+      2 * c < 2 * q1 - 3 * (q3 - q1) || 2 * c > 2 * q3 + 3 * (q3 - q1)
+    }.map { case (u, d, c) =>
+      (u, d, c, q1, q3,
+        if (2 * c > 2 * q3 + 3 * (q3 - q1)) "high" else "low")
+    }.toSet
+    val got = graft.queries.Catalog.all("q167_activity_outliers").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+    assert(got.nonEmpty, "fixture must flag at least one burst user-day")
+  }
+
   test("snapshotDiff classifies all four statuses on a planted pair") {
     import spark.implicits._
     val old = Seq((1L, "ha"), (2L, "hb"), (3L, "hc"))
