@@ -409,6 +409,35 @@ object ScaleProbe {
         spark.sql(s"DROP TABLE IF EXISTS bg_digests_$k")
         spark.sql(s"DROP TABLE IF EXISTS bg_bands_$k")
       }
+    } else if (args.lift(1).contains("--conc")) {
+      // q166/q167 growth probe: k× event copies with k× disjoint user
+      // blocks (the --dau construction). The property probed: both
+      // verbs' cost tracks the corpus HASH-AGG, not the statistic —
+      // the count-of-counts table stays at distinct-activity-level
+      // grain (constant here: copied users repeat the same activity
+      // profile), so the sorted-cumulative window cost is FLAT while
+      // events grow k×. Super-linear growth would mean the window
+      // slipped below the collapse.
+      import org.apache.spark.sql.functions._
+      val ks = args.lift(2).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(16, 64))
+      val src = Tables(spark, dir, "events")
+      val n = src.count()
+      Seq("q166_activity_gini", "q167_activity_outliers").foreach { q =>
+        time(s"$q@1x")(queries.Catalog.all(q).build(spark, dir).count())
+      }
+      ks.foreach { k =>
+        val probeDir = s"/tmp/conc_probe_$k"
+        src.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), col("props"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+          .select((col("event_id") + col("i") * n).as("event_id"), col("ts"),
+            (col("user_id") + col("i") * 100000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+        Seq("q166_activity_gini", "q167_activity_outliers").foreach { q =>
+          time(s"$q@${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
+        }
+      }
     } else if (args.lift(1).contains("--rank")) {
       // PageRank round-cost probe: per-round seconds at a deeper
       // iteration count than the catalog's 3. The property probed:
