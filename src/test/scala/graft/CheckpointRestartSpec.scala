@@ -202,6 +202,52 @@ class CheckpointRestartSpec extends SparkSuite {
       s"expected each closed window exactly once, got: ${got.mkString(", ")}")
   }
 
+  test("minhashPairsStream restart restores the bucket ledger and re-emits nothing") {
+    val src = tmpDir("mpr_src"); val out = tmpDir("mpr_out"); val ckpt = tmpDir("mpr_ckpt")
+    val schema = StructType.fromDDL("ts TIMESTAMP, doc_id BIGINT, text STRING")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    def writeDocs(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      val body = rows.map { case (ts, id, t) =>
+        s"""{"ts":"$ts","doc_id":$id,"text":"$t"}"""
+      }.mkString("\n")
+      Files.writeString(src.resolve(name), body)
+    }
+    def startQuery() = graft.streaming.StatefulOps.minhashPairsStream(
+        spark.readStream.schema(schema).json(src.toString), "text", "ts",
+        "10 minutes")
+      .toDF().writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: doc 1 seeds the buckets, doc 5 (near-dup) pairs with it
+    writeDocs("f1.json", Seq(
+      ("2024-01-01T00:00:02Z", 1L, base),
+      ("2024-01-01T00:00:04Z", 5L, base + " mike")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    def rows() = spark.read.parquet(out.toString)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val phase1 = rows()
+    assert(phase1.toSet == Set((1L, 5L)), s"phase 1 pairs: $phase1")
+
+    // phase 2: restart; an exact dup of doc 1 must pair against the
+    // RESTORED ledger (lost state would emit nothing) and phase-1 pair
+    // rows must not re-emit (their multiset is unchanged)
+    writeDocs("f2.json", Seq(("2024-01-01T00:00:06Z", 6L, base)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+    val phase2 = rows()
+    assert(phase2.toSet == Set((1L, 5L), (1L, 6L), (5L, 6L)),
+      s"phase 2 pairs: ${phase2.toSet}")
+    assert(phase2.count(_ == ((1L, 5L))) == phase1.size,
+      s"phase-1 (1,5) emissions changed across restart: " +
+        s"${phase1.size} -> ${phase2.count(_ == ((1L, 5L)))}")
+    val jac = spark.read.parquet(out.toString)
+      .filter(col("doc_a") === 1 && col("doc_b") === 6)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(jac.nonEmpty && jac.forall(_ == 1.0),
+      s"exact dup must verify at jaccard 1.0 against restored state: ${jac.toSeq}")
+  }
+
   test("fuzzyGate restart gates each batch exactly once against the static index") {
     val src = tmpDir("fgr_src"); val out = tmpDir("fgr_out"); val ckpt = tmpDir("fgr_ckpt")
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
