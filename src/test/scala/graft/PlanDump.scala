@@ -84,7 +84,9 @@ object PlanDump {
     "q162_active_users" -> "active users: (day, user) distinct collapses the corpus first, ×7 coverage explode on the reduced table, two day-grain distinct aggregates — exact rolling distinct",
     "q163_salted_join" -> "salted skew join: the fact side salts each key over 8 deterministic shards (hash of the unique line identity), the dim replicates 8× via explode — the hot key's reducer load drops ~8×; result identical to the plain join",
     "q164_session_duration" -> "session durations: q32's one sessionization exchange, per-session min/max micros, ≤64-bucket integer-log2 re-aggregate, share via broadcast 1-row cross",
-    "q165_personalized_pagerank" -> "personalized PageRank: q148's fixed-point iteration with the teleport base pinned to a broadcast |S|-row seed flag — per round one id-equijoin + map-side-combinable BIGINT sum, rank tables localCheckpoint-ed")
+    "q165_personalized_pagerank" -> "personalized PageRank: q148's fixed-point iteration with the teleport base pinned to a broadcast |S|-row seed flag — per round one id-equijoin + map-side-combinable BIGINT sum, rank tables localCheckpoint-ed",
+    "q166_activity_gini" -> "activity Gini: one (user, type) corpus hash-agg, count-of-counts re-aggregate, cumulative window at distinct-level grain partitioned by type, exact DECIMAL(38,0) rank-sum terms, one double tree at the end",
+    "q167_activity_outliers" -> "Tukey outliers: one (user, day) corpus hash-agg, quartiles as integer order statistics off the count-of-counts cumulative (grain-bounded global window), broadcast 1-row fence cross, doubled-integer comparisons")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
