@@ -607,6 +607,75 @@ object Relational {
              |  count(*) AS n
              |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // ---- approximate quantile SKETCH, verified against an exact rank
+    //      bracket — the 100 TB path for q75 (exact percentile holds a
+    //      value→count map per group; the GK sketch is O(1/ε) state).
+    //      The q16 pattern: the sketch's answer isn't hash-comparable
+    //      (engine-specific), so both engines emit exact integer-cents
+    //      order statistics (median + the ±2%-rank bracket endpoints,
+    //      derived from the count-of-counts cumulative — q167's idiom;
+    //      2-decimal TPC-H prices make cents EXACT BIGINTs, and the
+    //      cumulative window runs at distinct-price grain, bounded by
+    //      the price DOMAIN, not row count) plus a boolean the oracle
+    //      pins TRUE: percentile_approx's answer sits inside the
+    //      bracket. GK at accuracy 100 guarantees ≤1% rank error; the
+    //      bracket allows 2%, so a degenerate sketch flips the row red
+    //      while normal operation has 2× margin. All rank arithmetic is
+    //      integer (DIV), never float·N.
+    "q170_quantile_sketch" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, d, "orders")
+          .select(col("o_orderstatus").as("st"), col("o_totalprice"),
+            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        val cc = v.groupBy(col("st"), col("cents")).agg(count(lit(1)).as("cnt"))
+        val cum = cc.select(col("st"), col("cents"),
+          sum(col("cnt")).over(Window.partitionBy(col("st"))
+            .orderBy(col("cents").asc)
+            .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+        val tot = v.groupBy(col("st")).agg(count(lit(1)).as("n"))
+          .select(col("st"), col("n"),
+            expr("greatest(CAST(1 AS BIGINT), n DIV 2 - (n * 2 + 99) DIV 100)").as("r_lo"),
+            expr("least(n, (n + 1) DIV 2 + (n * 2 + 99) DIV 100)").as("r_hi"),
+            expr("(n + 1) DIV 2").as("r_med"))
+        def pick(rank: String, out: String) =
+          cum.join(broadcast(tot), "st").filter(col("cum") >= col(rank))
+            .groupBy(col("st")).agg(min(col("cents")).as(out))
+        val approx = v.groupBy(col("st"))
+          .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(100)).as("ap"))
+          .select(col("st"), expr("CAST(round(ap * 100, 0) AS BIGINT)").as("ap_cents"))
+        tot.select(col("st"), col("n"))
+          .join(broadcast(pick("r_med", "med_cents")), "st")
+          .join(broadcast(pick("r_lo", "lo_cents")), "st")
+          .join(broadcast(pick("r_hi", "hi_cents")), "st")
+          .join(broadcast(approx), "st")
+          .select(col("st"), col("n"), col("med_cents"), col("lo_cents"),
+            col("hi_cents"),
+            (col("ap_cents") >= col("lo_cents") &&
+              col("ap_cents") <= col("hi_cents")).as("sketch_within_rank_eps"))
+      },
+      Some("""WITH v AS (SELECT o_orderstatus AS st,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |cc AS (SELECT st, cents, count(*) AS cnt FROM v GROUP BY 1, 2),
+             |cum AS (SELECT st, cents, sum(cnt) OVER (PARTITION BY st
+             |    ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum FROM cc),
+             |tot AS (SELECT st, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+             |rk AS (SELECT st, n,
+             |    greatest(CAST(1 AS BIGINT), n // 2 - (n * 2 + 99) // 100) AS r_lo,
+             |    least(n, (n + 1) // 2 + (n * 2 + 99) // 100) AS r_hi,
+             |    (n + 1) // 2 AS r_med FROM tot),
+             |med AS (SELECT cum.st, CAST(min(cents) AS BIGINT) AS med_cents
+             |  FROM cum JOIN rk ON rk.st = cum.st AND cum >= r_med GROUP BY 1),
+             |lo AS (SELECT cum.st, CAST(min(cents) AS BIGINT) AS lo_cents
+             |  FROM cum JOIN rk ON rk.st = cum.st AND cum >= r_lo GROUP BY 1),
+             |hi AS (SELECT cum.st, CAST(min(cents) AS BIGINT) AS hi_cents
+             |  FROM cum JOIN rk ON rk.st = cum.st AND cum >= r_hi GROUP BY 1)
+             |SELECT rk.st, n, med_cents, lo_cents, hi_cents,
+             |  TRUE AS sketch_within_rank_eps
+             |FROM rk JOIN med ON med.st = rk.st JOIN lo ON lo.st = rk.st
+             |  JOIN hi ON hi.st = rk.st""".stripMargin)),
+
     // ---- statistical aggregates (rounded to absorb summation-order ulps)
     "q76_stats" -> Q(
       (s, d) => {

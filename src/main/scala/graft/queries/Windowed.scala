@@ -35,6 +35,41 @@ object Windowed {
   val AnomWin = 7
   val AnomZ = 3.0
 
+  /** q168: the event types that count as marketing "touches" and the
+    * lookback window (µs) inside which a purchase is credited to the
+    * user's most recent touch. 24 h is non-degenerate on the fixture:
+    * at sf0.01 it splits purchases ≈ 561 click / 574 view / 846 none
+    * (6 h starves attribution, 72 h starves the 'none' arm).
+    */
+  val AttrTouch: Seq[String] = Seq("click", "view")
+  val AttrWindowUs: Long = 24L * 3600L * 1000000L
+
+  /** The per-purchase last-touch attribution kernel q168 aggregates and
+    * `StatefulOps.attributionMonitor` must agree with: for every
+    * purchase event, the user's most recent STRICTLY PRIOR touch event
+    * (by the (ts, event_id) total order) and whether it falls inside
+    * [[AttrWindowUs]] — 'none' otherwise. ONE user_id-partitioned
+    * window (q32's sessionization exchange; state ∝ one user's events).
+    * The two `last(..., ignoreNulls)` calls share the same null
+    * predicate, so they always read the same touch row.
+    */
+  def attributedPurchases(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col("event_type").isin(AttrTouch: _*)
+    ev.select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_type"), col("value"), col("us"),
+        last(when(touch, col("event_type")), ignoreNulls = true).over(w).as("t_ty"),
+        last(when(touch, col("us")), ignoreNulls = true).over(w).as("t_us"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("value"),
+        when(col("t_us").isNotNull && col("us") - col("t_us") <= AttrWindowUs,
+          col("t_ty")).otherwise(lit("none")).as("touch_type"))
+  }
+
   /** The guarded pooled two-proportion z statistic over columns
     * n0/c0/n1/c1 — ONE copy of the fixed IEEE tree, shared by q160 and
     * the streaming `StatefulOps.abMonitor` so the batch query and the
@@ -909,6 +944,98 @@ object Windowed {
              |FROM ud CROSS JOIN qs
              |WHERE 2 * n < 2 * q1 - 3 * (q3 - q1)
              |   OR 2 * n > 2 * q3 + 3 * (q3 - q1)""".stripMargin)),
+
+    // ---- last-touch conversion attribution: every purchase is credited
+    //      to the user's most recent prior click/view inside a 24 h
+    //      lookback ('none' = direct/organic) — the marketing-mix read
+    //      q146's funnel (which only counts step completion) doesn't
+    //      give. The IGNORE-NULLS last() pair over the UNBOUNDED..-1
+    //      frame picks the same touch row for type and time because
+    //      both CASEs share one null predicate. 100 TB shape: ONE
+    //      user_id-partitioned window (q32's sessionization exchange,
+    //      state ∝ one user's events), then a ≤ #touch-types+1-grain
+    //      aggregate; share rides the broadcast 1-row total cross.
+    //      revenue = round(sum, 4): the one order-sensitive float
+    //      aggregate, tolerance-rounded in both engines (q30 idiom).
+    "q168_conversion_attribution" -> Q(
+      (s, d) => {
+        val attr = attributedPurchases(Tables(s, d, "events"))
+          .groupBy(col("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("value")), 4).as("revenue"))
+        val tot = attr.agg(sum(col("n_purchases")).as("total"))
+        attr.crossJoin(broadcast(tot))
+          .select(col("touch_type"), col("n_purchases"), col("revenue"),
+            (col("n_purchases").cast("double") / col("total").cast("double"))
+              .as("share"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT event_type, value, epoch_us(ts) AS us,
+              |    last_value(CASE WHEN event_type IN ('click','view')
+              |      THEN event_type END IGNORE NULLS) OVER w AS t_ty,
+              |    last_value(CASE WHEN event_type IN ('click','view')
+              |      THEN epoch_us(ts) END IGNORE NULLS) OVER w AS t_us
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              |a AS (
+              |  SELECT CASE WHEN t_us IS NOT NULL AND us - t_us <= ${AttrWindowUs}
+              |      THEN t_ty ELSE 'none' END AS touch_type, value
+              |  FROM t WHERE event_type = 'purchase'),
+              |g AS (SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+              |    round(sum(value), 4) AS revenue FROM a GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS total FROM g)
+              |SELECT touch_type, n_purchases, revenue,
+              |  CAST(n_purchases AS DOUBLE) / CAST(total AS DOUBLE) AS share
+              |FROM g CROSS JOIN tot""".stripMargin)),
+
+    // ---- conversion-lag histogram: time from a user's FIRST signup to
+    //      their first purchase at-or-after it, in q156's integer-log2-µs
+    //      buckets — the funnel LATENCY distribution (q146 counts who
+    //      converts, this says how long conversion takes; the bucket
+    //      tail is the slow-cohort/abandonment read). All latencies are
+    //      exact BIGINT µs differences; no float touches the bucketing.
+    //      100 TB shape: two user-grain min-ts hash-aggs chained by one
+    //      user-grain join (q146's shape), a ≤64-bucket re-aggregate,
+    //      share via the broadcast 1-row total.
+    "q169_conversion_lag" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("su_us"))
+        val lat = ev.filter(col("event_type") === "purchase")
+          .join(su, "user_id").filter(col("us") >= col("su_us"))
+          .groupBy(col("user_id"), col("su_us")).agg(min(col("us")).as("pu_us"))
+          .select((col("pu_us") - col("su_us")).as("lat_us"))
+        val h = lat
+          .groupBy(expr("CAST(length(bin(lat_us + 1)) AS INT)").as("bucket_bits"))
+          .agg(count(lit(1)).as("n_users"), min(col("lat_us")).as("min_lat_us"),
+            max(col("lat_us")).as("max_lat_us"))
+        val tot = h.agg(sum(col("n_users")).as("total"))
+        h.crossJoin(broadcast(tot))
+          .select(col("bucket_bits"), col("n_users"), col("min_lat_us"),
+            col("max_lat_us"),
+            (col("n_users").cast("double") / col("total").cast("double"))
+              .as("share"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(epoch_us(ts)) AS su_us FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (SELECT e.user_id, su.su_us, min(epoch_us(e.ts)) AS pu_us
+             |  FROM events e JOIN su ON su.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.su_us
+             |  GROUP BY 1, 2),
+             |l AS (SELECT pu_us - su_us AS lat_us FROM pu),
+             |h AS (SELECT CAST(length(bin(CAST(lat_us + 1 AS BIGINT))) AS INT)
+             |      AS bucket_bits,
+             |    CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(min(lat_us) AS BIGINT) AS min_lat_us,
+             |    CAST(max(lat_us) AS BIGINT) AS max_lat_us
+             |  FROM l GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS total FROM h)
+             |SELECT bucket_bits, n_users, min_lat_us, max_lat_us,
+             |  CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE) AS share
+             |FROM h CROSS JOIN tot""".stripMargin)),
 
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames

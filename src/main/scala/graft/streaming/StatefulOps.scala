@@ -545,6 +545,64 @@ object StatefulOps {
         })
   }
 
+  final case class AttrEvRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                             event_type: String, value: Double)
+  final case class AttrState(touchType: String, touchUs: Long)
+  final case class AttrOut(user_id: Long, ts: java.sql.Timestamp,
+                           touch_type: String, value: Double)
+
+  /** q168's intake sibling: last-touch conversion attribution over a
+    * stream — per-user state is exactly the most recent touch
+    * (click/view) and its event time; every purchase emits one
+    * attributed row the moment it arrives (touch inside
+    * [[graft.queries.Windowed.AttrWindowUs]], else 'none'). State is
+    * bounded by ACTIVE users AND by the attribution horizon itself: the
+    * event-time timeout fires at touch-time + the attribution window
+    * (+ the lateness delay), after which ANY later purchase would
+    * attribute 'none' anyway — so expiry is semantics-free and the
+    * store never outlives the lookback. Within a batch rows process in
+    * (ts, event_id) order, matching the batch kernel's strictly-prior
+    * window frame ([[graft.queries.Windowed.attributedPurchases]] —
+    * spec-pinned stream ≡ batch on the fixture).
+    */
+  def attributionMonitor(events: DataFrame, delay: String): Dataset[AttrOut] = {
+    import graft.queries.Windowed.{AttrTouch, AttrWindowUs}
+    val s = events.sparkSession
+    import s.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", delay)
+      .as[AttrEvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[AttrEvRow], state: GroupState[AttrState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption
+            val out = List.newBuilder[AttrOut]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+              if (AttrTouch.contains(r.event_type))
+                last = Some(AttrState(r.event_type, usOf(r.ts)))
+              else if (r.event_type == "purchase") {
+                val hit = last.filter(l => usOf(r.ts) - l.touchUs <= AttrWindowUs)
+                out += AttrOut(uid, r.ts,
+                  hit.map(_.touchType).getOrElse("none"), r.value)
+              }
+            }
+            last match {
+              case Some(l) =>
+                state.update(l)
+                state.setTimeoutTimestamp(l.touchUs / 1000L + AttrWindowUs / 1000L,
+                  delay)
+              case None => // no touch ever seen — nothing worth keeping
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** q141's intake sibling: classify each incoming (doc_id, source,
     * text) microbatch under a fitted
     * [[graft.queries.TextAnalysis.nbFit]] model — the learned

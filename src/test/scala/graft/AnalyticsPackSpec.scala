@@ -447,4 +447,93 @@ class AnalyticsPackSpec extends SparkSuite {
     }
     assert(nTri.values.sum > 0, "fixture kNN graph must contain >= 1 triangle")
   }
+
+  test("q168 attribution matches a sequential last-touch walk") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val win = graft.queries.Windowed.AttrWindowUs
+    val touch = graft.queries.Windowed.AttrTouch.toSet
+    val attributed = ev.groupBy(_._1).values.flatMap { rows =>
+      var last: Option[(String, Long)] = None
+      rows.sortBy(r => (r._2, r._3)).flatMap { case (_, us, _, ty, v) =>
+        val out =
+          if (ty == "purchase")
+            Some((last.filter(us - _._2 <= win).map(_._1).getOrElse("none"), v))
+          else None
+        if (touch(ty)) last = Some((ty, us))
+        out
+      }
+    }.toSeq
+    val expected = attributed.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.size.toLong, xs.map(_._2).sum,
+        xs.size.toDouble / attributed.size.toDouble))
+    }
+    val got = graft.queries.Catalog.all("q168_conversion_attribution")
+      .build(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet, s"${got.keySet} vs ${expected.keySet}")
+    expected.foreach { case (t, (n, rev, share)) =>
+      val (gn, grev, gshare) = got(t)
+      assert(gn == n, s"n($t): $gn vs $n")
+      // engine revenue is round(sum, 4) over a different fold order —
+      // one rounding grain of tolerance absorbs the pre-round ulps
+      assert(math.abs(grev - rev) < 1e-3, s"revenue($t): $grev vs $rev")
+      assert(math.abs(gshare - share) < 1e-12, s"share($t): $gshare vs $share")
+    }
+    assert(expected.keySet == Set("click", "view", "none"),
+      "fixture must exercise all three attribution arms")
+  }
+
+  test("q169 lag buckets match a sequential funnel-latency reference") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val su = ev.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._2).min }
+    val lats = ev.filter(_._3 == "purchase")
+      .flatMap { case (u, us, _) => su.get(u).filter(_ <= us).map(s => (u, us, s)) }
+      .groupBy(_._1).values
+      .map(rs => rs.map(_._2).min - rs.head._3).toSeq
+    val expected = lats.groupBy(l => bits(l + 1)).map { case (b, xs) =>
+      (b.toInt, xs.size.toLong, xs.min, xs.max,
+        xs.size.toDouble / lats.size.toDouble)
+    }.toSet
+    val got = graft.queries.Catalog.all("q169_conversion_lag").build(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+    assert(expected.size >= 4, "fixture spreads latencies across >= 4 log2 buckets")
+  }
+
+  test("q170 rank brackets are exact order statistics and the sketch sits inside") {
+    val rows = Tables(spark, sf(), "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val expected = rows.groupBy(_._1).map { case (st, rs) =>
+      val cents = rs.map(r => math.round(r._2 * 100)).sorted
+      val n = cents.size.toLong
+      val eps = (n * 2 + 99) / 100
+      def at(rank: Long) = cents((rank - 1).toInt)
+      st -> ((n, at((n + 1) / 2), at(math.max(1L, n / 2 - eps)),
+        at(math.min(n, (n + 1) / 2 + eps))))
+    }
+    val got = graft.queries.Catalog.all("q170_quantile_sketch").build(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got.keySet == expected.keySet, s"${got.keySet} vs ${expected.keySet}")
+    expected.foreach { case (st, (n, med, lo, hi)) =>
+      val (gn, gmed, glo, ghi, within) = got(st)
+      assert(gn == n, s"n($st): $gn vs $n")
+      assert(gmed == med, s"med($st): $gmed vs $med")
+      assert(glo == lo && ghi == hi, s"bracket($st): ($glo,$ghi) vs ($lo,$hi)")
+      assert(within, s"sketch answer for $st escaped its ±2%-rank bracket")
+      assert(lo <= med && med <= hi, s"bracket($st) must contain the median")
+    }
+  }
 }

@@ -137,6 +137,42 @@ class CheckpointRestartSpec extends SparkSuite {
       s"expected exactly the two transitions, got: ${got.mkString(", ")}")
   }
 
+  private val attrSchema = StructType.fromDDL(
+    "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE")
+
+  test("attributionMonitor restart attributes from the restored touch exactly once") {
+    val src = tmpDir("amr_src"); val out = tmpDir("amr_out"); val ckpt = tmpDir("amr_ckpt")
+    def writeRows(name: String, rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      Files.writeString(src.resolve(name), rows.map { case (u, ts, id, et, v) =>
+        s"""{"user_id":$u,"ts":"$ts","event_id":$id,"event_type":"$et","value":$v}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.attributionMonitor(
+        spark.readStream.schema(attrSchema).json(src.toString), "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: click@2 then purchase@4 emits (click, 10.0); the click
+    // stays in state as the last touch
+    writeRows("f1.json", Seq(
+      (1L, "2024-01-01T00:00:02Z", 1L, "click", 0.0),
+      (1L, "2024-01-01T00:00:04Z", 2L, "purchase", 10.0)))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; purchase@8 must attribute to the RESTORED click
+    // exactly once — lost state would emit 'none', replay would
+    // duplicate the phase-1 row
+    writeRows("f2.json", Seq((1L, "2024-01-01T00:00:08Z", 3L, "purchase", 5.0)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .select(col("user_id"), col("touch_type"), col("value"),
+        date_format(col("ts"), "ss").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).sortBy(_._4).toSeq
+    assert(got == Seq((1L, "click", 10.0, "04"), (1L, "click", 5.0, "08")),
+      s"expected exactly the two attributed purchases, got: ${got.mkString(", ")}")
+  }
+
   test("funnelProgress restart resumes the stored step index exactly once") {
     val src = tmpDir("fpr_src"); val out = tmpDir("fpr_out"); val ckpt = tmpDir("fpr_ckpt")
     def startQuery() = graft.streaming.StatefulOps.funnelProgress(

@@ -161,7 +161,9 @@ class PlanSpec extends SparkSuite {
     "q160_ab_test",             // #variants rows × a broadcast 1-row z statistic
     "q164_session_duration",    // <=64 bucket rows × a broadcast 1-row total
     "q165_personalized_pagerank", // q134's edge pipeline (same k-centroid probe)
-    "q167_activity_outliers")   // count-of-counts grain × 1-row total; fences × user-days
+    "q167_activity_outliers",   // count-of-counts grain × 1-row total; fences × user-days
+    "q168_conversion_attribution", // ≤3 touch-type rows × a broadcast 1-row total
+    "q169_conversion_lag")      // <=64 bucket rows × a broadcast 1-row total
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>

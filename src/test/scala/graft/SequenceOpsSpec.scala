@@ -209,4 +209,84 @@ class SequenceOpsSpec extends SparkSuite {
       assert(got.size == 3, s"duplicate emission: $got")
     } finally q.stop()
   }
+
+  test("attribution monitor: in-batch, cross-batch, stale-touch and no-touch arms") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def h(hr: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + hr * 3600000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val q = graft.streaming.StatefulOps
+      .attributionMonitor(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("attrmon").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.AttrOut],
+         _: Long) =>
+          b.collect().foreach(r => got += ((r.user_id, r.touch_type, r.value)))
+          ()
+      }.start()
+    try {
+      // batch 1: u1 click → purchase in-batch; u2 view (state only);
+      // u3 purchase with no touch ever → 'none'
+      in.addData((1L, h(0), 0L, "click", 0.0), (1L, h(1), 1L, "purchase", 10.0),
+        (2L, h(0), 2L, "view", 0.0), (3L, h(1), 3L, "purchase", 7.0))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "click", 10.0), (3L, "none", 7.0)), s"batch1: $got")
+      // batch 2: u2 purchases 2 h after its stored view (cross-batch
+      // attribution from state); u1 purchases 30 h after its click —
+      // outside the 24 h lookback, so 'none' whether the state survived
+      // or the TTL already expired it (expiry is semantics-free)
+      in.addData((2L, h(2), 4L, "purchase", 5.0), (1L, h(31), 5L, "purchase", 3.0))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "click", 10.0), (3L, "none", 7.0),
+        (2L, "view", 5.0), (1L, "none", 3.0)), s"batch2: $got")
+      assert(got.size == 4, s"duplicate emission: $got")
+    } finally q.stop()
+  }
+
+  test("attribution monitor over fixture events equals the q168 batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val expected = graft.queries.Windowed
+      .attributedPurchases(Tables(spark, sf(), "events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, String)]
+    val q = graft.streaming.StatefulOps
+      .attributionMonitor(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("attrfix").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.AttrOut],
+         _: Long) =>
+          b.collect().foreach { r =>
+            val us = r.ts.getTime * 1000L + (r.ts.getNanos / 1000L) % 1000L
+            got += ((r.user_id, us, r.value, r.touch_type))
+          }
+          ()
+      }.start()
+    try {
+      in.addData(ev)
+      q.processAllAvailable()
+      assert(got.toSet == expected,
+        s"stream-only=${(got.toSet -- expected).take(3)} " +
+          s"batch-only=${(expected -- got.toSet).take(3)}")
+      assert(got.size == expected.size, "duplicate emission")
+    } finally q.stop()
+  }
 }
