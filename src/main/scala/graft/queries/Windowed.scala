@@ -1037,6 +1037,73 @@ object Windowed {
              |  CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE) AS share
              |FROM h CROSS JOIN tot""".stripMargin)),
 
+    // ---- LINEAR (multi-touch) attribution: q168's last-touch rule
+    //      credits the single most recent touch; here every touch
+    //      inside the 24 h lookback splits the purchase value equally
+    //      (value / n_touches) — the other standard marketing model,
+    //      and the one that surfaces assist touches last-touch hides.
+    //      A purchase with NO in-window touch lands in 'none' — the
+    //      same predicate as q168's none arm (if the most recent touch
+    //      is outside the window, all are). 100 TB shape: the
+    //      purchase×touch pair join is user-grain equi (q38's
+    //      range-join class — the range predicate rides the user_id
+    //      equijoin as a filter; fan-out per purchase is bounded by
+    //      one user's touches inside 24 h); the per-purchase count is
+    //      a p_id-partitioned window over that bounded pair set; the
+    //      final grain is ≤ #touch-types+1. Credit division is one
+    //      double/BIGINT tree in both engines; the credited sums are
+    //      round(·,4) order-insensitive-by-tolerance (q30 idiom).
+    "q171_linear_attribution" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us"),
+            col("event_id").as("p_id"), col("value"))
+        val tou = ev.filter(col("event_type").isin(AttrTouch: _*))
+          .select(col("user_id"), col("event_type").as("t_ty"),
+            col("us").as("t_us"), col("event_id").as("t_id"))
+        val pairs = pur.join(tou, Seq("user_id"))
+          .filter((col("t_us") < col("p_us") ||
+            (col("t_us") === col("p_us") && col("t_id") < col("p_id"))) &&
+            col("p_us") - col("t_us") <= AttrWindowUs)
+        val credited = pairs
+          .withColumn("n_t", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+          .groupBy(col("t_ty"))
+          .agg(count(lit(1)).as("n_credits"),
+            round(sum(col("value") / col("n_t")), 4).as("revenue"))
+          .select(col("t_ty").as("touch_type"), col("n_credits"), col("revenue"))
+        val none = pur
+          .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+          .agg(count(lit(1)).as("n_credits"),
+            round(sum(col("value")), 4).as("revenue"))
+          .select(lit("none").as("touch_type"), col("n_credits"), col("revenue"))
+        credited.unionByName(none)
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us,
+              |    event_id FROM events),
+              |pur AS (SELECT user_id, us AS p_us, event_id AS p_id, value
+              |  FROM ev WHERE event_type = 'purchase'),
+              |tou AS (SELECT user_id, event_type AS t_ty, us AS t_us,
+              |    event_id AS t_id FROM ev WHERE event_type IN ('click','view')),
+              |pairs AS (SELECT p.p_id, p.value, t.t_ty
+              |  FROM pur p JOIN tou t ON t.user_id = p.user_id
+              |  AND (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id))
+              |  AND p.p_us - t.t_us <= ${AttrWindowUs}),
+              |cnt AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n_t
+              |  FROM pairs GROUP BY 1),
+              |cr AS (SELECT t_ty AS touch_type, CAST(count(*) AS BIGINT)
+              |      AS n_credits,
+              |    round(sum(value / n_t), 4) AS revenue
+              |  FROM pairs JOIN cnt USING (p_id) GROUP BY 1),
+              |no AS (SELECT 'none' AS touch_type, CAST(count(*) AS BIGINT)
+              |      AS n_credits,
+              |    round(sum(value), 4) AS revenue
+              |  FROM pur WHERE p_id NOT IN (SELECT p_id FROM pairs))
+              |SELECT * FROM cr UNION ALL SELECT * FROM no""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

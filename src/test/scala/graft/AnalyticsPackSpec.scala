@@ -488,6 +488,46 @@ class AnalyticsPackSpec extends SparkSuite {
       "fixture must exercise all three attribution arms")
   }
 
+  test("q171 linear attribution matches a sequential multi-touch walk and conserves value") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val win = graft.queries.Windowed.AttrWindowUs
+    val touch = graft.queries.Windowed.AttrTouch.toSet
+    var noneN = 0L; var noneRev = 0.0
+    val cred = scala.collection.mutable.Map.empty[String, (Long, Double)]
+    var totalPurchased = 0.0
+    ev.groupBy(_._1).values.foreach { rows =>
+      val touches = rows.filter(r => touch(r._4))
+      rows.filter(_._4 == "purchase").foreach { p =>
+        totalPurchased += p._5
+        val inWin = touches.filter(t =>
+          (t._2 < p._2 || (t._2 == p._2 && t._3 < p._3)) && p._2 - t._2 <= win)
+        if (inWin.isEmpty) { noneN += 1; noneRev += p._5 }
+        else inWin.foreach { t =>
+          val c = cred.getOrElse(t._4, (0L, 0.0))
+          cred(t._4) = (c._1 + 1, c._2 + p._5 / inWin.size)
+        }
+      }
+    }
+    val expected = (cred.toMap + ("none" -> ((noneN, noneRev))))
+    val got = graft.queries.Catalog.all("q171_linear_attribution").build(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet, s"${got.keySet} vs ${expected.keySet}")
+    expected.foreach { case (t, (n, rev)) =>
+      assert(got(t)._1 == n, s"n_credits($t): ${got(t)._1} vs $n")
+      assert(math.abs(got(t)._2 - rev) < 1e-3, s"revenue($t): ${got(t)._2} vs $rev")
+    }
+    // equal-split credit must conserve total purchase value exactly
+    val conserved = cred.values.map(_._2).sum + noneRev
+    assert(math.abs(conserved - totalPurchased) < 1e-6,
+      s"credit leaked: $conserved vs $totalPurchased")
+    assert(expected.keySet == Set("click", "view", "none"),
+      "fixture must exercise both credited arms and the none arm")
+  }
+
   test("q169 lag buckets match a sequential funnel-latency reference") {
     val ev = Tables(spark, sf(), "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))

@@ -438,6 +438,35 @@ object ScaleProbe {
           time(s"$q@${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
         }
       }
+    } else if (args.lift(1).contains("--attr")) {
+      // q168/q171 growth probe: k× event copies with k× disjoint user
+      // blocks (the --dau construction). The property probed: both
+      // attribution verbs scale ~linearly in events — q168 is one
+      // user-partitioned window (state ∝ one user's events), q171's
+      // purchase×touch pair join fans out per purchase only within one
+      // user's 24 h lookback, so copied users add pairs linearly.
+      // Super-linear growth would mean the pair join escaped the
+      // user/lookback bound.
+      import org.apache.spark.sql.functions._
+      val ks = args.lift(2).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(16, 64))
+      val src = Tables(spark, dir, "events")
+      val n = src.count()
+      Seq("q168_conversion_attribution", "q171_linear_attribution").foreach { q =>
+        time(s"$q@1x")(queries.Catalog.all(q).build(spark, dir).count())
+      }
+      ks.foreach { k =>
+        val probeDir = s"/tmp/attr_probe_$k"
+        src.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), col("props"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+          .select((col("event_id") + col("i") * n).as("event_id"), col("ts"),
+            (col("user_id") + col("i") * 100000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+        Seq("q168_conversion_attribution", "q171_linear_attribution").foreach { q =>
+          time(s"$q@${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
+        }
+      }
     } else if (args.lift(1).contains("--rank")) {
       // PageRank round-cost probe: per-round seconds at a deeper
       // iteration count than the catalog's 3. The property probed:
