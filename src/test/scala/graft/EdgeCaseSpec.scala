@@ -103,6 +103,47 @@ class EdgeCaseSpec extends SparkSuite {
     info(s"${affected.size} queries clean on the empty corpus")
   }
 
+  test("events-backed queries on an empty event stream: no crash, data-grain entries empty") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("empty_events").toString
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evSchema)
+      .write.parquet(s"$dir/events.parquet")
+    // events-backed entries also scan other tables (q09 orders, q74
+    // lineitem-free JSON, ...) — point those at the real sf0.001 files
+    for (t <- Tables.all if t != "events") {
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"${sf()}/$t.parquet"))
+    }
+    // derive the events-backed set the same way EventsTsSpec does: from
+    // each entry's own scan set at the fixture dir
+    val affected = graft.queries.Catalog.all.keys.filter { name =>
+      graft.queries.Catalog.all(name).build(spark, sf())
+        .inputFiles.exists(_.contains("events.parquet"))
+    }.toSeq
+    assert(affected.size >= 20, s"derivation went vacuous: $affected")
+    // entries whose output is ∝ event data must come back EMPTY; the
+    // rest (funnel/summary shapes that emit fixed-grain rows from
+    // global aggregates) must simply build and run
+    val strictlyEmpty = Set("q09_asof_join", "q30_window_tumbling",
+      "q31_window_sliding", "q32_session_window", "q142_event_transitions",
+      "q145_transition_anomaly", "q147_retention_cohorts",
+      "q156_gap_histogram", "q158_event_paths", "q161_daily_anomaly",
+      "q162_active_users", "q164_session_duration", "q166_activity_gini",
+      "q167_activity_outliers", "q168_conversion_attribution",
+      "q169_conversion_lag")
+    affected.foreach { name =>
+      val n = graft.queries.Catalog.all(name).build(spark, dir).count()
+      if (strictlyEmpty(name))
+        assert(n == 0, s"$name returned $n rows on an empty event stream")
+    }
+    info(s"${affected.size} events-backed queries clean on the empty stream")
+  }
+
   test("q104/q105 degenerate inputs: empty text, null text, zero vector") {
     import spark.implicits._
     val dir = tmpDir("degenerate").toString
