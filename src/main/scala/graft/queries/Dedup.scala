@@ -339,6 +339,42 @@ object Dedup {
       (s, d) => dupClusters(s, d, BucketCap),
       Some(dupClustersOracle(BucketCap))),
 
+    // ---- cross-split near-dup LEAKAGE: q41's near-dup pairs joined to
+    //      q172's group-integral split assignment, keeping only pairs
+    //      whose ends land in DIFFERENT splits — the test-set
+    //      contamination a group split cannot prevent (it only pins
+    //      same-group docs together; near-dups across sources still
+    //      straddle train/test, and each such pair inflates eval). The
+    //      fixture is non-degenerate: 9 of its 25 near-dup pairs cross
+    //      splits, covering all three split-pair combinations. 100 TB
+    //      shape: the pair table (output of the capped banded pipeline,
+    //      ≪ corpus) drives two doc-id equijoins against the scan-stage
+    //      coin assignment; the final grain is ≤ C(#splits, 2).
+    "q173_split_leakage" -> Q(
+      (s, d) => {
+        val pairs = minhashPairs(s, d, BucketCap)
+        val frac = expr(
+          "conv(substr(md5(source), 1, 8), 16, 10) / 4294967296.0")
+        val asg = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            when(frac < Pipeline.GroupTrainFrac, "train")
+              .when(frac < Pipeline.GroupValCut, "val")
+              .otherwise("test").as("split"))
+        pairs
+          .join(asg.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+            "doc_a")
+          .join(asg.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+            "doc_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(least(col("split_a"), col("split_b")).as("split_lo"),
+            greatest(col("split_a"), col("split_b")).as("split_hi"),
+            col("jaccard"), col("doc_a"))
+          .groupBy(col("split_lo"), col("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"),
+            min(col("doc_a")).as("first_doc_a"))
+      },
+      Some(splitLeakageOracle(BucketCap))),
+
     // ---- dedup ATTRIBUTION: who loses documents to whom. Per
     //      (keeper's source, removed doc's source) pair, the docs and
     //      token mass q101's keep-rule deletes — the report a data-
@@ -1133,6 +1169,36 @@ object Dedup {
     * (terminates — UNION deduplicates the frontier), label = min
     * reachable id.
     */
+  /** q173's oracle: q41's full pair replay (the minhashOracle CTE chain,
+    * spliced the dupClustersOracle way) joined to the q172 source-coin
+    * split assignment, cross-split pairs only.
+    */
+  def splitLeakageOracle(cap: Int): String = {
+    val mo = minhashOracle(cap)
+    val split = mo.lastIndexOf("SELECT doc_a, doc_b, jaccard FROM inter")
+    require(split > 0, "minhashOracle shape changed; update splitLeakageOracle")
+    val ctes = mo.substring(0, split).trim.stripSuffix(",")
+    val pairsSelect = mo.substring(split).trim
+    // NB: never stripMargin over the spliced prefix (q41's `||` lines)
+    ctes + ",\n" +
+      "pairs AS (\n" + pairsSelect + "\n),\n" +
+      s"""asg AS (SELECT doc_id, CASE
+        |    WHEN frac < ${Pipeline.GroupTrainFrac} THEN 'train'
+        |    WHEN frac < ${Pipeline.GroupValCut} THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS frac FROM documents)),
+        |x AS (SELECT least(a.split, b.split) AS split_lo,
+        |    greatest(a.split, b.split) AS split_hi, p.jaccard, p.doc_a
+        |  FROM pairs p JOIN asg a ON a.doc_id = p.doc_a
+        |    JOIN asg b ON b.doc_id = p.doc_b
+        |  WHERE a.split <> b.split)
+        |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  max(jaccard) AS max_jaccard, min(doc_a) AS first_doc_a
+        |FROM x GROUP BY 1, 2""".stripMargin
+  }
+
   def dupClustersOracle(cap: Int): String = {
     val mo = minhashOracle(cap)
     val split = mo.lastIndexOf("SELECT doc_a, doc_b, jaccard FROM inter")

@@ -802,6 +802,45 @@ object Pipeline {
               |  min(doc_id) AS first_id
               |FROM a GROUP BY split""".stripMargin)),
 
+    // ---- GROUP-integral train/val/test split: q99 hashes the DOC id,
+    //      which lets one author/source straddle train and test — the
+    //      classic leakage vector when a source's documents resemble
+    //      each other. Hashing the SOURCE key instead puts every doc of
+    //      a group in one split by construction (the spec re-proves it
+    //      from the output grain). The integrity this buys is only
+    //      group-level — near-dups ACROSS sources still leak, which is
+    //      exactly what q173 measures on top of this assignment.
+    //      100 TB shape: scan-stage coin (no join against a group
+    //      table), one #splits-grain aggregate; count(DISTINCT source)
+    //      re-aggregates at ≤ #sources grain.
+    "q172_group_split" -> Q(
+      (s, d) => {
+        val frac = expr(
+          "conv(substr(md5(source), 1, 8), 16, 10) / 4294967296.0")
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("source"), size(split(col("text"), " ")).as("n_tok"),
+            when(frac < GroupTrainFrac, "train")
+              .when(frac < GroupValCut, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(countDistinct(col("source")).as("n_sources"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            min(col("source")).as("first_source"))
+      },
+      Some(s"""WITH a AS (SELECT source, len(string_split(text, ' ')) AS n_tok,
+              |    CASE WHEN frac < $GroupTrainFrac THEN 'train'
+              |         WHEN frac < $GroupValCut THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM (SELECT source, text,
+              |    CAST(CAST('0x' || substr(md5(source), 1, 8) AS BIGINT)
+              |      AS DOUBLE) / 4294967296.0 AS frac FROM documents))
+              |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |  min(source) AS first_source
+              |FROM a GROUP BY split""".stripMargin)),
+
     // ---- deterministic training order: the "global shuffle" a
     //      pretraining data loader consumes, expressed scale-first —
     //      never an actual global sort. Each doc hashes to one of
@@ -1560,6 +1599,15 @@ object Pipeline {
   /** q99 slice boundaries (train/val/test = 90/5/5 by hash fraction). */
   val TrainFrac = 0.9
   val ValCut = 0.95
+
+  /** q172: GROUP-integral split fractions over the md5(source) coin.
+    * 70/15/15 (not q99's 90/5/5) because the grain is the ~20 fixture
+    * sources, not docs — 90/5/5 would leave the val split empty at
+    * every SF (source names are SF-invariant, so the assignment is
+    * too; DuckDB-prototyped: 17 train / 1 val / 2 test).
+    */
+  val GroupTrainFrac = 0.7
+  val GroupValCut = 0.85
 
   /** q102 shard count — at 100 TB, set to (data-loader workers ×
     * files-per-worker); fixture-scale 8 keeps every shard populated.

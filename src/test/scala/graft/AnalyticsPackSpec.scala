@@ -528,6 +528,69 @@ class AnalyticsPackSpec extends SparkSuite {
       "fixture must exercise both credited arms and the none arm")
   }
 
+  test("q172 split is group-integral and matches a sequential recount") {
+    val rows = Tables(spark, sf(), "documents")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def frac(src: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    def splitOf(src: String): String = {
+      val f = frac(src)
+      if (f < graft.queries.Pipeline.GroupTrainFrac) "train"
+      else if (f < graft.queries.Pipeline.GroupValCut) "val" else "test"
+    }
+    val bySplit = rows.groupBy(r => splitOf(r._1))
+    val expected = bySplit.map { case (sp, rs) =>
+      sp -> ((rs.map(_._1).distinct.size.toLong, rs.size.toLong,
+        rs.map(_._2.split(" ", -1).length.toLong).sum, rs.map(_._1).min))
+    }
+    val got = graft.queries.Catalog.all("q172_group_split").build(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == expected, s"$got vs $expected")
+    // group integrity: every source lands in exactly ONE split
+    val sourceSplits = rows.map(_._1).distinct
+      .groupBy(splitOf).values.map(_.toSet).toSeq
+    assert(sourceSplits.combinations(2).forall(p => (p(0) & p(1)).isEmpty),
+      "a source straddles two splits")
+    assert(expected.keySet == Set("train", "val", "test"),
+      "all three splits must be non-empty at every SF (source names are SF-invariant)")
+  }
+
+  test("q173 cross-split leakage matches a recount over the q41 pairs") {
+    val asg = Tables(spark, sf(), "documents").select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    def frac(src: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16).toDouble / 4294967296.0
+    }
+    def splitOf(d: Long): String = {
+      val f = frac(asg(d))
+      if (f < graft.queries.Pipeline.GroupTrainFrac) "train"
+      else if (f < graft.queries.Pipeline.GroupValCut) "val" else "test"
+    }
+    val pairs = graft.queries.Catalog.all("q41_dedup_minhash").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val crossing = pairs.map { case (a, b, j) => (splitOf(a), splitOf(b), a, j) }
+      .filter(p => p._1 != p._2)
+      .map { case (s1, s2, a, j) =>
+        (if (s1 < s2) s1 else s2, if (s1 < s2) s2 else s1, a, j) }
+    val expected = crossing.groupBy(p => (p._1, p._2)).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._4).max, xs.map(_._3).min))
+    }
+    val got = graft.queries.Catalog.all("q173_split_leakage").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expected, s"$got vs $expected")
+    assert(expected.nonEmpty, "fixture must contain cross-split near-dup pairs")
+  }
+
   test("q169 lag buckets match a sequential funnel-latency reference") {
     val ev = Tables(spark, sf(), "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
