@@ -655,6 +655,30 @@ object StatefulOps {
         col("n0"), col("c0"), col("n1"), col("c1"), abZ.as("z"))
   }
 
+  /** Streaming value-quantile monitor — q170's intake sibling: per
+    * event-time window × event_type, the GK sketch's p50/p95 of `value`
+    * plus exact count/min/max — the latency/order-value pager read. The
+    * sketch is the whole point at stream scale: an exact windowed
+    * percentile needs the window's full value multiset in state, the
+    * GK buffer is O(accuracy) per open (window, type) group with ≤1/
+    * accuracy rank error (q170 pins that guarantee against exact order
+    * statistics in batch; the spec here pins the stream's answers
+    * inside the same exact-rank brackets). ONE windowed aggregate;
+    * state ∝ open windows × types under the watermark.
+    */
+  def quantileMonitor(events: DataFrame, lateness: String, win: String,
+                      accuracy: Int = 100): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(accuracy)).as("p95"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("p50"), col("p95"),
+        col("min_val"), col("max_val"))
+
   /** Streaming keyword tagging — q150's intake sibling: each incoming
     * (doc_id, text) microbatch is tagged with its top-k TF-IDF keywords
     * under a STATIC [[graft.queries.TextAnalysis.tfidfFit]] model (fit

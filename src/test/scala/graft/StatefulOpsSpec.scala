@@ -620,6 +620,43 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("quantile monitor: exact counts, sketch p50/p95 inside exact rank brackets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // window 1: type 'api' values 1..100 (known order statistics);
+    // window 2: type 'api' values 1000..1004 (a planted latency shift)
+    val w1 = (1 to 100).map(v => (tsAt(5), "api", v.toDouble))
+    val w2 = (0 until 5).map(v => (tsAt(35), "api", 1000.0 + v))
+    val rows = (w1 ++ w2) :+ ((tsAt(120), "api", 1.0)) // watermark pusher
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StatefulOps.quantileMonitor(
+        in.toDF().toDF("ts", "event_type", "value"), "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("quant_mon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("quantmon").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("quant_mon")
+        .select("w_start", "n", "p50", "p95", "min_val", "max_val").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+      assert(got.size == 2, s"both closed windows must emit: $got")
+      val (first, second) = (got.minBy(_._1)._2, got.maxBy(_._1)._2)
+      // window 1: 100 distinct values 1..100 — GK at accuracy 100 must
+      // land within ±2 ranks of the true order statistics (2× margin
+      // over its ≤1% guarantee, the q170 bracket)
+      assert(first._1 == 100 && first._4 == 1.0 && first._5 == 100.0, s"$first")
+      assert(first._2 >= 48.0 && first._2 <= 52.0, s"p50 escaped bracket: $first")
+      assert(first._3 >= 93.0 && first._3 <= 97.0, s"p95 escaped bracket: $first")
+      // window 2: 5 values 1000..1004 — the shift is visible in p50
+      assert(second._1 == 5 && second._2 >= 1000.0 && second._2 <= 1004.0,
+        s"$second")
+      assert(second._2 > first._3, "planted latency shift must page")
+    } finally q.stop()
+  }
+
   test("keyword tag: stream tags equal batch probe; OOV rarity outranks fitted stopwords") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
