@@ -199,4 +199,55 @@ class StreamingSoakSpec extends SparkSuite {
       } finally { qT.stop(); qF.stop() }
     }
   }
+
+  test("soak: attribution state expires at the 24h touch horizon (100 batches)") {
+    // attributionMonitor's contract: state = the last touch per user,
+    // expiring at touch-time + AttrWindowUs (+ delay) — so the working
+    // set is users with a touch inside the last ~24 h of EVENT time,
+    // not all users ever seen. Event time advances 2.4 h per batch so
+    // the horizon actually engages: users live 5 batches (12 h), state
+    // survives ~10 more (24 h), then must vanish. 200 users are created
+    // over the run; the bound is active + expiry lag ≈ 30, pinned at 64.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val stepSec = 8640L // 2.4 h of event time per batch
+      def events(b: Int): Seq[(Long, Timestamp, Long, String, Double)] =
+        (0 until 10).flatMap { i =>
+          val uid = (b * 2 + i).toLong
+          val t = ts(b * stepSec)
+          Seq((uid, t, b * 1000L + i * 2, "click", 0.0),
+            (uid, t, b * 1000L + i * 2 + 1, "purchase", 9.0))
+        }
+      val q = graft.streaming.StatefulOps
+        .attributionMonitor(
+          in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+          "60 seconds")
+        .writeStream.format("memory").queryName("soak_attr")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("soak_attr").toString).start()
+      try {
+        val aState = Vector.newBuilder[Long]
+        for (b <- 0 until 100) {
+          in.addData(events(b): _*)
+          q.processAllAvailable()
+          val p = q.lastProgress
+          if (p != null && p.stateOperators.nonEmpty)
+            aState += p.stateOperators.map(_.numRowsTotal).sum
+        }
+        val series = aState.result()
+        info(s"attribution state series (every 10th): ${series.grouped(10).map(_.last).mkString(", ")}")
+        assert(series.max <= 64L,
+          s"attribution state exceeded the touch-horizon bound: max=${series.max}")
+        assert(series.takeRight(25).max <= series.slice(25, 75).max,
+          "attribution state still growing in the last quarter")
+        // same-ts click attributes the purchase (event_id orders them)
+        val out = spark.table("soak_attr")
+        assert(out.count() > 500, "attributed purchases must flow")
+        assert(out.filter(org.apache.spark.sql.functions.col("touch_type") =!= "click").count() == 0,
+          "every purchase follows its user's click at the same event time")
+      } finally q.stop()
+    }
+  }
 }
