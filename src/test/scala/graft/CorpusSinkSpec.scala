@@ -60,4 +60,40 @@ class CorpusSinkSpec extends SparkSuite {
     assert(files.size >= 2 && files.size <= 4,
       s"expected the hot value spread over 2..4 shard files, got ${files.size}")
   }
+
+  test("read-side partition PRUNING: a partition-column filter skips non-matching dirs") {
+    // the read-side payoff of the partitioned layout — at 100 TB a
+    // day/lang predicate must become a metadata-only PartitionFilter
+    // (files of other partitions never open), not a post-scan filter.
+    // Pinned two ways: the scan node advertises the filter, and the
+    // planned inputFiles are confined to the matching directory.
+    val docs = Tables(spark, sf(), "documents")
+    val dir = tmpDir("corpus-sink-prune").toString
+    CorpusSink.write(docs, dir, Seq("lang"), "doc_id",
+      shards = 2, maxRecordsPerFile = 1000000L)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition filter missing from the scan:\n$plan")
+    // NB inputFiles reads the UNPRUNED FileIndex — the honest signal is
+    // the executed scan's numFiles metric, read from the SAME
+    // QueryExecution that ran (count() would spawn its own)
+    assert(q.collect().length.toLong == docs.filter(col("lang") === "en").count())
+    val executed = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = executed.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    val enFiles = parquetFiles(s"$dir/lang=en").size.toLong
+    val allFiles = parquetFiles(dir).size.toLong
+    assert(scanned == enFiles,
+      s"scan opened $scanned files, lang=en holds $enFiles")
+    assert(scanned < allFiles,
+      s"pruning must reduce the file set ($scanned of $allFiles)")
+  }
 }

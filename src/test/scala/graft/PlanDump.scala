@@ -86,7 +86,13 @@ object PlanDump {
     "q164_session_duration" -> "session durations: q32's one sessionization exchange, per-session min/max micros, ≤64-bucket integer-log2 re-aggregate, share via broadcast 1-row cross",
     "q165_personalized_pagerank" -> "personalized PageRank: q148's fixed-point iteration with the teleport base pinned to a broadcast |S|-row seed flag — per round one id-equijoin + map-side-combinable BIGINT sum, rank tables localCheckpoint-ed",
     "q166_activity_gini" -> "activity Gini: one (user, type) corpus hash-agg, count-of-counts re-aggregate, cumulative window at distinct-level grain partitioned by type, exact DECIMAL(38,0) rank-sum terms, one double tree at the end",
-    "q167_activity_outliers" -> "Tukey outliers: one (user, day) corpus hash-agg, quartiles as integer order statistics off the count-of-counts cumulative (grain-bounded global window), broadcast 1-row fence cross, doubled-integer comparisons")
+    "q167_activity_outliers" -> "Tukey outliers: one (user, day) corpus hash-agg, quartiles as integer order statistics off the count-of-counts cumulative (grain-bounded global window), broadcast 1-row fence cross, doubled-integer comparisons",
+    "q168_conversion_attribution" -> "last-touch attribution: ONE user-partitioned IGNORE-NULLS window (q32's exchange), purchase filter, ≤3-arm hash-agg, share via broadcast 1-row cross",
+    "q169_conversion_lag" -> "conversion lag: two chained user-grain min-ts hash-aggs, user-grain equijoin, ≤64-bucket integer-log2 re-aggregate, broadcast 1-row total",
+    "q170_quantile_sketch" -> "quantile sketch: GK percentile_approx per group beside exact order statistics off the cents-grain cumulative window (partitioned by group, bounded by the price domain); all bracket joins are #groups-row broadcasts",
+    "q171_linear_attribution" -> "linear attribution: purchase×touch pair join is a user-grain EQUI join with the lookback range as a join filter, per-purchase count over the p_id-partitioned bounded pair window, ≤4-arm aggregate",
+    "q172_group_split" -> "group split: scan-stage md5(source) coin — no group-table join; one #splits-grain aggregate with a distinct-source re-aggregate",
+    "q173_split_leakage" -> "split leakage: q41's capped banded pair pipeline (≪ corpus) drives two doc-id equijoins against the scan-stage coin assignment; C(#splits,2)-grain output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
