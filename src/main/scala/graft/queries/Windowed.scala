@@ -1104,6 +1104,62 @@ object Windowed {
               |  FROM pur WHERE p_id NOT IN (SELECT p_id FROM pairs))
               |SELECT * FROM cr UNION ALL SELECT * FROM no""".stripMargin)),
 
+    // ---- fixed-point EWMA daily baseline: exponentially-smoothed
+    //      daily event volume (α = 1/4) with per-day residuals — the
+    //      adaptive-baseline sibling of q161's trailing-window z (a
+    //      slow drift moves the EWMA with it; q161's fixed window
+    //      pages). Sequential recurrences are the classic cross-engine
+    //      trap: float EWMA diverges in the last ulp and Spark `div`
+    //      truncates where DuckDB `//` floors — so the state is 2^20
+    //      fixed point and the α step is an ARITHMETIC SHIFT
+    //      (s += (n·2^20 − s) >> 2), which floors identically in both
+    //      engines for negative residuals. Spark runs the fold as one
+    //      `aggregate` HOF over the day array, DuckDB as a recursive
+    //      CTE over the day index — bit-identical by construction.
+    //      100 TB shape: the ONE corpus-sized op is the day hash-agg;
+    //      the fold runs at day grain (rows ∝ days, q161's
+    //      grain-bounded class) and the output explode restores
+    //      day-grain rows.
+    "q174_ewma_baseline" -> Q(
+      (s, d) => {
+        val fold =
+          """aggregate(
+            |  ds,
+            |  named_struct('prev', CAST(-1 AS BIGINT),
+            |    'out', CAST(array() AS
+            |      ARRAY<STRUCT<day: DATE, n: BIGINT, ewma_fp: BIGINT, resid_fp: BIGINT>>)),
+            |  (acc, x) -> named_struct(
+            |    'prev', CASE WHEN acc.prev = -1 THEN shiftleft(x.n, 20)
+            |      ELSE acc.prev + shiftright(shiftleft(x.n, 20) - acc.prev, 2) END,
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', x.day, 'n', x.n,
+            |      'ewma_fp', CASE WHEN acc.prev = -1 THEN shiftleft(x.n, 20)
+            |        ELSE acc.prev + shiftright(shiftleft(x.n, 20) - acc.prev, 2) END,
+            |      'resid_fp', CASE WHEN acc.prev = -1 THEN CAST(0 AS BIGINT)
+            |        ELSE shiftleft(x.n, 20) - acc.prev END))),
+            |  acc -> acc.out)""".stripMargin.replace("\n", " ")
+        Tables(s, d, "events")
+          .groupBy(expr("CAST(ts AS DATE)").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
+          .select(explode(expr(fold)).as("r"))
+          .select(col("r.day").as("day"), col("r.n").as("n"),
+            col("r.ewma_fp").as("ewma_fp"), col("r.resid_fp").as("resid_fp"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |idx AS (SELECT day, n,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM d),
+             |rec AS (
+             |  SELECT i, day, n, n << 20 AS ewma_fp, CAST(0 AS BIGINT) AS resid_fp
+             |  FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT x.i, x.day, x.n,
+             |    r.ewma_fp + (((x.n << 20) - r.ewma_fp) >> 2),
+             |    (x.n << 20) - r.ewma_fp
+             |  FROM rec r JOIN idx x ON x.i = r.i + 1)
+             |SELECT day, n, ewma_fp, resid_fp FROM rec""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(

@@ -591,6 +591,27 @@ class AnalyticsPackSpec extends SparkSuite {
     assert(expected.nonEmpty, "fixture must contain cross-split near-dup pairs")
   }
 
+  test("q174 EWMA matches a sequential fixed-point fold; negative residuals floor") {
+    val days = Tables(spark, sf(), "events")
+      .select(expr("CAST(ts AS DATE)").as("day"))
+      .collect().map(_.getDate(0).toString).groupBy(identity)
+      .map { case (d, xs) => d -> xs.size.toLong }.toSeq.sortBy(_._1)
+    var prev = -1L
+    val expected = days.map { case (d, n) =>
+      val nfp = n << 20
+      val (e, r) = if (prev == -1L) (nfp, 0L) else (prev + ((nfp - prev) >> 2), nfp - prev)
+      prev = e
+      (d, n, e, r)
+    }.toSet
+    val got = graft.queries.Catalog.all("q174_ewma_baseline").build(spark, sf())
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+    assert(expected.exists(_._4 < 0),
+      "fixture must exercise the negative-residual arithmetic-shift branch")
+  }
+
   test("q169 lag buckets match a sequential funnel-latency reference") {
     val ev = Tables(spark, sf(), "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
