@@ -99,6 +99,38 @@ class CheckpointRestartSpec extends SparkSuite {
       s"z values: ${got.map(_._6)}")
   }
 
+  test("quantileMonitor restart emits each window exactly once with full sketches") {
+    val src = tmpDir("qmr_src"); val out = tmpDir("qmr_out"); val ckpt = tmpDir("qmr_ckpt")
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    def writeRows(name: String, rows: Seq[(String, String, Double)]): Unit =
+      java.nio.file.Files.writeString(src.resolve(name), rows.map { case (ts, et, v) =>
+        s"""{"ts":"$ts","event_type":"$et","value":$v}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.quantileMonitor(
+        spark.readStream.schema(schema).json(src.toString), "0 seconds", "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) collects values 1..4; t=25 closes it
+    writeRows("f1.json", Seq(
+      ("2024-01-01T00:00:01Z", "api", 1.0), ("2024-01-01T00:00:02Z", "api", 2.0),
+      ("2024-01-01T00:00:03Z", "api", 3.0), ("2024-01-01T00:00:04Z", "api", 4.0),
+      ("2024-01-01T00:00:25Z", "api", 50.0)))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — the restored sketch state
+    // must hold the value 50 and neither window may re-emit
+    writeRows("f2.json", Seq(("2024-01-01T00:01:40Z", "api", 1.0)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1).toSeq
+    val base = 1704067200000L
+    assert(got == Seq((base, 4L, 2.0, 1.0, 4.0), (base + 20000L, 1L, 50.0, 50.0, 50.0)),
+      s"each closed window exactly once with full stats: ${got.mkString(", ")}")
+  }
+
   private val evSchema = StructType.fromDDL(
     "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")
 
