@@ -593,9 +593,24 @@ object StatefulOps {
             }
             last match {
               case Some(l) =>
-                state.update(l)
-                state.setTimeoutTimestamp(l.touchUs / 1000L + AttrWindowUs / 1000L,
-                  delay)
+                // the timeout anchors to the STORED touch, not this
+                // batch's events. When a key receives data in the same
+                // trigger its timeout would have fired (data invocation
+                // wins and hasTimedOut is false), the stored touch can
+                // be older than the watermark — re-arming then places a
+                // timeout in the past and Spark throws. The engine's
+                // post-watermark cleanup batch usually expires the key
+                // first (which is why a MemoryStream test can't force
+                // the throw deterministically), but under production
+                // pacing data can land in that same trigger. Expired-by-
+                // horizon state is semantics-free (any later purchase
+                // attributes 'none'), so drop it instead of re-arming.
+                val horizonMs = l.touchUs / 1000L + AttrWindowUs / 1000L
+                if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
+                else {
+                  state.update(l)
+                  state.setTimeoutTimestamp(horizonMs, delay)
+                }
               case None => // no touch ever seen — nothing worth keeping
             }
             out.result().iterator

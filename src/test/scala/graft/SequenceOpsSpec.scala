@@ -249,6 +249,55 @@ class SequenceOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("attribution monitor: purchase on horizon-expired state attributes 'none', no crash") {
+    // behavioral coverage for the horizon guard: purchases keep
+    // arriving as the watermark overtakes the stored touch's horizon —
+    // attribution must flip to 'none' and the stream must stay healthy
+    // whether the state was expired by the engine's cleanup batch or
+    // dropped by the guard (the guard's crash path proper — data
+    // landing in the SAME trigger the timeout would fire — is a
+    // production-pacing race MemoryStream cannot split into separate
+    // batches; see the operator comment).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def h(hr: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + hr * 3600000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val q = graft.streaming.StatefulOps
+      .attributionMonitor(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("attrstale").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.AttrOut],
+         _: Long) =>
+          b.collect().foreach(r => got += ((r.user_id, r.touch_type, r.value)))
+          ()
+      }.start()
+    try {
+      // batch 1: u1 touches at h0 (state stored, horizon h24+10m)
+      in.addData((1L, h(0), 0L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: u1 purchases at h10 (in-window) — watermark still h0-10m
+      in.addData((1L, h(10), 1L, "purchase", 4.0))
+      q.processAllAvailable()
+      // batch 3: u1 purchases at h50 — this invocation sees the stored
+      // h0 touch with the watermark now ≈ h10-10m < h24, fine; it
+      // re-arms. batch 4 pushes the watermark past the horizon AND
+      // delivers another purchase for u1 in the same trigger — the
+      // crash path without the guard.
+      in.addData((1L, h(50), 2L, "purchase", 5.0))
+      q.processAllAvailable()
+      in.addData((1L, h(51), 3L, "purchase", 6.0), (2L, h(60), 4L, "view", 0.0))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "click", 4.0), (1L, "none", 5.0),
+        (1L, "none", 6.0)), s"$got")
+    } finally q.stop()
+  }
+
   test("attribution monitor over fixture events equals the q168 batch kernel") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
