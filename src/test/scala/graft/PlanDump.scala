@@ -92,7 +92,8 @@ object PlanDump {
     "q170_quantile_sketch" -> "quantile sketch: GK percentile_approx per group beside exact order statistics off the cents-grain cumulative window (partitioned by group, bounded by the price domain); all bracket joins are #groups-row broadcasts",
     "q171_linear_attribution" -> "linear attribution: purchase×touch pair join is a user-grain EQUI join with the lookback range as a join filter, per-purchase count over the p_id-partitioned bounded pair window, ≤4-arm aggregate",
     "q172_group_split" -> "group split: scan-stage md5(source) coin — no group-table join; one #splits-grain aggregate with a distinct-source re-aggregate",
-    "q173_split_leakage" -> "split leakage: q41's capped banded pair pipeline (≪ corpus) drives two doc-id equijoins against the scan-stage coin assignment; C(#splits,2)-grain output")
+    "q173_split_leakage" -> "split leakage: q41's capped banded pair pipeline (≪ corpus) drives two doc-id equijoins against the scan-stage coin assignment; C(#splits,2)-grain output",
+    "q174_ewma_baseline" -> "EWMA baseline: one corpus-sized day hash-agg, day-grain collect + aggregate-HOF fold (rows ∝ days), explode back to day grain — the sequential recurrence never touches corpus-sized data")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
