@@ -467,6 +467,27 @@ object ScaleProbe {
           time(s"$q@${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
         }
       }
+      // hot-user worst case: ONE bot user with k·5000 events all inside
+      // a single 24 h span — q171's per-user pair fan-out is quadratic
+      // in that user's touch density (purchases × touches: ~k²·2M
+      // pairs here), while q168's single window pass stays linear.
+      // This measures where the documented per-user bound becomes
+      // binding; the mitigation at real scale is a per-purchase
+      // touch cap or routing such keys to q168's last-touch model.
+      Seq(2, 4, 8).foreach { k =>
+        val probeDir = s"/tmp/attr_hot_$k"
+        val hot = src.limit(5000)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), col("props"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+          .select((col("event_id") + col("i") * 5000L).as("event_id"),
+            // squeeze every copy's events into one day for user 0
+            expr("timestamp_micros(CAST(1704067200000000 + ((event_id + i * 5000) % 86400) * 1000000 AS BIGINT))").as("ts"),
+            lit(0L).as("user_id"), col("event_type"), col("value"), col("props"))
+        hot.repartition(32).write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+        Seq("q168_conversion_attribution", "q171_linear_attribution").foreach { q =>
+          time(s"$q@hot${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
+        }
+      }
     } else if (args.lift(1).contains("--rank")) {
       // PageRank round-cost probe: per-round seconds at a deeper
       // iteration count than the catalog's 3. The property probed:
