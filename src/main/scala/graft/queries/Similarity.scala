@@ -163,13 +163,28 @@ object Similarity {
     * Tie-break (ccos DESC, c_id ASC) via max of (ccos, -c_id).
     */
   def assignToCentroids(s: SparkSession, vectors: DataFrame,
-                        cents: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(cents))
+                        cents: DataFrame): DataFrame = {
+    val cand = vectors.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(s, col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_cid"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
+    if (s.catalog.functionExists("graft_topk"))
+      // argmax as graft_topk(_, _, 1): the TypedImperativeAggregate keeps
+      // the whole group-by in the ObjectHashAggregate regime — the
+      // max(struct)+first(array) fallback has no hash-friendly buffer and
+      // falls to a SortAggregate pair, i.e. the exploded centroids×vectors
+      // stream gets sorted twice (round-11 verdict #3; PlanSpec pins it).
+      // Tie-break (score DESC, id ASC) is graft_topk's native order =
+      // (ccos DESC, c_id ASC), identical to the fallback and the oracles.
+      cand.groupBy(col("vec_id"))
+        .agg(call_function("graft_topk", col("ccos"), col("c_id"), lit(1)).as("top"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("c_id"),
+          col("v"))
+    else
+      cand.groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_cid"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), (-col("m.neg_cid")).as("c_id"), col("v"))
+  }
 
   /** Per-key exact fixed-point mean vectors: (key, …, v) rows →
     * (key, mv). floor(x·2^20) BIGINT sums are order-free, so the mean is
@@ -210,9 +225,17 @@ object Similarity {
     }
     val seeds = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val trained = Iterator.iterate(seeds)(recenter).drop(KMeansIters).next()
-    val rows = java.util.Arrays.asList(trained.collect(): _*)
-    s.createDataFrame(rows, trained.schema)
+    // Materialize the k-row centroid table driver-side AFTER EVERY round,
+    // not only at the end: recenter references its input `cents` twice
+    // (the means' assignment AND the empty-cluster coalesce join), so a
+    // lazily-chained iterate doubles the round-(i-1) subplan inside round
+    // i — corpus passes grow 2^iters instead of iters (the round-11 q51
+    // cold-fit regression). With a LocalRelation per round, each round is
+    // one flat pass: scan + broadcast argmax + fixed-point mean.
+    def localize(df: DataFrame): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    Iterator.iterate(localize(seeds))(c => localize(recenter(c)))
+      .drop(KMeansIters).next()
   }
 
   /** (q_id, n_id, cos) candidates → per-query top-k, rank 1..k by

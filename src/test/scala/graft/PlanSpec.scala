@@ -59,6 +59,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("row_number"), s"ranking window survives in:\n$p")
   }
 
+  test("q51 centroid assignment stays in the hash-aggregate regime") {
+    // the argmax assignment rides graft_topk(_,_,1) so the exploded
+    // centroids×vectors stream never falls to a SortAggregate pair
+    // (round-11 verdict: PLANS.md q51 nodes 24-28 showed the
+    // max(struct)+first(array) formulation sorting the stream twice)
+    val p = plan("q51_ann_ivf")
+    assert(!p.contains("SortAggregate"), s"SortAggregate survives in:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no ObjectHashAggregate in:\n$p")
+  }
+
   test("q132 dense leg probes the broadcast IVF index through bounded heaps") {
     val p = plan("q132_hybrid_rrf_ivf")
     // centroid index rides a broadcast (k-row LocalRelation), never a shuffle
