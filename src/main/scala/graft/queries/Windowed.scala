@@ -1122,19 +1122,25 @@ object Windowed {
     //      day-grain rows.
     "q174_ewma_baseline" -> Q(
       (s, d) => {
+        // The fold carries ONE copy of the recurrence (the 'prev' CASE)
+        // and appends only the residual; the per-day EWMA is recovered
+        // after the explode from the exact BIGINT identity
+        //   ewma = prev_new = prev_old + (resid >> 2)
+        //        = (n<<20 - resid) + (resid >> 2)
+        // (first day: resid pinned 0, so ewma = n<<20). Duplicating the
+        // CASE tree for a second 'ewma_fp' field invited drift between
+        // the two copies (round-11 advice).
         val fold =
           """aggregate(
             |  ds,
             |  named_struct('prev', CAST(-1 AS BIGINT),
             |    'out', CAST(array() AS
-            |      ARRAY<STRUCT<day: DATE, n: BIGINT, ewma_fp: BIGINT, resid_fp: BIGINT>>)),
+            |      ARRAY<STRUCT<day: DATE, n: BIGINT, resid_fp: BIGINT>>)),
             |  (acc, x) -> named_struct(
             |    'prev', CASE WHEN acc.prev = -1 THEN shiftleft(x.n, 20)
             |      ELSE acc.prev + shiftright(shiftleft(x.n, 20) - acc.prev, 2) END,
             |    'out', array_append(acc.out, named_struct(
             |      'day', x.day, 'n', x.n,
-            |      'ewma_fp', CASE WHEN acc.prev = -1 THEN shiftleft(x.n, 20)
-            |        ELSE acc.prev + shiftright(shiftleft(x.n, 20) - acc.prev, 2) END,
             |      'resid_fp', CASE WHEN acc.prev = -1 THEN CAST(0 AS BIGINT)
             |        ELSE shiftleft(x.n, 20) - acc.prev END))),
             |  acc -> acc.out)""".stripMargin.replace("\n", " ")
@@ -1144,7 +1150,9 @@ object Windowed {
           .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
           .select(explode(expr(fold)).as("r"))
           .select(col("r.day").as("day"), col("r.n").as("n"),
-            col("r.ewma_fp").as("ewma_fp"), col("r.resid_fp").as("resid_fp"))
+            (shiftleft(col("r.n"), 20) - col("r.resid_fp") +
+              shiftright(col("r.resid_fp"), 2)).as("ewma_fp"),
+            col("r.resid_fp").as("resid_fp"))
       },
       Some("""WITH RECURSIVE d AS (SELECT CAST(ts AS DATE) AS day,
              |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

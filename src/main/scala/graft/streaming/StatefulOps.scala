@@ -12,6 +12,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
+  /** Event time at MICROSECOND precision — the same grain the batch
+    * kernels order by ((ts, event_id) on a µs TIMESTAMP column). Every
+    * in-batch sort below must use this, not Timestamp.getTime: ms-grain
+    * ordering diverges from the spec-pinned batch parity whenever two
+    * events share a millisecond but their event_id order disagrees with
+    * the µs order.
+    */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   final case class Attempt(key: String, ok: Boolean, ts: java.sql.Timestamp)
   final case class LedgerState(attempts: Int)
   final case class LedgerOut(key: String, attempts: Int, outcome: String)
@@ -485,7 +495,7 @@ object StatefulOps {
         (uid: Long, rows: Iterator[EvRow], state: GroupState[TransState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            val sorted = rows.toSeq.sortBy(r => (usOf(r.ts), r.event_id))
             var last = state.getOption
             val out = List.newBuilder[TransOut]
             sorted.foreach { r =>
@@ -531,7 +541,7 @@ object StatefulOps {
             var cur = state.getOption.map(_.step).getOrElse(0)
             var maxTs = state.getOption.map(_.lastTs).getOrElse(0L)
             val out = List.newBuilder[FunnelOut]
-            rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            rows.toSeq.sortBy(r => (usOf(r.ts), r.event_id)).foreach { r =>
               maxTs = math.max(maxTs, r.ts.getTime)
               if (cur < steps.length && r.event_type == steps(cur)) {
                 cur += 1
@@ -569,8 +579,6 @@ object StatefulOps {
     import graft.queries.Windowed.{AttrTouch, AttrWindowUs}
     val s = events.sparkSession
     import s.implicits._
-    def usOf(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("value"))
       .withWatermark("ts", delay)
@@ -582,7 +590,7 @@ object StatefulOps {
           else {
             var last = state.getOption
             val out = List.newBuilder[AttrOut]
-            rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            rows.toSeq.sortBy(r => (usOf(r.ts), r.event_id)).foreach { r =>
               if (AttrTouch.contains(r.event_type))
                 last = Some(AttrState(r.event_type, usOf(r.ts)))
               else if (r.event_type == "purchase") {
