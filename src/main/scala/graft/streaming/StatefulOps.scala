@@ -702,6 +702,82 @@ object StatefulOps {
         col("event_type"), col("n"), col("p50"), col("p95"),
         col("min_val"), col("max_val"))
 
+  final case class EwmaIn(gkey: String, day_ms: Long, n: Long)
+  final case class EwmaSt(ewmaFp: Long)
+  final case class EwmaFold(gkey: String, day_ms: Long, n: Long,
+                            ewma_fp: Long, resid_fp: Long)
+
+  /** The q174 recurrence as arbitrary state: per key, ONE fixed-point
+    * BIGINT (the running EWMA). Finalized day-count rows arrive from the
+    * upstream append-mode window aggregate; sorted in-batch by day (the
+    * engine guarantees cross-batch order — a window emits only once the
+    * watermark passes its end, and the watermark is monotonic, so every
+    * day in batch b is strictly later than any day emitted before).
+    * The α-step is the same ARITHMETIC SHIFT as batch q174
+    * (s += (n·2^20 − s) >> 2 — floors identically for negative
+    * residuals), so stream output is bit-identical to the batch fold's
+    * prefix over the finalized days.
+    */
+  final class EwmaProcessor extends StatefulProcessor[String, EwmaIn, EwmaFold] {
+    @transient private var st: ValueState[EwmaSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaSt](
+        "ewma", Encoders.product[EwmaSt], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[EwmaIn],
+        timers: TimerValues): Iterator[EwmaFold] = {
+      val out = List.newBuilder[EwmaFold]
+      rows.toSeq.sortBy(_.day_ms).foreach { r =>
+        val scaled = r.n << 20
+        val (ewma, resid) =
+          if (st.exists()) {
+            val prev = st.get().ewmaFp
+            val d = scaled - prev
+            (prev + (d >> 2), d)
+          } else (scaled, 0L)
+        st.update(EwmaSt(ewma))
+        out += EwmaFold(key, r.day_ms, r.n, ewma, resid)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** q174's intake sibling — the streaming EWMA adaptive-baseline gate:
+    * daily event volume smoothed at α = 1/4 in 2^20 fixed point, emitted
+    * per FINALIZED day as (gkey, day, n, ewma_fp, resid_fp) — the same
+    * columns as batch q174, so a residual gate (|resid_fp| vs a
+    * multiple of the baseline) pages on volume anomalies without
+    * re-deriving anything. Composition: the ONE corpus-sized op is the
+    * distributed day-window aggregate (conditional integer counts,
+    * map-side combine, state ∝ open windows under the watermark); its
+    * append output is day-grain — rows ∝ days — so the sequential fold
+    * downstream ([[EwmaProcessor]], transformWithState) touches a
+    * trickle regardless of event volume, and per-key state is ONE
+    * BIGINT. `keyCol` buckets baselines (e.g. per source); None folds
+    * the global daily volume exactly like q174. Requires the RocksDB
+    * state store provider (transformWithState's contract).
+    */
+  def ewmaMonitor(events: DataFrame, lateness: String,
+                  keyCol: Option[String] = None): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val gkey = keyCol.map(col).getOrElse(lit("all"))
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day"), gkey.as("gkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("gkey"),
+        graft.functions.ParityFns.epochMs(col("window.start")).as("day_ms"),
+        col("n"))
+      .as[EwmaIn]
+      .groupByKey(_.gkey)
+      .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Append())
+      .select(col("gkey"), to_date(timestamp_millis(col("day_ms"))).as("day"),
+        col("n"), col("ewma_fp"), col("resid_fp"))
+  }
+
   /** Streaming keyword tagging — q150's intake sibling: each incoming
     * (doc_id, text) microbatch is tagged with its top-k TF-IDF keywords
     * under a STATIC [[graft.queries.TextAnalysis.tfidfFit]] model (fit

@@ -350,4 +350,51 @@ class CheckpointRestartSpec extends SparkSuite {
       (102L, 1, false), (103L, 0, true)),
       s"expected each doc gated exactly once, got: ${got.mkString(", ")}")
   }
+
+  test("ewmaMonitor restart folds from the restored baseline exactly once") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = tmpDir("ewr_src"); val out = tmpDir("ewr_out"); val ckpt = tmpDir("ewr_ckpt")
+      val schema = StructType.fromDDL("ts TIMESTAMP")
+      def writeRows(name: String, stamps: Seq[String]): Unit =
+        Files.writeString(src.resolve(name),
+          stamps.map(t => s"""{"ts":"$t"}""").mkString("\n"))
+      def startQuery() = graft.streaming.StatefulOps.ewmaMonitor(
+          spark.readStream.schema(schema).json(src.toString), "0 seconds")
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+
+      def day(d: Int, h: Int) = f"2024-01-$d%02dT$h%02d:00:00Z"
+      // phase 1: day 1 ×4, day 2 ×8; one day-3 event closes both days
+      // and leaves day 3 open with state ewma = 5242880 (= (4+1)<<20)
+      writeRows("f1.json",
+        (0 until 4).map(h => day(1, h)) ++ (0 until 8).map(h => day(2, h)) :+
+          day(3, 0))
+      val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+      // phase 2: restart; a second day-3 event (n=2) plus a far pusher
+      // close day 3 — its EWMA must chain from the RESTORED baseline
+      // (lost state would re-seed at 2<<20 with resid 0; replayed state
+      // would re-emit days 1-2)
+      writeRows("f2.json", Seq(day(3, 2), day(30, 0)))
+      val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(out.toString)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("ewma_fp"), col("resid_fp"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("2024-01-01", 4L, 4194304L, 0L),
+        ("2024-01-02", 8L, 5242880L, 4194304L),
+        ("2024-01-03", 2L, 4456448L, -3145728L)),
+        s"each day exactly once, day 3 chained across the restart: $got")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -691,4 +691,107 @@ class StatefulOpsSpec extends SparkSuite {
         s"rare OOV term must rank first for doc 1, got ${got((1L, 1))}")
     } finally q.stop()
   }
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  // 2024-01-01T00:00:00Z
+  private val EwmaBase = 1704067200000L
+  private def dayTs(day: Int, hour: Int): Timestamp =
+    new Timestamp(EwmaBase + (day - 1) * 86400000L + hour * 3600000L)
+
+  test("ewma monitor: stream equals the q174 batch fold prefix over finalized days") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // day counts 4, 8, 2, 6: day 3 shrinks, so its residual is NEGATIVE
+      // and the arithmetic-shift floor branch is exercised on-stream
+      val counts = Seq(4, 8, 2, 6)
+      val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(h => dayTs(d + 1, h)) }
+      val pusher = dayTs(31, 0) // finalizes days 1-4; its own day stays open
+
+      val in = MemoryStream[Timestamp]
+      val q = StatefulOps.ewmaMonitor(in.toDF().toDF("ts"), "0 seconds")
+        .writeStream.format("memory").queryName("ewma_mon")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("ewmamon").toString).start()
+      try {
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        in.addData(pusher)
+        q.processAllAvailable()
+        val got = spark.table("ewma_mon")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("ewma_fp"), col("resid_fp"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+        // batch q174 over the SAME events (pusher included): the stream
+        // must equal its prefix over the finalized days — the fold is
+        // prefix-causal, so days 1-4 are unaffected by the open day 31
+        val dir = tmpDir("ewma_fixture")
+        (rows :+ pusher).toDF("ts").write.mode("overwrite")
+          .parquet(dir.resolve("events.parquet").toString)
+        val batch = graft.queries.Catalog.all("q174_ewma_baseline")
+          .build(spark, dir.toString)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("ewma_fp"), col("resid_fp"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+        assert(batch.size == 5 && got == batch.take(4),
+          s"stream must equal the batch fold prefix:\nstream $got\nbatch  $batch")
+        // pin the fixed-point values themselves (α=1/4, scale 2^20)
+        assert(got.map(_._3) ==
+          Seq(4194304L, 5242880L, 4456448L, 4915200L), s"ewma_fp: $got")
+        assert(got(2)._4 == -3145728L,
+          s"negative residual must floor via arithmetic shift: ${got(2)}")
+      } finally q.stop()
+    }
+  }
+
+  test("ewma monitor: per-key baselines fold independently") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // type a: 2 then 6 events/day; type b: 4 then 4
+      val rows =
+        (0 until 2).map(h => (dayTs(1, h), "a")) ++
+        (0 until 6).map(h => (dayTs(2, h), "a")) ++
+        (0 until 4).map(h => (dayTs(1, 6 + h), "b")) ++
+        (0 until 4).map(h => (dayTs(2, 6 + h), "b"))
+      val in = MemoryStream[(Timestamp, String)]
+      val q = StatefulOps.ewmaMonitor(
+          in.toDF().toDF("ts", "event_type"), "0 seconds", Some("event_type"))
+        .writeStream.format("memory").queryName("ewma_keyed")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("ewmakey").toString).start()
+      try {
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        in.addData((dayTs(31, 0), "zz"))
+        q.processAllAvailable()
+        val got = spark.table("ewma_keyed")
+          .select(col("gkey"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("ewma_fp"), col("resid_fp"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+        val S = 1L << 20
+        assert(got == Seq(
+          // a: seed 2<<20; day 2 resid (6-2)<<20, step resid>>2
+          ("a", "2024-01-01", 2L, 2 * S, 0L),
+          ("a", "2024-01-02", 6L, 2 * S + S, 4 * S),
+          // b: flat volume → resid 0, baseline unchanged
+          ("b", "2024-01-01", 4L, 4 * S, 0L),
+          ("b", "2024-01-02", 4L, 4 * S, 0L)), s"keyed folds: $got")
+      } finally q.stop()
+    }
+  }
 }
