@@ -576,7 +576,6 @@ object StatefulOps {
     * spec-pinned stream ≡ batch on the fixture).
     */
   def attributionMonitor(events: DataFrame, delay: String): Dataset[AttrOut] = {
-    import graft.queries.Windowed.{AttrTouch, AttrWindowUs}
     val s = events.sparkSession
     import s.implicits._
     events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
@@ -585,45 +584,58 @@ object StatefulOps {
       .as[AttrEvRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (uid: Long, rows: Iterator[AttrEvRow], state: GroupState[AttrState]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        attrUpdate(delay, guardWatermark = true))
+  }
+
+  /** [[attributionMonitor]]'s per-group update body, extracted so the
+    * watermark-guard hazard is pinned at GroupState level
+    * (`TestGroupState` — Spark's public unit-test surface for exactly
+    * this): the data-wins-over-timeout trigger cannot be paced
+    * deterministically through MemoryStream, because the engine's
+    * cleanup batch expires the key before a later data batch arrives
+    * when batches drain one at a time (NOTES.md round-11).
+    * `guardWatermark = false` reinstates the unguarded re-arm SOLELY so
+    * the spec can demonstrate the throw; production always guards.
+    */
+  private[graft] def attrUpdate(delay: String, guardWatermark: Boolean)(
+      uid: Long, rows: Iterator[AttrEvRow],
+      state: GroupState[AttrState]): Iterator[AttrOut] = {
+    import graft.queries.Windowed.{AttrTouch, AttrWindowUs}
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var last = state.getOption
+      val out = List.newBuilder[AttrOut]
+      rows.toSeq.sortBy(r => (usOf(r.ts), r.event_id)).foreach { r =>
+        if (AttrTouch.contains(r.event_type))
+          last = Some(AttrState(r.event_type, usOf(r.ts)))
+        else if (r.event_type == "purchase") {
+          val hit = last.filter(l => usOf(r.ts) - l.touchUs <= AttrWindowUs)
+          out += AttrOut(uid, r.ts,
+            hit.map(_.touchType).getOrElse("none"), r.value)
+        }
+      }
+      last match {
+        case Some(l) =>
+          // the timeout anchors to the STORED touch, not this batch's
+          // events. When a key receives data in the same trigger its
+          // timeout would have fired (data invocation wins and
+          // hasTimedOut is false), the stored touch can be older than
+          // the watermark — re-arming then places a timeout in the past
+          // and Spark throws (StatefulOpsSpec forces exactly this with
+          // guardWatermark = false). Expired-by-horizon state is
+          // semantics-free (any later purchase attributes 'none'), so
+          // drop it instead of re-arming.
+          val horizonMs = l.touchUs / 1000L + AttrWindowUs / 1000L
+          if (guardWatermark && horizonMs <= state.getCurrentWatermarkMs())
+            state.remove()
           else {
-            var last = state.getOption
-            val out = List.newBuilder[AttrOut]
-            rows.toSeq.sortBy(r => (usOf(r.ts), r.event_id)).foreach { r =>
-              if (AttrTouch.contains(r.event_type))
-                last = Some(AttrState(r.event_type, usOf(r.ts)))
-              else if (r.event_type == "purchase") {
-                val hit = last.filter(l => usOf(r.ts) - l.touchUs <= AttrWindowUs)
-                out += AttrOut(uid, r.ts,
-                  hit.map(_.touchType).getOrElse("none"), r.value)
-              }
-            }
-            last match {
-              case Some(l) =>
-                // the timeout anchors to the STORED touch, not this
-                // batch's events. When a key receives data in the same
-                // trigger its timeout would have fired (data invocation
-                // wins and hasTimedOut is false), the stored touch can
-                // be older than the watermark — re-arming then places a
-                // timeout in the past and Spark throws. The engine's
-                // post-watermark cleanup batch usually expires the key
-                // first (which is why a MemoryStream test can't force
-                // the throw deterministically), but under production
-                // pacing data can land in that same trigger. Expired-by-
-                // horizon state is semantics-free (any later purchase
-                // attributes 'none'), so drop it instead of re-arming.
-                val horizonMs = l.touchUs / 1000L + AttrWindowUs / 1000L
-                if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
-                else {
-                  state.update(l)
-                  state.setTimeoutTimestamp(horizonMs, delay)
-                }
-              case None => // no touch ever seen — nothing worth keeping
-            }
-            out.result().iterator
+            state.update(l)
+            state.setTimeoutTimestamp(horizonMs, delay)
           }
-        })
+        case None => // no touch ever seen — nothing worth keeping
+      }
+      out.result().iterator
+    }
   }
 
   /** q141's intake sibling: classify each incoming (doc_id, source,

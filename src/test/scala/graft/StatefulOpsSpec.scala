@@ -692,6 +692,53 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("attribution race: data-wins-over-timeout throws unguarded, drops state guarded") {
+    // The hazard (NOTES.md round-11): key state holds a touch whose
+    // attribution horizon the watermark has already passed, and the key
+    // receives data in that same trigger — the engine then runs the DATA
+    // invocation (hasTimedOut = false) with the stale state present.
+    // MemoryStream cannot pace this (processAllAvailable runs the
+    // cleanup batch first, which expires the key), so construct the
+    // trigger directly with Spark's public TestGroupState factory.
+    import StatefulOps.{AttrEvRow, AttrOut, AttrState}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val touchUs = 1704067200000000L // 2024-01-01T00:00:00Z µs
+    val horizonMs = touchUs / 1000L + graft.queries.Windowed.AttrWindowUs / 1000L
+    def raceState = TestGroupState.create[AttrState](
+      Optional.of(AttrState("click", touchUs)),
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1L,
+      eventTimeWatermarkMs = Optional.of(horizonMs + 60000L),
+      hasTimedOut = false)
+    // the arriving row: a purchase 90 s past the horizon — on-time
+    // (its event time is beyond the watermark), attributes 'none', and
+    // leaves the STORED touch as `last`, so the re-arm path runs
+    val purchase = AttrEvRow(7L, new Timestamp(horizonMs + 90000L), 99L,
+      "purchase", 5.0)
+
+    // unguarded body: re-arms the stored horizon, which is now earlier
+    // than the watermark — Spark rejects the timeout
+    val thrown = intercept[IllegalArgumentException] {
+      val st = raceState
+      StatefulOps.attrUpdate("10 seconds", guardWatermark = false)(
+        7L, Iterator(purchase), st).toList
+    }
+    assert(thrown.getMessage.toLowerCase.contains("watermark"),
+      s"expected the timeout-before-watermark rejection, got: $thrown")
+
+    // guarded body: same trigger — emits the 'none' attribution, DROPS
+    // the horizon-expired state, arms no timeout
+    val st = raceState
+    val out = StatefulOps.attrUpdate("10 seconds", guardWatermark = true)(
+      7L, Iterator(purchase), st).toList
+    assert(out == List(AttrOut(7L, new Timestamp(horizonMs + 90000L),
+      "none", 5.0)), s"guarded output: $out")
+    assert(st.isRemoved, "horizon-expired state must be dropped")
+    assert(!st.getTimeoutTimestampMs.isPresent,
+      "no timeout may be armed on dropped state")
+  }
+
   private def withRocksDb(body: => Unit): Unit = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
