@@ -44,6 +44,17 @@ object Windowed {
   val AttrTouch: Seq[String] = Seq("click", "view")
   val AttrWindowUs: Long = 24L * 3600L * 1000000L
 
+  /** q171b: per-purchase touch cap — only the most recent `AttrTouchCap`
+    * in-window touches share a purchase's credit. This bounds the
+    * purchase×touch pair volume at cap·#purchases no matter how dense a
+    * bot user's touch stream is (q171's uncapped pairing is per-user
+    * quadratic: measured ~4B pairs at 10⁵ events/user/day — NOTES.md
+    * round-11 hot-user probe). 2 binds on ~10% of fixture purchases at
+    * sf0.01 (max in-window touches there is 4), so the cap path is
+    * exercised by the oracle; production would run 32-64.
+    */
+  val AttrTouchCap = 2
+
   /** The per-purchase last-touch attribution kernel q168 aggregates and
     * `StatefulOps.attributionMonitor` must agree with: for every
     * purchase event, the user's most recent STRICTLY PRIOR touch event
@@ -1098,6 +1109,97 @@ object Windowed {
               |      AS n_credits,
               |    round(sum(value / n_t), 4) AS revenue
               |  FROM pairs JOIN cnt USING (p_id) GROUP BY 1),
+              |no AS (SELECT 'none' AS touch_type, CAST(count(*) AS BIGINT)
+              |      AS n_credits,
+              |    round(sum(value), 4) AS revenue
+              |  FROM pur WHERE p_id NOT IN (SELECT p_id FROM pairs))
+              |SELECT * FROM cr UNION ALL SELECT * FROM no""".stripMargin)),
+
+    // ---- q171 with the HOT-USER CAP shipped (round-11 verdict #6):
+    //      only the AttrTouchCap most recent in-window touches share a
+    //      purchase's credit, by (t_us DESC, t_id DESC) recency. The
+    //      pair set still forms through the user-grain equi-join, but a
+    //      graft_topk bounded heap collapses each partition's per-
+    //      purchase candidates to ≤ cap rows BEFORE the p_id shuffle —
+    //      so shuffled volume is ≤ cap·#purchases no matter how dense a
+    //      bot user's touches are, where q171's count-window shuffles
+    //      every pair. The heap needs one orderable id: recency encodes
+    //      as (t_us, -(t_id·4 + type)) so score ties pick the LARGEST
+    //      t_id (graft_topk keeps the smallest id), and the touch type
+    //      rides the low bits instead of a decode join. 'none' arm ==
+    //      q171's (a cap ≥ 1 never empties a credited purchase).
+    "q171b_capped_attribution" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us"),
+            col("event_id").as("p_id"), col("value"))
+        val tou = ev.filter(col("event_type").isin(AttrTouch: _*))
+          .select(col("user_id"), col("event_type").as("t_ty"),
+            col("us").as("t_us"), col("event_id").as("t_id"))
+        val pairs = pur.join(tou, Seq("user_id"))
+          .filter((col("t_us") < col("p_us") ||
+            (col("t_us") === col("p_us") && col("t_id") < col("p_id"))) &&
+            col("p_us") - col("t_us") <= AttrWindowUs)
+        val kept =
+          if (s.catalog.functionExists("graft_topk")) {
+            val enc = col("t_id") * 4 +
+              when(col("t_ty") === AttrTouch.head, 0L).otherwise(1L)
+            pairs
+              .groupBy(col("p_id"))
+              .agg(call_function("graft_topk", col("t_us").cast("double"),
+                (-enc).as("nid"), lit(AttrTouchCap)).as("top"),
+                first(col("value")).as("value"))
+              .select(col("p_id"), col("value"),
+                size(col("top")).cast("long").as("n_t"),
+                explode(col("top.id")).as("nid"))
+              .select(col("p_id"), col("value"), col("n_t"),
+                when(pmod(-col("nid"), lit(4)) === 0, AttrTouch.head)
+                  .otherwise(AttrTouch(1)).as("t_ty"))
+          } else {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("p_id"))
+              .orderBy(col("t_us").desc, col("t_id").desc)
+            pairs.withColumn("rk", row_number().over(w))
+              .filter(col("rk") <= AttrTouchCap)
+              .withColumn("n_t",
+                count(lit(1)).over(Window.partitionBy(col("p_id"))))
+              .select(col("p_id"), col("value"), col("n_t"), col("t_ty"))
+          }
+        val credited = kept
+          .groupBy(col("t_ty"))
+          .agg(count(lit(1)).as("n_credits"),
+            round(sum(col("value") / col("n_t")), 4).as("revenue"))
+          .select(col("t_ty").as("touch_type"), col("n_credits"), col("revenue"))
+        val none = pur
+          .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+          .agg(count(lit(1)).as("n_credits"),
+            round(sum(col("value")), 4).as("revenue"))
+          .select(lit("none").as("touch_type"), col("n_credits"), col("revenue"))
+        credited.unionByName(none)
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us,
+              |    event_id FROM events),
+              |pur AS (SELECT user_id, us AS p_us, event_id AS p_id, value
+              |  FROM ev WHERE event_type = 'purchase'),
+              |tou AS (SELECT user_id, event_type AS t_ty, us AS t_us,
+              |    event_id AS t_id FROM ev WHERE event_type IN ('click','view')),
+              |pairs AS (SELECT p.p_id, p.value, t.t_ty, t.t_us, t.t_id
+              |  FROM pur p JOIN tou t ON t.user_id = p.user_id
+              |  AND (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id))
+              |  AND p.p_us - t.t_us <= ${AttrWindowUs}),
+              |kept AS (SELECT p_id, value, t_ty FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY p_id
+              |    ORDER BY t_us DESC, t_id DESC) AS rk FROM pairs)
+              |  WHERE rk <= $AttrTouchCap),
+              |cnt AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n_t
+              |  FROM kept GROUP BY 1),
+              |cr AS (SELECT t_ty AS touch_type, CAST(count(*) AS BIGINT)
+              |      AS n_credits,
+              |    round(sum(value / n_t), 4) AS revenue
+              |  FROM kept JOIN cnt USING (p_id) GROUP BY 1),
               |no AS (SELECT 'none' AS touch_type, CAST(count(*) AS BIGINT)
               |      AS n_credits,
               |    round(sum(value), 4) AS revenue

@@ -470,10 +470,12 @@ object ScaleProbe {
       // hot-user worst case: ONE bot user with k·5000 events all inside
       // a single 24 h span — q171's per-user pair fan-out is quadratic
       // in that user's touch density (purchases × touches: ~k²·2M
-      // pairs here), while q168's single window pass stays linear.
-      // This measures where the documented per-user bound becomes
-      // binding; the mitigation at real scale is a per-purchase
-      // touch cap or routing such keys to q168's last-touch model.
+      // pairs here), while q168's single window pass stays linear and
+      // q171b's bounded heap collapses each purchase's candidates to
+      // ≤ AttrTouchCap rows BEFORE the p_id shuffle (the shipped
+      // mitigation — round-11 verdict #6). The pair census prints both
+      // volumes: `pairs` grows ~k², `kept/purchase` stays pinned at the
+      // cap — the flat-volume proof.
       Seq(2, 4, 8).foreach { k =>
         val probeDir = s"/tmp/attr_hot_$k"
         val hot = src.limit(5000)
@@ -484,9 +486,30 @@ object ScaleProbe {
             expr("timestamp_micros(CAST(1704067200000000 + ((event_id + i * 5000) % 86400) * 1000000 AS BIGINT))").as("ts"),
             lit(0L).as("user_id"), col("event_type"), col("value"), col("props"))
         hot.repartition(32).write.mode("overwrite").parquet(s"$probeDir/events.parquet")
-        Seq("q168_conversion_attribution", "q171_linear_attribution").foreach { q =>
+        Seq("q168_conversion_attribution", "q171_linear_attribution",
+            "q171b_capped_attribution").foreach { q =>
           time(s"$q@hot${k}x")(queries.Catalog.all(q).build(spark, probeDir).count())
         }
+        // pair census: uncapped pair volume vs heap-kept rows
+        val ev = Tables(spark, probeDir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us"), col("event_id").as("p_id"))
+        val tou = ev.filter(col("event_type").isin(queries.Windowed.AttrTouch: _*))
+          .select(col("user_id"), col("us").as("t_us"), col("event_id").as("t_id"))
+        val pairs = pur.join(tou, Seq("user_id"))
+          .filter((col("t_us") < col("p_us") ||
+            (col("t_us") === col("p_us") && col("t_id") < col("p_id"))) &&
+            col("p_us") - col("t_us") <= queries.Windowed.AttrWindowUs)
+        val perP = pairs.groupBy(col("p_id")).count()
+        val row = perP.agg(sum(col("count")).as("pairs"),
+          sum(least(col("count"), lit(queries.Windowed.AttrTouchCap.toLong)))
+            .as("kept"), count(lit(1)).as("purchases")).first()
+        println(f"hot${k}x pair census: pairs=${row.getLong(0)}%,d " +
+          f"kept=${row.getLong(1)}%,d purchases=${row.getLong(2)}%,d " +
+          f"kept/purchase=${row.getLong(1).toDouble / row.getLong(2)}%.2f " +
+          f"(cap=${queries.Windowed.AttrTouchCap})")
       }
     } else if (args.lift(1).contains("--rank")) {
       // PageRank round-cost probe: per-round seconds at a deeper
