@@ -27,6 +27,10 @@ final case class A2Config(
     kinesisMaxConnections: Int = 1,
     kinesisRequestTimeoutMs: Int = 30000,
     kinesisMaxBufferedTimeMs: Int = 5000,
+    kinesisStream: Option[String] = None,
+    kinesisRegion: Option[String] = None,
+    kinesisAccessKey: Option[String] = None,
+    kinesisAccessSecret: Option[String] = None,
     workDir: Option[String] = None,
     mirrorPath: Option[String] = None) {
 
@@ -41,6 +45,14 @@ final case class A2Config(
     require(kafkaServers.isDefined && kafkaTopic.isDefined && kafkaClientId.isDefined,
       "a2.kafka.servers, a2.kafka.topic, a2.kafka.client.id are mandatory for kafka")
   }
+  if (targetBroker == "kinesis") {
+    // reference KinesisSingleton.java:71-94: stream, region, access key
+    // and secret are each mandatory (fatal + exit there; fail-fast here)
+    require(kinesisStream.isDefined && kinesisRegion.isDefined &&
+      kinesisAccessKey.isDefined && kinesisAccessSecret.isDefined,
+      "a2.kinesis.stream, a2.kinesis.region, a2.kinesis.access.key, " +
+        "a2.kinesis.access.secret are mandatory for kinesis")
+  }
 
   /** Kafka sink options for `writeStream.format("kafka")` — every
     * `a2.kafka.*` key maps 1:1 onto a `kafka.*` sink option
@@ -53,6 +65,23 @@ final case class A2Config(
       "kafka.client.id" -> kafkaClientId.getOrElse(""),
       "kafka.compression.type" -> kafkaCompression) ++
       kafkaOptions.map { case (k, v) => s"kafka.$k" -> v }
+
+  /** Kinesis client settings for the transport behind the seam
+    * ([[graft.sinks.ShipSinks.kinesisSeam]]) — the typed form of what
+    * KinesisSingleton.java:70-157 feeds its producer configuration:
+    * identity/endpoint plus the tuning knobs (connections, timeout,
+    * max buffered time). Keys are the reference property names with the
+    * `a2.` prefix stripped, so a transport adapter can consume them
+    * without re-parsing the properties file.
+    */
+  def kinesisClientSettings: Map[String, String] = Map(
+    "kinesis.stream" -> kinesisStream.getOrElse(""),
+    "kinesis.region" -> kinesisRegion.getOrElse(""),
+    "kinesis.access.key" -> kinesisAccessKey.getOrElse(""),
+    "kinesis.access.secret" -> kinesisAccessSecret.getOrElse(""),
+    "kinesis.max.connections" -> kinesisMaxConnections.toString,
+    "kinesis.request.timeout" -> kinesisRequestTimeoutMs.toString,
+    "kinesis.request.record.max.buffered.time" -> kinesisMaxBufferedTimeMs.toString)
 
   /** Agent working directories (graft.Agent): the settle-gate target the
     * stream actually watches, checkpoint, DLQ, and (mirror target only)
@@ -157,6 +186,10 @@ object A2Config {
       kinesisRequestTimeoutMs = get("a2.kinesis.request.timeout").map(_.toInt).getOrElse(30000),
       kinesisMaxBufferedTimeMs =
         get("a2.kinesis.request.record.max.buffered.time").map(_.toInt).getOrElse(5000),
+      kinesisStream = get("a2.kinesis.stream"),
+      kinesisRegion = get("a2.kinesis.region"),
+      kinesisAccessKey = get("a2.kinesis.access.key"),
+      kinesisAccessSecret = get("a2.kinesis.access.secret"),
       workDir = get("a2.agent.work.dir"),
       mirrorPath = get("a2.mirror.path"))
   }

@@ -37,6 +37,10 @@ class AgentSpec extends SparkSuite {
          |a2.settle.delay.ms = 100
          |a2.target.broker = $broker
          |a2.agent.work.dir = $work
+         |a2.kinesis.stream = audit-stream
+         |a2.kinesis.region = us-east-1
+         |a2.kinesis.access.key = AK
+         |a2.kinesis.access.secret = SK
          |""".stripMargin)
     f
   }

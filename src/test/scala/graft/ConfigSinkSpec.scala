@@ -16,6 +16,11 @@ class ConfigSinkSpec extends SparkSuite {
     "a2.kafka.topic" -> "audit",
     "a2.kafka.client.id" -> "graft-1")
 
+  private val kinesisKeys = Map(
+    "a2.target.broker" -> "kinesis",
+    "a2.kinesis.stream" -> "audit-stream", "a2.kinesis.region" -> "us-east-1",
+    "a2.kinesis.access.key" -> "AK", "a2.kinesis.access.secret" -> "SK")
+
   test("kafka config maps a2.* keys 1:1 onto sink options") {
     val cfg = A2Config.fromProperties(base ++ Map(
       "a2.kafka.batch.size" -> "65536", "a2.kafka.linger.ms" -> "50"))
@@ -69,9 +74,8 @@ class ConfigSinkSpec extends SparkSuite {
   }
 
   test("non-kafka broker ignores leftover kafka security keys (reference parity)") {
-    val cfg = A2Config.fromProperties(base ++ Map(
-      "a2.target.broker" -> "kinesis",
-      "a2.kafka.security.protocol" -> "SSL")) // no truststore — would throw for kafka
+    val cfg = A2Config.fromProperties(base ++ kinesisKeys +
+      ("a2.kafka.security.protocol" -> "SSL")) // no truststore — would throw for kafka
     assert(cfg.kafkaOptions.isEmpty)
   }
 
@@ -125,7 +129,7 @@ class ConfigSinkSpec extends SparkSuite {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.nio.charset.StandardCharsets.UTF_8
-    val cfg = A2Config.fromProperties(base + ("a2.target.broker" -> "kinesis")
+    val cfg = A2Config.fromProperties(base ++ kinesisKeys
       - "a2.kafka.servers" - "a2.kafka.topic" - "a2.kafka.client.id")
     assert(cfg.kinesisSizeThreshold == 512) // reference default
     val small = "<Audit>" + "a" * 100 + "</Audit>"
@@ -161,9 +165,34 @@ class ConfigSinkSpec extends SparkSuite {
     assert(new String(Gzip.decompress(wire), UTF_8) == big)
   }
 
+  test("kinesis identity/endpoint keys are typed and mandatory (KinesisSingleton parity)") {
+    val cfg = A2Config.fromProperties(base ++ kinesisKeys ++ Map(
+      "a2.kinesis.max.connections" -> "4", "a2.kinesis.request.timeout" -> "60000"))
+    assert(cfg.kinesisStream.contains("audit-stream") &&
+      cfg.kinesisRegion.contains("us-east-1"))
+    val cs = cfg.kinesisClientSettings
+    assert(cs("kinesis.stream") == "audit-stream" &&
+      cs("kinesis.region") == "us-east-1" &&
+      cs("kinesis.access.key") == "AK" && cs("kinesis.access.secret") == "SK" &&
+      cs("kinesis.max.connections") == "4" &&
+      cs("kinesis.request.timeout") == "60000" &&
+      cs("kinesis.request.record.max.buffered.time") == "5000")
+    // each identity key is mandatory for the kinesis broker — the
+    // reference logs fatal and exits (KinesisSingleton.java:71-94)
+    Seq("a2.kinesis.stream", "a2.kinesis.region",
+        "a2.kinesis.access.key", "a2.kinesis.access.secret").foreach { k =>
+      intercept[IllegalArgumentException] {
+        A2Config.fromProperties(base ++ kinesisKeys - k)
+      }
+    }
+    // ...but never demanded for other brokers (kafka config above
+    // carries no kinesis keys and loads fine)
+    assert(A2Config.fromProperties(base).kinesisStream.isEmpty)
+  }
+
   test("kinesis frame gzips only above the threshold, round-trips") {
     import spark.implicits._
-    val cfg = A2Config.fromProperties(base + ("a2.target.broker" -> "kinesis")
+    val cfg = A2Config.fromProperties(base ++ kinesisKeys
       - "a2.kafka.servers" - "a2.kafka.topic" - "a2.kafka.client.id")
     val df = Seq(("k1", "small"), ("k2", "y" * 2000)).toDF("key", "value")
     val out = ShipSinks.kinesisFrame(df, cfg)
