@@ -817,15 +817,24 @@ object Pipeline {
       (s, d) => {
         val frac = expr(
           "conv(substr(md5(source), 1, 8), 16, 10) / 4294967296.0")
+        // two-level aggregate: the corpus-sized phase carries only LONG
+        // buffers (count/sum) at (split, source) grain so it stays in
+        // HashAggregate — a flat countDistinct+min(source) pulls a
+        // STRING min buffer into the corpus phase and the whole scan
+        // falls to SortAggregate (sorts the corpus per partition). The
+        // #splits×#sources-grain finish computes the distinct count
+        // (groups are distinct by construction) and the string min.
         Tables.spread(Tables(s, d, "documents"))
           .select(col("source"), size(split(col("text"), " ")).as("n_tok"),
             when(frac < GroupTrainFrac, "train")
               .when(frac < GroupValCut, "val")
               .otherwise("test").as("split"))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok"))
           .groupBy(col("split"))
-          .agg(countDistinct(col("source")).as("n_sources"),
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).as("total_tokens"),
+          .agg(count(lit(1)).as("n_sources"),
+            sum(col("n")).as("n_docs"),
+            sum(col("tok")).as("total_tokens"),
             min(col("source")).as("first_source"))
       },
       Some(s"""WITH a AS (SELECT source, len(string_split(text, ' ')) AS n_tok,

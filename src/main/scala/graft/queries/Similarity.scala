@@ -1020,16 +1020,38 @@ object Similarity {
         val j = knnEdges(s, d)
           .join(lab.select(col("vec_id").as("q_id"), col("label").as("a_label")), "q_id")
           .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
-        j.groupBy(col("q_id"), col("a_label"))
-          .agg(
-            max(when(col("n_label") === col("a_label"),
-              struct(col("cos"), (-col("n_id")).as("nid")))).as("p"),
-            max(when(col("n_label") =!= col("a_label"),
-              struct(col("cos"), (-col("n_id")).as("nid")))).as("ng"))
-          .filter(col("p").isNotNull && col("ng").isNotNull)
-          .select(col("q_id").as("anchor_id"), col("a_label").as("label"),
-            (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
-            (-col("ng.nid")).as("neg_id"), col("ng.cos").as("neg_cos"))
+        if (s.catalog.functionExists("graft_topk"))
+          // conditional argmax as graft_topk(_,_,1) over a null-masked
+          // score (null inputs are skipped): the TypedImperativeAggregate
+          // keeps the edge-set aggregate in ObjectHashAggregate where the
+          // conditional max(struct) pair fell to SortAggregate — i.e. the
+          // n·KnnK edge stream got sorted per partition (the q51 class).
+          // graft_topk's (score DESC, id ASC) order == (cos, -n_id) max.
+          j.groupBy(col("q_id"), col("a_label"))
+            .agg(
+              call_function("graft_topk",
+                when(col("n_label") === col("a_label"), col("cos")),
+                col("n_id"), lit(1)).as("p"),
+              call_function("graft_topk",
+                when(col("n_label") =!= col("a_label"), col("cos")),
+                col("n_id"), lit(1)).as("ng"))
+            .filter(size(col("p")) > 0 && size(col("ng")) > 0)
+            .select(col("q_id").as("anchor_id"), col("a_label").as("label"),
+              col("p").getItem(0).getField("id").as("pos_id"),
+              col("p").getItem(0).getField("score").as("pos_cos"),
+              col("ng").getItem(0).getField("id").as("neg_id"),
+              col("ng").getItem(0).getField("score").as("neg_cos"))
+        else
+          j.groupBy(col("q_id"), col("a_label"))
+            .agg(
+              max(when(col("n_label") === col("a_label"),
+                struct(col("cos"), (-col("n_id")).as("nid")))).as("p"),
+              max(when(col("n_label") =!= col("a_label"),
+                struct(col("cos"), (-col("n_id")).as("nid")))).as("ng"))
+            .filter(col("p").isNotNull && col("ng").isNotNull)
+            .select(col("q_id").as("anchor_id"), col("a_label").as("label"),
+              (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+              (-col("ng.nid")).as("neg_id"), col("ng.cos").as("neg_cos"))
       },
       Some(knnOracleCte + """,
            |lab AS (SELECT vec_id, label FROM embeddings),

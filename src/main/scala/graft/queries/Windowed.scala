@@ -622,16 +622,22 @@ object Windowed {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
+        // the corpus-sized accuracy aggregate carries only LONG buffers
+        // (count + conditional sum) so it stays in HashAggregate; a
+        // first(pred_next) here pulls a STRING First buffer into the
+        // corpus phase and the whole lag stream falls to SortAggregate.
+        // pred_next is functionally determined by the key, so it
+        // re-attaches via the same broadcast at #types grain instead.
         Tables(s, d, "events")
           .select(col("user_id"), col("event_type").as("nxt"),
             lag(col("event_type"), 1).over(w).as("prev_type"))
           .filter(col("prev_type").isNotNull)
           .join(broadcast(pred), Seq("prev_type"))
           .groupBy(col("prev_type"))
-          .agg(first(col("pred_next")).as("pred_next"),
-            count(lit(1)).as("n"),
+          .agg(count(lit(1)).as("n"),
             sum(when(col("nxt") === col("pred_next"), 1L).otherwise(0L))
               .as("n_correct"))
+          .join(broadcast(pred), Seq("prev_type"))
           .select(col("prev_type"), col("pred_next"), col("n"), col("n_correct"),
             (col("n_correct").cast("double") / col("n").cast("double"))
               .as("accuracy"))

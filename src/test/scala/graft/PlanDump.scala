@@ -19,7 +19,7 @@ object PlanDump {
     "q41_dedup_minhash" -> "collapse → native signature kernel → band buckets → verify-first pair dedup → expansion",
     "q43_ngram_jaccard" -> "collapse → hashed inverted index (graft_hash60 keys) → capped posting lists → expansion",
     "q45_simhash_hamming" -> "collapse → two-level 14-bit band keys (exact at ham ≤ 3 by double pigeonhole) → capped buckets → expansion",
-    "q51_ann_ivf" -> "IVF: k-means-trained centroids (fixed-point means, persisted), struct-max argmax partial-aggregates map-side before the shuffle",
+    "q51_ann_ivf" -> "IVF: k-means-trained centroids (fixed-point means, per-round LocalRelation), graft_topk(_,_,1) argmax keeps assignment in ObjectHashAggregate — no SortAggregate pair, partial-aggregates map-side before the shuffle",
     "q52_ann_lsh" -> "SRP ANN: graft_srpsig per-row sketch, vector-free Hamming pass, graft_topk candidate collapse, broadcast re-rank",
     "q64_tf_topterms" -> "explode→agg absorbed by partial aggregation, TakeOrderedAndProject limit",
     "q90_pipeline" -> "composed corpus build: stateless gates in the scan stage, 32-byte sha2 dedup shuffle, payload re-joined by canonical id",
@@ -91,6 +91,7 @@ object PlanDump {
     "q169_conversion_lag" -> "conversion lag: two chained user-grain min-ts hash-aggs, user-grain equijoin, ≤64-bucket integer-log2 re-aggregate, broadcast 1-row total",
     "q170_quantile_sketch" -> "quantile sketch: GK percentile_approx per group beside exact order statistics off the cents-grain cumulative window (partitioned by group, bounded by the price domain); all bracket joins are #groups-row broadcasts",
     "q171_linear_attribution" -> "linear attribution: purchase×touch pair join is a user-grain EQUI join with the lookback range as a join filter, per-purchase count over the p_id-partitioned bounded pair window, ≤4-arm aggregate",
+    "q171b_capped_attribution" -> "capped attribution: the same user-grain pair join, then graft_topk bounded heap collapses per-purchase candidates to ≤ cap rows BEFORE the p_id shuffle — shuffled volume ≤ cap·#purchases under any hot-user density",
     "q172_group_split" -> "group split: scan-stage md5(source) coin — no group-table join; one #splits-grain aggregate with a distinct-source re-aggregate",
     "q173_split_leakage" -> "split leakage: q41's capped banded pair pipeline (≪ corpus) drives two doc-id equijoins against the scan-stage coin assignment; C(#splits,2)-grain output",
     "q174_ewma_baseline" -> "EWMA baseline: one corpus-sized day hash-agg, day-grain collect + aggregate-HOF fold (rows ∝ days), explode back to day grain — the sequential recurrence never touches corpus-sized data")

@@ -69,6 +69,43 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate"), s"no ObjectHashAggregate in:\n$p")
   }
 
+  test("q140 conditional argmax over the edge set stays in the hash regime") {
+    // the pos/neg selection rides null-masked graft_topk(_,_,1): the
+    // conditional max(struct) pair pulled the n·KnnK edge stream into a
+    // per-partition sort (the q51 class)
+    val p = plan("q140_contrastive_pairs")
+    assert(!p.contains("SortAggregate"), s"SortAggregate survives in:\n$p")
+  }
+
+  test("q159/q172 corpus-sized aggregate phases never fall to SortAggregate") {
+    // both queries keep STRING-buffer aggregates (min/first of a string)
+    // out of the corpus-sized phase: the corpus aggregates carry only
+    // LONG buffers (hash regime); the string finish runs at reduced
+    // grain. Structural pin: every SortAggregate in the executed plan
+    // must sit ABOVE some hash aggregate (i.e. consume already-reduced
+    // input), never directly on the scan/window stream.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def hashBelow(p: SparkPlan): Boolean = p.exists {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec => true
+      case _ => false
+    }
+    Seq("q159_transition_accuracy", "q172_group_split").foreach { name =>
+      val df = Catalog.all(name).build(spark, sf())
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val offenders = executed.collect {
+        case s: SortAggregateExec if !s.children.exists(hashBelow) => s.nodeName
+      }
+      assert(offenders.isEmpty,
+        s"$name: SortAggregate over un-reduced input:\n$executed")
+    }
+  }
+
   test("q132 dense leg probes the broadcast IVF index through bounded heaps") {
     val p = plan("q132_hybrid_rrf_ivf")
     // centroid index rides a broadcast (k-row LocalRelation), never a shuffle
