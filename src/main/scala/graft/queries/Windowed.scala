@@ -1276,6 +1276,53 @@ object Windowed {
              |  FROM rec r JOIN idx x ON x.i = r.i + 1)
              |SELECT day, n, ewma_fp, resid_fp FROM rec""".stripMargin)),
 
+    // ---- weekday seasonality profile — q174's multiplicative sibling:
+    //      per weekday, the ratio of that weekday's average daily volume
+    //      to the overall average (the seasonal index a volume pager
+    //      divides out before thresholding, so "every Sunday is quiet"
+    //      stops paging). Weekday derives from the EPOCH DAY NUMBER
+    //      mod 7 (day 0 = 1970-01-01, a Thursday) — both engines
+    //      compute it as integer date arithmetic, where the engines'
+    //      native dayofweek() functions disagree on week start.
+    //      Parity: counts and day tallies are exact BIGINTs; the index
+    //      is ONE fixed tree of correctly-rounded IEEE ops over them
+    //      (the q160 z precedent) — CAST(sum_w·days_all AS DOUBLE) /
+    //      CAST(days_w·sum_all AS DOUBLE); the BIGINT products stay
+    //      exact far past 100 TB row counts (~1e16 « 2^63). 100 TB
+    //      shape: ONE corpus-sized day hash-agg (q174's), then all math
+    //      at ≤7-row grain with broadcast 1-row totals.
+    "q175_weekday_profile" -> Q(
+      (s, d) => {
+        val days = Tables(s, d, "events")
+          .groupBy(expr("CAST(ts AS DATE)").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)")
+            .as("dow"), col("n"))
+        val byDow = days.groupBy(col("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+        val tot = days.agg(count(lit(1)).as("t_days"),
+          sum(col("n")).as("t_events"))
+        byDow.crossJoin(broadcast(tot))
+          .select(col("dow"), col("n_days"), col("n_events"),
+            (col("n_events").cast("double") / col("n_days").cast("double"))
+              .as("day_avg"),
+            (expr("CAST(n_events * t_days AS DOUBLE)") /
+              expr("CAST(n_days * t_events AS DOUBLE)")).as("season_idx"))
+      },
+      Some("""WITH days AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |dw AS (SELECT CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow,
+             |    n FROM days),
+             |bydow AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(n) AS BIGINT) AS n_events FROM dw GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_days,
+             |    CAST(sum(n) AS BIGINT) AS t_events FROM dw)
+             |SELECT dow, n_days, n_events,
+             |  CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS day_avg,
+             |  CAST(n_events * t_days AS DOUBLE) /
+             |    CAST(n_days * t_events AS DOUBLE) AS season_idx
+             |FROM bydow CROSS JOIN tot""".stripMargin)),
+
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
     "q66_window_ranks" -> Q(
