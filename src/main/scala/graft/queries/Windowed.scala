@@ -55,6 +55,12 @@ object Windowed {
     */
   val AttrTouchCap = 2
 
+  /** q176 deviation denominator: a day pages when its count deviates
+    * more than mean/AnomalyDenom from its weekday's mean. See the q176
+    * comment for why the fixture needs 32 where production runs 2-4.
+    */
+  val AnomalyDenom = 32
+
   /** The per-purchase last-touch attribution kernel q168 aggregates and
     * `StatefulOps.attributionMonitor` must agree with: for every
     * purchase event, the user's most recent STRICTLY PRIOR touch event
@@ -1322,6 +1328,53 @@ object Windowed {
              |  CAST(n_events * t_days AS DOUBLE) /
              |    CAST(n_days * t_events AS DOUBLE) AS season_idx
              |FROM bydow CROSS JOIN tot""".stripMargin)),
+
+    // ---- weekday-ADJUSTED volume anomaly — the q175 index applied:
+    //      flag days whose count deviates more than mean/AnomalyDenom
+    //      from their own WEEKDAY's mean, so a quiet Sunday stops paging
+    //      and a loud Sunday still does (q161's trailing z pages on
+    //      both). The deviation test is EXACT integer arithmetic —
+    //      AnomalyDenom·|n·days_w − events_w| > events_w ⇔
+    //      |n − mean_w| > mean_w/AnomalyDenom — so no float threshold
+    //      can drift cross-engine; day_avg is the single division
+    //      emitted for the reader. AnomalyDenom = 32 (±3.1%) because
+    //      the synthetic fixture's daily volumes are near-uniform (max
+    //      weekday-relative deviation 8.5% at sf0.01 / 4.6% at sf0.1 —
+    //      a production pager runs 2-4, i.e. ±50%-±25%); 32 flags days
+    //      at BOTH test scales so the filter arm is oracle-exercised.
+    //      100 TB shape: one corpus-sized day hash-agg, ≤7-row weekday
+    //      table broadcast back to day grain, output ∝ flagged days.
+    "q176_weekday_anomaly" -> Q(
+      (s, d) => {
+        val days = Tables(s, d, "events")
+          .groupBy(expr("CAST(ts AS DATE)").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("day"),
+            expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)").as("dow"),
+            col("n"))
+        val byDow = days.groupBy(col("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+        days.join(broadcast(byDow), Seq("dow"))
+          .filter(abs(col("n") * col("n_days") - col("n_events")) *
+            AnomalyDenom > col("n_events"))
+          .select(col("day"), col("dow"), col("n"),
+            (col("n_events").cast("double") / col("n_days").cast("double"))
+              .as("day_avg"),
+            when(col("n") * col("n_days") > col("n_events"), "high")
+              .otherwise("low").as("direction"))
+      },
+      Some(s"""WITH days AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |dw AS (SELECT day, CAST((day - DATE '1970-01-01') % 7 AS INT)
+             |    AS dow, n FROM days),
+             |bydow AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(n) AS BIGINT) AS n_events FROM dw GROUP BY 1)
+             |SELECT day, dow, n,
+             |  CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS day_avg,
+             |  CASE WHEN n * n_days > n_events THEN 'high' ELSE 'low' END
+             |    AS direction
+             |FROM dw JOIN bydow USING (dow)
+             |WHERE abs(n * n_days - n_events) * $AnomalyDenom > n_events""".stripMargin)),
 
     // ---- Q20/Q21 completeness: dense_rank/ntile/percent_rank/cume_dist
     //      and first/last over explicit frames
