@@ -56,6 +56,12 @@ def compare(name, spark_df, duck_df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: --json <path> additionally writes the driver-shaped
+    # CORRECTNESS dict (name -> rows/schema/hash match booleans)
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -81,6 +87,9 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": 0,
+                             "oracle_rows": None, "err": "no spark output"}
             n_fail += 1
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
@@ -88,9 +97,20 @@ def main():
             duck_df = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {str(e)[:200]}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": int(len(spark_df)),
+                             "oracle_rows": None, "err": f"oracle error {str(e)[:200]}"}
             n_fail += 1
             continue
         err = compare(name, spark_df, duck_df)
+        results[name] = {
+            "rows_match": not (err or "").startswith("ROWS"),
+            "schema_match": not (err or "").startswith(("SCHEMA", "DTYPE")),
+            "hash_match": err is None,
+            "spark_rows": int(len(spark_df)),
+            "oracle_rows": int(len(duck_df)),
+            "err": err,
+        }
         if err:
             print(f"FAIL {name}: {err}")
             n_fail += 1
@@ -105,6 +125,10 @@ def main():
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"rows {name}: {n}")
     print(f"== {n_ok} ok, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"json written to {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
