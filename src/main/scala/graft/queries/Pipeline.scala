@@ -1533,8 +1533,87 @@ object Pipeline {
              |       WHEN nd IS NULL THEN 'removed'
              |       WHEN od <> nd THEN 'changed' ELSE 'same' END AS status
              |FROM j
-             |WHERE od IS NULL OR nd IS NULL OR od <> nd""".stripMargin))
+             |WHERE od IS NULL OR nd IS NULL OR od <> nd""".stripMargin)),
+
+    // ---- Z-order layout clustering — the OPTIMIZE ZORDER verb: assign
+    //      every event a Morton-interleaved (user, day) cluster key so a
+    //      corpus written bucket-by-bucket prunes on BOTH dimensions
+    //      (a user_id-sorted layout answers day predicates with a full
+    //      scan, and vice versa). The key is pure scan-stage integer
+    //      arithmetic — normalize each dim to 8 bits against broadcast
+    //      corpus bounds, interleave with the 3-step shift/mask spread —
+    //      and the bucket is the key's top 6 bits, so NO global sort
+    //      ever happens (range-partition-by-z is the cluster write path;
+    //      the bit-prefix bucket is its sort-free equivalent). Output is
+    //      the per-bucket bounding-box audit: every bucket's user span
+    //      and day span are ≤ ~1/8 of the corpus range (ZOrderSpec pins
+    //      the exact bound), which IS the multi-dim pruning guarantee.
+    //      Parity: one shared Morton template renders to shiftleft()/div
+    //      for Spark and <<//" for DuckDB; all arithmetic exact BIGINT.
+    //      100 TB shape: 1-row bounds broadcast (q125's class), scan-
+    //      stage key, one ≤64-grain hash agg.
+    "q178_zorder_layout" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+            .as("dday"))
+        val bounds = ev.agg(min(col("user_id")).as("umin"),
+          max(col("user_id")).as("umax"),
+          min(col("dday")).as("dmin"), max(col("dday")).as("dmax"))
+        ev.crossJoin(broadcast(bounds))
+          .withColumn("u8",
+            expr("(user_id - umin) * 256 div (umax - umin + 1)"))
+          .withColumn("d8", expr("(dday - dmin) * 256 div (dmax - dmin + 1)"))
+          .withColumn("z",
+            expr(mortonZ16("u8", "d8", (x, n) => s"shiftleft($x, $n)")))
+          .groupBy(expr("z div 1024").as("bucket"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+            min(col("dday")).as("d_min"), max(col("dday")).as("d_max"))
+          .select(col("bucket"), col("n_events"),
+            col("u_min"), col("u_max"), col("d_min"), col("d_max"),
+            (col("u_max") - col("u_min")).as("u_span"),
+            (col("d_max") - col("d_min")).as("d_span"))
+      },
+      Some {
+        val z = mortonZ16("u8", "d8", (x, n) => s"($x << $n)")
+        s"""WITH zev AS (SELECT user_id,
+           |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dday
+           |  FROM events),
+           |zb AS (SELECT CAST(min(user_id) AS BIGINT) AS umin,
+           |    CAST(max(user_id) AS BIGINT) AS umax,
+           |    min(dday) AS dmin, max(dday) AS dmax FROM zev),
+           |znm AS (SELECT user_id, dday,
+           |    ((user_id - umin) * 256) // (umax - umin + 1) AS u8,
+           |    ((dday - dmin) * 256) // (dmax - dmin + 1) AS d8
+           |  FROM zev CROSS JOIN zb),
+           |zz AS (SELECT user_id, dday, $z AS zv FROM znm)
+           |SELECT zv // 1024 AS bucket, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(min(user_id) AS BIGINT) AS u_min,
+           |  CAST(max(user_id) AS BIGINT) AS u_max,
+           |  min(dday) AS d_min, max(dday) AS d_max,
+           |  CAST(max(user_id) - min(user_id) AS BIGINT) AS u_span,
+           |  max(dday) - min(dday) AS d_span
+           |FROM zz GROUP BY 1""".stripMargin
+      })
   )
+
+  /** 16-bit Morton (Z-order) interleave of two 8-bit columns, as a SQL
+    * expression string. `shl` renders a left shift in the target
+    * engine's syntax, so the Spark plan and the DuckDB oracle share ONE
+    * template and cannot drift. Standard 8→16 bit spread:
+    * x = (x|x<<4)&0x0F0F; (x|x<<2)&0x3333; (x|x<<1)&0x5555.
+    * Inputs must already be in [0, 255]; output is in [0, 65535] with
+    * `u`'s bits at odd positions (u is the major dimension).
+    */
+  def mortonZ16(u: String, v: String, shl: (String, Int) => String): String = {
+    def spread(x: String): String = {
+      val s1 = s"(($x | ${shl(x, 4)}) & 3855)"
+      val s2 = s"(($s1 | ${shl(s1, 2)}) & 13107)"
+      s"(($s2 | ${shl(s2, 1)}) & 21845)"
+    }
+    s"(${shl(spread(u), 1)} | ${spread(v)})"
+  }
 
   /** q151's kernel: classify every doc_id across two snapshot digests
     * as added / removed / changed / same. Inputs carry

@@ -1065,6 +1065,65 @@ object Relational {
            |${sql("event_type")}
            |SELECT * FROM sk_row_user_id
            |UNION ALL SELECT * FROM sk_row_event_type""".stripMargin
+      }),
+
+    // ---- ANALYZE-style column profile — the optimizer-statistics verb
+    //      (per column: row count, null count, distinct count) every
+    //      warehouse collects before planning joins over a new corpus.
+    //      Sketch-verified like q170: the 100 TB serving path is the
+    //      one-pass mergeable HLL (approx_count_distinct, rsd 5%); the
+    //      exact-NDV leg (Spark's multi-distinct Expand, ×#cols row
+    //      multiplication) is the fixture-scale verification bracket —
+    //      `ndv_ok` pins |HLL − exact| ≤ 15% of exact (3σ of the 5% rsd,
+    //      2× margin) in pure BIGINT arithmetic, so a degenerate sketch
+    //      flips the row red while the oracle pins TRUE. At 100 TB you
+    //      run the HLL leg only and keep the exact leg for audits.
+    //      Parity: counts/NDVs are exact BIGINTs in both engines; no
+    //      floats anywhere.
+    "q177_column_profile" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").select(ProfileCols.map(col): _*)
+        val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+          Seq(count(col(c)).as(s"c_$c"),
+            countDistinct(col(c)).as(s"d_$c"),
+            approx_count_distinct(col(c)).as(s"a_$c")) }
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val rows = array(ProfileCols.map { c =>
+          struct(lit(c).as("col_name"), col("n_rows").as("n_rows"),
+            (col("n_rows") - col(s"c_$c")).as("n_nulls"),
+            col(s"d_$c").as("ndv"),
+            (abs(col(s"a_$c") - col(s"d_$c")) * 100 <=
+              col(s"d_$c") * NdvEpsPct).as("ndv_ok"))
+        }: _*)
+        one.select(explode(rows).as("r")).select(col("r.*"))
+      },
+      Some {
+        val per = ProfileCols.map { c =>
+          s"CAST(count($c) AS BIGINT) AS c_$c, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS d_$c" }
+          .mkString(",\n  ")
+        val rows = ProfileCols.map { c =>
+          s"SELECT '$c' AS col_name, n_rows, n_rows - c_$c AS n_nulls, " +
+            s"d_$c AS ndv, TRUE AS ndv_ok FROM prof" }
+          .mkString("\nUNION ALL ")
+        s"""WITH prof AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  $per
+           |FROM lineitem)
+           |$rows""".stripMargin
       })
   )
+
+  /** q177's profiled column set — pinned so the Spark plan and the
+    * generated oracle SQL can never disagree on order or membership.
+    */
+  val ProfileCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** q177's HLL acceptance band: 3σ of approx_count_distinct's default
+    * 5% rsd is 15%; HLL++'s observed error on the fixture NDVs is ≤5%,
+    * so the band has ≥2× margin yet a degenerate sketch still fails.
+    */
+  val NdvEpsPct = 15
 }

@@ -1153,7 +1153,58 @@ object TextAnalysis {
               |  JOIN uc ub ON ub.tok = bc.b CROSS JOIN n)
               |SELECT a, b, n_ab, c_a, c_b, lift FROM sc
               |ORDER BY lift DESC, a, b LIMIT $PmiTopK""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- lexical diversity (Simpson index) — the repetition-mass
+    //      quality signal q61's surface ratios and q96's n-gram
+    //      repetition both miss: 1 − Σc²/n² is the probability two
+    //      random token draws differ, so template spam and keyword
+    //      stuffing score low even when length/punctuation look fine.
+    //      Exactness: Σc² and n are BIGINTs from a run-length fold over
+    //      the doc's SORTED token array — (c+1)² = c²+2c+1 keeps the
+    //      fold incremental — and the index is ONE correctly-rounded
+    //      IEEE division of exact integers (q175's precedent; no
+    //      log/exp, which is why Simpson and not Shannon entropy:
+    //      libm's log is not cross-engine bit-stable). 100 TB shape:
+    //      pure scan-stage per-doc HOF — ZERO shuffles; the oracle's
+    //      unnest+groupBy restates it relationally.
+    "q180_token_diversity" -> Q(
+      (s, d) => {
+        val fold =
+          """aggregate(
+            |  sort_array(split(text, ' ')),
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+            |    'n', 0L, 'ss', 0L, 'types', 0L),
+            |  (acc, t) -> named_struct(
+            |    'prev', t,
+            |    'run', CASE WHEN acc.prev IS NOT NULL AND t = acc.prev
+            |      THEN acc.run + 1 ELSE 1L END,
+            |    'n', acc.n + 1,
+            |    'ss', acc.ss + CASE WHEN acc.prev IS NOT NULL AND t = acc.prev
+            |      THEN acc.run * 2 + 1 ELSE 1L END,
+            |    'types', acc.types + CASE WHEN acc.prev IS NOT NULL
+            |      AND t = acc.prev THEN 0L ELSE 1L END),
+            |  acc -> named_struct('n', acc.n, 'ss', acc.ss,
+            |    'types', acc.types))""".stripMargin.replace("\n", " ")
+        Tables.spread(Tables(s, d, "documents")).select(col("doc_id"),
+            expr(fold).as("st"))
+          .select(col("doc_id"), col("st.n").as("n_tokens"),
+            col("st.types").as("n_types"), col("st.ss").as("sum_sq"),
+            ((col("st.n") * col("st.n") - col("st.ss")).cast("double") /
+              (col("st.n") * col("st.n")).cast("double")).as("simpson"))
+      },
+      Some("""WITH div_t AS (SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok FROM documents),
+             |div_c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM div_t GROUP BY 1, 2),
+             |div_a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+             |  FROM div_c GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_types, sum_sq,
+             |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) /
+             |    CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+             |FROM div_a""".stripMargin))
   )
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and

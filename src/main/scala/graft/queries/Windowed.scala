@@ -1402,6 +1402,56 @@ object Windowed {
              |  last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
              |    AND UNBOUNDED FOLLOWING) AS last_price
              |FROM orders
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // ---- SCD2 historization — the slowly-changing-dimension verb: per
+    //      user, collapse consecutive runs of the same event_type into
+    //      [valid_from, valid_to) intervals with the open-ended current
+    //      row flagged — the standard warehouse "as of any point in
+    //      time" dimension build. Run starts come from ONE user-grain
+    //      window pass (lag ≠ current ⇒ start; row_number and the
+    //      per-user total ride the same exchange); the second window
+    //      (lead over run STARTS only) sees rows ∝ state changes and
+    //      reuses the user_id partitioning, so the whole query is ONE
+    //      corpus exchange. n_events per interval is recovered from the
+    //      row_number delta — no re-aggregation join. Parity: epoch-µs
+    //      BIGINTs, (us, event_id) total tie-break.
+    //      100 TB shape: q32's sessionization exchange class; output ∝
+    //      state changes, never user×type.
+    "q179_scd2_intervals" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        val wAll = Window.partitionBy(col("user_id"))
+        val ev = Tables(s, d, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+        ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .withColumn("n_total", count(lit(1)).over(wAll))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("us").as("valid_from_us"),
+            lead(col("us"), 1).over(w).as("valid_to_us"),
+            (coalesce(lead(col("rn"), 1).over(w), col("n_total") + 1) -
+              col("rn")).as("n_events"),
+            lead(col("rn"), 1).over(w).isNull.as("is_current"))
+      },
+      Some("""WITH scd_ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+             |    event_id FROM events),
+             |scd_m AS (SELECT user_id, event_type, us, event_id,
+             |    lag(event_type) OVER w AS prev_type,
+             |    CAST(row_number() OVER w AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+             |  FROM scd_ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |scd_r AS (SELECT * FROM scd_m
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type AS state, us AS valid_from_us,
+             |  lead(us) OVER w2 AS valid_to_us,
+             |  coalesce(lead(rn) OVER w2, n_total + 1) - rn AS n_events,
+             |  (lead(rn) OVER w2) IS NULL AS is_current
+             |FROM scd_r
+             |WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin))
   )
 }

@@ -511,6 +511,68 @@ object StatefulOps {
         })
   }
 
+  final case class Scd2State(state: String, fromUs: Long, n: Long, maxTsMs: Long)
+  final case class Scd2Out(user_id: Long, state: String, valid_from_us: Long,
+                           valid_to_us: Option[Long], n_events: Long,
+                           is_current: Boolean)
+
+  /** q179's intake sibling: streaming SCD2 historization — per-user
+    * state is exactly ONE open interval (current event_type, its first
+    * event time, its run count), a closed [valid_from, valid_to)
+    * dimension row streams out the moment its successor state opens
+    * (exactly once, cross-batch from state), and the OPEN interval is
+    * finalized with is_current=true when the event-time TTL expires the
+    * idle user — the streaming dimension contract: a row becomes final
+    * when its successor opens or the source goes idle past the horizon.
+    * Timeout anchors to the batch's max event time (≥ the batch-start
+    * watermark by construction — the r11 re-arm-into-the-past audit
+    * rule), so no watermark guard is needed. In-batch rows process in
+    * (µs, event_id) order; cross-batch disorder within the horizon
+    * yields the arrival-order sequence (the standard stateful-sequence
+    * caveat — batch q179 is the exact-order form).
+    */
+  def scd2Monitor(events: DataFrame, delay: String): Dataset[Scd2Out] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", delay)
+      .as[EvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[EvRow], state: GroupState[Scd2State]) => {
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            Iterator.single(Scd2Out(uid, cur.state, cur.fromUs, None, cur.n,
+              is_current = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (usOf(r.ts), r.event_id))
+            var cur = state.getOption
+            var maxTs = cur.map(_.maxTsMs).getOrElse(0L)
+            val out = List.newBuilder[Scd2Out]
+            sorted.foreach { r =>
+              val us = usOf(r.ts)
+              maxTs = math.max(maxTs, r.ts.getTime)
+              cur match {
+                case Some(c) if c.state == r.event_type =>
+                  cur = Some(c.copy(n = c.n + 1, maxTsMs = maxTs))
+                case Some(c) =>
+                  out += Scd2Out(uid, c.state, c.fromUs, Some(us), c.n,
+                    is_current = false)
+                  cur = Some(Scd2State(r.event_type, us, 1L, maxTs))
+                case None =>
+                  cur = Some(Scd2State(r.event_type, us, 1L, maxTs))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c.copy(maxTsMs = maxTs))
+              state.setTimeoutTimestamp(maxTs, delay)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   final case class FunnelState(step: Int, lastTs: Long)
   final case class FunnelOut(user_id: Long, step: Int, step_name: String,
                              ts: java.sql.Timestamp)

@@ -660,4 +660,72 @@ class AnalyticsPackSpec extends SparkSuite {
       assert(lo <= med && med <= hi, s"bracket($st) must contain the median")
     }
   }
+
+  test("q177 profile matches exact per-column recounts; HLL stays in band") {
+    val cols = graft.queries.Relational.ProfileCols
+    val rows = Tables(spark, sf(), "lineitem")
+      .select(cols.map(col): _*).collect()
+    val expected = cols.zipWithIndex.map { case (c, i) =>
+      val vs = rows.map(_.get(i))
+      c -> ((rows.length.toLong, vs.count(_ == null).toLong,
+        vs.filter(_ != null).distinct.length.toLong))
+    }.toMap
+    val got = graft.queries.Catalog.all("q177_column_profile")
+      .build(spark, sf()).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (c, (n, nulls, ndv)) =>
+      val (gn, gnulls, gndv, ok) = got(c)
+      assert((gn, gnulls, gndv) == ((n, nulls, ndv)), s"column $c")
+      assert(ok, s"column $c: HLL estimate escaped its 15% band")
+    }
+  }
+
+  test("q179 intervals match a sequential run-length reference") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expected = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._4))
+      // run starts: index, state, first-us
+      val starts = sorted.zipWithIndex.filter { case (r, i) =>
+        i == 0 || sorted(i - 1)._2 != r._2 }
+      starts.zipWithIndex.map { case ((r, i), si) =>
+        val next = if (si + 1 < starts.size) Some(starts(si + 1)) else None
+        (u, r._2, r._3, next.map(_._1._3),
+          next.map(_._2.toLong).getOrElse(sorted.size.toLong) - i,
+          next.isEmpty)
+      }
+    }.toSet
+    val got = graft.queries.Catalog.all("q179_scd2_intervals")
+      .build(spark, sf()).collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4), r.getBoolean(5))
+      }.toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    assert(expected.exists(_._6) && expected.exists(!_._6),
+      "fixture must exercise both closed and current intervals")
+  }
+
+  test("q180 diversity matches sequential token tallies") {
+    val expected = docs.map { case (id, t) =>
+      val counts = t.split(" ", -1).groupBy(identity)
+        .map { case (_, vs) => vs.length.toLong }
+      val n = counts.sum
+      val ss = counts.map(c => c * c).sum
+      (id, n, counts.size.toLong, ss,
+        (n * n - ss).toDouble / (n * n).toDouble)
+    }.toSet
+    val got = graft.queries.Catalog.all("q180_token_diversity")
+      .build(spark, sf()).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    // the signal must separate docs: not all fixture indices identical
+    assert(expected.map(_._5).size > 1)
+  }
 }

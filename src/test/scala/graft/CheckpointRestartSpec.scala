@@ -169,6 +169,34 @@ class CheckpointRestartSpec extends SparkSuite {
       s"expected exactly the two transitions, got: ${got.mkString(", ")}")
   }
 
+  test("scd2Monitor restart closes the restored open interval exactly once") {
+    val src = tmpDir("scd_src"); val out = tmpDir("scd_out"); val ckpt = tmpDir("scd_ckpt")
+    def startQuery() = graft.streaming.StatefulOps.scd2Monitor(
+        spark.readStream.schema(evSchema).json(src.toString), "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: A@2, A@4 — interval (A, n=2) stays OPEN in state, no rows
+    writeEvRows(src, "f1.json", Seq(
+      (1L, "2024-01-01T00:00:02Z", 1L, "A"),
+      (1L, "2024-01-01T00:00:04Z", 2L, "A")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; B@8 must close the RESTORED interval exactly once
+    // with the restored run count — lost state closes nothing (B opens
+    // silently), replayed state would duplicate the close
+    writeEvRows(src, "f2.json", Seq((1L, "2024-01-01T00:00:08Z", 3L, "B")))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(got == Seq((1L, "A", base + 2000000L, Some(base + 8000000L), 2L, false)),
+      s"expected exactly the one restored close, got: ${got.mkString(", ")}")
+  }
+
   private val attrSchema = StructType.fromDDL(
     "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE")
 

@@ -179,7 +179,8 @@ class PlanSpec extends SparkSuite {
     "q121_mixture_sample", // #sources rows × a broadcast 1-row total (q107's shape)
     "q137_mixture_temperature", // same 1-row-total cross as q107
     "q146_event_funnel",   // 3 summary rows × a broadcast 1-row base
-    "q175_weekday_profile") // ≤7 weekday rows × a broadcast 1-row total
+    "q175_weekday_profile", // ≤7 weekday rows × a broadcast 1-row total
+    "q178_zorder_layout")  // corpus × a broadcast 1-row bounds (q125's class)
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -212,7 +213,8 @@ class PlanSpec extends SparkSuite {
     "q167_activity_outliers",   // count-of-counts grain × 1-row total; fences × user-days
     "q168_conversion_attribution", // ≤3 touch-type rows × a broadcast 1-row total
     "q169_conversion_lag",      // <=64 bucket rows × a broadcast 1-row total
-    "q175_weekday_profile")     // ≤7 weekday rows × a broadcast 1-row total
+    "q175_weekday_profile",     // ≤7 weekday rows × a broadcast 1-row total
+    "q178_zorder_layout")       // corpus × a broadcast 1-row bounds (q125's class)
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>

@@ -210,6 +210,58 @@ class SequenceOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("scd2 monitor: closed intervals exactly once; TTL finalizes the open one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def us(m: Int) = t(m).getTime * 1000L
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Option[Long], Long, Boolean)]
+    val q = graft.streaming.StatefulOps
+      .scd2Monitor(in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("scd2mon").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.Scd2Out],
+         _: Long) =>
+          b.collect().foreach(r => got += ((r.user_id, r.state, r.valid_from_us,
+            r.valid_to_us, r.n_events, r.is_current)))
+          ()
+      }.start()
+    try {
+      // batch 1: u1 runs A,A then switches to B — the A interval closes
+      // in-batch with its run count; u2 opens A (state only, no output)
+      in.addData((1L, t(0), 0L, "A"), (1L, t(1), 1L, "A"), (1L, t(2), 2L, "B"),
+        (2L, t(2), 3L, "A"))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "A", us(0), Some(us(2)), 2L, false)),
+        s"batch1: $got")
+      // batch 2: both users switch — the closes bridge from STATE
+      in.addData((1L, t(3), 4L, "A"), (2L, t(3), 5L, "B"))
+      q.processAllAvailable()
+      assert(got.toSet == Set(
+        (1L, "A", us(0), Some(us(2)), 2L, false),
+        (1L, "B", us(2), Some(us(3)), 1L, false),
+        (2L, "A", us(2), Some(us(3)), 1L, false)), s"batch2: $got")
+      // batch 3: an unrelated user far in the future advances the
+      // watermark past u1/u2's idle horizon — their OPEN intervals
+      // finalize as is_current, exactly once each; u3's own interval
+      // stays open (no output for it)
+      in.addData((3L, t(50), 6L, "C"))
+      q.processAllAvailable()
+      assert(got.toSet == Set(
+        (1L, "A", us(0), Some(us(2)), 2L, false),
+        (1L, "B", us(2), Some(us(3)), 1L, false),
+        (2L, "A", us(2), Some(us(3)), 1L, false),
+        (1L, "A", us(3), None, 1L, true),
+        (2L, "B", us(3), None, 1L, true)), s"batch3: $got")
+      assert(got.size == 5, s"duplicate emission: $got")
+    } finally q.stop()
+  }
+
   test("attribution monitor: in-batch, cross-batch, stale-touch and no-touch arms") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
