@@ -94,7 +94,11 @@ object PlanDump {
     "q171b_capped_attribution" -> "capped attribution: the same user-grain pair join, then graft_topk bounded heap collapses per-purchase candidates to ≤ cap rows BEFORE the p_id shuffle — shuffled volume ≤ cap·#purchases under any hot-user density",
     "q172_group_split" -> "group split: scan-stage md5(source) coin — no group-table join; one #splits-grain aggregate with a distinct-source re-aggregate",
     "q173_split_leakage" -> "split leakage: q41's capped banded pair pipeline (≪ corpus) drives two doc-id equijoins against the scan-stage coin assignment; C(#splits,2)-grain output",
-    "q174_ewma_baseline" -> "EWMA baseline: one corpus-sized day hash-agg, day-grain collect + aggregate-HOF fold (rows ∝ days), explode back to day grain — the sequential recurrence never touches corpus-sized data")
+    "q174_ewma_baseline" -> "EWMA baseline: one corpus-sized day hash-agg, day-grain collect + aggregate-HOF fold (rows ∝ days), explode back to day grain — the sequential recurrence never touches corpus-sized data",
+    "q177_column_profile" -> "column profile: ONE aggregate computes all per-column stats (exact NDVs via the standard multi-distinct Expand — the fixture-scale verification leg; the 100 TB serving stat is the one-pass HLL also in the row), 1-row result exploded to #cols rows driver-free",
+    "q178_zorder_layout" -> "z-order layout: 1-row bounds broadcast, Morton key + bit-prefix bucket as scan-stage integer arithmetic (NO global sort anywhere), one ≤64-grain hash-agg",
+    "q179_scd2_intervals" -> "SCD2 intervals: run starts + row_number + per-user total from windows on ONE user_id exchange; the lead window runs over run-start rows only and reuses the partitioning — a single corpus exchange end to end",
+    "q180_token_diversity" -> "token diversity: per-doc sort + run-length fold as ONE scan-stage HOF projection — zero shuffles at any corpus size (the only Exchange is Tables.spread's fixture-only input rebalance)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

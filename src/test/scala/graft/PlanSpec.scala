@@ -157,6 +157,28 @@ class PlanSpec extends SparkSuite {
       s"c_id exchange not shared between self-join legs:\n$p")
   }
 
+  test("q179 SCD2 runs end to end on a single user_id exchange") {
+    // run starts, row_number, the per-user total AND the lead-over-starts
+    // window must all ride ONE hashpartitioning(user_id) exchange — a
+    // second exchange means the post-filter window lost the partitioning
+    // (a 100 TB double-shuffle of the event stream).
+    val df = Catalog.all("q179_scd2_intervals").build(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one user exchange, got $exchanges:\n$p")
+  }
+
+  test("q180 diversity fold is scan-stage only (no hash/range exchange)") {
+    // the per-doc sort + run-length fold is a projection; the only
+    // allowed exchange is Tables.spread's fixture-only round-robin
+    // input rebalance (the q98/q141 precedent)
+    val p = plan("q180_token_diversity")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"diversity scoring must not shuffle:\n$p")
+  }
+
   test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
     // the NB fit runs at build time as its own jobs; the RETURNED plan
     // must be pure scan-stage scoring (C map-literal folds + array_sort)
