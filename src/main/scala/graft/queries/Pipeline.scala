@@ -1595,8 +1595,40 @@ object Pipeline {
            |  CAST(max(user_id) - min(user_id) AS BIGINT) AS u_span,
            |  max(dday) - min(dday) AS d_span
            |FROM zz GROUP BY 1""".stripMargin
-      })
+      }),
+
+    // ---- k-anonymity census — the privacy-governance verb q98's PII
+    //      scrub does NOT cover: scrubbing removes DIRECT identifiers,
+    //      but a (lang, source, length-bucket) quasi-identifier combo
+    //      shared by fewer than k documents still re-identifies its
+    //      members by linkage. The census is every equivalence class
+    //      with its size and the risky flag (size < KAnonK) — the
+    //      actionable suppression/generalization worklist a release
+    //      review runs before publishing a corpus. 100 TB shape: ONE
+    //      corpus hash-agg at quasi-identifier grain (map-side
+    //      combinable); output bounded by the QI DOMAIN (langs ×
+    //      sources × length buckets), never by rows.
+    "q183_kanon_report" -> Q(
+      (s, d) => {
+        Tables(s, d, "documents")
+          .groupBy(col("lang"), col("source"),
+            expr("n_chars DIV 256").as("len_bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("lang"), col("source"), col("len_bucket"), col("cnt"),
+            (col("cnt") < KAnonK).as("risky"))
+      },
+      Some(s"""SELECT lang, source, n_chars // 256 AS len_bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  count(*) < $KAnonK AS risky
+             |FROM documents GROUP BY 1, 2, 3""".stripMargin))
   )
+
+  /** q183's anonymity floor: an equivalence class smaller than KAnonK
+    * documents is flagged for suppression/generalization. 5 is the
+    * conventional release-review default; the fixture exercises both
+    * arms at every scale factor.
+    */
+  val KAnonK = 5
 
   /** 16-bit Morton (Z-order) interleave of two 8-bit columns, as a SQL
     * expression string. `shl` renders a left shift in the target

@@ -1110,8 +1110,93 @@ object Relational {
            |  $per
            |FROM lineitem)
            |$rows""".stripMargin
-      })
+      }),
+
+    // ---- equi-depth histogram, rank-verified — q177's selectivity
+    //      sibling (the other half of ANALYZE: NDV says how many values,
+    //      the histogram says where they sit for range-predicate
+    //      estimates). All HistB−1 boundaries are EXACT integer-cents
+    //      order statistics off ONE count-of-counts cumulative (q167's
+    //      idiom at distinct-cents grain — on THIS column values are
+    //      near-unique, so the exact leg is honestly the fixture-scale
+    //      verification harness: exact order statistics over an
+    //      unbounded-domain column cost a near-rows single-partition
+    //      cumulative, which is exactly WHY the serving path is the
+    //      sketch). The one-pass GK multi-quantile array is pinned
+    //      inside the exact ±2%-rank bracket at EVERY boundary (q170's
+    //      oracle-pins-TRUE pattern at 15 points — a far tighter
+    //      degeneracy net). Rank arithmetic is integer DIV throughout.
+    //      At 100 TB you run the GK leg only — one corpus pass,
+    //      mergeable — and keep the exact leg for sampled audits.
+    //      One theta probe (cum ≥ r_lo) against the broadcast 15-row
+    //      rank table computes boundary/lo/hi in a single pass.
+    "q182_equidepth_hist" -> Q(
+      (s, d) => {
+        val v = Tables(s, d, "lineitem").select(
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"),
+          col("l_extendedprice"))
+        val cum = v.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+          .select(col("cents"),
+            sum(col("cnt")).over(Window.orderBy(col("cents").asc)
+              .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+        val tot = v.agg(count(lit(1)).as("n"))
+        val ranks = tot
+          .select(explode(expr(s"sequence(1, ${HistB - 1})")).as("k"), col("n"))
+          .select(col("k"), col("n"),
+            expr(s"(k * n + ${HistB - 1}) DIV $HistB").as("r_k"))
+          .select(col("k"), col("n"), col("r_k"),
+            expr("greatest(CAST(1 AS BIGINT), r_k - (n * 2 + 99) DIV 100)")
+              .as("r_lo"),
+            expr("least(n, r_k + (n * 2 + 99) DIV 100)").as("r_hi"))
+        val picks = cum.join(broadcast(ranks), col("cum") >= col("r_lo"))
+          .groupBy(col("k")).agg(
+            min(when(col("cum") >= col("r_k"), col("cents")))
+              .as("boundary_cents"),
+            min(col("cents")).as("lo_cents"),
+            min(when(col("cum") >= col("r_hi"), col("cents"))).as("hi_cents"))
+        val qs = (1 until HistB).map(_.toDouble / HistB)
+        val approx = v.agg(percentile_approx(col("l_extendedprice"),
+            array(qs.map(lit): _*), lit(100)).as("ap"))
+          .select(posexplode(col("ap")).as(Seq("pos", "apv")))
+          .select((col("pos") + 1).as("k"),
+            expr("CAST(round(apv * 100, 0) AS BIGINT)").as("ap_cents"))
+        ranks.join(broadcast(picks), "k").join(broadcast(approx), "k")
+          .select(col("k"), col("n"), col("r_k"), col("boundary_cents"),
+            col("lo_cents"), col("hi_cents"),
+            (col("ap_cents") >= col("lo_cents") &&
+              col("ap_cents") <= col("hi_cents")).as("sketch_ok"))
+      },
+      Some(s"""WITH edh_v AS (SELECT
+             |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |edh_cc AS (SELECT cents, count(*) AS cnt FROM edh_v GROUP BY 1),
+             |edh_cum AS (SELECT cents, sum(cnt) OVER (ORDER BY cents
+             |    ROWS UNBOUNDED PRECEDING) AS cum FROM edh_cc),
+             |edh_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM edh_v),
+             |edh_rk AS (SELECT CAST(g.k AS INT) AS k, n,
+             |    (g.k * n + ${HistB - 1}) // $HistB AS r_k,
+             |    greatest(CAST(1 AS BIGINT),
+             |      (g.k * n + ${HistB - 1}) // $HistB - (n * 2 + 99) // 100) AS r_lo,
+             |    least(n,
+             |      (g.k * n + ${HistB - 1}) // $HistB + (n * 2 + 99) // 100) AS r_hi
+             |  FROM (SELECT unnest(generate_series(1, ${HistB - 1})) AS k) g
+             |  CROSS JOIN edh_tot),
+             |edh_p AS (SELECT k,
+             |    CAST(min(CASE WHEN cum >= r_k THEN cents END) AS BIGINT)
+             |      AS boundary_cents,
+             |    CAST(min(cents) AS BIGINT) AS lo_cents,
+             |    CAST(min(CASE WHEN cum >= r_hi THEN cents END) AS BIGINT)
+             |      AS hi_cents
+             |  FROM edh_cum JOIN edh_rk ON cum >= r_lo GROUP BY 1)
+             |SELECT edh_rk.k, n, r_k, boundary_cents, lo_cents, hi_cents,
+             |  TRUE AS sketch_ok
+             |FROM edh_rk JOIN edh_p ON edh_p.k = edh_rk.k""".stripMargin))
   )
+
+  /** q182's bucket count: HistB−1 interior boundaries at ranks
+    * ceil(k·n/HistB) — the per-column selectivity histogram grain.
+    */
+  val HistB = 16
 
   /** q177's profiled column set — pinned so the Spark plan and the
     * generated oracle SQL can never disagree on order or membership.

@@ -1452,6 +1452,127 @@ object Windowed {
              |  coalesce(lead(rn) OVER w2, n_total + 1) - rn AS n_events,
              |  (lead(rn) OVER w2) IS NULL AS is_current
              |FROM scd_r
-             |WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin))
+             |WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin)),
+
+    // ---- CDC compaction — MERGE-INTO semantics over an upsert/delete
+    //      change stream: the latest op per key wins ((µs, event_id)
+    //      sequence order), a trailing delete drops the key, survivors
+    //      emit their last payload — the lakehouse change-data-capture
+    //      apply that turns an op log back into a snapshot. Here the op
+    //      log is the events table with event_type 'error' as the
+    //      delete marker (binds: ~20% of fixture users end on one).
+    //      The latest-wins argmax is a row_number over the user_id
+    //      exchange — NOT a max(struct) aggregate, which would drag a
+    //      string payload through a corpus-sized SortAggregate buffer
+    //      (the r12 long-buffers-only rule); n_ops rides the same
+    //      exchange. 100 TB shape: ONE key-grain exchange (q179's
+    //      class), output ∝ live keys.
+    "q181_cdc_compact" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        val wAll = Window.partitionBy(col("user_id"))
+        Tables(s, d, "events").select(col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_ops", count(lit(1)).over(wAll))
+          .filter(col("rn") === 1 && col("event_type") =!= lit("error"))
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("value").as("last_value"), col("us").as("last_us"),
+            col("n_ops"))
+      },
+      Some("""WITH cdc AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+             |  FROM events)
+             |SELECT user_id, event_type AS last_type, value AS last_value,
+             |  us AS last_us, n_ops
+             |FROM cdc WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
+
+    // ---- CUSUM change-point detection — the fourth anomaly style in
+    //      the pack and the one the others can't do: q161's trailing z
+    //      and q176's weekday test fire on single-day spikes, q174's
+    //      EWMA adapts so fast it ABSORBS a sustained small shift;
+    //      CUSUM accumulates (n_d − mean − slack) and pages when the
+    //      running sum crosses h — detecting a persistent 1% drift long
+    //      before any per-day test can. Two-sided: s_up and s_dn folds
+    //      run in the same pass. EXACT integers: term = n_d·D − total
+    //      (the q176 scale-by-D trick), slack = total DIV CusumSlackDenom,
+    //      h = total DIV CusumHDenom, so no float threshold drifts
+    //      cross-engine. The fold keeps ONE copy of each recurrence by
+    //      making the out array the only accumulator (each step reads
+    //      element_at(out, -1) — the r11 single-copy rule). Constants
+    //      bind both arms at sf0.001/sf0.01/sf0.1 (27/21, 15/24, 7/6
+    //      flagged of 30 days); the fixture is near-uniform, production
+    //      slack runs mean/8–mean/32. 100 TB shape: q174's — ONE
+    //      corpus-sized day hash-agg, fold at day grain, explode back.
+    "q184_cusum_changepoint" -> Q(
+      (s, d) => {
+        def prev(f: String) =
+          s"CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT) " +
+            s"ELSE element_at(acc, -1).$f END"
+        val fold =
+          s"""aggregate(
+            |  ds,
+            |  CAST(array() AS ARRAY<STRUCT<day: DATE, n: BIGINT,
+            |    su: BIGINT, sd: BIGINT>>),
+            |  (acc, x) -> array_append(acc, named_struct(
+            |    'day', x.day, 'n', x.n,
+            |    'su', greatest(CAST(0 AS BIGINT),
+            |      ${prev("su")} + (x.n * d_cnt - tot) - slack),
+            |    'sd', greatest(CAST(0 AS BIGINT),
+            |      ${prev("sd")} - (x.n * d_cnt - tot) - slack))))""".stripMargin
+            .replace("\n", " ")
+        Tables(s, d, "events")
+          .groupBy(expr("CAST(ts AS DATE)").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"),
+            count(lit(1)).as("d_cnt"), sum(col("n")).as("tot"))
+          .select(col("ds"), col("d_cnt"), col("tot"),
+            expr(s"tot DIV $CusumSlackDenom").as("slack"),
+            expr(s"tot DIV $CusumHDenom").as("h"))
+          .select(explode(expr(fold)).as("r"), col("h"))
+          .select(col("r.day").as("day"), col("r.n").as("n"),
+            col("r.su").as("s_up"), col("r.sd").as("s_dn"),
+            (col("r.su") > col("h")).as("flag_up"),
+            (col("r.sd") > col("h")).as("flag_dn"))
+      },
+      Some(s"""WITH RECURSIVE cus_d AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |cus_t AS (SELECT CAST(count(*) AS BIGINT) AS d_cnt,
+             |    CAST(sum(n) AS BIGINT) AS tot FROM cus_d),
+             |cus_i AS (SELECT day, n,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             |    d_cnt, tot, tot // $CusumSlackDenom AS slack,
+             |    tot // $CusumHDenom AS h
+             |  FROM cus_d CROSS JOIN cus_t),
+             |rec AS (
+             |  SELECT i, day, n, h,
+             |    greatest(CAST(0 AS BIGINT), (n * d_cnt - tot) - slack) AS su,
+             |    greatest(CAST(0 AS BIGINT), -(n * d_cnt - tot) - slack) AS sd
+             |  FROM cus_i WHERE i = 1
+             |  UNION ALL
+             |  SELECT x.i, x.day, x.n, x.h,
+             |    greatest(CAST(0 AS BIGINT),
+             |      r.su + (x.n * x.d_cnt - x.tot) - x.slack),
+             |    greatest(CAST(0 AS BIGINT),
+             |      r.sd - (x.n * x.d_cnt - x.tot) - x.slack)
+             |  FROM rec r JOIN cus_i x ON x.i = r.i + 1)
+             |SELECT day, n, su AS s_up, sd AS s_dn,
+             |  su > h AS flag_up, sd > h AS flag_dn FROM rec""".stripMargin))
   )
+
+  /** q184's CUSUM parameters: slack (the per-day allowance subtracted
+    * before accumulating, in total-count units — total/256 ≈ mean/8.5 at
+    * the fixture's 30-day span) and the page threshold h = total/32.
+    * Chosen so BOTH directions flag at sf0.001, sf0.01 AND sf0.1 while
+    * leaving unflagged days at each scale; production pagers run slack
+    * around mean/8–mean/32 per day.
+    */
+  val CusumSlackDenom = 256
+  val CusumHDenom = 32
 }

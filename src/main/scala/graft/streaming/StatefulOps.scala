@@ -573,6 +573,68 @@ object StatefulOps {
         })
   }
 
+  final case class CdcState(us: Long, eventId: Long, lastType: String,
+                            value: Double, maxTsMs: Long)
+  final case class CdcOut(user_id: Long, op: String, last_type: String,
+                          last_value: Double, last_us: Long)
+
+  /** q181's intake sibling: streaming CDC compaction (MERGE-INTO as a
+    * changelog) — per key the state is the highest-sequence op seen
+    * ((µs, event_id) order), and a batch emits AT MOST ONE row per key:
+    * the new winner, as 'upsert' (or 'delete' when the winner is the
+    * delete marker). A late op with a LOWER sequence than the stored
+    * winner emits nothing — latest-wins under in-horizon disorder, which
+    * is the whole point of CDC compaction. Idle keys expire at the
+    * event-time TTL; expiry is semantics-free for latest-wins because a
+    * row admitted after expiry necessarily carries an event time past
+    * the expired winner's horizon (watermark ≥ stored-max + delay at
+    * expiry, and the engine drops sub-watermark rows), so it wins on
+    * sequence anyway. Timeout anchors to the batch's max event time
+    * (the r11 audit rule).
+    */
+  def cdcMonitor(events: DataFrame, delay: String): Dataset[CdcOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", delay)
+      .as[AttrEvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[AttrEvRow], state: GroupState[CdcState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (usOf(r.ts), r.event_id))
+            val stored = state.getOption
+            var maxTs = stored.map(_.maxTsMs).getOrElse(0L)
+            var winner = stored
+            sorted.foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              val us = usOf(r.ts)
+              if (winner.forall(w =>
+                  us > w.us || (us == w.us && r.event_id > w.eventId)))
+                winner = Some(CdcState(us, r.event_id, r.event_type, r.value, maxTs))
+            }
+            winner.foreach { w =>
+              state.update(w.copy(maxTsMs = maxTs))
+              state.setTimeoutTimestamp(maxTs, delay)
+            }
+            val changed = winner.exists(w => stored.forall(o =>
+              (w.us, w.eventId) != ((o.us, o.eventId))))
+            if (changed) {
+              val w = winner.get
+              val op = if (w.lastType == CdcDeleteMarker) "delete" else "upsert"
+              Iterator.single(CdcOut(uid, op, w.lastType, w.value, w.us))
+            } else Iterator.empty
+          }
+        })
+  }
+
+  /** The event_type that cdcMonitor (and batch q181) treat as a CDC
+    * delete tombstone.
+    */
+  val CdcDeleteMarker = "error"
+
   final case class FunnelState(step: Int, lastTs: Long)
   final case class FunnelOut(user_id: Long, step: Int, step_name: String,
                              ts: java.sql.Timestamp)

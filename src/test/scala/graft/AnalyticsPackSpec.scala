@@ -711,6 +711,77 @@ class AnalyticsPackSpec extends SparkSuite {
       "fixture must exercise both closed and current intervals")
   }
 
+  test("q181 CDC compaction matches a sequential latest-wins apply") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val expected = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val last = rs.maxBy(r => (r._2, r._3))
+      if (last._4 == "error") None
+      else Some((u, last._4, last._5, last._2, rs.size.toLong))
+    }.toSet
+    val got = graft.queries.Catalog.all("q181_cdc_compact")
+      .build(spark, sf()).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    val users = ev.map(_._1).distinct.size
+    assert(expected.size < users, "the delete arm must drop at least one key")
+  }
+
+  test("q182 boundaries are exact order statistics; GK sits in every bracket") {
+    val cents = Tables(spark, sf(), "lineitem").select(col("l_extendedprice"))
+      .collect().map(r => math.round(r.getDouble(0) * 100)).sorted
+    val n = cents.length.toLong
+    val b = graft.queries.Relational.HistB.toLong
+    val eps = (n * 2 + 99) / 100
+    def at(rank: Long) = cents((rank - 1).toInt)
+    val expected = (1L until b).map { k =>
+      val rk = (k * n + b - 1) / b
+      (k.toInt, n, rk, at(rk), at(math.max(1L, rk - eps)),
+        at(math.min(n, rk + eps)))
+    }.toSet
+    val got = graft.queries.Catalog.all("q182_equidepth_hist")
+      .build(spark, sf()).collect().map { r =>
+        assert(r.getBoolean(6), s"GK escaped its bracket at k=${r.getInt(0)}")
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      }.toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+  }
+
+  test("q184 CUSUM matches a sequential two-sided fold and pages both ways") {
+    val days = Tables(spark, sf(), "events")
+      .select(expr("CAST(ts AS DATE)"), col("event_id"))
+      .collect().map(r => r.getDate(0).toString)
+      .groupBy(identity).map { case (d, vs) => d -> vs.size.toLong }
+      .toSeq.sortBy(_._1)
+    val dCnt = days.size.toLong
+    val tot = days.map(_._2).sum
+    val slack = tot / graft.queries.Windowed.CusumSlackDenom
+    val h = tot / graft.queries.Windowed.CusumHDenom
+    var (su, sd) = (0L, 0L)
+    val expected = days.map { case (d, n) =>
+      val term = n * dCnt - tot
+      su = math.max(0L, su + term - slack)
+      sd = math.max(0L, sd - term - slack)
+      (d, n, su, sd, su > h, sd > h)
+    }.toSet
+    val got = graft.queries.Catalog.all("q184_cusum_changepoint")
+      .build(spark, sf()).collect().map(r => (r.getDate(0).toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+        r.getBoolean(5))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    assert(expected.exists(_._5) && expected.exists(_._6),
+      "both CUSUM directions must page on the fixture")
+    assert(expected.exists(r => !r._5 || !r._6),
+      "some fixture days must stay unflagged")
+  }
+
   test("q180 diversity matches sequential token tallies") {
     val expected = docs.map { case (id, t) =>
       val counts = t.split(" ", -1).groupBy(identity)

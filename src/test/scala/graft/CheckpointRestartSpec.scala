@@ -197,6 +197,41 @@ class CheckpointRestartSpec extends SparkSuite {
       s"expected exactly the one restored close, got: ${got.mkString(", ")}")
   }
 
+  test("cdcMonitor restart keeps latest-wins against the restored sequence") {
+    val src = tmpDir("cdc_src"); val out = tmpDir("cdc_out"); val ckpt = tmpDir("cdc_ckpt")
+    def writeRows(name: String, rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      Files.writeString(src.resolve(name), rows.map { case (u, ts, id, et, v) =>
+        s"""{"user_id":$u,"ts":"$ts","event_id":$id,"event_type":"$et","value":$v}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.cdcMonitor(
+        spark.readStream.schema(cdcSchema).json(src.toString), "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: A@4 wins the first batch — one upsert, sequence stored
+    writeRows("f1.json", Seq((1L, "2024-01-01T00:00:04Z", 2L, "A", 1.0)))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; a LOWER-sequence op @2 must lose against the
+    // RESTORED winner (lost state would emit it as a fresh upsert), then
+    // a higher-sequence op @8 re-upserts exactly once
+    writeRows("f2.json", Seq((1L, "2024-01-01T00:00:02Z", 1L, "B", 9.0)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+    writeRows("f3.json", Seq((1L, "2024-01-01T00:00:08Z", 3L, "C", 2.0)))
+    val q3 = startQuery(); try q3.processAllAvailable() finally q3.stop()
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._5).toSeq
+    assert(got == Seq((1L, "upsert", "A", 1.0, base + 4000000L),
+      (1L, "upsert", "C", 2.0, base + 8000000L)),
+      s"expected the restored winner to absorb the late op: ${got.mkString(", ")}")
+  }
+
+  private val cdcSchema = StructType.fromDDL(
+    "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE")
+
   private val attrSchema = StructType.fromDDL(
     "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE")
 

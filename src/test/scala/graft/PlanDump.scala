@@ -98,7 +98,11 @@ object PlanDump {
     "q177_column_profile" -> "column profile: ONE aggregate computes all per-column stats (exact NDVs via the standard multi-distinct Expand — the fixture-scale verification leg; the 100 TB serving stat is the one-pass HLL also in the row), 1-row result exploded to #cols rows driver-free",
     "q178_zorder_layout" -> "z-order layout: 1-row bounds broadcast, Morton key + bit-prefix bucket as scan-stage integer arithmetic (NO global sort anywhere), one ≤64-grain hash-agg",
     "q179_scd2_intervals" -> "SCD2 intervals: run starts + row_number + per-user total from windows on ONE user_id exchange; the lead window runs over run-start rows only and reuses the partitioning — a single corpus exchange end to end",
-    "q180_token_diversity" -> "token diversity: per-doc sort + run-length fold as ONE scan-stage HOF projection — zero shuffles at any corpus size (the only Exchange is Tables.spread's fixture-only input rebalance)")
+    "q180_token_diversity" -> "token diversity: per-doc sort + run-length fold as ONE scan-stage HOF projection — zero shuffles at any corpus size (the only Exchange is Tables.spread's fixture-only input rebalance)",
+    "q181_cdc_compact" -> "CDC compaction: latest-wins via row_number on ONE user_id exchange (n_ops rides it) — never a max(struct) corpus aggregate dragging the string payload through a SortAggregate buffer",
+    "q182_equidepth_hist" -> "equi-depth histogram: exact leg = distinct-cents cumulative (near-rows on this column — the fixture-scale verification harness; the GK sketch is the serving path), ONE theta probe of the broadcast 15-row rank table yields boundary+lo+hi, GK multi-quantile array in one corpus pass",
+    "q183_kanon_report" -> "k-anonymity census: ONE quasi-identifier-grain hash-agg (map-side combinable), risky flag as a post-aggregate projection — output bounded by the QI domain, never rows",
+    "q184_cusum_changepoint" -> "CUSUM change-point: q174's shape — one corpus-sized day hash-agg, two-sided integer fold at day grain (out array is the only accumulator: one copy of each recurrence), explode back to day grain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -236,7 +236,8 @@ class PlanSpec extends SparkSuite {
     "q168_conversion_attribution", // ≤3 touch-type rows × a broadcast 1-row total
     "q169_conversion_lag",      // <=64 bucket rows × a broadcast 1-row total
     "q175_weekday_profile",     // ≤7 weekday rows × a broadcast 1-row total
-    "q178_zorder_layout")       // corpus × a broadcast 1-row bounds (q125's class)
+    "q178_zorder_layout",       // corpus × a broadcast 1-row bounds (q125's class)
+    "q182_equidepth_hist")      // cents-domain cumulative × broadcast 15-row rank probe
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
@@ -262,7 +263,8 @@ class PlanSpec extends SparkSuite {
       "q119_curriculum", // quality-bucket histogram: floor(q*1024) ∈ [0,1024]
       "q157_key_skew",   // p99 running sum over the ≤64-row log2 histogram
       "q161_daily_anomaly", // trailing stats at day grain (rows ∝ days, q149's spine)
-      "q167_activity_outliers") // quartile cumulative at count-of-counts grain (rows ∝ distinct user-day counts)
+      "q167_activity_outliers", // quartile cumulative at count-of-counts grain (rows ∝ distinct user-day counts)
+      "q182_equidepth_hist") // exact-leg boundary cumulative at distinct-cents grain (verification harness; the GK sketch is the serving path)
     val offenders = Catalog.all.keys.flatMap { name =>
       val p = plan(name)
       val hasGlobalWindow = unpartitioned.unanchored.matches(p)

@@ -350,6 +350,93 @@ class SequenceOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cdc monitor: latest-wins, lower-seq late op suppressed, delete marker") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def us(m: Int) = t(m).getTime * 1000L
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Double, Long)]
+    val q = graft.streaming.StatefulOps
+      .cdcMonitor(in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("cdcmon").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.CdcOut],
+         _: Long) =>
+          b.collect().foreach(r => got += ((r.user_id, r.op, r.last_type,
+            r.last_value, r.last_us)))
+          ()
+      }.start()
+    try {
+      // batch 1: two ops for u1 in one batch — only the WINNER emits
+      in.addData((1L, t(0), 0L, "A", 1.0), (1L, t(1), 1L, "B", 2.0))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "upsert", "B", 2.0, us(1))), s"batch1: $got")
+      // batch 2: a LATE lower-sequence op for u1 (t0 < stored t1, still
+      // above the watermark) must be absorbed silently; u2's first op is
+      // the delete marker — emitted as a delete
+      in.addData((1L, t(0), 2L, "C", 9.0), (2L, t(1), 3L, "error", 0.0))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "upsert", "B", 2.0, us(1)),
+        (2L, "delete", "error", 0.0, us(1))), s"batch2: $got")
+      // batch 3: a genuinely newer op re-upserts
+      in.addData((1L, t(2), 4L, "D", 3.0))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "upsert", "B", 2.0, us(1)),
+        (2L, "delete", "error", 0.0, us(1)),
+        (1L, "upsert", "D", 3.0, us(2))), s"batch3: $got")
+      assert(got.size == 3, s"duplicate emission: $got")
+    } finally q.stop()
+  }
+
+  test("cdc monitor over fixture events equals the q181 batch compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val expected = graft.queries.Catalog.all("q181_cdc_compact")
+      .build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Double, Long)]
+    val q = graft.streaming.StatefulOps
+      .cdcMonitor(in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("cdcfix").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.CdcOut],
+         _: Long) =>
+          b.collect().foreach(r => got += ((r.user_id, r.op, r.last_type,
+            r.last_value, r.last_us)))
+          ()
+      }.start()
+    try {
+      in.addData(ev)
+      q.processAllAvailable()
+      val upserts = got.filter(_._2 == "upsert")
+        .map(r => (r._1, r._3, r._4, r._5)).toSet
+      val deleted = got.filter(_._2 == "delete").map(_._1).toSet
+      assert(upserts == expected,
+        s"stream-only=${(upserts -- expected).take(3)} " +
+          s"batch-only=${(expected -- upserts).take(3)}")
+      val allUsers = ev.map(_._1).toSet
+      assert(deleted == allUsers -- expected.map(_._1),
+        "delete rows must be exactly the keys the batch compaction dropped")
+      assert(got.size == allUsers.size, "one changelog row per key")
+    } finally q.stop()
+  }
+
   test("attribution monitor over fixture events equals the q168 batch kernel") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
