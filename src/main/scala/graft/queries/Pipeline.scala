@@ -1620,7 +1620,51 @@ object Pipeline {
       Some(s"""SELECT lang, source, n_chars // 256 AS len_bucket,
              |  CAST(count(*) AS BIGINT) AS cnt,
              |  count(*) < $KAnonK AS risky
-             |FROM documents GROUP BY 1, 2, 3""".stripMargin))
+             |FROM documents GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- incremental corpus-stats maintenance — the mergeability
+    //      proof, oracle-checked: per-source stats computed on the OLD
+    //      snapshot (q151's doc_id%17 coin) and on the DELTA separately,
+    //      then merged by re-aggregating the two #sources-row partials,
+    //      must equal the stats of the union computed directly (the
+    //      oracle does the latter; the engine ships the former). That
+    //      equality is the operational contract of incremental stats at
+    //      100 TB: a daily refresh costs O(delta) + an O(#sources) merge,
+    //      never a corpus rescan. Every shipped moment is mergeable by
+    //      construction — counts, token/char sums, char sum-of-squares
+    //      (second moment → variance), max; the mean is derived AFTER
+    //      the merge (one IEEE division of exact BIGINTs).
+    "q185_incremental_stats" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        def statsOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("tok_sum"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(col("n_chars") * col("n_chars")).as("char_sumsq"),
+            max(col("n_chars")).as("char_max"))
+        val partials = statsOf(docs.filter(expr("doc_id % 17 <> 3")))
+          .unionByName(statsOf(docs.filter(expr("doc_id % 17 = 3"))))
+        partials.groupBy(col("source")).agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("tok_sum")).as("tok_sum"),
+            sum(col("char_sum")).as("char_sum"),
+            sum(col("char_sumsq")).as("char_sumsq"),
+            max(col("char_max")).as("char_max"))
+          .select(col("source"), col("n_docs"), col("tok_sum"),
+            col("char_sum"), col("char_sumsq"), col("char_max"),
+            (col("char_sum").cast("double") / col("n_docs").cast("double"))
+              .as("char_mean"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+             |  CAST(sum(n_chars) AS BIGINT) AS char_sum,
+             |  CAST(sum(n_chars * n_chars) AS BIGINT) AS char_sumsq,
+             |  CAST(max(n_chars) AS BIGINT) AS char_max,
+             |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS char_mean
+             |FROM documents GROUP BY 1""".stripMargin))
   )
 
   /** q183's anonymity floor: an equivalence class smaller than KAnonK

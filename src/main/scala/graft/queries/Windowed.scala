@@ -1563,8 +1563,54 @@ object Windowed {
              |      r.sd - (x.n * x.d_cnt - x.tot) - x.slack)
              |  FROM rec r JOIN cus_i x ON x.i = r.i + 1)
              |SELECT day, n, su AS s_up, sd AS s_dn,
-             |  su > h AS flag_up, sd > h AS flag_dn FROM rec""".stripMargin))
+             |  su > h AS flag_up, sd > h AS flag_dn FROM rec""".stripMargin)),
+
+    // ---- session co-visitation — the item-to-item collaborative-filter
+    //      build: items (props.k, ONE JsonToStructs parse — q103's rule)
+    //      co-occurring in the same (user, day) session, counted across
+    //      sessions, floored at CovisMinSessions to drop coincidence
+    //      pairs (binds at every scale: 90 of 978 pairs survive at
+    //      sf0.001, 3218 of 4391 at sf0.01). Distinct-first: the session
+    //      item-SET join runs on (user, day)-deduped rows, so a user
+    //      hammering one item all day contributes the pair once.
+    //      100 TB shape: the pair join is (user, day)-grain with both
+    //      legs the SAME deduped subtree (exchange reuse, q124's
+    //      precedent); per-session pair volume is Σ m² with m = distinct
+    //      items per session — bounded in practice by a per-session item
+    //      cap (the q41 capped-bucket precedent; not needed at fixture
+    //      densities); output bounded by the item-domain square.
+    "q186_covisitation" -> Q(
+      (s, d) => {
+        val items = Tables(s, d, "events")
+          .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"),
+            expr("from_json(props, 'k INT').k").as("item"))
+          .filter(col("item").isNotNull)
+          .distinct()
+        val a = items.select(col("user_id"), col("day"), col("item").as("a"))
+        val b = items.select(col("user_id"), col("day"), col("item").as("b"))
+        a.join(b, Seq("user_id", "day"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_sessions"))
+          .filter(col("n_sessions") >= CovisMinSessions)
+      },
+      Some(s"""WITH cov_i AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(json_extract_string(props, '$$.k') AS INT) AS item
+             |  FROM events
+             |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+             |cov_p AS (SELECT x.item AS a, y.item AS b FROM cov_i x
+             |  JOIN cov_i y ON x.user_id = y.user_id AND x.day = y.day
+             |    AND x.item < y.item)
+             |SELECT a, b, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM cov_p GROUP BY 1, 2
+             |HAVING count(*) >= $CovisMinSessions""".stripMargin))
   )
+
+  /** q186's coincidence floor: an item pair must co-occur in at least
+    * this many distinct (user, day) sessions to ship as a
+    * recommendation edge. 2 binds (filters real pairs) at every fixture
+    * scale; production runs 5-50 depending on traffic.
+    */
+  val CovisMinSessions = 2
 
   /** q184's CUSUM parameters: slack (the per-day allowance subtracted
     * before accumulating, in total-count units — total/256 ≈ mean/8.5 at

@@ -782,6 +782,47 @@ class AnalyticsPackSpec extends SparkSuite {
       "some fixture days must stay unflagged")
   }
 
+  test("q185 merged partial stats equal direct whole-corpus stats") {
+    val rows = Tables(spark, sf(), "documents")
+      .select(col("source"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = rows.groupBy(_._1).map { case (src, rs) =>
+      val n = rs.size.toLong
+      val tok = rs.map(_._2.split(" ", -1).length.toLong).sum
+      val cs = rs.map(_._3).sum
+      val css = rs.map(r => r._3 * r._3).sum
+      (src, n, tok, cs, css, rs.map(_._3).max, cs.toDouble / n.toDouble)
+    }.toSet
+    val got = graft.queries.Catalog.all("q185_incremental_stats")
+      .build(spark, sf()).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+  }
+
+  test("q186 co-visitation matches a sequential session-set reference") {
+    val kOf = """\d+""".r
+    val sess = Tables(spark, sf(), "events")
+      .select(col("user_id"), expr("CAST(ts AS DATE)"), col("props"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        kOf.findFirstIn(r.getString(2)).get.toInt)).distinct
+    val expected = sess.groupBy(r => (r._1, r._2)).toSeq
+      .flatMap { case (_, rs) =>
+        val items = rs.map(_._3).distinct.sorted
+        for (i <- items.indices; j <- (i + 1) until items.size)
+          yield (items(i), items(j))
+      }
+      .groupBy(identity).map { case (p, vs) => (p._1, p._2, vs.size.toLong) }
+      .filter(_._3 >= graft.queries.Windowed.CovisMinSessions).toSet
+    val got = graft.queries.Catalog.all("q186_covisitation")
+      .build(spark, sf()).collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getLong(2))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    assert(got.nonEmpty, "the coincidence floor must leave surviving pairs")
+  }
+
   test("q180 diversity matches sequential token tallies") {
     val expected = docs.map { case (id, t) =>
       val counts = t.split(" ", -1).groupBy(identity)

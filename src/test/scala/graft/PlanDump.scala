@@ -102,7 +102,9 @@ object PlanDump {
     "q181_cdc_compact" -> "CDC compaction: latest-wins via row_number on ONE user_id exchange (n_ops rides it) — never a max(struct) corpus aggregate dragging the string payload through a SortAggregate buffer",
     "q182_equidepth_hist" -> "equi-depth histogram: exact leg = distinct-cents cumulative (near-rows on this column — the fixture-scale verification harness; the GK sketch is the serving path), ONE theta probe of the broadcast 15-row rank table yields boundary+lo+hi, GK multi-quantile array in one corpus pass",
     "q183_kanon_report" -> "k-anonymity census: ONE quasi-identifier-grain hash-agg (map-side combinable), risky flag as a post-aggregate projection — output bounded by the QI domain, never rows",
-    "q184_cusum_changepoint" -> "CUSUM change-point: q174's shape — one corpus-sized day hash-agg, two-sided integer fold at day grain (out array is the only accumulator: one copy of each recurrence), explode back to day grain")
+    "q184_cusum_changepoint" -> "CUSUM change-point: q174's shape — one corpus-sized day hash-agg, two-sided integer fold at day grain (out array is the only accumulator: one copy of each recurrence), explode back to day grain",
+    "q185_incremental_stats" -> "incremental stats: two filtered partial aggregates union into an O(#sources) merge re-aggregate — the daily-refresh cost is O(delta) + the merge, never a corpus rescan; all moments mergeable by construction",
+    "q186_covisitation" -> "co-visitation: ONE deduped (user, day, item) exchange shared by both pair legs (ReusedExchange, q124's precedent), session-grain pair join, item-pair hash-agg with the coincidence floor after partial aggregation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

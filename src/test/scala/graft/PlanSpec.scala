@@ -179,6 +179,17 @@ class PlanSpec extends SparkSuite {
       s"diversity scoring must not shuffle:\n$p")
   }
 
+  test("q186 pair legs reuse the single session-items exchange") {
+    // both co-visitation legs are alias-only renames over the SAME
+    // deduped (user, day, item) subtree — they must canonicalize to one
+    // exchange (q124's precedent), or the distinct shuffle runs twice.
+    val df = Catalog.all("q186_covisitation").build(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"session-items exchange not shared between pair legs:\n$p")
+  }
+
   test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
     // the NB fit runs at build time as its own jobs; the RETURNED plan
     // must be pure scan-stage scoring (C map-literal folds + array_sort)
