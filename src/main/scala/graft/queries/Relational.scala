@@ -1190,7 +1190,74 @@ object Relational {
              |  FROM edh_cum JOIN edh_rk ON cum >= r_lo GROUP BY 1)
              |SELECT edh_rk.k, n, r_k, boundary_cents, lo_cents, hi_cents,
              |  TRUE AS sketch_ok
-             |FROM edh_rk JOIN edh_p ON edh_p.k = edh_rk.k""".stripMargin))
+             |FROM edh_rk JOIN edh_p ON edh_p.k = edh_rk.k""".stripMargin)),
+
+    // ---- join-cardinality calibration — the third optimizer-stats verb
+    //      (q177 NDV, q182 histogram, and now the formula they feed):
+    //      for each audited join, the TEXTBOOK estimate
+    //      |A⨝B| ≈ n_a·n_b / max(ndv_a, ndv_b) from exactly the stats
+    //      q177 collects, beside the TRUE size computed WITHOUT
+    //      materializing a single joined row — Σ_k a_k·b_k over the
+    //      key-grain count tables (two hash-aggs + a key-grain equijoin
+    //      whose output is ∝ distinct keys). The ratio is the planner's
+    //      calibration error — the number that decides whether stats
+    //      are fresh enough to trust for join reordering. All counts,
+    //      NDVs, estimates and true sizes are exact BIGINTs; the ratio
+    //      is one IEEE division. 100 TB shape: per join, two corpus
+    //      hash-aggs at key grain + a key-grain join — never the join
+    //      itself (which for the audited FK joins would be corpus-sized
+    //      output).
+    "q187_join_cardinality" -> Q(
+      (s, d) => {
+        def audit(tag: String, a: DataFrame, ka: String,
+                  b: DataFrame, kb: String): DataFrame = {
+          val aCnt = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
+          val bCnt = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cb"))
+          val actual = aCnt.join(bCnt, "k")
+            .agg(sum(col("ca") * col("cb")).as("n_actual"))
+            .select(coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+          val sa = a.agg(count(lit(1)).as("n_a"),
+            countDistinct(col(ka)).as("ndv_a"))
+          val sb = b.agg(count(lit(1)).as("n_b"),
+            countDistinct(col(kb)).as("ndv_b"))
+          sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+            .select(lit(tag).as("join_key"), col("n_a"), col("n_b"),
+              col("ndv_a"), col("ndv_b"),
+              expr("n_a * n_b DIV greatest(ndv_a, ndv_b)").as("n_est"),
+              col("n_actual"),
+              (col("n_actual").cast("double") /
+                expr("CAST(n_a * n_b DIV greatest(ndv_a, ndv_b) AS DOUBLE)"))
+                .as("calib_ratio"))
+        }
+        audit("custkey", Tables(s, d, "orders"), "o_custkey",
+            Tables(s, d, "customer"), "c_custkey")
+          .unionByName(audit("orderkey", Tables(s, d, "lineitem"),
+            "l_orderkey", Tables(s, d, "orders"), "o_orderkey"))
+      },
+      Some {
+        def sql(tag: String, a: String, ka: String, b: String, kb: String) =
+          s"""jc_act_$tag AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+             |    AS n_actual
+             |  FROM (SELECT $ka AS k, CAST(count(*) AS BIGINT) AS ca
+             |        FROM $a GROUP BY 1) x
+             |  JOIN (SELECT $kb AS k, CAST(count(*) AS BIGINT) AS cb
+             |        FROM $b GROUP BY 1) y USING (k)),
+             |jc_sa_$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+             |    CAST(count(DISTINCT $ka) AS BIGINT) AS ndv_a FROM $a),
+             |jc_sb_$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(count(DISTINCT $kb) AS BIGINT) AS ndv_b FROM $b),
+             |jc_row_$tag AS (SELECT '$tag' AS join_key, n_a, n_b, ndv_a,
+             |    ndv_b, n_a * n_b // greatest(ndv_a, ndv_b) AS n_est,
+             |    n_actual,
+             |    CAST(n_actual AS DOUBLE) /
+             |      CAST(n_a * n_b // greatest(ndv_a, ndv_b) AS DOUBLE)
+             |      AS calib_ratio
+             |  FROM jc_sa_$tag CROSS JOIN jc_sb_$tag CROSS JOIN jc_act_$tag)""".stripMargin
+        s"""WITH ${sql("custkey", "orders", "o_custkey", "customer", "c_custkey")},
+           |${sql("orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+           |SELECT * FROM jc_row_custkey
+           |UNION ALL SELECT * FROM jc_row_orderkey""".stripMargin
+      })
   )
 
   /** q182's bucket count: HistB−1 interior boundaries at ranks

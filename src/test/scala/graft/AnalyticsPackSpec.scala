@@ -823,6 +823,38 @@ class AnalyticsPackSpec extends SparkSuite {
     assert(got.nonEmpty, "the coincidence floor must leave surviving pairs")
   }
 
+  test("q187 true join sizes match materialized joins; estimates exact") {
+    def keyCounts(t: String, k: String): Map[Long, Long] =
+      Tables(spark, sf(), t).select(col(k)).collect()
+        .map(_.getLong(0)).groupBy(identity)
+        .map { case (key, vs) => key -> vs.size.toLong }
+    val audits = Seq(
+      ("custkey", keyCounts("orders", "o_custkey"),
+        keyCounts("customer", "c_custkey")),
+      ("orderkey", keyCounts("lineitem", "l_orderkey"),
+        keyCounts("orders", "o_orderkey")))
+    val expected = audits.map { case (tag, a, b) =>
+      val nA = a.values.sum; val nB = b.values.sum
+      val est = nA * nB / math.max(a.size.toLong, b.size.toLong)
+      val actual = a.keysIterator
+        .map(k => a(k) * b.getOrElse(k, 0L)).sum
+      (tag, nA, nB, a.size.toLong, b.size.toLong, est, actual,
+        actual.toDouble / est.toDouble)
+    }.toSet
+    val got = graft.queries.Catalog.all("q187_join_cardinality")
+      .build(spark, sf()).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSet
+    assert(got == expected,
+      s"spark-only=${(got -- expected).take(2)} ref-only=${(expected -- got).take(2)}")
+    // the true size must equal an actually-materialized join's count
+    val join1 = Tables(spark, sf(), "orders").join(
+      Tables(spark, sf(), "customer"),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(expected.find(_._1 == "custkey").get._7 == join1,
+      "sum-of-products must equal the materialized join count")
+  }
+
   test("q180 diversity matches sequential token tallies") {
     val expected = docs.map { case (id, t) =>
       val counts = t.split(" ", -1).groupBy(identity)

@@ -104,7 +104,8 @@ object PlanDump {
     "q183_kanon_report" -> "k-anonymity census: ONE quasi-identifier-grain hash-agg (map-side combinable), risky flag as a post-aggregate projection — output bounded by the QI domain, never rows",
     "q184_cusum_changepoint" -> "CUSUM change-point: q174's shape — one corpus-sized day hash-agg, two-sided integer fold at day grain (out array is the only accumulator: one copy of each recurrence), explode back to day grain",
     "q185_incremental_stats" -> "incremental stats: two filtered partial aggregates union into an O(#sources) merge re-aggregate — the daily-refresh cost is O(delta) + the merge, never a corpus rescan; all moments mergeable by construction",
-    "q186_covisitation" -> "co-visitation: ONE deduped (user, day, item) exchange shared by both pair legs (ReusedExchange, q124's precedent), session-grain pair join, item-pair hash-agg with the coincidence floor after partial aggregation")
+    "q186_covisitation" -> "co-visitation: ONE deduped (user, day, item) exchange shared by both pair legs (ReusedExchange, q124's precedent), session-grain pair join, item-pair hash-agg with the coincidence floor after partial aggregation",
+    "q187_join_cardinality" -> "join calibration: per audited join two key-grain hash-aggs + a key-grain equijoin compute the TRUE size as sum-of-products — the corpus-sized joined output never materializes; stats rows are 1-row crosses")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

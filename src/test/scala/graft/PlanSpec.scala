@@ -213,7 +213,8 @@ class PlanSpec extends SparkSuite {
     "q137_mixture_temperature", // same 1-row-total cross as q107
     "q146_event_funnel",   // 3 summary rows × a broadcast 1-row base
     "q175_weekday_profile", // ≤7 weekday rows × a broadcast 1-row total
-    "q178_zorder_layout")  // corpus × a broadcast 1-row bounds (q125's class)
+    "q178_zorder_layout",  // corpus × a broadcast 1-row bounds (q125's class)
+    "q187_join_cardinality") // 1-row stats × 1-row actual crosses per audited join
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -248,7 +249,8 @@ class PlanSpec extends SparkSuite {
     "q169_conversion_lag",      // <=64 bucket rows × a broadcast 1-row total
     "q175_weekday_profile",     // ≤7 weekday rows × a broadcast 1-row total
     "q178_zorder_layout",       // corpus × a broadcast 1-row bounds (q125's class)
-    "q182_equidepth_hist")      // cents-domain cumulative × broadcast 15-row rank probe
+    "q182_equidepth_hist",      // cents-domain cumulative × broadcast 15-row rank probe
+    "q187_join_cardinality")    // 1-row stats × 1-row actual crosses per audited join
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
