@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.ParityFns._
 import graft.operators.AsOfJoin
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
@@ -1586,12 +1587,7 @@ object Windowed {
             expr("from_json(props, 'k INT').k").as("item"))
           .filter(col("item").isNotNull)
           .distinct()
-        val a = items.select(col("user_id"), col("day"), col("item").as("a"))
-        val b = items.select(col("user_id"), col("day"), col("item").as("b"))
-        a.join(b, Seq("user_id", "day"))
-          .filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_sessions"))
-          .filter(col("n_sessions") >= CovisMinSessions)
+        covisitationFrom(items)
       },
       Some(s"""WITH cov_i AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
              |    CAST(json_extract_string(props, '$$.k') AS INT) AS item
@@ -1611,6 +1607,52 @@ object Windowed {
     * scale; production runs 5-50 depending on traffic.
     */
   val CovisMinSessions = 2
+
+  /** q186's hot-session bound: at most this many items per (user, day)
+    * session enter pair generation — without it one bot session with m
+    * items costs m² pairs (the Σm² co-visitation hazard; a 10⁴-item
+    * session alone is 10⁸ pairs). The kept subset is a DETERMINISTIC
+    * unbiased sample: the cap smallest md5 coins over (user, day, item),
+    * so reruns and the window fallback agree exactly. 64 never engages
+    * on the fixture (max session = 10 distinct items at every sf — the
+    * oracle needs no cap arm); CovisCapSpec proves engagement on a
+    * planted hot session.
+    */
+  val CovisItemCap = 64
+
+  /** q186's kernel over a deduped (user_id, day, item) table, exposed so
+    * specs can feed planted sessions. Cap first (bounded heap collapses
+    * map-side, q171b's precedent), then pair within session, count
+    * across sessions, floor.
+    */
+  def covisitationFrom(items: DataFrame): DataFrame = {
+    val s = items.sparkSession
+    val coin = conv(substring(md5(concat_ws("\u0001", col("user_id"),
+      col("day"), col("item"))), 1, 15), 16, 10).cast("long").cast("double")
+    val capped =
+      if (s.catalog.functionExists("graft_topk"))
+        items.groupBy(col("user_id"), col("day"))
+          .agg(call_function("graft_topk", -coin, col("item").cast("long"),
+            lit(CovisItemCap)).as("top"))
+          .select(col("user_id"), col("day"),
+            explode(col("top.id")).as("item_l"))
+          .select(col("user_id"), col("day"),
+            col("item_l").cast("int").as("item"))
+      else {
+        // bit-identical relational fallback (same coin, same tie-break)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(coin.asc, col("item").asc)
+        items.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= CovisItemCap).drop("rk")
+      }
+    val a = capped.select(col("user_id"), col("day"), col("item").as("a"))
+    val b = capped.select(col("user_id"), col("day"), col("item").as("b"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= CovisMinSessions)
+  }
 
   /** q184's CUSUM parameters: slack (the per-day allowance subtracted
     * before accumulating, in total-count units — total/256 ≈ mean/8.5 at
