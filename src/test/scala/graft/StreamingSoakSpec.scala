@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StatefulOps
@@ -197,6 +198,70 @@ class StreamingSoakSpec extends SparkSuite {
         assert(spark.table("soak_trans").count() > 100, "transitions must flow")
         assert(spark.table("soak_funnelp").count() > 20, "steps must complete")
       } finally { qT.stop(); qF.stop() }
+    }
+  }
+
+  test("soak: scd2 + cdc per-user state expires with the churn (100 batches)") {
+    // the round-12 per-user ops (scd2Monitor, cdcMonitor) keep ONE
+    // small state row per ACTIVE user with an event-time timeout — the
+    // same contract as transition/funnelProgress: a churning population
+    // (2 new users per batch, each active 5 batches) must plateau at
+    // the active+expiry-lag working set, never accumulate all 200+
+    // users ever seen.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val inS = MemoryStream[(Long, Timestamp, Long, String)]
+      val inC = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val types = Seq("signup", "view", "purchase", "click")
+      def events(b: Int): Seq[(Long, Timestamp, Long, String)] =
+        (0 until 10).map { i =>
+          val uid = (b * 2 + i).toLong
+          (uid, ts(b * 10L), (b * 100 + i).toLong, types((b + i) % types.size))
+        }
+      val qS = graft.streaming.StatefulOps
+        .scd2Monitor(inS.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+          "60 seconds")
+        .writeStream.format("memory").queryName("soak_scd2")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("soak_scd2").toString).start()
+      val qC = graft.streaming.StatefulOps
+        .cdcMonitor(inC.toDF()
+          .toDF("user_id", "ts", "event_id", "event_type", "value"),
+          "60 seconds")
+        .writeStream.format("memory").queryName("soak_cdc")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("soak_cdc").toString).start()
+      try {
+        val sState = Vector.newBuilder[Long]
+        val cState = Vector.newBuilder[Long]
+        for (b <- 0 until 100) {
+          inS.addData(events(b): _*)
+          inC.addData(events(b).map(e => (e._1, e._2, e._3 + 1000000L, e._4,
+            (b % 7).toDouble)): _*)
+          qS.processAllAvailable(); qC.processAllAvailable()
+          Seq(qS -> sState, qC -> cState).foreach { case (q, buf) =>
+            val p = q.lastProgress
+            if (p != null && p.stateOperators.nonEmpty)
+              buf += p.stateOperators.map(_.numRowsTotal).sum
+          }
+        }
+        for ((name, series) <- Seq("scd2" -> sState.result(),
+            "cdc" -> cState.result())) {
+          info(s"$name state series (every 10th): ${series.grouped(10).map(_.last).mkString(", ")}")
+          assert(series.max <= 64L,
+            s"$name state exceeded the active-user bound: max=${series.max}")
+          assert(series.takeRight(25).max <= series.slice(25, 75).max,
+            s"$name state still growing in the last quarter")
+        }
+        // non-vacuous: runs close (every user's type alternates per
+        // batch) and TTL-finalized is_current rows appear; the CDC
+        // changelog advances each batch
+        assert(spark.table("soak_scd2").count() > 100, "closed intervals must flow")
+        assert(spark.table("soak_scd2").filter(col("is_current")).count() > 50,
+          "TTL must finalize open intervals for churned users")
+        assert(spark.table("soak_cdc").count() > 100, "changelog must flow")
+      } finally { qS.stop(); qC.stop() }
     }
   }
 
