@@ -88,4 +88,85 @@ object CorpusSink {
       .mode("overwrite")
       .saveAsTable(table)
   }
+
+  /** Z-ORDERED layout write — q178's key driving an actual on-disk
+    * layout (the OPTIMIZE-ZORDER write path): rows land in partition
+    * dirs `zb=<bucket>` where the bucket is the top 6 bits of the
+    * Morton interleave of the two clustering dims, so a reader with a
+    * range predicate on EITHER OR BOTH dims opens only the bucket dirs
+    * whose (u, d) bounding box intersects the query box —
+    * [[zOrderedScan]] computes that bucket set driver-side from the
+    * persisted bounds and the same bit arithmetic, and partition
+    * pruning does the rest (CorpusSinkSpec pins the executed scan's
+    * numFiles). No global sort anywhere: the cluster key is scan-stage
+    * integer arithmetic, the write shuffles once on the bucket id
+    * (the [[write]] small-files discipline). Bounds (and the dim
+    * column names) persist to an underscore-prefixed sidecar the
+    * parquet reader ignores. Both dims must be integral; bounds come
+    * from one 4-value driver aggregate (a bounded model-fit artifact,
+    * the q51-centroid precedent).
+    */
+  def writeZOrdered(df: DataFrame, dir: String, uCol: String, dCol: String,
+                    maxRecordsPerFile: Long = 1000000L): Unit = {
+    val r = df.agg(min(col(uCol)), max(col(uCol)),
+      min(col(dCol)), max(col(dCol))).collect()(0)
+    def lv(i: Int): Long = r.getAs[Number](i).longValue()
+    val (umin, umax, dmin, dmax) = (lv(0), lv(1), lv(2), lv(3))
+    val (ru, rd) = (umax - umin + 1, dmax - dmin + 1)
+    val u8 = s"((CAST($uCol AS BIGINT) - $umin) * 256 div $ru)"
+    val d8 = s"((CAST($dCol AS BIGINT) - $dmin) * 256 div $rd)"
+    val z = graft.queries.Pipeline.mortonZ16(u8, d8,
+      (x, n) => s"shiftleft($x, $n)")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.withColumn("zb", expr(s"$z div 1024"))
+      .repartition(n, col("zb"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("zb")
+      .mode("overwrite")
+      .parquet(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_zbounds"),
+      s"$uCol $dCol $umin $umax $dmin $dmax")
+  }
+
+  /** Box-pruned read over a [[writeZOrdered]] layout: maps the query
+    * box to the candidate bucket set via the persisted bounds (each
+    * bucket covers one 32×32 cell of the 8-bit normalized grid; a
+    * bucket is a candidate iff its cell intersects the normalized
+    * query box), filters `zb IN (...)` — partition pruning, so files
+    * of other buckets never open — and re-applies the exact range
+    * predicates as residuals. An empty intersection returns an empty
+    * frame without touching a single file.
+    */
+  def zOrderedScan(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   uRange: (Long, Long), dRange: (Long, Long)): DataFrame = {
+    val parts = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_zbounds")).trim.split(" ")
+    val (uCol, dCol) = (parts(0), parts(1))
+    val Array(umin, umax, dmin, dmax) = parts.drop(2).map(_.toLong)
+    def grid(lo: Long, hi: Long, mn: Long, mx: Long): Option[(Long, Long)] = {
+      val (clo, chi) = (math.max(lo, mn), math.min(hi, mx))
+      if (clo > chi) None
+      else Some(((clo - mn) * 256 / (mx - mn + 1),
+        (chi - mn) * 256 / (mx - mn + 1)))
+    }
+    val cands = (grid(uRange._1, uRange._2, umin, umax),
+        grid(dRange._1, dRange._2, dmin, dmax)) match {
+      case (Some((ulo, uhi)), Some((dlo, dhi))) =>
+        (0 until 64).filter { b =>
+          val u3 = ((b >> 5) & 1) << 2 | ((b >> 3) & 1) << 1 | ((b >> 1) & 1)
+          val d3 = ((b >> 4) & 1) << 2 | ((b >> 2) & 1) << 1 | (b & 1)
+          u3 * 32 <= uhi && ulo <= u3 * 32 + 31 &&
+            d3 * 32 <= dhi && dlo <= d3 * 32 + 31
+        }
+      case _ => Seq.empty[Int]
+    }
+    val base = spark.read.parquet(dir)
+    if (cands.isEmpty) base.filter(lit(false))
+    else base
+      .filter(col("zb").isin(cands: _*))
+      .filter(col(uCol).between(uRange._1, uRange._2) &&
+        col(dCol).between(dRange._1, dRange._2))
+  }
 }

@@ -96,4 +96,55 @@ class CorpusSinkSpec extends SparkSuite {
     assert(scanned < allFiles,
       s"pruning must reduce the file set ($scanned of $allFiles)")
   }
+
+  test("z-ordered layout: a 2-dim box scan prunes most bucket dirs") {
+    // the read-side payoff of q178's key as an ACTUAL layout: a range
+    // predicate on BOTH dims must open only the bucket dirs whose
+    // bounding box intersects the query box. A user_id-sorted layout
+    // answers day predicates with a full scan and vice versa; the
+    // z-order bucket dirs prune on either.
+    val ev = Tables(spark, sf(), "events").select(col("user_id"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+        .as("dday"),
+      col("event_id"))
+    val dir = tmpDir("corpus-zorder").toString
+    CorpusSink.writeZOrdered(ev, dir, "user_id", "dday")
+
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("dday")), max(col("dday"))).collect()(0)
+    val (umin, umax, dmin, dmax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // an eighth-by-eighth box in the middle of each dim
+    val (ru, rd) = (umax - umin + 1, dmax - dmin + 1)
+    val uR = (umin + ru / 4, umin + ru / 4 + math.max(1L, ru / 8) - 1)
+    val dR = (dmin + rd / 4, dmin + rd / 4 + math.max(1L, rd / 8) - 1)
+
+    val q = CorpusSink.zOrderedScan(spark, dir, uR, dR)
+      .select(col("event_id"))
+    val got = q.collect().map(_.getLong(0)).toSet
+    val expected = ev.filter(col("user_id").between(uR._1, uR._2) &&
+        col("dday").between(dR._1, dR._2))
+      .collect().map(r => r.getLong(2)).toSet
+    assert(got == expected, s"box scan wrong: ${got.size} vs ${expected.size}")
+    assert(got.nonEmpty, "the planted box must contain rows")
+
+    val executed = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = executed.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    val allFiles = parquetFiles(dir).size.toLong
+    assert(scanned * 2 <= allFiles,
+      s"an eighth-square box must prune at least half the files " +
+        s"($scanned of $allFiles opened)")
+
+    // a box fully outside the data range opens NOTHING
+    val empty = CorpusSink.zOrderedScan(spark, dir,
+      (umax + 10, umax + 20), dR)
+    assert(empty.count() == 0L)
+  }
 }
