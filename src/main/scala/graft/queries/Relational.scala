@@ -1257,7 +1257,55 @@ object Relational {
            |${sql("orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
            |SELECT * FROM jc_row_custkey
            |UNION ALL SELECT * FROM jc_row_orderkey""".stripMargin
-      })
+      }),
+
+    // ---- the 6-way join: TPC-H Q5 (local-supplier volume) — the
+    //      canonical join-ORDERING benchmark the catalog's 2-table
+    //      entries don't exercise: customer ⨝ orders ⨝ lineitem ⨝
+    //      supplier ⨝ nation ⨝ region with the local-supplier
+    //      constraint (c_nationkey = s_nationkey) and region + one-year
+    //      date selections. Declarative on purpose: Catalyst must pick
+    //      the plan — the four dimension legs broadcast, the ONE
+    //      fact-fact edge (lineitem ⨝ orders on orderkey) is the only
+    //      shuffle join, the date filter pushes to the orders scan and
+    //      the region filter prunes nation keys before any fact is
+    //      touched. That plan shape survives 100 TB (dims stay
+    //      broadcastable, facts shuffle once); a wrong order (fact ⨝
+    //      fact first without the date cut, or a shuffled dim) is what
+    //      this entry would catch in a plan diff. Revenue rounds at
+    //      the aggregate (the q01 order-insensitivity rule).
+    "q188_tpch_q5" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer"); val o = Tables(s, d, "orders")
+        val l = Tables(s, d, "lineitem"); val su = Tables(s, d, "supplier")
+        val n = Tables(s, d, "nation"); val r = Tables(s, d, "region")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name""".stripMargin))
   )
 
   /** q182's bucket count: HistB−1 interior boundaries at ranks

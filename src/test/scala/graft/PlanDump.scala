@@ -105,7 +105,8 @@ object PlanDump {
     "q184_cusum_changepoint" -> "CUSUM change-point: q174's shape — one corpus-sized day hash-agg, two-sided integer fold at day grain (out array is the only accumulator: one copy of each recurrence), explode back to day grain",
     "q185_incremental_stats" -> "incremental stats: two filtered partial aggregates union into an O(#sources) merge re-aggregate — the daily-refresh cost is O(delta) + the merge, never a corpus rescan; all moments mergeable by construction",
     "q186_covisitation" -> "co-visitation: ONE deduped (user, day, item) exchange shared by both pair legs (ReusedExchange, q124's precedent), session-grain pair join, item-pair hash-agg with the coincidence floor after partial aggregation",
-    "q187_join_cardinality" -> "join calibration: per audited join two key-grain hash-aggs + a key-grain equijoin compute the TRUE size as sum-of-products — the corpus-sized joined output never materializes; stats rows are 1-row crosses")
+    "q187_join_cardinality" -> "join calibration: per audited join two key-grain hash-aggs + a key-grain equijoin compute the TRUE size as sum-of-products — the corpus-sized joined output never materializes; stats rows are 1-row crosses",
+    "q188_tpch_q5" -> "six-way join (TPC-H Q5): all dimension legs BroadcastHashJoin, the single fact-fact edge is the only shuffle join, the one-year date cut is a PushedFilter on the orders scan, region prunes nations before any fact is touched")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -190,6 +190,19 @@ class PlanSpec extends SparkSuite {
       s"session-items exchange not shared between pair legs:\n$p")
   }
 
+  test("q188 six-way join: every dimension leg broadcasts, dates push down") {
+    // the join-order contract at scale: nation/region/supplier (and at
+    // fixture sizes customer too) ride BroadcastHashJoins — only fact
+    // edges may shuffle — and the one-year o_orderdate cut reaches the
+    // orders parquet scan as a pushed filter, so no fact row outside
+    // the window is ever joined.
+    val p = plan("q188_tpch_q5")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected >=3 broadcast dimension joins, got $bhj:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"date filter not pushed to the orders scan:\n$p")
+  }
+
   test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
     // the NB fit runs at build time as its own jobs; the RETURNED plan
     // must be pure scan-stage scoring (C map-literal folds + array_sort)
