@@ -106,7 +106,10 @@ object PlanDump {
     "q185_incremental_stats" -> "incremental stats: two filtered partial aggregates union into an O(#sources) merge re-aggregate — the daily-refresh cost is O(delta) + the merge, never a corpus rescan; all moments mergeable by construction",
     "q186_covisitation" -> "co-visitation: ONE deduped (user, day, item) exchange shared by both pair legs (ReusedExchange, q124's precedent), session-grain pair join, item-pair hash-agg with the coincidence floor after partial aggregation",
     "q187_join_cardinality" -> "join calibration: per audited join two key-grain hash-aggs + a key-grain equijoin compute the TRUE size as sum-of-products — the corpus-sized joined output never materializes; stats rows are 1-row crosses",
-    "q188_tpch_q5" -> "six-way join (TPC-H Q5): all dimension legs BroadcastHashJoin, the single fact-fact edge is the only shuffle join, the one-year date cut is a PushedFilter on the orders scan, region prunes nations before any fact is touched")
+    "q188_tpch_q5" -> "six-way join (TPC-H Q5): all dimension legs BroadcastHashJoin, the single fact-fact edge is the only shuffle join, the one-year date cut is a PushedFilter on the orders scan, region prunes nations before any fact is touched",
+    "q189_tpch_q3" -> "TPC-H Q3: customer is a broadcast LEFT SEMI that cuts orders BEFORE the one orderkey shuffle; date filters are PushedFilters on both fact scans; top-10 is TakeOrderedAndProject on the exact-integer revenue",
+    "q194_tpch_q13" -> "TPC-H Q13: priority filter inside the outer join (no-match customers kept as zeros), custkey-grain count, second aggregate at order-count grain — bounded by max orders/customer, never rows",
+    "q198_sole_delay" -> "TPC-H Q21 shape: EXISTS and NOT-EXISTS are orderkey-equi semi/anti SortMergeJoins with the supplier inequality as join residual — never a per-row subquery or nested loop; supplier name resolves via broadcast after the correlations prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -203,6 +203,25 @@ class PlanSpec extends SparkSuite {
       s"date filter not pushed to the orders scan:\n$p")
   }
 
+  test("q189 TPC-H Q3: broadcast semi customer cut, top-10 never a full sort") {
+    val p = plan("q189_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"customer must be a filter-only semi join:\n$p")
+  }
+
+  test("q198 TPC-H Q21 shape: correlations are semi/anti joins, never nested loops") {
+    // both EXISTS arms must plan as equi joins on orderkey with the
+    // supplier inequality as residual — a BNLJ here is quadratic in
+    // lines-per-order across the whole fact at 100 TB
+    val p = plan("q198_sole_delay")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected semi+anti correlation joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlation fell out of the equi-join regime:\n$p")
+  }
+
   test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
     // the NB fit runs at build time as its own jobs; the RETURNED plan
     // must be pure scan-stage scoring (C map-literal folds + array_sort)
@@ -227,7 +246,8 @@ class PlanSpec extends SparkSuite {
     "q146_event_funnel",   // 3 summary rows × a broadcast 1-row base
     "q175_weekday_profile", // ≤7 weekday rows × a broadcast 1-row total
     "q178_zorder_layout",  // corpus × a broadcast 1-row bounds (q125's class)
-    "q187_join_cardinality") // 1-row stats × 1-row actual crosses per audited join
+    "q187_join_cardinality", // 1-row stats × 1-row actual crosses per audited join
+    "q199_dormant_rich")     // nation-subset customers × a broadcast 1-row (tot, n) mean
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -263,7 +283,8 @@ class PlanSpec extends SparkSuite {
     "q175_weekday_profile",     // ≤7 weekday rows × a broadcast 1-row total
     "q178_zorder_layout",       // corpus × a broadcast 1-row bounds (q125's class)
     "q182_equidepth_hist",      // cents-domain cumulative × broadcast 15-row rank probe
-    "q187_join_cardinality")    // 1-row stats × 1-row actual crosses per audited join
+    "q187_join_cardinality",    // 1-row stats × 1-row actual crosses per audited join
+    "q199_dormant_rich")        // nation-subset customers × a broadcast 1-row (tot, n) mean
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
