@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, ShinglesK, SimHash, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, ShinglesK, SimHash, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "graft_topk",
       "graft_topk(score, id, k) - bounded top-k by (score DESC, id ASC), map-side combinable", 3)(
       c => TopKByScore(c(0), c(1), intLit("graft_topk", "k", c(2))))
+    register(e, "graft_gram",
+      "graft_gram(vec) - exact upper-triangle gram matrix of array<bigint> vectors, row-major", 1)(
+      c => GramMatrix(c.head))
     // Spark ships Bloom-filter expressions for its own runtime-filter
     // rewrites but does not register them in the public FunctionRegistry;
     // expose them — they are exactly the right primitive for broadcast-

@@ -1176,7 +1176,62 @@ object Similarity {
            |  CASE WHEN dg.deg < 2 THEN CAST(0.0 AS DOUBLE) ELSE
            |    CAST(coalesce(t.n_tri, 0) * 2 AS DOUBLE)
            |      / CAST(dg.deg * (dg.deg - 1) AS DOUBLE) END AS clustering
-           |FROM degs dg LEFT JOIN tv t USING (v)""".stripMargin))
+           |FROM degs dg LEFT JOIN tv t USING (v)""".stripMargin)),
+
+    // ---- second-order embedding statistics: the exact Gram matrix
+    //      Σ v·vᵀ over fixed-point-quantized vectors — the fit artifact
+    //      behind PCA / whitening / dominant-direction removal
+    //      (standard embedding postprocessing before semantic dedup or
+    //      retrieval). Quantization is the repo's power-of-two
+    //      fixed-point (floor(x·2¹⁶) BIGINT), so every product and sum
+    //      is exact and the d(d+1)/2 upper-triangle entries are
+    //      bit-identical regardless of row order — which is what makes
+    //      a Gram matrix ORACLE-checkable at all (float accumulation
+    //      would be partitioning-dependent). 100 TB: the native
+    //      graft_gram TypedImperativeAggregate keeps ONE 2080-long
+    //      buffer per partition (map-side merged, MLlib's
+    //      computeGramianMatrix shape) instead of exploding n·d²/2
+    //      product rows through the shuffle; the declarative explode
+    //      fallback below it is bit-identical (GramSpec parity).
+    "q200_embed_gram" -> Q(
+      (s, d) => {
+        val q = Tables.spread(Tables(s, d, "embeddings")).select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+          .as("v"))
+        val tri =
+          if (s.catalog.functionExists("graft_gram"))
+            q.agg(call_function("graft_gram", col("v")).as("g"))
+          else
+            // fallback: per-row upper-triangle products, element-wise
+            // array sum via the same row-major flatten order
+            q.select(expr(
+              "flatten(transform(sequence(0, size(v) - 1), " +
+                "i -> transform(sequence(i, size(v) - 1), j -> v[i] * v[j])))")
+              .as("p"))
+              .agg(expr(
+                "aggregate(collect_list(p), CAST(array() AS ARRAY<BIGINT>), " +
+                  "(acc, x) -> CASE WHEN size(acc) = 0 THEN x " +
+                  "ELSE zip_with(acc, x, (a, b) -> a + b) END)").as("g"))
+        // (i, j) recovered positionally: the broadcast index map is the
+        // SAME row-major flatten the kernel writes, so pos == tri index
+        val ij = s.range(1).select(posexplode(expr(
+          "flatten(transform(sequence(0, 63), " +
+            "i -> transform(sequence(i, 63), j -> struct(i, j))))"))
+          .as(Seq("idx", "ij")))
+          .select(col("idx"), col("ij.i").as("i"), col("ij.j").as("j"))
+        tri.select(posexplode(col("g")).as(Seq("idx", "gram")))
+          .join(broadcast(ij), "idx")
+          .select(col("i"), col("j"), col("gram"))
+      },
+      Some("""WITH q AS (SELECT list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
+             |  FROM embeddings)
+             |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             |  CAST(sum(v[CAST(i AS INT) + 1] * v[CAST(j AS INT) + 1]) AS BIGINT)
+             |    AS gram
+             |FROM q, generate_series(0, 63) t1(i), generate_series(0, 63) t2(j)
+             |WHERE j >= i
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   /** q152's kernel over any canonical undirected edge set (a < b per
