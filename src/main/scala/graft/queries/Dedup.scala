@@ -436,7 +436,48 @@ object Dedup {
     //      4 bits fits the fixture corpus (~n/16 per bucket).
     "q44_embed_neardup" -> Q(
       (s, d) => embedNeardup(s, d, BucketCap),
-      Some(embedNeardupOracle(BucketCap)))
+      Some(embedNeardupOracle(BucketCap)))  ,
+
+    // ---- blocked record linkage (entity resolution): fuzzy-match
+    //      customer records inside deterministic blocking keys — the
+    //      classic Fellegi–Sunter candidate-generation shape that the
+    //      dedup family's CONTENT hashes (minhash/simhash) don't cover:
+    //      here the match predicate is EDIT DISTANCE on an identifier
+    //      field, the tool for typo-grade entity duplicates (name
+    //      misspellings, OCR'd IDs). Blocking on (nationkey, mktsegment)
+    //      turns the n² all-pairs into an equi-join whose cost is
+    //      Σ block², bounded by the block-size distribution (the q186
+    //      Σm² discipline — a skewed block would take a graft_topk cap
+    //      exactly like CovisItemCap; fixture blocks are ≤ ~80 rows so
+    //      no cap ships here). A |len(a)−len(b)| ≤ 2 guard runs before
+    //      levenshtein — edit distance can never beat the length gap, so
+    //      the O(|a|·|b|) DP only runs on survivors. Pairs are ordered
+    //      (a < b) once, never emitted twice.
+    "q202_record_linkage" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"))
+        val a = c.toDF("custkey_a", "name_a", "nat", "seg")
+        val b = c.toDF("custkey_b", "name_b", "nat_b", "seg_b")
+        a.join(b, col("nat") === col("nat_b") && col("seg") === col("seg_b")
+            && col("custkey_a") < col("custkey_b"))
+          .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+          .withColumn("lev",
+            levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("lev") <= 2)
+          .select(col("custkey_a"), col("custkey_b"),
+            col("nat").as("c_nationkey"), col("lev"))
+      },
+      Some("""SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             |  a.c_nationkey AS c_nationkey,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey
+             |  AND a.c_mktsegment = b.c_mktsegment
+             |  AND a.c_custkey < b.c_custkey
+             |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+             |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin))
   )
 
   /** q43's document-frequency cap: shingles appearing in more than DfCap

@@ -1664,7 +1664,156 @@ object Pipeline {
              |  CAST(max(n_chars) AS BIGINT) AS char_max,
              |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              |    AS char_mean
-             |FROM documents GROUP BY 1""".stripMargin))
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- declarative data-quality audit (the Deequ/Great-Expectations
+    //      verb): a fixed suite of constraints evaluated in ONE
+    //      conditional-aggregation pass per table — key uniqueness,
+    //      value-range and domain membership, referential integrity
+    //      (LEFT ANTI orphan count), and a derived-column consistency
+    //      invariant — emitted as a uniform (check, n_bad, n_total,
+    //      pass) report. The fixture exercises BOTH arms: the lineitem
+    //      PK and discount-range checks fail (dup (okey, line) pairs and
+    //      discounts past 8% exist by construction), domain/FK/
+    //      consistency pass — so the violation-counting path is proven,
+    //      not vacuous. 100 TB shape: row-grain checks ride scan-stage
+    //      conditional sums (map-side combinable, no shuffle beyond the
+    //      1-row agg); the multi-column distinct is the one expand; the
+    //      FK arm is a key-projected anti join; output is #checks rows.
+    //      Discount range compares exact integer percent (round(d*100))
+    //      — never a float boundary.
+    "q201_dq_report" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val liAgg = li.agg(count(lit(1)).as("n_total"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"),
+          sum(when(expr(
+            "CAST(round(l_discount * 100) AS BIGINT) NOT BETWEEN 0 AND 8"),
+            1L).otherwise(0L)).as("bad_disc"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)).as("bad_flag"))
+        val liChecks = liAgg.selectExpr(
+          """stack(3,
+            |  'li_pk_unique',        n_total - n_key, n_total,
+            |  'li_discount_range',   bad_disc,        n_total,
+            |  'li_returnflag_domain', bad_flag,       n_total
+            |) AS (check_name, n_bad, n_total)""".stripMargin)
+        val fk = li.select(col("l_orderkey"))
+          .join(Tables(s, d, "orders").select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+          .crossJoin(broadcast(li.agg(count(lit(1)).as("n_total"))))
+          .select(lit("li_orderkey_fk").as("check_name"), col("n_bad"),
+            col("n_total"))
+        val ords = Tables(s, d, "orders").agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_bad"))
+          .select(lit("ord_totalprice_positive").as("check_name"), col("n_bad"),
+            col("n_total"))
+        val docs = Tables(s, d, "documents").agg(
+            count(lit(1)).as("n_total"),
+            sum(when(expr("text IS NULL OR length(text) <> n_chars"), 1L)
+              .otherwise(0L)).as("n_bad"))
+          .select(lit("doc_nchars_consistent").as("check_name"), col("n_bad"),
+            col("n_total"))
+        liChecks.unionByName(fk).unionByName(ords).unionByName(docs)
+          .select(col("check_name"), col("n_bad").cast("long").as("n_bad"),
+            col("n_total").cast("long").as("n_total"),
+            (col("n_bad") === 0L).as("pass"))
+      },
+      Some("""WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             |      AS BIGINT) AS dup_bad,
+             |    CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT)
+             |        NOT BETWEEN 0 AND 8 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS bad_disc,
+             |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
+             |  FROM lineitem),
+             |fk AS (SELECT CAST(count(*) AS BIGINT) AS n_bad,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_total
+             |  FROM lineitem WHERE l_orderkey NOT IN
+             |    (SELECT o_orderkey FROM orders)),
+             |o AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_bad FROM orders),
+             |dc AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |    CAST(sum(CASE WHEN text IS NULL OR length(text) <> n_chars
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM documents)
+             |SELECT 'li_pk_unique' AS check_name, dup_bad AS n_bad, n_total,
+             |  dup_bad = 0 AS pass FROM li
+             |UNION ALL SELECT 'li_discount_range', bad_disc, n_total,
+             |  bad_disc = 0 FROM li
+             |UNION ALL SELECT 'li_returnflag_domain', bad_flag, n_total,
+             |  bad_flag = 0 FROM li
+             |UNION ALL SELECT 'li_orderkey_fk', n_bad, n_total,
+             |  n_bad = 0 FROM fk
+             |UNION ALL SELECT 'ord_totalprice_positive', n_bad, n_total,
+             |  n_bad = 0 FROM o
+             |UNION ALL SELECT 'doc_nchars_consistent', n_bad, n_total,
+             |  n_bad = 0 FROM dc""".stripMargin)),
+
+    // ---- two-sample Kolmogorov–Smirnov drift test, exact: each source's
+    //      doc-length distribution vs the REST of the corpus — the
+    //      distribution-shift gate a corpus refresh runs per ingest
+    //      source (q135 reports moment drift; KS is the nonparametric
+    //      whole-CDF statistic that catches shape changes moments miss;
+    //      q153's chi-square needs binning, KS does not). Exact rational
+    //      arithmetic: the statistic's numerator max|cum_s·n_rest −
+    //      cum_rest·n_s| is BIGINT (sound while n_s·n_rest < 2^63, i.e.
+    //      to ~3e9 docs a side); the reported ks is ONE IEEE division.
+    //      100 TB shape: rows collapse to (source, len) grain in one
+    //      hash agg; the zero-filled evaluation grid is sources ×
+    //      distinct-lengths (value-domain-bounded, never row-bounded);
+    //      the per-source CDF window partitions at that bounded grain.
+    "q203_ks_drift" -> Q(
+      (s, d) => {
+        val perSL = Tables(s, d, "documents")
+          .groupBy(col("source"), col("n_chars").as("len"))
+          .agg(count(lit(1)).as("c_sl"))
+        val perL = perSL.groupBy(col("len")).agg(sum(col("c_sl")).as("c_l"))
+        val srcN = perSL.groupBy(col("source")).agg(sum(col("c_sl")).as("n_s"))
+        val tot = perL.agg(sum(col("c_l")).as("n_tot"))
+        val w = Window.partitionBy(col("source")).orderBy(col("len"))
+        broadcast(srcN).crossJoin(perL)
+          .join(perSL, Seq("source", "len"), "left")
+          .na.fill(0L, Seq("c_sl"))
+          .withColumn("cum_s", sum(col("c_sl")).over(w))
+          .withColumn("cum_all", sum(col("c_l")).over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("n_rest", col("n_tot") - col("n_s"))
+          .withColumn("diff", abs(col("cum_s") * col("n_rest")
+            - (col("cum_all") - col("cum_s")) * col("n_s")))
+          .groupBy(col("source"), col("n_s"), col("n_rest"))
+          .agg(max(col("diff")).as("ks_num"))
+          .withColumn("ks", col("ks_num").cast("double")
+            / (col("n_s") * col("n_rest")).cast("double"))
+      },
+      Some("""WITH sl AS (SELECT source, n_chars AS len,
+             |    CAST(count(*) AS BIGINT) AS c_sl FROM documents GROUP BY 1, 2),
+             |l AS (SELECT len, CAST(sum(c_sl) AS BIGINT) AS c_l
+             |  FROM sl GROUP BY 1),
+             |sn AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS n_s
+             |  FROM sl GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c_l) AS BIGINT) AS n_tot FROM l),
+             |grid AS (SELECT sn.source, sn.n_s, l.len, l.c_l,
+             |    COALESCE(sl.c_sl, 0) AS c_sl
+             |  FROM sn CROSS JOIN l
+             |  LEFT JOIN sl ON sl.source = sn.source AND sl.len = l.len),
+             |cdf AS (SELECT source, n_s, len,
+             |    CAST(sum(c_sl) OVER (PARTITION BY source ORDER BY len)
+             |      AS BIGINT) AS cum_s,
+             |    CAST(sum(c_l) OVER (PARTITION BY source ORDER BY len)
+             |      AS BIGINT) AS cum_all
+             |  FROM grid),
+             |d AS (SELECT source, n_s,
+             |    (SELECT n_tot FROM tot) - n_s AS n_rest,
+             |    abs(cum_s * ((SELECT n_tot FROM tot) - n_s)
+             |      - (cum_all - cum_s) * n_s) AS diff
+             |  FROM cdf)
+             |SELECT source, n_s, n_rest, CAST(max(diff) AS BIGINT) AS ks_num,
+             |  CAST(max(diff) AS DOUBLE) / CAST(n_s * n_rest AS DOUBLE) AS ks
+             |FROM d GROUP BY 1, 2, 3""".stripMargin))
   )
 
   /** q183's anonymity floor: an equivalence class smaller than KAnonK

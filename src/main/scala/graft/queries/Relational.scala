@@ -1740,8 +1740,72 @@ object Relational {
              |  AND NOT EXISTS (SELECT 1 FROM orders o
              |                  WHERE o.o_custkey = sub.c_custkey
              |                    AND o.o_orderdate >= TIMESTAMP '1999-07-01')
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- exact-moment OLS calibration: per-returnflag least-squares fit
+    //      of line revenue (whole dollars) on quantity — the closed-form
+    //      regression every monitoring/calibration pipeline ships (price
+    //      elasticity here; token-count vs byte-count calibration on a
+    //      corpus is the same kernel). ONE map-side-combinable hash agg
+    //      collects the six integer moments (n, Σx, Σy, Σx², Σxy, Σy²)
+    //      as exact BIGINTs; slope/intercept/R² are derived AFTER the
+    //      agg from those exact sums through the SHARED OlsDerived
+    //      expression template — one IEEE tree, textually identical in
+    //      both engines, so every double is bit-reproducible cross-engine
+    //      (the q189 RevC4 discipline, extended from one division to one
+    //      fixed op-DAG). Overflow bound, documented not hoped: y ≤
+    //      ~1.05e5 dollars so Σy² < 9.2e18 holds to ~8e8 rows per group
+    //      — past that, pre-aggregate at a coarser grain or widen to
+    //      DECIMAL(38) inside the agg; the moments stay mergeable either
+    //      way (q185's incremental contract applies verbatim).
+    "q204_ols_fit" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+            expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+            sum(expr("y * y")).as("syy"))
+          .selectExpr(Seq("l_returnflag", "n", "sx", "sy", "sxx", "sxy",
+            "syy") ++ OlsDerived: _*)
+      },
+      Some(s"""WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+             |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)
+             |           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)
+             |           * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+             |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+             |           * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n, sx, sy, sxx, sxy, syy,
+             |  ${OlsDerived.mkString(",\n             |  ")}
+             |FROM m""".stripMargin))
   )
+
+  /** q204's derived-statistic template: slope / intercept / R² from the
+    * six exact integer moments, as SQL expression strings shared verbatim
+    * by the Spark plan and the DuckDB oracle (single source of truth —
+    * the two IEEE trees cannot drift). Every input is cast to DOUBLE
+    * once; each derived value is a fixed sequence of IEEE ops, so both
+    * engines produce bit-identical doubles.
+    */
+  private val OlsDerived: Seq[String] = {
+    val (n, sx, sy, sxx, sxy, syy) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxx AS DOUBLE)", "CAST(sxy AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val cov = s"($n * $sxy - $sx * $sy)"
+    val varx = s"($n * $sxx - $sx * $sx)"
+    val vary = s"($n * $syy - $sy * $sy)"
+    Seq(
+      s"$cov / $varx AS slope",
+      s"($sy - ($cov / $varx) * $sx) / $n AS intercept",
+      s"($cov * $cov) / ($varx * $vary) AS r2")
+  }
 
   /** Exact-integer revenue term shared by the TPC-H classics: cents ×
     * (100 − discount-in-percent), i.e. revenue in 10⁻⁴-dollar units.

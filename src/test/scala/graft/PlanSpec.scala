@@ -222,6 +222,47 @@ class PlanSpec extends SparkSuite {
       s"correlation fell out of the equi-join regime:\n$p")
   }
 
+  test("q201 DQ audit: row-grain checks are hash aggregates, FK arm is an anti equi join") {
+    // the report's cost model: each table contributes ONE scan feeding a
+    // map-side-combinable aggregate; referential integrity is the only
+    // join and it must stay an equi anti join on the key projection
+    val p = plan("q201_dq_report")
+    assert(p.contains("LeftAnti"), s"FK arm must be an anti join:\n$p")
+    assert(p.contains("HashAggregate"), s"checks must hash-aggregate:\n$p")
+  }
+
+  test("q202 blocked linkage is an equi join on the blocking keys, never all-pairs") {
+    // the Fellegi–Sunter contract: blocking turns n² into Σ block².
+    // A BNLJ/cartesian here means the equi keys fell out of the join.
+    val p = plan("q202_record_linkage")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"blocking keys must drive an equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"linkage fell to all-pairs:\n$p")
+  }
+
+  test("q203 KS grid windows are source-partitioned (never single-partition)") {
+    // the CDF cumulative runs per source over the value-domain grid; an
+    // unpartitioned spec would serialize the whole grid on one task
+    val p = plan("q203_ks_drift")
+    assert("windowspecdefinition\\(source#".r.findFirstIn(p).nonEmpty,
+      s"CDF window must partition by source:\n$p")
+  }
+
+  test("q204 OLS moments ride one codegen hash aggregate") {
+    // six integer moments in a single map-side-combinable pass; the
+    // derived slope/intercept/R² are projections after the agg — a
+    // second scan or a sort-based agg would break the 100 TB cost model
+    val df = Catalog.all("q204_ols_fit").build(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"moment collection must stay in the hash regime:\n$p")
+    assert("(?s)FileScan parquet.*lineitem".r.findAllIn(p).size <= 1,
+      s"q204 must scan lineitem exactly once:\n$p")
+  }
+
   test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
     // the NB fit runs at build time as its own jobs; the RETURNED plan
     // must be pure scan-stage scoring (C map-literal folds + array_sort)
@@ -247,7 +288,9 @@ class PlanSpec extends SparkSuite {
     "q175_weekday_profile", // ≤7 weekday rows × a broadcast 1-row total
     "q178_zorder_layout",  // corpus × a broadcast 1-row bounds (q125's class)
     "q187_join_cardinality", // 1-row stats × 1-row actual crosses per audited join
-    "q199_dormant_rich")     // nation-subset customers × a broadcast 1-row (tot, n) mean
+    "q199_dormant_rich",     // nation-subset customers × a broadcast 1-row (tot, n) mean
+    "q201_dq_report",        // FK-orphan count × a broadcast 1-row lineitem total
+    "q203_ks_drift")         // #sources × len-domain grid + a broadcast 1-row total
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -284,7 +327,9 @@ class PlanSpec extends SparkSuite {
     "q178_zorder_layout",       // corpus × a broadcast 1-row bounds (q125's class)
     "q182_equidepth_hist",      // cents-domain cumulative × broadcast 15-row rank probe
     "q187_join_cardinality",    // 1-row stats × 1-row actual crosses per audited join
-    "q199_dormant_rich")        // nation-subset customers × a broadcast 1-row (tot, n) mean
+    "q199_dormant_rich",        // nation-subset customers × a broadcast 1-row (tot, n) mean
+    "q201_dq_report",           // FK-orphan count × a broadcast 1-row lineitem total
+    "q203_ks_drift")            // #sources × len-domain grid + a broadcast 1-row total
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-12 quality/statistics batch vs brute-force driver-side
+  * references at sf0.001: q201 (DQ audit), q202 (blocked record
+  * linkage), q203 (exact two-sample KS), q204 (exact-moment OLS). The
+  * references recompute each answer with independent scalar code — plain
+  * Scala loops over collected fixture rows — never the query's own plan.
+  */
+class QualityStatsSpec extends SparkSuite {
+
+  test("q201: every check row matches an independently counted violation total") {
+    val li = Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"),
+        col("l_returnflag")).collect()
+    val nLi = li.length.toLong
+    val dup = nLi - li.map(r => (r.getLong(0), r.getInt(1))).distinct.length
+    val badDisc = li.count { r =>
+      val pct = math.round(r.getDouble(2) * 100); pct < 0 || pct > 8
+    }.toLong
+    val badFlag = li.count(r => !Set("A", "N", "R")(r.getString(3))).toLong
+    val orderKeys = Tables(spark, sf(), "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val orphans = li.count(r => !orderKeys(r.getLong(0))).toLong
+
+    val got = graft.queries.Catalog.all("q201_dq_report").build(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3))))
+      .toMap
+    assert(got("li_pk_unique") == ((dup, dup == 0L)))
+    assert(got("li_discount_range") == ((badDisc, badDisc == 0L)))
+    assert(got("li_returnflag_domain") == ((badFlag, badFlag == 0L)))
+    assert(got("li_orderkey_fk") == ((orphans, orphans == 0L)))
+    // the fixture must exercise BOTH arms or the report is vacuous
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      s"need at least one passing and one failing check: $got")
+  }
+
+  private def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q202: blocked linkage equals the all-pairs edit-distance ground truth") {
+    val cust = Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    // ground truth deliberately ignores the blocking: every cross-block
+    // pair the engine skipped must genuinely be skippable (same-block
+    // requirement is part of q202's CONTRACT, so truth filters on it too)
+    val expected = (for {
+      i <- cust.indices.iterator
+      j <- (i + 1) until cust.length
+      (ka, na, nata, sega) = cust(i)
+      (kb, nb, natb, segb) = cust(j)
+      if nata == natb && sega == segb
+      e = lev(na, nb) if e <= 2
+    } yield (math.min(ka, kb), math.max(ka, kb), e.toLong)).toSet
+    val got = graft.queries.Catalog.all("q202_record_linkage")
+      .build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expected, s"diff=${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    assert(got.nonEmpty, "fixture must produce >= 1 linked pair")
+  }
+
+  test("q202: the length guard is lossless (edit distance >= length gap)") {
+    // |len(a)-len(b)| > 2 implies lev > 2: the pre-filter can never drop
+    // a true match, only DP work. Property-checked on name pairs.
+    val names = Tables(spark, sf(), "customer").select(col("c_name"))
+      .limit(25).collect().map(_.getString(0)) ++
+      Seq("Customer#1", "Customer#12345678901", "Cust", "")
+    for (a <- names; b <- names if math.abs(a.length - b.length) > 2)
+      assert(lev(a, b) > 2, s"guard would wrongly drop ('$a','$b')")
+  }
+
+  test("q203: KS statistic equals the brute-force CDF sweep, per source") {
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val lens = docs.map(_._2).distinct.sorted
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = docs.length.toLong
+    val got = graft.queries.Catalog.all("q203_ks_drift").build(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    bySrc.foreach { case (src, mine) =>
+      val ns = mine.length.toLong
+      val rest = docs.filter(_._1 != src).map(_._2)
+      val nr = n - ns
+      val ksNum = lens.map { x =>
+        val cs = mine.count(_ <= x).toLong
+        val cr = rest.count(_ <= x).toLong
+        math.abs(cs * nr - cr * ns)
+      }.max
+      val (gNs, gNr, gNum, gKs) = got(src)
+      assert((gNs, gNr, gNum) == ((ns, nr, ksNum)), s"$src")
+      assert(math.abs(gKs - ksNum.toDouble / (ns * nr).toDouble) == 0.0, s"$src ks")
+    }
+    // drift must be nonzero somewhere or the statistic is untested
+    assert(got.values.exists(_._3 > 0L), "fixture KS must bind")
+  }
+
+  test("q204: moments and derived fit match a sequential reference") {
+    val li = Tables(spark, sf(), "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1)),
+        math.round(r.getDouble(2))))
+    val got = graft.queries.Catalog.all("q204_ols_fit").build(spark, sf())
+      .collect().map(r => r.getString(0) -> r).toMap
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val sxy = rows.map(t => t._2 * t._3).sum
+      val syy = rows.map(t => t._3 * t._3).sum
+      val r = got(flag)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == ((n, sx, sy, sxx, sxy, syy)), flag)
+      val cov = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val varx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val vary = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      val slope = cov / varx
+      assert(r.getDouble(7) == slope, s"$flag slope")
+      assert(r.getDouble(8) == (sy.toDouble - slope * sx.toDouble) / n.toDouble,
+        s"$flag intercept")
+      assert(r.getDouble(9) == (cov * cov) / (varx * vary), s"$flag r2")
+      // a real fit, not a degenerate one: some variance on both axes
+      assert(varx > 0 && vary > 0, s"$flag degenerate fixture")
+    }
+  }
+}
