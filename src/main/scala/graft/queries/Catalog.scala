@@ -10,7 +10,7 @@ object Catalog {
     val families: Seq[ListMap[String, Q]] = Seq(
       Relational.defs, Windowed.defs, AuditOps.defs,
       Dedup.defs, Similarity.defs, TextAnalysis.defs, Multimodal.defs,
-      Pipeline.defs)
+      Pipeline.defs, Evaluation.defs)
     val merged = families.foldLeft(ListMap.empty[String, Q])(_ ++ _)
     val n = families.map(_.size).sum
     require(merged.size == n, s"duplicate query names: ${n - merged.size}")

@@ -1,0 +1,286 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Model/pipeline EVALUATION statistics — the verbs that grade the other
+  * verbs: ranking quality (AUC), probability calibration, chance-corrected
+  * agreement (Cohen's kappa), monotone-trend detection (Mann–Kendall),
+  * and rank correlation (Spearman). A curation pipeline that ships
+  * classifiers (q141), heuristic gates (q60), quality scores (q61) and
+  * anomaly monitors (q161/q174/q184) needs exactly these to decide
+  * whether those components are any good — the reference engine ships
+  * the components, never the scorecard.
+  *
+  * House arithmetic discipline throughout: every statistic is derived
+  * from EXACT integer counts/moments (BIGINT all the way through the
+  * distributed part), with the final real-valued statistic produced by
+  * a FIXED, shared sequence of correctly-rounded IEEE ops (÷, ×, sqrt)
+  * so Spark and DuckDB emit bit-identical doubles. No libm transcendentals
+  * (not cross-engine stable), no per-row rounding (HALF_UP divergence).
+  */
+object Evaluation {
+
+  /** q209's derived statistic: Pearson correlation over the (already
+    * exact-integer) doubled midranks, from the five moments — rendered
+    * into BOTH engines from this single template so the IEEE op DAG
+    * cannot drift (q204's OlsDerived discipline; sqrt is IEEE-754
+    * correctly rounded, hence bit-stable cross-engine).
+    */
+  private val SpearmanDerived: String = {
+    val (n, sx, sy, sxx, syy, sxy) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)")
+    s"($n * $sxy - $sx * $sy) / (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy)) AS rho"
+  }
+
+  val defs: ListMap[String, Q] = ListMap(
+
+    // ---- ranking-quality AUC (Mann–Whitney with tie-halving): how well
+    //      a per-doc score separates a binary label — the metric every
+    //      learned quality filter is judged by before it gates a corpus.
+    //      Exact: collapse to SCORE-VALUE grain (one hash agg), then
+    //      2·U = Σ_s pos_s·(2·cum_neg_below + neg_s) — each positive
+    //      scores 1 per negative strictly below and ½ per tied negative —
+    //      all BIGINT (2U ≤ 2·n_pos·n_neg, sound to ~4e9 docs); AUC is
+    //      ONE IEEE division. 100 TB shape: rows collapse to the score
+    //      value-domain in a map-side-combinable agg; the cumulative runs
+    //      over DISTINCT SCORES only (value-domain-bounded, q182's
+    //      explicitly-admitted single-partition class — at a genuinely
+    //      row-sized score domain, pre-bucket scores first, q206's grid).
+    "q205_score_auc" -> Q(
+      (s, d) => {
+        val grain = Tables.spread(Tables(s, d, "documents"))
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("is_pos"))
+          .groupBy(col("score"))
+          .agg(sum(col("is_pos")).as("pos_s"),
+            sum(lit(1L) - col("is_pos")).as("neg_s"))
+        val below = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grain
+          .withColumn("cum_neg_below",
+            coalesce(sum(col("neg_s")).over(below), lit(0L)))
+          .agg(sum(col("pos_s")).as("n_pos"), sum(col("neg_s")).as("n_neg"),
+            sum(col("pos_s") * (lit(2L) * col("cum_neg_below") + col("neg_s")))
+              .as("auc_num2"))
+          .withColumn("auc", col("auc_num2").cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+      },
+      Some("""WITH g AS (SELECT n_chars AS score,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS pos_s,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+             |      AS neg_s
+             |  FROM documents GROUP BY 1),
+             |c AS (SELECT pos_s, neg_s,
+             |    CAST(coalesce(sum(neg_s) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum_neg_below
+             |  FROM g)
+             |SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             |  CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             |  CAST(sum(pos_s * (2 * cum_neg_below + neg_s)) AS BIGINT)
+             |    AS auc_num2,
+             |  CAST(sum(pos_s * (2 * cum_neg_below + neg_s)) AS DOUBLE)
+             |    / CAST(2 * sum(pos_s) * sum(neg_s) AS DOUBLE) AS auc
+             |FROM c""".stripMargin)),
+
+    // ---- calibration / reliability table: observed positive rate per
+    //      equi-width score bin — whether a score MEANS what it claims
+    //      (q205 grades ordering; this grades the values). Bin index is
+    //      exact integer arithmetic on the broadcast (min, max) frame:
+    //      (score−mn)·10 DIV (mx−mn+1) ∈ [0,9] — DIV on non-negative
+    //      BIGINTs floors identically in both engines, no float boundary
+    //      anywhere. 100 TB: one scan-stage projection + one 10-group
+    //      hash agg; the (mn, mx) frame is a broadcast 1-row cross.
+    "q206_calibration" -> Q(
+      (s, d) => {
+        val base = Tables.spread(Tables(s, d, "documents"))
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("is_pos"))
+        val mm = base.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+        base.crossJoin(broadcast(mm))
+          .withColumn("bin",
+            expr("CAST((score - mn) * 10 DIV (mx - mn + 1) AS BIGINT)"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("is_pos")).as("n_pos"),
+            sum(col("score")).as("score_sum"))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n_docs").cast("double"))
+              .as("pos_rate"),
+            (col("score_sum").cast("double") / col("n_docs").cast("double"))
+              .as("score_mean"))
+      },
+      Some("""WITH b AS (SELECT n_chars AS score,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+             |  FROM documents),
+             |mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+             |    CAST(max(score) AS BIGINT) AS mx FROM b)
+             |SELECT CAST((score - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(is_pos) AS BIGINT) AS n_pos,
+             |  CAST(sum(is_pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS pos_rate,
+             |  CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS score_mean
+             |FROM b CROSS JOIN mm GROUP BY 1""".stripMargin)),
+
+    // ---- Cohen's kappa: chance-corrected agreement between two
+    //      labeling functions — here two independent "long document"
+    //      raters (char-count ≥ 500 vs whitespace-token-count ≥ 90), the
+    //      Snorkel-style diagnostic for whether weak labelers agree
+    //      beyond what their marginal rates alone would produce (raw
+    //      accuracy flatters skewed labels; a rater pair with one
+    //      degenerate margin scores exactly 0 — the langid-vs-label
+    //      pairing does on this fixture, which is why the entry rates
+    //      raters with real signal: all four confusion cells are
+    //      populated and kappa ≈ 0.87 at every sf).
+    //      kappa = (N·Σdiag − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l):
+    //      every term exact BIGINT from the #classes²-grain cell counts
+    //      (N² sound to ~3e9 docs; past that widen the two products to
+    //      DECIMAL(38) — the cell counts stay mergeable), ONE IEEE
+    //      division. 100 TB: one corpus scan into a #classes²-grain hash
+    //      agg; margins and the scalar frame are broadcast-sized.
+    "q207_cohens_kappa" -> Q(
+      (s, d) => {
+        val cells = Tables.spread(Tables(s, d, "documents"))
+          .select((col("n_chars") >= 500L).as("r1"),
+            (size(split(col("text"), " ")) >= 90).as("r2"))
+          .groupBy(col("r1"), col("r2"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.agg(sum(col("n")).as("n_docs"),
+          sum(when(col("r1") === col("r2"), col("n")).otherwise(0L))
+            .as("n_agree"))
+        val peNum = cells.groupBy(col("r1")).agg(sum(col("n")).as("row_n"))
+          .join(cells.groupBy(col("r2")).agg(sum(col("n")).as("col_n")),
+            col("r1") === col("r2"))
+          .agg(sum(col("row_n") * col("col_n")).as("pe_num"))
+        tot.crossJoin(broadcast(peNum))
+          .select(col("n_docs"), col("n_agree"), col("pe_num"),
+            ((col("n_docs") * col("n_agree") - col("pe_num")).cast("double")
+              / (col("n_docs") * col("n_docs") - col("pe_num")).cast("double"))
+              .as("kappa"))
+      },
+      Some("""WITH cells AS (SELECT n_chars >= 500 AS r1,
+             |    len(string_split(text, ' ')) >= 90 AS r2,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             |    CAST(sum(CASE WHEN r1 = r2 THEN n ELSE 0 END) AS BIGINT)
+             |      AS n_agree
+             |  FROM cells),
+             |pe AS (SELECT CAST(sum(r.row_n * c.col_n) AS BIGINT) AS pe_num
+             |  FROM (SELECT r1, CAST(sum(n) AS BIGINT) AS row_n
+             |        FROM cells GROUP BY 1) r
+             |  JOIN (SELECT r2, CAST(sum(n) AS BIGINT) AS col_n
+             |        FROM cells GROUP BY 1) c ON r.r1 = c.r2)
+             |SELECT n_docs, n_agree, pe_num,
+             |  CAST(n_docs * n_agree - pe_num AS DOUBLE)
+             |    / CAST(n_docs * n_docs - pe_num AS DOUBLE) AS kappa
+             |FROM tot CROSS JOIN pe""".stripMargin)),
+
+    // ---- Mann–Kendall trend test on daily event volume: S = Σ over day
+    //      pairs of sign(n_later − n_earlier) — the NONPARAMETRIC "is
+    //      this drifting monotonically" gate (q161 flags single-day
+    //      spikes, q174/q184 track level shifts; MK catches a slow
+    //      steady climb all three miss, with no distribution assumption
+    //      and no variance estimate). Exact: S and the pair count are
+    //      BIGINTs; tau-a = S / (n(n−1)/2) is ONE IEEE division.
+    //      100 TB: rows collapse to DAY grain first (one hash agg — the
+    //      only corpus-sized pass); the pair theta-join runs at day
+    //      grain (#days ≈ tens..thousands, broadcast-sized both sides).
+    "q208_trend_mk" -> Q(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .select(expr("CAST(ts AS DATE)").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        val pairs = daily.toDF("d1", "n1")
+          .join(broadcast(daily.toDF("d2", "n2")), col("d1") < col("d2"))
+        pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            sum(signum(col("n2") - col("n1")).cast("long")).as("s_stat"))
+          .select(col("n_pairs"), col("s_stat"),
+            (col("s_stat").cast("double") / col("n_pairs").cast("double"))
+              .as("tau"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s_stat,
+             |  CAST(sum(sign(b.n - a.n)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS tau
+             |FROM daily a JOIN daily b ON a.day < b.day""".stripMargin)),
+
+    // ---- Spearman rank correlation between per-customer order count
+    //      and spend — "do heavy orderers spend more" as a MONOTONE
+    //      (outlier-robust) association, where q204's OLS is linear and
+    //      scale-sensitive. Ties use midranks; DOUBLED midranks stay
+    //      integer (2·mid = 2·cum_below + c + 1 at value grain), so all
+    //      five moments are exact BIGINTs (sound to ~3·10⁵ customers at
+    //      these magnitudes — past that widen the moments to DECIMAL(38),
+    //      they stay mergeable) and rho is the SpearmanDerived template:
+    //      a fixed ÷/×/sqrt DAG, bit-identical cross-engine. Spend is
+    //      bucketed to exact hundred-dollar BIGINTs (cents DIV 10⁴) —
+    //      rank statistics on a bounded value domain, q182's discipline.
+    //      100 TB: one orders scan → customer-grain agg; each rank map
+    //      is a value-domain cumulative joined back by equi key; the
+    //      moment collection is one hash agg.
+    "q209_spearman" -> Q(
+      (s, d) => {
+        val per = Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("x"),
+            expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000 AS BIGINT)")
+              .as("y"))
+        def rank2(valueCol: String, out: String) = {
+          val g = per.groupBy(col(valueCol).as("v"))
+            .agg(count(lit(1)).as("c"))
+          val below = Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          g.withColumn("cum_below", coalesce(sum(col("c")).over(below), lit(0L)))
+            .select(col("v"), (lit(2L) * col("cum_below") + col("c") + lit(1L))
+              .as(out))
+        }
+        val ranked = per
+          .join(rank2("x", "rx2"), col("x") === col("v")).drop("v")
+          .join(rank2("y", "ry2"), col("y") === col("v")).drop("v")
+        ranked
+          .agg(count(lit(1)).as("n"), sum(col("rx2")).as("sx"),
+            sum(col("ry2")).as("sy"),
+            sum(col("rx2") * col("rx2")).as("sxx"),
+            sum(col("ry2") * col("ry2")).as("syy"),
+            sum(col("rx2") * col("ry2")).as("sxy"))
+          .selectExpr("n", "sx", "sy", "sxx", "syy", "sxy", SpearmanDerived)
+      },
+      Some(s"""WITH per AS (SELECT o_custkey,
+             |    CAST(count(*) AS BIGINT) AS x,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 10000
+             |      AS BIGINT) AS y
+             |  FROM orders GROUP BY 1),
+             |gx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+             |  FROM per GROUP BY 1),
+             |rx AS (SELECT v, 2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) + c + 1 AS rx2
+             |  FROM gx),
+             |gy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c
+             |  FROM per GROUP BY 1),
+             |ry AS (SELECT v, 2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) + c + 1 AS ry2
+             |  FROM gy),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+             |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+             |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+             |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+             |  FROM per JOIN rx ON per.x = rx.v JOIN ry ON per.y = ry.v)
+             |SELECT n, sx, sy, sxx, syy, sxy, $SpearmanDerived
+             |FROM m""".stripMargin))
+  )
+}

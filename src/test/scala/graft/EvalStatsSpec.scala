@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The evaluation-statistics family vs brute-force driver-side
+  * references at sf0.001: q205 (AUC over ALL pos/neg pairs), q206
+  * (per-bin recount), q207 (kappa from an independent two-rater
+  * confusion recount), q208 (Mann–Kendall S over all day pairs), q209
+  * (Spearman via plain midranks + double-precision Pearson). References
+  * never touch the query's own plan — plain Scala loops over collected
+  * fixture rows.
+  */
+class EvalStatsSpec extends SparkSuite {
+
+  private def docs() = Tables(spark, sf(), "documents")
+    .select(col("n_chars"), col("lang"), col("text")).collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("q205: grouped AUC equals the all-pairs Mann–Whitney ground truth") {
+    val d = docs()
+    val pos = d.filter(_._2 == "en").map(_._1)
+    val neg = d.filter(_._2 != "en").map(_._1)
+    var num2 = 0L
+    for (p <- pos; n <- neg)
+      num2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val expected = num2.toDouble / (2.0 * pos.length * neg.length)
+
+    val row = graft.queries.Catalog.all("q205_score_auc")
+      .build(spark, sf()).collect().head
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    assert(row.getLong(2) == num2, s"2U: got ${row.getLong(2)}, want $num2")
+    assert(row.getDouble(3) == expected)
+  }
+
+  test("q206: every calibration bin matches a recount") {
+    val d = docs().map(t => (t._1, t._2 == "en"))
+    val mn = d.map(_._1).min
+    val mx = d.map(_._1).max
+    val byBin = d.groupBy(t => (t._1 - mn) * 10L / (mx - mn + 1L))
+    val got = graft.queries.Catalog.all("q206_calibration")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == byBin.keySet)
+    byBin.foreach { case (bin, rows) =>
+      assert(got(bin) == ((rows.length.toLong, rows.count(_._2).toLong)),
+        s"bin $bin: got ${got(bin)}")
+    }
+  }
+
+  test("q207: kappa equals the two-rater confusion ground truth") {
+    val d = docs().map(t => (t._1 >= 500L, t._3.split(" ", -1).length >= 90))
+    val n = d.length.toLong
+    val agree = d.count(t => t._1 == t._2).toLong
+    val rowN = d.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colN = d.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val peNum = rowN.map { case (l, r) => r * colN.getOrElse(l, 0L) }.sum
+    val expected = (n * agree - peNum).toDouble / (n * n - peNum).toDouble
+
+    val row = graft.queries.Catalog.all("q207_cohens_kappa")
+      .build(spark, sf()).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == agree
+      && row.getLong(2) == peNum, s"moments: $row")
+    assert(row.getDouble(3) == expected)
+    // the statistic must be informative on the fixture: the raters
+    // agree beyond chance but not perfectly (all four cells populated)
+    assert(row.getDouble(3) > 0.5 && row.getDouble(3) < 1.0)
+    val cells = d.groupBy(identity).size
+    assert(cells == 4, s"fixture must populate all four confusion cells: $cells")
+  }
+
+  test("q208: S equals the all-day-pairs sign sum") {
+    val daily = Tables(spark, sf(), "events")
+      .select(expr("CAST(ts AS DATE)").as("day")).groupBy("day").count()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+    var s = 0L; var pairs = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      pairs += 1
+      s += java.lang.Long.signum(daily(j)._2 - daily(i)._2).toLong
+    }
+    val row = graft.queries.Catalog.all("q208_trend_mk")
+      .build(spark, sf()).collect().head
+    assert(row.getLong(0) == pairs && row.getLong(1) == s, s"got $row")
+    assert(row.getDouble(2) == s.toDouble / pairs.toDouble)
+  }
+
+  test("q209: rho equals plain-midrank Pearson within 1e-12") {
+    val per = Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum / 10000L))
+      .toMap.values.toArray
+    def midranks(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = midranks(per.map(_._1))
+    val ry = midranks(per.map(_._2))
+    val xs = per.map(t => rx(t._1)); val ys = per.map(t => ry(t._2))
+    val n = per.length.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum
+    val vy = ys.map(b => (b - my) * (b - my)).sum
+    val expected = cov / math.sqrt(vx * vy)
+
+    val row = graft.queries.Catalog.all("q209_spearman")
+      .build(spark, sf()).collect().head
+    assert(row.getLong(0) == per.length.toLong)
+    assert(math.abs(row.getDouble(6) - expected) < 1e-12,
+      s"rho: got ${row.getDouble(6)}, want $expected")
+    // monotone association must actually exist on the fixture (heavy
+    // orderers spend more), or the entry verifies nothing
+    assert(row.getDouble(6) > 0.5, s"fixture association too weak: $row")
+  }
+}

@@ -263,6 +263,37 @@ class PlanSpec extends SparkSuite {
       s"q204 must scan lineitem exactly once:\n$p")
   }
 
+  test("q205 AUC collapses to score grain in the hash regime before the cumulative") {
+    // the corpus-sized pass is ONE map-side-combinable hash agg; the
+    // single-partition cumulative only ever sees distinct scores
+    val df = Catalog.all("q205_score_auc").build(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"score-grain collapse must stay hash-based:\n$p")
+    assert("(?s)FileScan parquet.*documents".r.findAllIn(p).size <= 1,
+      s"q205 must scan documents exactly once:\n$p")
+  }
+
+  test("q208 MK pair join runs at day grain: both sides are aggregates") {
+    // the theta join is intentional — but ONLY because each side is the
+    // day-grain aggregate; a pre-agg pairing would be corpus²
+    val p = plan("q208_trend_mk")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"pair join missing:\n$p")
+    assert("(?s)HashAggregate.*BroadcastNestedLoopJoin".r.findFirstIn(p).nonEmpty,
+      s"day-grain aggregate must run BELOW the pair join:\n$p")
+  }
+
+  test("q209 rank joins are equi joins and the moment pass is one hash agg") {
+    val df = Catalog.all("q209_spearman").build(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rank-map joins fell out of the equi regime:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"moments must stay hash-aggregated:\n$p")
+  }
+
   test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
     // the NB fit runs at build time as its own jobs; the RETURNED plan
     // must be pure scan-stage scoring (C map-literal folds + array_sort)
@@ -290,7 +321,9 @@ class PlanSpec extends SparkSuite {
     "q187_join_cardinality", // 1-row stats × 1-row actual crosses per audited join
     "q199_dormant_rich",     // nation-subset customers × a broadcast 1-row (tot, n) mean
     "q201_dq_report",        // FK-orphan count × a broadcast 1-row lineitem total
-    "q203_ks_drift")         // #sources × len-domain grid + a broadcast 1-row total
+    "q203_ks_drift",         // #sources × len-domain grid + a broadcast 1-row total
+    "q206_calibration",      // corpus × a broadcast 1-row (min, max) frame
+    "q207_cohens_kappa")     // 1-row totals × a broadcast 1-row pe_num
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -329,7 +362,10 @@ class PlanSpec extends SparkSuite {
     "q187_join_cardinality",    // 1-row stats × 1-row actual crosses per audited join
     "q199_dormant_rich",        // nation-subset customers × a broadcast 1-row (tot, n) mean
     "q201_dq_report",           // FK-orphan count × a broadcast 1-row lineitem total
-    "q203_ks_drift")            // #sources × len-domain grid + a broadcast 1-row total
+    "q203_ks_drift",            // #sources × len-domain grid + a broadcast 1-row total
+    "q206_calibration",         // corpus × a broadcast 1-row (min, max) frame
+    "q207_cohens_kappa",        // 1-row totals × a broadcast 1-row pe_num
+    "q208_trend_mk")            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
@@ -356,7 +392,9 @@ class PlanSpec extends SparkSuite {
       "q157_key_skew",   // p99 running sum over the ≤64-row log2 histogram
       "q161_daily_anomaly", // trailing stats at day grain (rows ∝ days, q149's spine)
       "q167_activity_outliers", // quartile cumulative at count-of-counts grain (rows ∝ distinct user-day counts)
-      "q182_equidepth_hist") // exact-leg boundary cumulative at distinct-cents grain (verification harness; the GK sketch is the serving path)
+      "q182_equidepth_hist", // exact-leg boundary cumulative at distinct-cents grain (verification harness; the GK sketch is the serving path)
+      "q205_score_auc",      // cum-negatives at DISTINCT-SCORE grain (value-domain-bounded; pre-bucket at a row-sized domain)
+      "q209_spearman")       // midrank cumulatives at distinct-value grain (x ≤ #order-counts, y ≤ #spend-buckets)
     val offenders = Catalog.all.keys.flatMap { name =>
       val p = plan(name)
       val hasGlobalWindow = unpartitioned.unanchored.matches(p)
