@@ -814,6 +814,42 @@ object StatefulOps {
         col("n0"), col("c0"), col("n1"), col("c1"), abZ.as("z"))
   }
 
+  /** q201's intake sibling — the streaming data-quality gate: per
+    * event-time window, the same uniform (check, n_bad, n_total, pass)
+    * report batch q201 emits, evaluated as conditional integer counts
+    * inside ONE windowed aggregate (map-side combinable; state ∝ open
+    * windows under the watermark; output rows ∝ closed windows ×
+    * #checks). Checks cover the hazards an event feed actually has:
+    * `value` outside [0, valueCap], `event_type` outside the declared
+    * domain, and `props` that fail to yield the expected JSON key. A
+    * window's report finalizes when the watermark passes it — a
+    * downstream gate (quarantine / page on pass=false) needs no other
+    * state, and a violation-free deploy is provable per window rather
+    * than asserted. Parity contract: the SAME kernel run in batch over
+    * the closed-window prefix produces identical rows
+    * (StatefulOpsSpec), and a restart re-emits nothing
+    * (CheckpointRestartSpec).
+    */
+  def dqMonitor(events: DataFrame, lateness: String, win: String,
+                valueCap: Double, typeDomain: Seq[String]): DataFrame = {
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), win))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("value") < 0.0 || col("value") > valueCap, 1L)
+          .otherwise(0L)).as("bad_value"),
+        sum(when(!col("event_type").isin(typeDomain: _*), 1L).otherwise(0L))
+          .as("bad_type"),
+        sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
+          .otherwise(0L)).as("bad_props"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        expr("stack(3, 'value_range', bad_value, 'type_domain', bad_type, " +
+          "'props_parse', bad_props) AS (check_name, n_bad)"),
+        col("n_total"))
+      .select(col("w_start"), col("check_name"), col("n_bad"), col("n_total"),
+        (col("n_bad") === 0L).as("pass"))
+  }
+
   /** Streaming value-quantile monitor — q170's intake sibling: per
     * event-time window × event_type, the GK sketch's p50/p95 of `value`
     * plus exact count/min/max — the latency/order-value pager read. The

@@ -99,6 +99,52 @@ class CheckpointRestartSpec extends SparkSuite {
       s"z values: ${got.map(_._6)}")
   }
 
+  test("dqMonitor restart emits each window's report exactly once") {
+    val src = tmpDir("dqr_src"); val out = tmpDir("dqr_out"); val ckpt = tmpDir("dqr_ckpt")
+    val schema = StructType.fromDDL(
+      "ts TIMESTAMP, event_type STRING, value DOUBLE, props STRING")
+    def writeRows(name: String, rows: Seq[(String, String, Double, String)]): Unit = {
+      val body = rows.map { case (ts, et, v, p) =>
+        s"""{"ts":"$ts","event_type":"$et","value":$v,"props":${p}}"""
+      }.mkString("\n")
+      java.nio.file.Files.writeString(src.resolve(name), body)
+    }
+    def startQuery() = graft.streaming.StatefulOps.dqMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "0 seconds", "10 seconds", 100.0, Seq("view", "purchase"))
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) has one clean row and one range violation;
+    // the t=25 row closes it
+    writeRows("f1.json", Seq(
+      ("2024-01-01T00:00:02Z", "view", 10.0, "\"{\\\"k\\\": 1}\""),
+      ("2024-01-01T00:00:04Z", "view", 500.0, "\"{\\\"k\\\": 2}\""),
+      ("2024-01-01T00:00:25Z", "view", 1.0, "\"{\\\"k\\\": 3}\"")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — exactly one new report
+    // per check, and the phase-1 window must NOT re-emit
+    writeRows("f2.json", Seq(
+      ("2024-01-01T00:01:40Z", "view", 1.0, "\"{\\\"k\\\": 4}\"")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(t => (t._1, t._2)).toSeq
+    val base = 1704067200000L // 2024-01-01T00:00:00Z epoch ms
+    assert(got == Seq(
+      (base, "props_parse", 0L, 2L, true),
+      (base, "type_domain", 0L, 2L, true),
+      (base, "value_range", 1L, 2L, false),
+      (base + 20000L, "props_parse", 0L, 1L, true),
+      (base + 20000L, "type_domain", 0L, 1L, true),
+      (base + 20000L, "value_range", 0L, 1L, true)),
+      s"each closed window's report exactly once: ${got.mkString(", ")}")
+  }
+
   test("quantileMonitor restart emits each window exactly once with full sketches") {
     val src = tmpDir("qmr_src"); val out = tmpDir("qmr_out"); val ckpt = tmpDir("qmr_ckpt")
     val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")

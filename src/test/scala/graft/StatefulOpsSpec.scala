@@ -569,6 +569,56 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("DQ monitor: stream reports equal the batch kernel; planted violations page") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val domain = Seq("view", "purchase")
+    // window 1 ([0,30)): clean rows only — every check must PASS;
+    // window 2 ([30,60)): one violation per check — value out of range,
+    // type outside the domain, props missing the expected key
+    val rows = Seq(
+      (tsAt(5), "view", 10.0, """{"k": 1}"""),
+      (tsAt(6), "purchase", 20.0, """{"k": 2}"""),
+      (tsAt(35), "view", -1.0, """{"k": 3}"""),
+      (tsAt(36), "bogus", 5.0, """{"k": 4}"""),
+      (tsAt(37), "view", 5.0, """{"other": 9}"""),
+      (tsAt(38), "view", 5.0, """{"k": 5}"""),
+      (tsAt(120), "view", 1.0, """{"k": 6}""")) // watermark pusher
+    val src = rows.toDF("ts", "event_type", "value", "props")
+
+    val in = MemoryStream[(java.sql.Timestamp, String, Double, String)]
+    val q = StatefulOps.dqMonitor(
+        in.toDF().toDF("ts", "event_type", "value", "props"),
+        "10 seconds", "30 seconds", 100.0, domain)
+      .writeStream.format("memory").queryName("dq_mon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("dqmon").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      val got = toMap(spark.table("dq_mon").collect())
+      // parity: the SAME kernel in batch over the same rows (the open
+      // window holding the pusher never emitted, so drop it)
+      val batch = toMap(StatefulOps.dqMonitor(
+        src, "10 seconds", "30 seconds", 100.0, domain).collect())
+        .filter { case ((w, _), _) => got.keySet.exists(_._1 == w) }
+      assert(got == batch, s"stream $got vs batch $batch")
+      // both arms must be exercised: window 1 all-pass, window 2 each
+      // check fails on exactly its one planted violation (window starts
+      // are epoch-aligned, not tsAt(0)-aligned — derive them)
+      val w1 = 1700000005000L / 30000L * 30000L
+      val w2 = 1700000035000L / 30000L * 30000L
+      Seq("value_range", "type_domain", "props_parse").foreach { c =>
+        assert(got((w1, c)) == ((0L, 2L, true)), s"w1/$c: ${got((w1, c))}")
+        assert(got((w2, c)) == ((1L, 4L, false)), s"w2/$c: ${got((w2, c))}")
+      }
+    } finally q.stop()
+  }
+
   test("A/B monitor: stream window stats equal the batch kernel; planted shift pages") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
