@@ -62,6 +62,42 @@ object TextAnalysis {
   val PmiMinPair = 5
   val PmiTopK = 25
 
+  /** q125's full ranked-retrieval oracle (top-k BM25 neighbors per
+    * query doc) — factored out so q210's retrieval-evaluation oracle
+    * can wrap the SAME text as a CTE: one copy of the ranking SQL,
+    * the two entries cannot drift.
+    */
+  private[queries] val Bm25OracleSql: String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM docs),
+       |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+       |       FROM docs WHERE doc_id < $Bm25Queries),
+       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    CAST(any_value(dl) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |sc AS (SELECT q.q_id, p.doc_id AS n_id,
+       |    CAST(sum(CAST(floor(
+       |      CAST(length(bin(t.n_docs // f.df)) AS DOUBLE)
+       |        * (CAST(p.tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
+       |        / (CAST(p.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+       |           * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+       |              + CAST($Bm25B AS DOUBLE) * (CAST(p.dl AS DOUBLE) / t.avgdl)))
+       |      * $FixedPoint.0) AS BIGINT)) AS BIGINT) AS fsc
+       |  FROM post p JOIN qt q USING (term) JOIN dft f USING (term)
+       |    CROSS JOIN tot t
+       |  WHERE p.doc_id <> q.q_id
+       |  GROUP BY q.q_id, p.doc_id)
+       |SELECT q_id, n_id, CAST(rk AS INT) AS rk,
+       |  CAST(fsc AS DOUBLE) / $FixedPoint.0 AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY fsc DESC, n_id) AS rk FROM sc)
+       |WHERE rk <= $Bm25TopK""".stripMargin
+
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
 
@@ -561,35 +597,7 @@ object TextAnalysis {
     //      the per-query shuffle — no ranking window over the corpus.
     "q125_bm25" -> Q(
       (s, d) => bm25SelfRank(s, d),
-      Some(s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-              |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-              |  FROM docs),
-              |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
-              |       FROM docs WHERE doc_id < $Bm25Queries),
-              |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-              |    CAST(any_value(dl) AS BIGINT) AS dl
-              |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
-              |  WHERE term IN (SELECT DISTINCT term FROM qt)
-              |  GROUP BY doc_id, term),
-              |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
-              |sc AS (SELECT q.q_id, p.doc_id AS n_id,
-              |    CAST(sum(CAST(floor(
-              |      CAST(length(bin(t.n_docs // f.df)) AS DOUBLE)
-              |        * (CAST(p.tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
-              |        / (CAST(p.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
-              |           * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
-              |              + CAST($Bm25B AS DOUBLE) * (CAST(p.dl AS DOUBLE) / t.avgdl)))
-              |      * $FixedPoint.0) AS BIGINT)) AS BIGINT) AS fsc
-              |  FROM post p JOIN qt q USING (term) JOIN dft f USING (term)
-              |    CROSS JOIN tot t
-              |  WHERE p.doc_id <> q.q_id
-              |  GROUP BY q.q_id, p.doc_id)
-              |SELECT q_id, n_id, CAST(rk AS INT) AS rk,
-              |  CAST(fsc AS DOUBLE) / $FixedPoint.0 AS score
-              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY fsc DESC, n_id) AS rk FROM sc)
-              |WHERE rk <= $Bm25TopK""".stripMargin),
+      Some(Bm25OracleSql),
       headline = true,
       // fit = the full-vocabulary postings index; probe = one query
       // batch against the warm postings (includes the self match the
@@ -1288,7 +1296,7 @@ object TextAnalysis {
     * instead precomputes full-vocabulary postings once and probes them
     * per batch. Shared by q125 and q128's lexical leg.
     */
-  private def bm25SelfRank(s: SparkSession, d: String): DataFrame = {
+  private[queries] def bm25SelfRank(s: SparkSession, d: String): DataFrame = {
     val toksOf = split(col("text"), " ")
     // ONE tokenized projection of the corpus, persisted and shared by
     // every downstream consumer — tot, qterms, and the postings all

@@ -83,6 +83,36 @@ class EvalStatsSpec extends SparkSuite {
     assert(row.getDouble(2) == s.toDouble / pairs.toDouble)
   }
 
+  test("q210: metrics equal a plain-loop judgment of the q125 ranking") {
+    // boundary: the RANKING is q125's (itself oracle-verified); what
+    // q210 adds — judgment + P@k/recall/RR — is recomputed here with
+    // scalar loops
+    val langOf = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ranked = graft.queries.Catalog.all("q125_bm25").build(spark, sf())
+      .select("q_id", "n_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val k = graft.queries.TextAnalysis.Bm25TopK
+    val got = graft.queries.Catalog.all("q210_retrieval_eval")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    ranked.groupBy(_._1).foreach { case (q, rows) =>
+      val rel = rows.filter(t => langOf(t._2) == langOf(q))
+      val nRelTotal = langOf.count { case (d, l) => d != q && l == langOf(q) }.toLong
+      val rr = if (rel.isEmpty) 0.0 else 1.0 / rel.map(_._3).min
+      val expect = (rel.length.toLong, nRelTotal,
+        rel.length.toDouble / k.toDouble,
+        rel.length.toDouble / nRelTotal.toDouble, rr)
+      assert(got(q) == expect, s"q$q: got ${got(q)}, want $expect")
+    }
+    // the fixture must exercise hits, a miss, and a rank-1 hit
+    val rrs = got.values.map(_._5).toSeq
+    assert(rrs.contains(0.0) && rrs.contains(1.0) && rrs.exists(r => r > 0 && r < 1),
+      s"RR arms not all exercised: $rrs")
+  }
+
   test("q209: rho equals plain-midrank Pearson within 1e-12") {
     val per = Tables(spark, sf(), "orders")
       .select(col("o_custkey"), col("o_totalprice")).collect()

@@ -365,7 +365,8 @@ class PlanSpec extends SparkSuite {
     "q203_ks_drift",            // #sources × len-domain grid + a broadcast 1-row total
     "q206_calibration",         // corpus × a broadcast 1-row (min, max) frame
     "q207_cohens_kappa",        // 1-row totals × a broadcast 1-row pe_num
-    "q208_trend_mk")            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
+    "q208_trend_mk",            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
+    "q210_retrieval_eval")      // rides q125's ranking (its 1-row (N, avgdl) total)
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
