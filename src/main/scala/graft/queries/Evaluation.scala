@@ -283,6 +283,45 @@ object Evaluation {
              |SELECT n, sx, sy, sxx, syy, sxy, $SpearmanDerived
              |FROM m""".stripMargin)),
 
+    // ---- effective sample size of a weighted sample, per source: if
+    //      docs are drawn proportional to an integer weight (here
+    //      n_chars — token-proportional sampling, the packing-aware
+    //      draw), ESS = (Σw)²/Σw² says how many EFFECTIVE docs the
+    //      weighted draw carries, and ess_frac = ESS/n how much the
+    //      weighting concentrates it — the importance-sampling health
+    //      check every mixture/curriculum sampler (q92/q93/q121/q127)
+    //      should report before training on the result. Exact: Σw and
+    //      Σw² are BIGINTs (Σw·Σw sound while Σw < 3·10⁹, i.e. ~3 GB
+    //      of chars per source; past that widen the product to
+    //      DECIMAL(38) — sums stay mergeable); ess is ONE IEEE
+    //      division, ess_frac one more on the pinned tree. 100 TB:
+    //      one scan into a #sources-grain map-side-combinable hash agg.
+    "q211_sampling_ess" -> Q(
+      (s, d) => {
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("source"), col("n_chars").as("w"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_sum"),
+            sum(col("w") * col("w")).as("w2_sum"))
+          .select(col("source"), col("n_docs"), col("w_sum"), col("w2_sum"),
+            ((col("w_sum") * col("w_sum")).cast("double")
+              / col("w2_sum").cast("double")).as("ess"),
+            (((col("w_sum") * col("w_sum")).cast("double")
+              / col("w2_sum").cast("double"))
+              / col("n_docs").cast("double")).as("ess_frac"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS w_sum,
+             |  CAST(sum(n_chars * n_chars) AS BIGINT) AS w2_sum,
+             |  CAST(CAST(sum(n_chars) AS BIGINT) * CAST(sum(n_chars) AS BIGINT)
+             |      AS DOUBLE)
+             |    / CAST(sum(n_chars * n_chars) AS DOUBLE) AS ess,
+             |  CAST(CAST(sum(n_chars) AS BIGINT) * CAST(sum(n_chars) AS BIGINT)
+             |      AS DOUBLE)
+             |    / CAST(sum(n_chars * n_chars) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS ess_frac
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // ---- retrieval evaluation: precision@k, recall@k, and reciprocal
     //      rank per query over q125's BM25 top-k, judged against a
     //      deterministic relevance set (retrieved doc shares the query

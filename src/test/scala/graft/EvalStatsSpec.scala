@@ -113,6 +113,27 @@ class EvalStatsSpec extends SparkSuite {
       s"RR arms not all exercised: $rrs")
   }
 
+  test("q211: per-source ESS equals the scalar recount") {
+    val bySrc = Tables(spark, sf(), "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val got = graft.queries.Catalog.all("q211_sampling_ess")
+      .build(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val ws = rows.map(_._2)
+      val (n, s1, s2) = (ws.length.toLong, ws.sum, ws.map(w => w * w).sum)
+      val ess = (s1 * s1).toDouble / s2.toDouble
+      assert(got(src) == ((n, s1, s2, ess, ess / n.toDouble)),
+        s"$src: ${got(src)}")
+      // weights must actually concentrate (ESS < n) or the diagnostic
+      // is vacuous on this fixture
+      assert(got(src)._5 < 1.0 && got(src)._5 > 0.0)
+    }
+  }
+
   test("q209: rho equals plain-midrank Pearson within 1e-12") {
     val per = Tables(spark, sf(), "orders")
       .select(col("o_custkey"), col("o_totalprice")).collect()

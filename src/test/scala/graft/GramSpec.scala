@@ -79,4 +79,42 @@ class GramSpec extends SparkSuite {
     assert(e.getMessage.contains("ragged") ||
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
   }
+
+  test("q212 integer direction aligns with a double-precision eigenvector") {
+    // correctness beyond oracle-determinism: q212's fixed-point power
+    // iteration must actually find the dominant direction. Reference:
+    // 200 rounds of ordinary double power iteration on the exact
+    // integer Gram built from the SAME 2^8 quantization.
+    val rows = Tables(spark, sf(), "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 256.0).toLong).toArray)
+    val d = rows.head.length
+    val g = Array.ofDim[Double](d, d)
+    rows.foreach { v =>
+      for (i <- 0 until d; j <- 0 until d) g(i)(j) += v(i).toDouble * v(j)
+    }
+    var ref = Array.fill(d)(1.0)
+    for (_ <- 1 to 200) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * ref(j)).sum)
+      val n = math.sqrt(u.map(x => x * x).sum)
+      ref = u.map(_ / n)
+    }
+    // check the entry's OUTPUT, not its internals: the emitted per-vec
+    // projections must be proportional to the reference projections —
+    // cosine over the projection vector, sign-insensitive (eigenvector
+    // sign is arbitrary)
+    val got = graft.queries.Catalog.all("q212_dominant_direction")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).sortBy(_._1).map(_._2)
+    val vecsById = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 256.0)).toArray)
+      .sortBy(_._1).map(_._2)
+    val refProj = vecsById.map(v => v.zip(ref).map { case (a, b) => a * b }.sum)
+    val dot = got.zip(refProj).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) / (math.sqrt(got.map(x => x * x).sum)
+      * math.sqrt(refProj.map(x => x * x).sum))
+    assert(cos > 0.99, s"projection cosine vs double eigenvector: $cos")
+  }
 }

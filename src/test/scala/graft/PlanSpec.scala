@@ -294,6 +294,24 @@ class PlanSpec extends SparkSuite {
       s"moments must stay hash-aggregated:\n$p")
   }
 
+  test("q211 ESS is one source-grain hash aggregate over one scan") {
+    val p = plan("q211_sampling_ess")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"ESS moments must stay hash-aggregated:\n$p")
+    assert("(?s)FileScan parquet.*documents".r.findAllIn(p).size <= 1,
+      s"q211 must scan documents exactly once:\n$p")
+  }
+
+  test("q212 serving plan is scan-stage only (fit ran at build time)") {
+    // the power-iteration fit is driver-side over the collected gram
+    // triangle; the RETURNED plan is the per-vector projection against
+    // the direction literal — no shuffle at all (q141's class)
+    val p = plan("q212_dominant_direction")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"q212 projection must not shuffle:\n$p")
+  }
+
   test("q141 scoring plan is scan-stage only (no hash/range exchange)") {
     // the NB fit runs at build time as its own jobs; the RETURNED plan
     // must be pure scan-stage scoring (C map-literal folds + array_sort)
