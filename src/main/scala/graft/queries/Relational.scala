@@ -1391,7 +1391,11 @@ object Relational {
     //      exchange at scale.
     "q191_tpch_q7" -> Q(
       (s, d) => {
-        val names = Seq("NATION_1", "NATION_2")
+        // pair chosen to BIND at every sf: NATION_1/NATION_2 has zero
+        // qualifying 1997-98 cross-nation lines at sf0.001 (probed),
+        // which tripped the rows>0 smoke gate — 19/11 carries 21/114/562
+        // lines at sf0.001/0.01/0.1
+        val names = Seq("NATION_19", "NATION_11")
         val n1 = Tables(s, d, "nation").filter(col("n_name").isin(names: _*))
           .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
         val n2 = Tables(s, d, "nation").filter(col("n_name").isin(names: _*))
@@ -1425,8 +1429,8 @@ object Relational {
              |  JOIN orders ON l_orderkey = o_orderkey
              |  JOIN customer ON o_custkey = c_custkey
              |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-             |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |  WHERE n1.n_name IN ('NATION_19', 'NATION_11')
+             |    AND n2.n_name IN ('NATION_19', 'NATION_11')
              |    AND n1.n_name <> n2.n_name
              |    AND l_shipdate >= TIMESTAMP '1997-01-01'
              |    AND l_shipdate < TIMESTAMP '1999-01-01')
