@@ -109,7 +109,17 @@ object PlanDump {
     "q188_tpch_q5" -> "six-way join (TPC-H Q5): all dimension legs BroadcastHashJoin, the single fact-fact edge is the only shuffle join, the one-year date cut is a PushedFilter on the orders scan, region prunes nations before any fact is touched",
     "q189_tpch_q3" -> "TPC-H Q3: customer is a broadcast LEFT SEMI that cuts orders BEFORE the one orderkey shuffle; date filters are PushedFilters on both fact scans; top-10 is TakeOrderedAndProject on the exact-integer revenue",
     "q194_tpch_q13" -> "TPC-H Q13: priority filter inside the outer join (no-match customers kept as zeros), custkey-grain count, second aggregate at order-count grain — bounded by max orders/customer, never rows",
-    "q198_sole_delay" -> "TPC-H Q21 shape: EXISTS and NOT-EXISTS are orderkey-equi semi/anti SortMergeJoins with the supplier inequality as join residual — never a per-row subquery or nested loop; supplier name resolves via broadcast after the correlations prune")
+    "q198_sole_delay" -> "TPC-H Q21 shape: EXISTS and NOT-EXISTS are orderkey-equi semi/anti SortMergeJoins with the supplier inequality as join residual — never a per-row subquery or nested loop; supplier name resolves via broadcast after the correlations prune",
+    "q200_embed_gram" -> "exact Gram matrix: ONE graft_gram TypedImperativeAggregate pass (2080-long buffer per partition, map-side merged) — never n·d²/2 product rows through the shuffle; the (i,j) index map is a broadcast LocalRelation",
+    "q201_dq_report" -> "DQ audit: row-grain checks are scan-stage conditional sums collapsing to 1-row aggregates; the PK check's multi-column distinct is the one Expand; FK is a key-projected LeftAnti equi join; #checks-row output",
+    "q202_record_linkage" -> "blocked linkage: the (nationkey, mktsegment) blocking keys drive a pure equi self-join (Σ block², never n²); the length-gap guard and levenshtein run as post-join filters on block-pair survivors only",
+    "q203_ks_drift" -> "KS drift: rows collapse to (source, len) grain in one hash-agg; the zero-filled grid is #sources × distinct-lengths (value-domain-bounded); the CDF cumulative partitions per source; BIGINT cross-multiplied numerator, one division",
+    "q204_ols_fit" -> "per-group OLS: six integer moments in ONE map-side-combinable codegen hash-agg over ONE lineitem scan; slope/intercept/R² are post-aggregate projections from the shared OlsDerived template",
+    "q205_score_auc" -> "ranking AUC: corpus collapses to score-value grain in one hash-agg; the cum-negatives window runs over DISTINCT scores only; 2U and the counts are exact BIGINTs, AUC one division",
+    "q208_trend_mk" -> "Mann–Kendall: the one corpus-sized pass is the day hash-agg; the sign-pair theta join runs at day grain with both sides post-aggregate broadcast-sized",
+    "q209_spearman" -> "Spearman: one orders scan → customer-grain agg; midrank maps are value-domain cumulatives equi-joined back; the five moments collapse in one hash-agg; rho = shared ÷/×/sqrt template",
+    "q210_retrieval_eval" -> "retrieval eval: rides q125's bounded-heap ranking; judgments join k×Q rows to the broadcast query frame; the relevance-total arm is a lang-grain count against ≤Q broadcast rows",
+    "q212_dominant_direction" -> "PCA direction: the fit (power iteration) ran at build time over the collected gram triangle; the SERVED plan is a zero-shuffle scan-stage integer dot against the broadcast direction literal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
