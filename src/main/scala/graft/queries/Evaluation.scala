@@ -283,6 +283,58 @@ object Evaluation {
              |SELECT n, sx, sy, sxx, syy, sxy, $SpearmanDerived
              |FROM m""".stripMargin)),
 
+    // ---- grouped ranking AUC: q205 per SLICE (source) — the per-domain
+    //      model scorecard (a quality filter that looks fine pooled can
+    //      be inverted on one source; slice-level AUC is how that's
+    //      caught). Same exact 2U arithmetic as q205, but the cumulative
+    //      PARTITIONS by source — this is also the scale-correct form of
+    //      the kernel: the window is (source × distinct-score)-grain and
+    //      parallel across sources, no single-partition global pass at
+    //      all. Degenerate slices (no positives or no negatives) emit
+    //      auc = NULL via a 0-denominator guard rather than vanishing.
+    "q213_grouped_auc" -> Q(
+      (s, d) => {
+        val grain = Tables.spread(Tables(s, d, "documents"))
+          .select(col("source"), col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("is_pos"))
+          .groupBy(col("source"), col("score"))
+          .agg(sum(col("is_pos")).as("pos_s"),
+            sum(lit(1L) - col("is_pos")).as("neg_s"))
+        val below = Window.partitionBy(col("source")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grain
+          .withColumn("cum_neg_below",
+            coalesce(sum(col("neg_s")).over(below), lit(0L)))
+          .groupBy(col("source"))
+          .agg(sum(col("pos_s")).as("n_pos"), sum(col("neg_s")).as("n_neg"),
+            sum(col("pos_s") * (lit(2L) * col("cum_neg_below") + col("neg_s")))
+              .as("auc_num2"))
+          .withColumn("auc",
+            when(col("n_pos") > 0L && col("n_neg") > 0L,
+              col("auc_num2").cast("double")
+                / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+      },
+      Some("""WITH g AS (SELECT source, n_chars AS score,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS pos_s,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+             |      AS neg_s
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (SELECT source, pos_s, neg_s,
+             |    CAST(coalesce(sum(neg_s) OVER (PARTITION BY source
+             |      ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum_neg_below
+             |  FROM g)
+             |SELECT source, CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             |  CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             |  CAST(sum(pos_s * (2 * cum_neg_below + neg_s)) AS BIGINT)
+             |    AS auc_num2,
+             |  CASE WHEN sum(pos_s) > 0 AND sum(neg_s) > 0 THEN
+             |    CAST(sum(pos_s * (2 * cum_neg_below + neg_s)) AS DOUBLE)
+             |      / CAST(2 * sum(pos_s) * sum(neg_s) AS DOUBLE) END AS auc
+             |FROM c GROUP BY 1""".stripMargin)),
+
     // ---- effective sample size of a weighted sample, per source: if
     //      docs are drawn proportional to an integer weight (here
     //      n_chars — token-proportional sampling, the packing-aware

@@ -113,6 +113,28 @@ class EvalStatsSpec extends SparkSuite {
       s"RR arms not all exercised: $rrs")
   }
 
+  test("q213: every per-source AUC equals the all-pairs ground truth") {
+    val bySrc = Tables(spark, sf(), "documents")
+      .select(col("source"), col("n_chars"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "en"))
+      .groupBy(_._1)
+    val got = graft.queries.Catalog.all("q213_grouped_auc")
+      .build(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val pos = rows.filter(_._3).map(_._2); val neg = rows.filterNot(_._3).map(_._2)
+      var num2 = 0L
+      for (p <- pos; n <- neg)
+        num2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+      val auc = if (pos.nonEmpty && neg.nonEmpty)
+        Some(num2.toDouble / (2.0 * pos.length * neg.length)) else None
+      assert(got(src) == ((pos.length.toLong, neg.length.toLong, num2, auc)),
+        s"$src: got ${got(src)}")
+    }
+  }
+
   test("q211: per-source ESS equals the scalar recount") {
     val bySrc = Tables(spark, sf(), "documents")
       .select(col("source"), col("n_chars")).collect()

@@ -294,6 +294,17 @@ class PlanSpec extends SparkSuite {
       s"moments must stay hash-aggregated:\n$p")
   }
 
+  test("q213 grouped AUC: the cumulative window partitions by source") {
+    // the scale-correct AUC form: no single-partition pass anywhere —
+    // the cumulative is (source × distinct-score)-grain, parallel
+    // across sources
+    val p = plan("q213_grouped_auc")
+    assert("windowspecdefinition\\(source#".r.findFirstIn(p).nonEmpty,
+      s"AUC cumulative must partition by source:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"grain collapse must stay hash-based:\n$p")
+  }
+
   test("q211 ESS is one source-grain hash aggregate over one scan") {
     val p = plan("q211_sampling_ess")
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
