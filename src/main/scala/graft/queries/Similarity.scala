@@ -1233,6 +1233,74 @@ object Similarity {
              |WHERE j >= i
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- feature correlation matrix: exact per-dimension-pair Pearson
+    //      correlation over the 2^8-quantized embedding dims — the EDA
+    //      audit that finds redundant/degenerate embedding coordinates
+    //      before they poison cosine metrics (two perfectly correlated
+    //      dims double-count their direction in every q50-q52 distance).
+    //      ONE pass computes the d(d+1)/2 product sums (graft_gram) AND
+    //      the d per-dim sums; covariance numerators n·Σxy − Σx·Σy are
+    //      exact BIGINTs (sound to ~10⁹ rows at 2^8 scale: n·Σxy ≤
+    //      n²·2^16; widen to DECIMAL(38) past that); correlation is the
+    //      shared ÷/×/sqrt CorrDerived template, bit-stable both
+    //      engines. Variance-zero dims yield NULL via the guard, not a
+    //      NaN. 100 TB: the whole job is the one map-side-merged gram
+    //      pass — output is d(d+1)/2 rows, never data-sized.
+    "q214_feature_corr" -> Q(
+      (s, d) => {
+        val dG = GramDim
+        val q = Tables.spread(Tables(s, d, "embeddings")).select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256.0D) AS BIGINT))")
+          .as("v"))
+        val agg = gramTriAgg(s, q).crossJoin(broadcast(
+          q.agg(count(lit(1)).as("n"),
+            expr("aggregate(collect_list(v), CAST(array() AS ARRAY<BIGINT>), " +
+              "(acc, x) -> CASE WHEN size(acc) = 0 THEN x " +
+              "ELSE zip_with(acc, x, (a, b) -> a + b) END)").as("sums"))))
+        val ij = s.range(1).select(posexplode(expr(
+          s"flatten(transform(sequence(0, ${dG - 1}), " +
+            s"i -> transform(sequence(i, ${dG - 1}), j -> struct(i, j))))"))
+          .as(Seq("idx", "ij")))
+          .select(col("idx"), col("ij.i").as("i"), col("ij.j").as("j"))
+        // row-major upper-triangle diagonal position of dim k (1-based
+        // for element_at): rows 0..k-1 hold (d−r) entries each, so the
+        // (k,k) entry sits at k·d − k(k−1)/2 + 1
+        def diag(k: String) =
+          s"element_at(g, CAST($k * $dG - ($k * ($k - 1)) DIV 2 + 1 AS INT))"
+        agg.select(posexplode(col("g")).as(Seq("idx", "sxy")),
+            col("g"), col("n"), col("sums"))
+          .join(broadcast(ij), "idx")
+          .selectExpr("i", "j", "n", "sxy",
+            "sums[i] AS sx", "sums[j] AS sy",
+            s"${diag("i")} AS sxx", s"${diag("j")} AS syy")
+          .withColumn("cov_n2", col("n") * col("sxy") - col("sx") * col("sy"))
+          .selectExpr("i", "j", "n", "sxy", "sx", "sy", "cov_n2", CorrDerived)
+      },
+      Some(s"""WITH q AS (SELECT list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 256.0) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+             |pr AS MATERIALIZED (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             |    CAST(sum(v[CAST(i AS INT) + 1] * v[CAST(j AS INT) + 1]) AS BIGINT)
+             |      AS sxy
+             |  FROM q, generate_series(0, ${GramDim - 1}) t1(i),
+             |    generate_series(0, ${GramDim - 1}) t2(j)
+             |  WHERE j >= i GROUP BY 1, 2),
+             |dimsum AS (SELECT CAST(i AS INT) AS dd,
+             |    CAST(sum(v[CAST(i AS INT) + 1]) AS BIGINT) AS s
+             |  FROM q, generate_series(0, ${GramDim - 1}) t(i) GROUP BY 1),
+             |base AS (SELECT pr.i, pr.j, n, pr.sxy, a.s AS sx, b.s AS sy,
+             |    da.sxy AS sxx, db.sxy AS syy
+             |  FROM pr
+             |  JOIN dimsum a ON a.dd = pr.i JOIN dimsum b ON b.dd = pr.j
+             |  JOIN pr da ON da.i = pr.i AND da.j = pr.i
+             |  JOIN pr db ON db.i = pr.j AND db.j = pr.j
+             |  CROSS JOIN tot)
+             |SELECT i, j, n, sxy, sx, sy,
+             |  n * sxy - sx * sy AS cov_n2,
+             |  $CorrDerived
+             |FROM base""".stripMargin)),
+
     // ---- PCA dominant direction by exact power iteration, plus the
     //      per-vector projection — the postprocessing q200's Gram
     //      matrix exists FOR: all-but-the-top-component removal
@@ -1311,6 +1379,22 @@ object Similarity {
            |GROUP BY 1""".stripMargin
       })
   )
+
+  /** q214's derived statistic: Pearson correlation of a dim pair from
+    * the exact integer sums (n, sxy, sx, sy, sxx, syy) — a single SQL
+    * expression string rendered into BOTH engines (the q204 OlsDerived
+    * discipline), so the ÷/×/sqrt IEEE op DAG cannot drift. The
+    * variance-positivity guard turns a constant dimension into NULL
+    * rather than a 0/0 NaN.
+    */
+  private val CorrDerived: String = {
+    val (n, sxy, sx, sy, sxx, syy) =
+      ("CAST(n AS DOUBLE)", "CAST(sxy AS DOUBLE)", "CAST(sx AS DOUBLE)",
+        "CAST(sy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val vx = s"($n * $sxx - $sx * $sx)"
+    val vy = s"($n * $syy - $sy * $sy)"
+    s"CASE WHEN $vx > 0.0 AND $vy > 0.0 THEN ($n * $sxy - $sx * $sy) / (sqrt($vx) * sqrt($vy)) END AS corr"
+  }
 
   /** q200/q212's exact upper-triangle Gram aggregate over an ARRAY<BIGINT>
     * column `v`: the native graft_gram TypedImperativeAggregate when the

@@ -80,6 +80,43 @@ class GramSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
   }
 
+  test("q214: every correlation cell matches a scalar recount; diagonal is 1") {
+    val rows = Tables(spark, sf(), "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 256.0).toLong).toArray)
+    val n = rows.length.toLong
+    val d = rows.head.length
+    val got = graft.queries.Catalog.all("q214_feature_corr")
+      .build(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    assert(got.size == d * (d + 1) / 2)
+    // spot-check a band of cells plus the full diagonal against plain
+    // scalar sums (the full 2080-cell recount is the oracle's job)
+    val checks = (0 until d).map(k => (k, k)) ++
+      Seq((0, 1), (0, 63), (7, 12), (31, 32), (12, 55))
+    checks.foreach { case (i, j) =>
+      var sxy = 0L; var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L
+      rows.foreach { v =>
+        sxy += v(i) * v(j); sx += v(i); sy += v(j)
+        sxx += v(i) * v(i); syy += v(j) * v(j)
+      }
+      val covN2 = n * sxy - sx * sy
+      assert(got((i, j))._1 == covN2, s"cov($i,$j)")
+      val vx = (n * sxx - sx * sx).toDouble
+      val vy = (n * syy - sy * sy).toDouble
+      if (vx > 0 && vy > 0) {
+        val corr = covN2.toDouble / (math.sqrt(vx) * math.sqrt(vy))
+        assert(math.abs(got((i, j))._2.get - corr) < 1e-12, s"corr($i,$j)")
+        // sqrt(vx)·sqrt(vx) can be 1 ulp off vx, so the diagonal is 1
+        // only to ulp precision — never assert exact equality on it
+        if (i == j)
+          assert(math.abs(got((i, j))._2.get - 1.0) < 1e-12,
+            s"diagonal corr($i,$i) must be ~1")
+      }
+    }
+  }
+
   test("q212 integer direction aligns with a double-precision eigenvector") {
     // correctness beyond oracle-determinism: q212's fixed-point power
     // iteration must actually find the dominant direction. Reference:
