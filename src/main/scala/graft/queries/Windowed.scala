@@ -95,6 +95,27 @@ object Windowed {
     * empty or pooled p ∈ {0, 1} (ANSI Spark raises on the √0 division
     * a silent engine would NaN through).
     */
+  /** q215's derived interval: the Wilson score bounds from one arm's
+    * exact (n_users, n_conv) — SQL expression strings rendered into
+    * BOTH engines (the q204 OlsDerived discipline) so the ÷/×/sqrt
+    * IEEE DAG and the z = 1.96 literal cannot drift. Wilson rather
+    * than Wald: stays inside [0,1] and behaves at small n and extreme
+    * rates, where Wald's ±z·sqrt(p(1−p)/n) collapses to a point.
+    */
+  val WilsonDerived: Seq[String] = {
+    val n = "CAST(n_users AS DOUBLE)"
+    val p = s"(CAST(n_conv AS DOUBLE) / $n)"
+    val z = "CAST(1.96 AS DOUBLE)"
+    // bare decimal literals (1.0/2.0/4.0), the q160-proven idiom: both
+    // engines promote them exactly in DOUBLE arithmetic; a Spark-only
+    // `D` suffix would not parse in DuckDB
+    val denom = s"(1.0 + $z * $z / $n)"
+    val center = s"($p + $z * $z / (2.0 * $n))"
+    val half = s"($z * sqrt($p * (1.0 - $p) / $n + $z * $z / (4.0 * $n * $n)))"
+    Seq(s"($center - $half) / $denom AS wilson_lo",
+      s"($center + $half) / $denom AS wilson_hi")
+  }
+
   def abZ: org.apache.spark.sql.Column = expr(
     """CASE WHEN coalesce(n0, CAST(0 AS BIGINT)) = 0
       |     OR coalesce(n1, CAST(0 AS BIGINT)) = 0
@@ -736,6 +757,49 @@ object Windowed {
               |SELECT b.variant, b.n_users, b.n_conv,
               |  CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS conv_rate, z.z
               |FROM byv b CROSS JOIN z""".stripMargin)),
+
+    // ---- Wilson confidence intervals for the A/B conversion rates:
+    //      q160 reports the pooled z; a real experiment readout also
+    //      needs PER-ARM uncertainty, and the Wilson score interval is
+    //      the one that stays inside [0,1] and behaves at small n or
+    //      extreme rates where the naive Wald interval collapses.
+    //      Derivation discipline: each arm's (n_users, n_conv) are
+    //      exact BIGINTs from the same user-grain conversion collapse
+    //      as q160 (ONE copy of the variant/conversion rule); lo/hi
+    //      come from the shared WilsonDerived template — a fixed
+    //      ÷/×/sqrt IEEE DAG with the z=1.96 literal parsed from the
+    //      identical decimal text in both engines. 100 TB: user-grain
+    //      max collapses map-side; everything after is #variants rows.
+    "q215_wilson_interval" -> Q(
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") >= AbConvValue, 1L).otherwise(0L))
+            .as("converted"))
+          .select(
+            (hash60(col("user_id").cast("string")) % AbVariants).as("variant"),
+            col("converted"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+          .selectExpr(Seq("variant", "n_users", "n_conv",
+            "CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate")
+            ++ WilsonDerived: _*)
+      },
+      Some(s"""WITH conv AS (SELECT user_id,
+              |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= $AbConvValue
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+              |  FROM events GROUP BY 1),
+              |v AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)
+              |        AS BIGINT) % $AbVariants AS variant, converted FROM conv),
+              |byv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+              |    CAST(sum(converted) AS BIGINT) AS n_conv
+              |  FROM v GROUP BY 1)
+              |SELECT variant, n_users, n_conv,
+              |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+              |  ${WilsonDerived.mkString(",\n              |  ")}
+              |FROM byv""".stripMargin)),
 
     // ---- daily-volume anomaly: per-day event counts (q149's
     //      gap-filled spine, so a DEAD day scores as an anomaly

@@ -156,6 +156,27 @@ class EvalStatsSpec extends SparkSuite {
     }
   }
 
+  test("q215: Wilson bounds equal the scalar formula and bracket the rate") {
+    val got = graft.queries.Catalog.all("q215_wilson_interval")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == 2, s"both variants must report: $got")
+    got.foreach { case (v, (n, c, p, lo, hi)) =>
+      val nd = n.toDouble; val pd = c.toDouble / nd; val z = 1.96
+      val denom = 1.0 + z * z / nd
+      val center = pd + z * z / (2.0 * nd)
+      val half = z * math.sqrt(pd * (1.0 - pd) / nd + z * z / (4.0 * nd * nd))
+      assert(p == pd, s"variant $v rate")
+      assert(math.abs(lo - (center - half) / denom) < 1e-12, s"variant $v lo")
+      assert(math.abs(hi - (center + half) / denom) < 1e-12, s"variant $v hi")
+      // the interval must be informative: inside [0,1], brackets p̂,
+      // and non-degenerate on the fixture (0 < p̂ < 1 in both arms)
+      assert(lo >= 0.0 && hi <= 1.0 && lo < p && p < hi && c > 0 && c < n,
+        s"variant $v interval: ($lo, $p, $hi) c=$c n=$n")
+    }
+  }
+
   test("q209: rho equals plain-midrank Pearson within 1e-12") {
     val per = Tables(spark, sf(), "orders")
       .select(col("o_custkey"), col("o_totalprice")).collect()
