@@ -38,6 +38,18 @@ object Evaluation {
     s"($n * $sxy - $sx * $sy) / (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy)) AS rho"
   }
 
+  /** q216's derived statistic: tau-b from the exact concordance and
+    * tie counts — rendered into both engines from this single template
+    * (the q204 discipline). The positivity guard maps an all-tied
+    * margin (zero denominator) to NULL instead of a NaN.
+    */
+  private val TauDerived: String = {
+    val (c, dd) = ("CAST(n_conc AS DOUBLE)", "CAST(n_disc AS DOUBLE)")
+    val vx = "CAST(n0 - n1 AS DOUBLE)"
+    val vy = "CAST(n0 - n2 AS DOUBLE)"
+    s"CASE WHEN $vx > 0.0 AND $vy > 0.0 THEN ($c - $dd) / (sqrt($vx) * sqrt($vy)) END AS tau_b"
+  }
+
   val defs: ListMap[String, Q] = ListMap(
 
     // ---- ranking-quality AUC (Mann–Whitney with tie-halving): how well
@@ -373,6 +385,76 @@ object Evaluation {
              |    / CAST(sum(n_chars * n_chars) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE) AS ess_frac
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- Kendall tau-b at value grain: the tie-corrected concordance
+    //      rank association between per-customer order count and spend
+    //      bucket — q209's Spearman measures monotone fit through
+    //      midranks; tau-b is the PAIR-concordance view (the statistic
+    //      behind Kendall distance on rankings) and handles heavy ties
+    //      through the n1/n2 corrections. Exact: rows collapse to the
+    //      (x, y) CELL grain first (one hash agg), concordant/
+    //      discordant mass comes from the cell-pair scan — Σ ca·cb over
+    //      ordered cell pairs, BIGINT throughout (C + D ≤ n²/2, sound
+    //      to ~4·10⁹ customers); tie terms n1/n2 from the margins; the
+    //      statistic is the shared TauDerived ÷/×/sqrt template.
+    //      100 TB: the pair scan is (#cells)², bounded by the VALUE
+    //      domains (order-count × spend-bucket), never by rows — the
+    //      same bucketing that bounds q209's rank grids.
+    "q216_kendall_tau" -> Q(
+      (s, d) => {
+        val per = Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("x"),
+            expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000 AS BIGINT)")
+              .as("y"))
+        val cells = per.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        val a = cells.toDF("xa", "ya", "ca")
+        val b = cells.toDF("xb", "yb", "cb")
+        val pairs = a.join(broadcast(b),
+          col("xa") < col("xb") ||
+            (col("xa") === col("xb") && col("ya") < col("yb")))
+        val cd = pairs.agg(
+          sum(when(col("xa") < col("xb") && col("ya") < col("yb"),
+            col("ca") * col("cb")).otherwise(0L)).as("n_conc"),
+          sum(when(col("xa") < col("xb") && col("ya") > col("yb"),
+            col("ca") * col("cb")).otherwise(0L)).as("n_disc"))
+        // pair counts are exact integers: DIV, never `/` (Spark long
+        // division is DOUBLE division)
+        val marg = per.agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(per.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+            .agg(sum(expr("cx * (cx - 1) DIV 2")).as("n1"))))
+          .crossJoin(broadcast(per.groupBy(col("y")).agg(count(lit(1)).as("cy"))
+            .agg(sum(expr("cy * (cy - 1) DIV 2")).as("n2"))))
+          .selectExpr("n", "n * (n - 1) DIV 2 AS n0", "n1", "n2")
+        cd.crossJoin(broadcast(marg))
+          .selectExpr("n", "n0", "n1", "n2", "n_conc", "n_disc", TauDerived)
+      },
+      Some(s"""WITH per AS (SELECT o_custkey,
+             |    CAST(count(*) AS BIGINT) AS x,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 10000
+             |      AS BIGINT) AS y
+             |  FROM orders GROUP BY 1),
+             |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+             |  FROM per GROUP BY 1, 2),
+             |cd AS (SELECT
+             |    CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y
+             |      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS n_conc,
+             |    CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y
+             |      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS n_disc
+             |  FROM cells a JOIN cells b
+             |    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+             |marg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) // 2
+             |      AS n0,
+             |    (SELECT CAST(sum(cx * (cx - 1) // 2) AS BIGINT) FROM
+             |      (SELECT CAST(count(*) AS BIGINT) AS cx FROM per GROUP BY x))
+             |      AS n1,
+             |    (SELECT CAST(sum(cy * (cy - 1) // 2) AS BIGINT) FROM
+             |      (SELECT CAST(count(*) AS BIGINT) AS cy FROM per GROUP BY y))
+             |      AS n2
+             |  FROM per)
+             |SELECT n, n0, n1, n2, n_conc, n_disc, $TauDerived
+             |FROM cd CROSS JOIN marg""".stripMargin)),
 
     // ---- retrieval evaluation: precision@k, recall@k, and reciprocal
     //      rank per query over q125's BM25 top-k, judged against a

@@ -177,6 +177,43 @@ class EvalStatsSpec extends SparkSuite {
     }
   }
 
+  test("q216: tau-b equals the all-pairs concordance ground truth") {
+    val per = Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum / 10000L))
+      .toMap.values.toArray
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- per.indices; j <- (i + 1) until per.length) {
+      val ((x1, y1), (x2, y2)) = (per(i), per(j))
+      val sx = java.lang.Long.signum(x2 - x1)
+      val sy = java.lang.Long.signum(y2 - y1)
+      if (sx == 0 && sy != 0) tx += 1
+      else if (sy == 0 && sx != 0) ty += 1
+      else if (sx * sy > 0) conc += 1
+      else if (sx * sy < 0) disc += 1
+    }
+    val n = per.length.toLong
+    val n0 = n * (n - 1) / 2
+    val n1 = per.map(_._1).groupBy(identity).values
+      .map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val n2 = per.map(_._2).groupBy(identity).values
+      .map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val expected = (conc - disc).toDouble /
+      (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))
+
+    val row = graft.queries.Catalog.all("q216_kendall_tau")
+      .build(spark, sf()).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((n, n0, n1, n2)), s"counts: $row")
+    assert(row.getLong(4) == conc && row.getLong(5) == disc,
+      s"concordance: got (${row.getLong(4)}, ${row.getLong(5)}), want ($conc, $disc)")
+    assert(row.getDouble(6) == expected, s"tau_b")
+    // association must exist on the fixture or the entry is vacuous
+    assert(row.getDouble(6) > 0.3, s"tau_b too weak: ${row.getDouble(6)}")
+  }
+
   test("q209: rho equals plain-midrank Pearson within 1e-12") {
     val per = Tables(spark, sf(), "orders")
       .select(col("o_custkey"), col("o_totalprice")).collect()
