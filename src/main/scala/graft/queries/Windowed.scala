@@ -32,6 +32,14 @@ object Windowed {
   val AbVariants = 2
   val AbConvValue = 150
 
+  /** q217's heavy-exposure threshold: a user is "exposed" to a type
+    * only with ≥ this many events of it. Probed to split ~25% of
+    * (user, type) pairs at sf0.001/0.01/0.1 (18/75, 199/750,
+    * 1968/7500) — plain touched-at-all is degenerate on this fixture
+    * (every user touches every type).
+    */
+  val LiftExposure = 16
+
   /** q161: trailing window length (days) and the |z| alert threshold. */
   val AnomWin = 7
   val AnomZ = 3.0
@@ -800,6 +808,64 @@ object Windowed {
               |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
               |  ${WilsonDerived.mkString(",\n              |  ")}
               |FROM byv""".stripMargin)),
+
+    // ---- conversion lift per event type: for users HEAVILY exposed
+    //      to each event type (≥ LiftExposure events of it — plain
+    //      touched-at-all is degenerate on this fixture: every user
+    //      touches every type, lift ≡ 1; the intensity threshold is
+    //      probed to split ~25% of (user, type) pairs at ALL three
+    //      sfs), their conversion rate against the global rate — the
+    //      targeting/feature readout behind "which behaviors predict
+    //      purchase" (q168/q171 attribute converted value; lift ranks
+    //      the predictive exposure itself). Exactness: user-grain
+    //      conversion collapse (ONE copy of the q160 rule) joined to
+    //      the user's heavy-type set, so a user counts once per type;
+    //      lift = (c_t·N)/(n_t·C) — exact BIGINT cross-products (sound
+    //      to ~3·10⁹ users) under ONE IEEE division, no rate
+    //      intermediate to round. 100 TB: both collapses are user- or
+    //      (user, type)-grain map-side-combinable aggs; the global
+    //      frame is a broadcast 1-row cross; output is #types rows.
+    "q217_conversion_lift" -> Q(
+      (s, d) => {
+        val conv = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") >= AbConvValue, 1L).otherwise(0L))
+            .as("converted"))
+        val exposed = Tables(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_ev"))
+          .filter(col("n_ev") >= LiftExposure)
+          .select(col("user_id"), col("event_type"))
+        val byT = exposed.join(conv, "user_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+        val glob = conv.agg(count(lit(1)).as("n_all"),
+          sum(col("converted")).as("c_all"))
+        byT.crossJoin(broadcast(glob))
+          .select(col("event_type"), col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") / col("n_users").cast("double"))
+              .as("conv_rate"),
+            ((col("n_conv") * col("n_all")).cast("double")
+              / (col("n_users") * col("c_all")).cast("double")).as("lift"))
+      },
+      Some(s"""WITH conv AS (SELECT user_id,
+              |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= $AbConvValue
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+              |  FROM events GROUP BY 1),
+              |exposed AS (SELECT user_id, event_type FROM events
+              |  GROUP BY 1, 2 HAVING count(*) >= $LiftExposure),
+              |byt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+              |    CAST(sum(converted) AS BIGINT) AS n_conv
+              |  FROM exposed JOIN conv USING (user_id) GROUP BY 1),
+              |overall AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+              |    CAST(sum(converted) AS BIGINT) AS c_all FROM conv)
+              |SELECT event_type, n_users, n_conv,
+              |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+              |  CAST(n_conv * n_all AS DOUBLE)
+              |    / CAST(n_users * c_all AS DOUBLE) AS lift
+              |FROM byt CROSS JOIN overall""".stripMargin)),
 
     // ---- daily-volume anomaly: per-day event counts (q149's
     //      gap-filled spine, so a DEAD day scores as an anomaly

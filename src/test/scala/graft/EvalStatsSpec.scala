@@ -214,6 +214,34 @@ class EvalStatsSpec extends SparkSuite {
     assert(row.getDouble(6) > 0.3, s"tau_b too weak: ${row.getDouble(6)}")
   }
 
+  test("q217: every type's lift equals the scalar recount") {
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val conv = ev.groupBy(_._1).view.mapValues(rows =>
+      rows.exists(t => t._2 == "purchase" && t._3 >= 150.0)).toMap
+    val nAll = conv.size.toLong
+    val cAll = conv.count(_._2).toLong
+    val got = graft.queries.Catalog.all("q217_conversion_lift")
+      .build(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(4)))).toMap
+    val k = graft.queries.Windowed.LiftExposure
+    val byType = ev.groupBy(t => (t._2, t._1)).filter(_._2.length >= k)
+      .keys.toSeq.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tp, users) =>
+      val n = users.length.toLong
+      val c = users.count(u => conv(u._2)).toLong
+      val lift = (c * nAll).toDouble / (n * cAll).toDouble
+      assert(got(tp) == ((n, c, lift)), s"$tp: got ${got(tp)}, want ($n,$c,$lift)")
+    }
+    // lift must vary across types on the fixture or the entry orders
+    // nothing (the threshold was probed to guarantee this)
+    val lifts = got.values.map(_._3)
+    assert(lifts.min < lifts.max, s"lift must discriminate: $got")
+  }
+
   test("q209: rho equals plain-midrank Pearson within 1e-12") {
     val per = Tables(spark, sf(), "orders")
       .select(col("o_custkey"), col("o_totalprice")).collect()

@@ -354,7 +354,8 @@ class PlanSpec extends SparkSuite {
     "q206_calibration",      // corpus × a broadcast 1-row (min, max) frame
     "q207_cohens_kappa",     // 1-row totals × a broadcast 1-row pe_num
     "q214_feature_corr",     // 1-row gram × a broadcast 1-row (n, sums) frame
-    "q216_kendall_tau")      // value-domain cell pairs + 1-row margin crosses
+    "q216_kendall_tau",      // value-domain cell pairs + 1-row margin crosses
+    "q217_conversion_lift")  // #types rows × a broadcast 1-row global frame
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -399,7 +400,8 @@ class PlanSpec extends SparkSuite {
     "q208_trend_mk",            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
     "q210_retrieval_eval",      // rides q125's ranking (its 1-row (N, avgdl) total)
     "q214_feature_corr",        // 1-row gram × a broadcast 1-row (n, sums) frame
-    "q216_kendall_tau")         // (#cells)² pair theta join at VALUE-domain grain + 1-row margins
+    "q216_kendall_tau",         // (#cells)² pair theta join at VALUE-domain grain + 1-row margins
+    "q217_conversion_lift")     // #types rows × a broadcast 1-row global frame
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
