@@ -490,11 +490,17 @@ object Evaluation {
           .join(broadcast(qsrc), col("lang") === col("q_lang")
             && col("doc_id") =!= col("q_id"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel_total"))
-        per.join(relTotal, "q_id")
+        // LEFT join: a query whose language has no other document
+        // (n_rel_total = 0) must still report — recall is NULL there
+        // (undefined), p@k / rr are well-defined regardless (the q213
+        // degenerate-slice guard; an inner join silently dropped it)
+        per.join(relTotal, Seq("q_id"), "left")
+          .withColumn("n_rel_total", coalesce(col("n_rel_total"), lit(0L)))
           .select(col("q_id"), col("n_rel"), col("n_rel_total"),
             (col("n_rel").cast("double")
               / lit(TextAnalysis.Bm25TopK.toLong).cast("double")).as("p_at_k"),
-            (col("n_rel").cast("double") / col("n_rel_total").cast("double"))
+            when(col("n_rel_total") > 0L,
+              col("n_rel").cast("double") / col("n_rel_total").cast("double"))
               .as("recall_at_k"),
             coalesce(lit(1.0) / col("first_rel_rk").cast("double"), lit(0.0))
               .as("rr"))
@@ -513,14 +519,16 @@ object Evaluation {
              |  FROM documents d JOIN qsrc q
              |    ON d.lang = q.q_lang AND d.doc_id <> q.q_id
              |  GROUP BY 1)
-             |SELECT per.q_id, n_rel, n_rel_total,
+             |SELECT per.q_id, n_rel,
+             |  coalesce(rt.n_rel_total, 0) AS n_rel_total,
              |  CAST(n_rel AS DOUBLE)
              |    / CAST(CAST(${TextAnalysis.Bm25TopK} AS BIGINT) AS DOUBLE)
              |    AS p_at_k,
-             |  CAST(n_rel AS DOUBLE) / CAST(n_rel_total AS DOUBLE)
-             |    AS recall_at_k,
+             |  CASE WHEN coalesce(rt.n_rel_total, 0) > 0
+             |    THEN CAST(n_rel AS DOUBLE)
+             |      / CAST(rt.n_rel_total AS DOUBLE) END AS recall_at_k,
              |  coalesce(CAST(1.0 AS DOUBLE) / CAST(first_rel_rk AS DOUBLE),
              |    CAST(0.0 AS DOUBLE)) AS rr
-             |FROM per JOIN rt ON per.q_id = rt.q_id""".stripMargin))
+             |FROM per LEFT JOIN rt ON per.q_id = rt.q_id""".stripMargin))
   )
 }

@@ -1238,10 +1238,12 @@ object Similarity {
     //      audit that finds redundant/degenerate embedding coordinates
     //      before they poison cosine metrics (two perfectly correlated
     //      dims double-count their direction in every q50-q52 distance).
-    //      ONE pass computes the d(d+1)/2 product sums (graft_gram) AND
-    //      the d per-dim sums; covariance numerators n·Σxy − Σx·Σy are
-    //      exact BIGINTs (sound to ~10⁹ rows at 2^8 scale: n·Σxy ≤
-    //      n²·2^16; widen to DECIMAL(38) past that); correlation is the
+    //      TWO bounded aggregates over the same scan compute the
+    //      d(d+1)/2 product sums (graft_gram) and the d per-dim sums;
+    //      covariance numerators n·Σxy − Σx·Σy are exact BIGINTs —
+    //      sound to n ≈ 1.2·10⁷ rows at 2^8 scale (n·Σxy ≤ n²·2^16 and
+    //      n²·2^16 < 2^63 ⟺ n < 2^23.5; widen the numerator to
+    //      DECIMAL(38) past that); correlation is the
     //      shared ÷/×/sqrt CorrDerived template, bit-stable both
     //      engines. Variance-zero dims yield NULL via the guard, not a
     //      NaN. 100 TB: the whole job is the one map-side-merged gram
@@ -1307,9 +1309,20 @@ object Similarity {
     //      (Arora et al.'s common-direction trick) and PCA whitening
     //      both start from "find the top eigenvector". Every step is
     //      exact integer arithmetic so the oracle replays it verbatim:
-    //      vectors quantized at 2^8 (|x| < 1 ⇒ gram entries ≤ n·2^16 —
-    //      the whole iteration stays far under 2^63 through corpus
-    //      sizes of ~10^12 rows), v₀ = 1⃗·2^20, PowerIters fixed
+    //      vectors quantized at 2^8 (|x| < 1 ⇒ gram entries ≤ n·2^16).
+    //      Overflow bound, worst case: the mat-vec accumulator is ≤
+    //      64·(n·2^16)·2^21 = n·2^43 (renorm keeps |v| ≤ 2^21), so the
+    //      iteration is Long-sound only to n ≈ 2^20 ≈ 10^6 rows at
+    //      |x| ≤ 1 — real embeddings are ~unit-norm (per-coord rms
+    //      ~1/√64) which buys ~2^6 more, but the CONTRACT bound is
+    //      2^20. Past that, rescale the Gram before iterating: the
+    //      dominant eigenvector is invariant under G/2^k, so divide
+    //      every entry by 2^(bitlen(maxAbs)−35) once (driver-side, on
+    //      the collected triangle) and the accumulator stays ≤
+    //      2^(35+6+21) = 2^62 at any n — or quantize at 2^4, or run
+    //      the fit in DECIMAL(38); the distributed gram pass itself
+    //      is sound to n ≈ 2^47 rows.
+    //      v₀ = 1⃗·2^20, PowerIters fixed
     //      multiply-renormalize rounds where the renormalization is a
     //      TRUNCATING division by a power of two chosen from the max
     //      magnitude's bit length (JVM `/` ≡ DuckDB `//`, both

@@ -835,10 +835,17 @@ object StatefulOps {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), win))
+      // NULLs count as violations: a bare `value < 0 OR value > cap`
+      // predicate is NULL on a NULL value and when().otherwise(0)
+      // would score it as clean — a feed of NULL values/types must
+      // fail a data-quality gate, not sail through it (the props
+      // check was already NULL-strict via isNull; these now match)
       .agg(count(lit(1)).as("n_total"),
-        sum(when(col("value") < 0.0 || col("value") > valueCap, 1L)
+        sum(when(col("value").isNull ||
+          col("value") < 0.0 || col("value") > valueCap, 1L)
           .otherwise(0L)).as("bad_value"),
-        sum(when(!col("event_type").isin(typeDomain: _*), 1L).otherwise(0L))
+        sum(when(col("event_type").isNull ||
+          !col("event_type").isin(typeDomain: _*), 1L).otherwise(0L))
           .as("bad_type"),
         sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
           .otherwise(0L)).as("bad_props"))

@@ -113,6 +113,34 @@ class EvalStatsSpec extends SparkSuite {
       s"RR arms not all exercised: $rrs")
   }
 
+  test("q210: a query whose language is unique still reports, with NULL recall") {
+    import spark.implicits._
+    // ADVICE r12: the inner join to the relevance-total arm silently
+    // dropped a query with n_rel_total = 0; now a LEFT join emits it
+    // with recall_at_k NULL (undefined) and p@k / rr as usual
+    val dir = tmpDir("q210_degenerate").toString
+    val docs = (0L until 12L).map { i =>
+      val lang = if (i == 3L) "zz" else if (i % 2 == 0) "en" else "de"
+      val text = s"alpha bravo charlie token$i shared words corpus line"
+      (i, text, lang, s"src${i % 3}", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Catalog.all("q210_retrieval_eval")
+      .build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // all 5 query docs report — including doc 3, the unique-lang one
+    assert(got.keySet == (0L until 5L).toSet, s"rows dropped: ${got.keySet}")
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 0L && r3.getLong(2) == 0L,
+      s"doc 3 must have n_rel = n_rel_total = 0: $r3")
+    assert(r3.getDouble(3) == 0.0, s"p@k well-defined: $r3")
+    assert(r3.isNullAt(4), s"recall must be NULL on the degenerate slice: $r3")
+    assert(r3.getDouble(5) == 0.0, s"rr well-defined: $r3")
+    // non-degenerate queries still carry a non-NULL recall
+    assert((0L until 5L).filter(_ != 3L).forall(q => !got(q).isNullAt(4)))
+  }
+
   test("q213: every per-source AUC equals the all-pairs ground truth") {
     val bySrc = Tables(spark, sf(), "documents")
       .select(col("source"), col("n_chars"), col("lang")).collect()

@@ -619,6 +619,49 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("DQ monitor: NULL value and NULL event_type count as violations") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val domain = Seq("view", "purchase")
+    // a feed emitting NULL types/values must FAIL the gate: the bare
+    // range/domain predicates are NULL on NULL input and the old
+    // otherwise(0) arm scored them clean (ADVICE r12)
+    val rows = Seq(
+      (tsAt(5), Option("view"), Option(10.0), """{"k": 1}"""),
+      (tsAt(6), Option("view"), Option.empty[Double], """{"k": 2}"""),
+      (tsAt(7), Option.empty[String], Option(5.0), """{"k": 3}"""),
+      (tsAt(120), Option("view"), Option(1.0), """{"k": 4}""")) // pusher
+    val src = rows.toDF("ts", "event_type", "value", "props")
+
+    val in = MemoryStream[(java.sql.Timestamp, Option[String], Option[Double], String)]
+    val q = StatefulOps.dqMonitor(
+        in.toDF().toDF("ts", "event_type", "value", "props"),
+        "10 seconds", "30 seconds", 100.0, domain)
+      .writeStream.format("memory").queryName("dq_mon_null")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("dqmonnull").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      val got = toMap(spark.table("dq_mon_null").collect())
+      val w1 = 1700000005000L / 30000L * 30000L
+      assert(got((w1, "value_range")) == ((1L, 3L, false)),
+        s"NULL value must violate the range check: ${got((w1, "value_range"))}")
+      assert(got((w1, "type_domain")) == ((1L, 3L, false)),
+        s"NULL type must violate the domain check: ${got((w1, "type_domain"))}")
+      assert(got((w1, "props_parse")) == ((0L, 3L, true)))
+      // batch kernel agrees on the NULL rows
+      val batch = toMap(StatefulOps.dqMonitor(
+        src, "10 seconds", "30 seconds", 100.0, domain).collect())
+        .filter { case ((w, _), _) => w == w1 }
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("A/B monitor: stream window stats equal the batch kernel; planted shift pages") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
