@@ -30,6 +30,70 @@ object Bench {
   /** Samples per timed entry; median reported, min/max published. */
   val SampleCount = 5
 
+  /** Within-run max/min spread past which a stat is treated as
+    * steal-contaminated and the entry is re-measured (round-13 verdict
+    * item 1: q41 carried a 14.4x spread — 4.2 s min, 60.6 s max — on a
+    * round that did not touch its code; a single contaminated sample
+    * must not be the published number when re-running is cheap).
+    */
+  val SpreadLimit = 3.0
+
+  /** Re-measures allowed per entry before publishing the best stat. */
+  val MaxReruns = 2
+
+  /** (stealJiffies, totalJiffies) from /proc/stat's aggregate cpu line.
+    * Hypervisor CPU steal is the failure mode `ps` cannot see — the
+    * round-13 spreads happened with nothing else runnable in the
+    * guest — so the quiet verdict is anchored on the steal delta over
+    * the bench window, not on guest-local load alone.
+    */
+  private def cpuJiffies(): (Long, Long) = try {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    (if (f.length > 7) f(7) else 0L, f.sum)
+  } catch { case _: Throwable => (0L, 0L) }
+
+  private def ppidOf(pid: Long): Long = try {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
+    // comm (field 2) may contain spaces; fields resume after last ')'
+    s.substring(s.lastIndexOf(')') + 2).trim.split(" ")(1).toLong
+  } catch { case _: Throwable => 0L }
+
+  /** Count of processes burning >50% of a core that are neither this
+    * JVM, its ancestors (sbt), nor their descendants — i.e. guest-local
+    * competition the bench shares cores with.
+    */
+  private def competingPids(): Int = try {
+    val ours = {
+      val b = scala.collection.mutable.Set.empty[Long]
+      var p = ProcessHandle.current().pid()
+      var hops = 0
+      while (p > 1 && hops < 64) { b += p; p = ppidOf(p); hops += 1 }
+      b.toSet
+    }
+    def descendsFromOurs(pid: Long): Boolean = {
+      var p = pid
+      var hops = 0
+      while (p > 1 && hops < 64) {
+        if (ours(p)) return true
+        p = ppidOf(p); hops += 1
+      }
+      false
+    }
+    import scala.sys.process._
+    "ps -eo pid,pcpu --no-headers".!!.linesIterator.count { line =>
+      val t = line.trim.split("\\s+")
+      t.length >= 2 &&
+        scala.util.Try(t(1).toDouble).getOrElse(0.0) > 50.0 &&
+        scala.util.Try(t(0).toLong).toOption.exists(p => !descendsFromOurs(p))
+    }
+  } catch { case _: Throwable => -1 }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   /** The one probe-carrying entry that stays cold-timed in the headline
     * number: a fit-cost regression sentinel (the BPE fit is the largest
     * driver-coordinated fit in the catalog).
@@ -61,6 +125,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // Quiet-machine checkpoint, taken before warm-up and again after the
+    // last timed sample. quiet=true asserts: no hypervisor steal over
+    // the bench window (< 5% of elapsed jiffies) and no guest-local
+    // process outside our tree burning a core at either checkpoint.
+    val (steal0, jiffies0) = cpuJiffies()
+    val loadBefore = loadAvg()
+    val competingBefore = competingPids()
 
     def run(name: String): Double = {
       // build() INSIDE the timed window: fit-carrying queries (q51/
@@ -109,13 +181,34 @@ object Bench {
     final case class Stat(min: Double, median: Double, max: Double) {
       def json: String =
         s"""{"min":$min,"median":$median,"max":$max}"""
+      def spread: Double =
+        if (min > 0) max / min else Double.PositiveInfinity
     }
     def stat(samples: Seq[Double]): Stat = {
       val xs = samples.sorted
       Stat(xs.head, xs(xs.size / 2), xs.last)
     }
+    // spread-triggered re-measure (round-13 verdict item 1): a stat
+    // whose max/min exceeds SpreadLimit is re-sampled up to MaxReruns
+    // times and the lowest-spread stat is published; rerunsOf records
+    // how many re-measures each entry needed so the artifact itself
+    // says which numbers were contested.
+    val rerunsOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def withRerun(name: String)(sample: () => Stat): Stat = {
+      var best = sample()
+      var n = 0
+      while (best.spread > SpreadLimit && n < MaxReruns) {
+        System.err.println(f"[bench] $name spread ${best.spread}%.1fx > " +
+          f"${SpreadLimit}%.1fx — re-measuring")
+        val again = sample()
+        if (again.spread < best.spread) best = again
+        n += 1
+      }
+      if (n > 0) rerunsOf(name) = n
+      best
+    }
     def coldStat(name: String): Stat =
-      stat(Seq.fill(SampleCount)(run(name)))
+      withRerun(name)(() => stat(Seq.fill(SampleCount)(run(name))))
 
     def runThunk(thunk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -135,8 +228,9 @@ object Bench {
       try {
         val thunk = p(spark, sfDir) // fit: untimed
         // no warm-up: the first sample carries the probe shape's codegen
-        // compile and the median discards it
-        stat(Seq.fill(SampleCount)(runThunk(thunk)))
+        // compile and the median discards it. Re-measures re-sample the
+        // SAME warm artifact — the fit is paid once per entry.
+        withRerun(name)(() => stat(Seq.fill(SampleCount)(runThunk(thunk))))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name probe prepare failed: ${e.getMessage}")
         Stat(-1.0, -1.0, -1.0)
@@ -165,7 +259,21 @@ object Bench {
     // above, so their cold number would otherwise vanish this round)
     val coldFits: Seq[(String, Stat)] = ColdFitEvidence
       .filter(selected.contains)
-      .map(n => n -> coldStat(n))
+      // distinct rerun key: these entries were already measured (probe
+      // mode) in the headline pass above
+      .map(n => n -> withRerun(n + ":cold_fit")(() =>
+        stat(Seq.fill(SampleCount)(run(n)))))
+
+    // closing quiet checkpoint: measured AFTER the last timed sample so
+    // the steal fraction covers exactly the window the stats came from
+    val (steal1, jiffies1) = cpuJiffies()
+    val loadAfter = loadAvg()
+    val competingAfter = competingPids()
+    val stealPct =
+      if (jiffies1 > jiffies0)
+        (steal1 - steal0).toDouble / (jiffies1 - jiffies0).toDouble
+      else 0.0
+    val quiet = stealPct < 0.05 && competingBefore == 0 && competingAfter == 0
 
     def objOf(pairs: Seq[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -176,7 +284,11 @@ object Bench {
     val pvar = objOf(probeResults.map { case (n, st) => n -> st.json })
     val cf = objOf(coldFits.map { case (n, st) => n -> st.json })
     val total = measured.map(_._3.median).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mode":$modes,"variance":$variance,"probes":$ps,"probe_variance":$pvar,"cold_fits":$cf,"samples":$SampleCount,"sf":"$sfDir"}"""
+    val reruns = objOf(rerunsOf.toSeq.map { case (n, c) => n -> c.toString })
+    val machine = s"""{"load_before":$loadBefore,"load_after":$loadAfter,""" +
+      s""""steal_pct":$stealPct,"competing_before":$competingBefore,""" +
+      s""""competing_after":$competingAfter}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mode":$modes,"variance":$variance,"probes":$ps,"probe_variance":$pvar,"cold_fits":$cf,"samples":$SampleCount,"quiet":$quiet,"machine":$machine,"reruns":$reruns,"sf":"$sfDir"}"""
     // Also write the object to a file (unambiguous regardless of how
     // the scraper reads stdout) ...
     val outPath = java.nio.file.Paths.get("out", "bench.json")
