@@ -490,11 +490,16 @@ object Evaluation {
           .join(broadcast(qsrc), col("lang") === col("q_lang")
             && col("doc_id") =!= col("q_id"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel_total"))
-        // LEFT join: a query whose language has no other document
-        // (n_rel_total = 0) must still report — recall is NULL there
-        // (undefined), p@k / rr are well-defined regardless (the q213
-        // degenerate-slice guard; an inner join silently dropped it)
-        per.join(relTotal, Seq("q_id"), "left")
+        // Anchor on the QUERY LIST, not on either metric arm: a query
+        // with zero BM25 candidates (no token overlap anywhere — `per`
+        // empty for it) and a query whose language has no other
+        // document (n_rel_total = 0) must both still report. n_rel
+        // coalesces to 0 (p@k = 0, rr = 0), recall is NULL only where
+        // genuinely undefined (no relevant documents exist).
+        qsrc.select(col("q_id"))
+          .join(per, Seq("q_id"), "left")
+          .join(relTotal, Seq("q_id"), "left")
+          .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
           .withColumn("n_rel_total", coalesce(col("n_rel_total"), lit(0L)))
           .select(col("q_id"), col("n_rel"), col("n_rel_total"),
             (col("n_rel").cast("double")
@@ -519,16 +524,17 @@ object Evaluation {
              |  FROM documents d JOIN qsrc q
              |    ON d.lang = q.q_lang AND d.doc_id <> q.q_id
              |  GROUP BY 1)
-             |SELECT per.q_id, n_rel,
-             |  coalesce(rt.n_rel_total, 0) AS n_rel_total,
-             |  CAST(n_rel AS DOUBLE)
+             |SELECT q.q_id, CAST(coalesce(per.n_rel, 0) AS BIGINT) AS n_rel,
+             |  CAST(coalesce(rt.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+             |  CAST(coalesce(per.n_rel, 0) AS DOUBLE)
              |    / CAST(CAST(${TextAnalysis.Bm25TopK} AS BIGINT) AS DOUBLE)
              |    AS p_at_k,
              |  CASE WHEN coalesce(rt.n_rel_total, 0) > 0
-             |    THEN CAST(n_rel AS DOUBLE)
+             |    THEN CAST(coalesce(per.n_rel, 0) AS DOUBLE)
              |      / CAST(rt.n_rel_total AS DOUBLE) END AS recall_at_k,
-             |  coalesce(CAST(1.0 AS DOUBLE) / CAST(first_rel_rk AS DOUBLE),
+             |  coalesce(CAST(1.0 AS DOUBLE) / CAST(per.first_rel_rk AS DOUBLE),
              |    CAST(0.0 AS DOUBLE)) AS rr
-             |FROM per LEFT JOIN rt ON per.q_id = rt.q_id""".stripMargin))
+             |FROM qsrc q LEFT JOIN per ON q.q_id = per.q_id
+             |LEFT JOIN rt ON q.q_id = rt.q_id""".stripMargin))
   )
 }

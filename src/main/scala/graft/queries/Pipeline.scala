@@ -1685,12 +1685,20 @@ object Pipeline {
     "q201_dq_report" -> Q(
       (s, d) => {
         val li = Tables(s, d, "lineitem")
+        // NULL-strict violation predicates (round-13 verdict item 2):
+        // a NULL discount/flag/price/n_chars makes the bare range/
+        // domain predicate NULL, and when().otherwise(0) would score
+        // the row CLEAN — a data-quality gate must fail on a feed of
+        // NULLs, the contract the streaming sibling dqMonitor enforces
+        // (StatefulOps.dqMonitor). Both engine arms carry the isNull
+        // terms so the oracle stays meaningful.
         val liAgg = li.agg(count(lit(1)).as("n_total"),
           countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"),
-          sum(when(expr(
+          sum(when(expr("l_discount IS NULL OR " +
             "CAST(round(l_discount * 100) AS BIGINT) NOT BETWEEN 0 AND 8"),
             1L).otherwise(0L)).as("bad_disc"),
-          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          sum(when(col("l_returnflag").isNull ||
+            !col("l_returnflag").isin("A", "N", "R"), 1L)
             .otherwise(0L)).as("bad_flag"))
         val liChecks = liAgg.selectExpr(
           """stack(3,
@@ -1707,13 +1715,15 @@ object Pipeline {
             col("n_total"))
         val ords = Tables(s, d, "orders").agg(
             count(lit(1)).as("n_total"),
-            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_bad"))
+            sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0,
+              1L).otherwise(0L)).as("n_bad"))
           .select(lit("ord_totalprice_positive").as("check_name"), col("n_bad"),
             col("n_total"))
         val docs = Tables(s, d, "documents").agg(
             count(lit(1)).as("n_total"),
-            sum(when(expr("text IS NULL OR length(text) <> n_chars"), 1L)
-              .otherwise(0L)).as("n_bad"))
+            sum(when(expr(
+              "text IS NULL OR n_chars IS NULL OR length(text) <> n_chars"),
+              1L).otherwise(0L)).as("n_bad"))
           .select(lit("doc_nchars_consistent").as("check_name"), col("n_bad"),
             col("n_total"))
         liChecks.unionByName(fk).unionByName(ords).unionByName(docs)
@@ -1722,23 +1732,33 @@ object Pipeline {
             (col("n_bad") === 0L).as("pass"))
       },
       Some("""WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
-             |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             |    -- CASE-guarded so a NULL-key row never reaches the
+             |    -- DISTINCT (DuckDB counts a NULL-bearing ROW as its own
+             |    -- value; Spark's countDistinct skips it) — both engines
+             |    -- then score every NULL-key row as a PK violation
+             |    CAST(count(*) - count(DISTINCT CASE
+             |        WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+             |        THEN (l_orderkey, l_linenumber) END)
              |      AS BIGINT) AS dup_bad,
-             |    CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT)
+             |    CAST(sum(CASE WHEN l_discount IS NULL
+             |        OR CAST(round(l_discount * 100) AS BIGINT)
              |        NOT BETWEEN 0 AND 8 THEN 1 ELSE 0 END) AS BIGINT)
              |      AS bad_disc,
-             |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+             |    CAST(sum(CASE WHEN l_returnflag IS NULL
+             |        OR l_returnflag NOT IN ('A','N','R')
              |        THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
              |  FROM lineitem),
              |fk AS (SELECT CAST(count(*) AS BIGINT) AS n_bad,
              |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_total
-             |  FROM lineitem WHERE l_orderkey NOT IN
+             |  FROM lineitem WHERE l_orderkey IS NULL OR l_orderkey NOT IN
              |    (SELECT o_orderkey FROM orders)),
              |o AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
-             |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+             |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+             |      THEN 1 ELSE 0 END)
              |      AS BIGINT) AS n_bad FROM orders),
              |dc AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
-             |    CAST(sum(CASE WHEN text IS NULL OR length(text) <> n_chars
+             |    CAST(sum(CASE WHEN text IS NULL OR n_chars IS NULL
+             |        OR length(text) <> n_chars
              |        THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM documents)
              |SELECT 'li_pk_unique' AS check_name, dup_bad AS n_bad, n_total,
              |  dup_bad = 0 AS pass FROM li

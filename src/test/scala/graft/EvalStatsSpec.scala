@@ -141,6 +141,40 @@ class EvalStatsSpec extends SparkSuite {
     assert((0L until 5L).filter(_ != 3L).forall(q => !got(q).isNullAt(4)))
   }
 
+  test("q210: a query with zero BM25 candidates still reports all-zero metrics") {
+    import spark.implicits._
+    // ADVICE r13: anchoring the final select on `per` (the judged
+    // ranking) silently dropped a query that retrieved NOTHING — no
+    // token overlap with any other document. The qsrc anchor emits it
+    // with n_rel = 0, p@k = 0, rr = 0, and recall = 0 (its language
+    // has other docs, so recall is defined and earned as zero).
+    val dir = tmpDir("q210_nocand").toString
+    val docs = (0L until 12L).map { i =>
+      val text =
+        if (i == 2L) "qqqq wwww eeee rrrr tttt yyyy uuuu iiii"
+        else s"alpha bravo charlie token$i shared words corpus line"
+      (i, text, if (i % 2 == 0) "en" else "de", s"src${i % 3}",
+        text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // precondition: the ranking really has no rows for query 2
+    val ranked = graft.queries.Catalog.all("q125_bm25").build(spark, dir)
+      .filter(col("q_id") === 2L).count()
+    assert(ranked == 0L, s"fixture must starve query 2 of candidates: $ranked")
+    val got = graft.queries.Catalog.all("q210_retrieval_eval")
+      .build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == (0L until 5L).toSet, s"rows dropped: ${got.keySet}")
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 0L, s"n_rel must be 0: $r2")
+    assert(r2.getLong(2) > 0L, s"other en docs exist, recall defined: $r2")
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0
+      && r2.getDouble(5) == 0.0, s"metrics must be earned zeros: $r2")
+    // the rest of the scorecard is unaffected by the anchor change
+    assert((0L until 5L).filter(_ != 2L).forall(q => got(q).getLong(1) > 0L))
+  }
+
   test("q213: every per-source AUC equals the all-pairs ground truth") {
     val bySrc = Tables(spark, sf(), "documents")
       .select(col("source"), col("n_chars"), col("lang")).collect()

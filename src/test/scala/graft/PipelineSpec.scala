@@ -526,4 +526,46 @@ class PipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("q201: NULL values count as violations in every check (dqMonitor contract)") {
+    import spark.implicits._
+    // round-13 verdict item 2: a NULL discount/flag/price/n_chars made
+    // the bare violation predicate NULL and when().otherwise(0) scored
+    // the row CLEAN — the exact leak the streaming sibling dqMonitor
+    // fixed. Planted NULLs in every checked column pin the strictness.
+    val dir = tmpDir("q201_nulls").toString
+    Seq[(Option[Long], Int, Option[Double], Option[String])](
+      (Some(1L), 1, Some(0.05), Some("A")), // clean
+      (Some(1L), 1, Some(0.05), Some("N")), // dup (1,1) key
+      (Some(2L), 2, None, None),            // NULL discount + NULL flag
+      (Some(9L), 3, Some(0.20), Some("X")), // range + domain bad, FK orphan
+      (None, 4, Some(0.0), Some("R")))      // NULL key: pk + FK violation
+      .toDF("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    Seq[(Long, Option[Double])]((1L, Some(100.0)), (2L, None), (3L, Some(-5.0)))
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq[(Long, Option[String], Option[Long])](
+      (0L, Some("abc"), Some(3L)),  // clean
+      (1L, None, Some(5L)),         // NULL text
+      (2L, Some("ab"), None),       // NULL n_chars
+      (3L, Some("abcd"), Some(3L))) // mismatch
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Catalog.all("q201_dq_report").build(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("li_pk_unique") == ((2L, 5L, false)), s"pk: ${got("li_pk_unique")}")
+    assert(got("li_discount_range") == ((2L, 5L, false)),
+      s"disc: ${got("li_discount_range")}")
+    assert(got("li_returnflag_domain") == ((2L, 5L, false)),
+      s"flag: ${got("li_returnflag_domain")}")
+    assert(got("li_orderkey_fk") == ((2L, 5L, false)),
+      s"fk: ${got("li_orderkey_fk")}")
+    assert(got("ord_totalprice_positive") == ((2L, 3L, false)),
+      s"price: ${got("ord_totalprice_positive")}")
+    assert(got("doc_nchars_consistent") == ((3L, 4L, false)),
+      s"nchars: ${got("doc_nchars_consistent")}")
+  }
 }
