@@ -1746,6 +1746,259 @@ object Relational {
              |                    AND o.o_orderdate >= TIMESTAMP '1999-07-01')
              |GROUP BY 1""".stripMargin)),
 
+    // ---- TPC-H Q1: pricing summary report — the canonical wide hash
+    //      aggregate: ONE full-fact scan feeding a 2-key groupBy with
+    //      six exact integer sums (quantities are integral; prices/
+    //      discounts/taxes carry <= 2 decimals, so cents / c4 / c6
+    //      units are exact BIGINTs) and three derived averages, each
+    //      ONE IEEE division of exact sums rendered from the shared
+    //      Q1Derived template (the q204 OlsDerived discipline — both
+    //      engines parse the same text, bit-identical doubles). 100 TB:
+    //      map-side combinable all the way, 6-row output; the charge
+    //      sum in c6 units holds to ~9e7 rows/group (1e11/row ceiling
+    //      against 2^63) — past that widen the charge sum to
+    //      DECIMAL(38) inside the agg, moments stay mergeable.
+    "q218_tpch_q1" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            expr("CAST(round(sum(l_quantity), 0) AS BIGINT)").as("sum_qty"),
+            sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+              .as("sum_base_c"),
+            sum(expr(RevC4)).as("sum_disc_c4"),
+            sum(expr(ChargeC6)).as("sum_charge_c6"),
+            sum(expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))
+              .as("sum_disc100"),
+            count(lit(1)).as("n_lines"))
+          .selectExpr(Seq("l_returnflag", "l_linestatus", "sum_qty",
+            "sum_base_c", "sum_disc_c4", "sum_charge_c6", "n_lines")
+            ++ Q1Derived: _*)
+      },
+      Some(s"""WITH m AS (SELECT l_returnflag, l_linestatus,
+             |    CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+             |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS sum_base_c,
+             |    CAST(sum($RevC4) AS BIGINT) AS sum_disc_c4,
+             |    CAST(sum($ChargeC6) AS BIGINT) AS sum_charge_c6,
+             |    CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS sum_disc100,
+             |    count(*) AS n_lines
+             |  FROM lineitem
+             |  WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+             |  GROUP BY 1, 2)
+             |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_c,
+             |  sum_disc_c4, sum_charge_c6, n_lines,
+             |  ${Q1Derived.mkString(",\n             |  ")}
+             |FROM m""".stripMargin)),
+
+    // ---- TPC-H Q12 (shape): priority split by line status — the
+    //      CASE-count pivot over a fact-fact join. The fixture carries
+    //      no l_shipmode / commit / receipt dates, so the pivot key is
+    //      l_linestatus and "late" adapts to shipdate > orderdate +
+    //      60 days (the q197 adaptation); the shape under test is the
+    //      conditional-sum pair inside one aggregate after the one
+    //      orderkey shuffle. 100 TB: the year cut pushes to the
+    //      lineitem scan, orders projects 3 columns, output is
+    //      #statuses rows.
+    "q219_tpch_q12" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- TPC-H Q15: top-revenue supplier — max over a derived table
+    //      that is then re-joined to itself (the VIEW + scalar-max
+    //      shape). The quarterly revenue aggregate is computed ONCE at
+    //      supplier grain; its 1-row max broadcasts back over it (the
+    //      q199 broadcast-1-row cross idiom), so the "view" is never
+    //      re-evaluated — unlike the textbook formulation, which scans
+    //      lineitem twice. Exact-integer revenue makes the max
+    //      predicate tie-exact (every tied supplier reports). 100 TB:
+    //      one fact scan cut by the pushed date band, one suppkey
+    //      shuffle at supplier grain, broadcast max, broadcast name
+    //      join.
+    "q220_tpch_q15" -> Q(
+      (s, d) => {
+        val rev = Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr(RevC4)).as("total_rev_c4"))
+        val mx = rev.agg(max(col("total_rev_c4")).as("max_rev_c4"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_rev_c4") === col("max_rev_c4"))
+          .join(broadcast(Tables(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_c4"))
+      },
+      Some(s"""WITH rev AS (
+             |  SELECT l_suppkey, CAST(sum($RevC4) AS BIGINT) AS total_rev_c4
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_rev_c4
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)"""
+        .stripMargin)),
+
+    // ---- TPC-H Q17: small-quantity-order revenue — the correlated
+    //      scalar-AVERAGE subquery (the one subquery class q82/q197/
+    //      q198 don't cover: a per-group scalar aggregate correlated
+    //      back to the fact row). Decorrelated the only way that
+    //      scales: the per-part (count, sum-qty) aggregate joins back
+    //      to the fact at part grain — never a per-row subquery. The
+    //      0.2·avg threshold compares as the exact integer
+    //      cross-multiply qty·5·n < Σqty (no float mean, no boundary
+    //      ambiguity — the q199 idiom). Both the fact leg and the
+    //      aggregate leg are cut by the broadcast brand filter BEFORE
+    //      the partkey shuffle. 100 TB: two scans of the brand-pruned
+    //      slice (~1/#brands), one partkey exchange, 1-row output.
+    "q221_tpch_q17" -> Q(
+      (s, d) => {
+        val pb = Tables(s, d, "part")
+          .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+        val agg = Tables(s, d, "lineitem")
+          .join(broadcast(pb), col("l_partkey") === col("p_partkey"),
+            "left_semi")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("n_part"),
+            expr("CAST(round(sum(l_quantity), 0) AS BIGINT)").as("sq"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(pb), col("l_partkey") === col("p_partkey"),
+            "left_semi")
+          .join(agg, col("l_partkey") === col("pk"))
+          .filter(expr("CAST(round(l_quantity, 0) AS BIGINT) * 5 * n_part < sq"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+              .as("total_c"))
+          .selectExpr("n_lines", "total_c",
+            "CAST(total_c AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly_c")
+      },
+      Some("""WITH pb AS (SELECT p_partkey FROM part
+             |    WHERE p_brand = 'Brand#3'),
+             |agg AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_part,
+             |    CAST(round(sum(l_quantity), 0) AS BIGINT) AS sq
+             |  FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM pb)
+             |  GROUP BY 1)
+             |SELECT n_lines, total_c,
+             |  CAST(total_c AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly_c
+             |FROM (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS total_c
+             |  FROM lineitem JOIN agg ON l_partkey = pk
+             |  WHERE l_partkey IN (SELECT p_partkey FROM pb)
+             |    AND CAST(round(l_quantity, 0) AS BIGINT) * 5 * n_part < sq)"""
+        .stripMargin)),
+
+    // ---- TPC-H Q19: discounted revenue from three disjunctive
+    //      brand/size/quantity branches — the OR-of-conjunctions
+    //      pushdown test. The disjunction's quantity HULL (1..40) is
+    //      stated as a separate conjunct so it reaches the lineitem
+    //      parquet scan as a pushed filter (Catalyst does not extract
+    //      common ranges from an OR across both join sides), and the
+    //      brand/size hull prunes part before the broadcast; the full
+    //      disjunction then runs as the join residual. Same predicate
+    //      text in the oracle (the hull conjuncts are implied by the
+    //      disjunction, so results are unchanged — only the plan
+    //      needs them). 100 TB: fact scan reads the hull slice only;
+    //      part broadcasts; no second shuffle (1-row output).
+    "q222_tpch_q19" -> Q(
+      (s, d) => {
+        val p = Tables(s, d, "part")
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(20, 40)))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(expr(RevC4)).as("revenue_c4"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum($RevC4) AS BIGINT) AS revenue_c4
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_quantity >= 1 AND l_quantity <= 40
+             |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+             |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             |        AND l_quantity BETWEEN 1 AND 20)
+             |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             |        AND l_quantity BETWEEN 10 AND 30)
+             |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             |        AND l_quantity BETWEEN 20 AND 40))""".stripMargin)),
+
+    // ---- TPC-H Q20 (shape): suppliers with heavy stock of a part
+    //      class — the double-nested semi-join chain. The fixture has
+    //      no partsupp, so "availqty > half-year demand" adapts to
+    //      "shipped > 80 units of one PROMO part in 1997", preserving
+    //      the nesting under test: supplier ←semi← (grouped lineitem
+    //      ←semi← filtered part). Each level is an equi semi join —
+    //      part broadcasts into the fact BEFORE the (suppkey, partkey)
+    //      aggregate, and the qualifying-supplier set (tiny: the
+    //      HAVING makes it sparse at every sf, probed 2/1/6) semi-cuts
+    //      supplier. 100 TB: one fact scan cut by date + broadcast
+    //      part, one 2-key exchange, supplier-grain output.
+    "q223_tpch_q20" -> Q(
+      (s, d) => {
+        val promo = Tables(s, d, "part")
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+        val heavy = Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(promo), col("l_partkey") === col("p_partkey"),
+            "left_semi")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(expr("CAST(round(sum(l_quantity), 0) AS BIGINT)").as("sq"))
+          .filter(col("sq") > 80)
+          .select(col("l_suppkey"))
+        Tables(s, d, "supplier")
+          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                      WHERE p_type = 'PROMO')
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  GROUP BY l_suppkey, l_partkey
+             |  HAVING CAST(round(sum(l_quantity), 0) AS BIGINT) > 80)"""
+        .stripMargin)),
+
     // ---- exact-moment OLS calibration: per-returnflag least-squares fit
     //      of line revenue (whole dollars) on quantity — the closed-form
     //      regression every monitoring/calibration pipeline ships (price
@@ -1820,6 +2073,27 @@ object Relational {
   private val RevC4: String =
     "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
       "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+
+  /** q218's charge term: cents × (100 − disc%) × (100 + tax%), i.e.
+    * charge in 10⁻⁶-dollar units — exact for the fixture's ≤2-decimal
+    * money columns, same shared-text discipline as RevC4. Per-row
+    * ceiling ~1e11, so a BIGINT sum holds to ~9e7 rows per group;
+    * the q218 header documents the DECIMAL(38) widening past that.
+    */
+  private val ChargeC6: String =
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) * " +
+      "(100 + CAST(round(l_tax * 100, 0) AS BIGINT))"
+
+  /** q218's derived averages: one IEEE division per average over the
+    * exact integer moments, shared verbatim by both engines (the
+    * OlsDerived pattern). avg_price is in cents, avg_disc in percent —
+    * integer-unit numerators, so no per-row float ever enters.
+    */
+  private val Q1Derived: Seq[String] = Seq(
+    "CAST(sum_qty AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_qty",
+    "CAST(sum_base_c AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_price_c",
+    "CAST(sum_disc100 AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_disc100")
 
   /** q182's bucket count: HistB−1 interior boundaries at ranks
     * ceil(k·n/HistB) — the per-column selectivity histogram grain.

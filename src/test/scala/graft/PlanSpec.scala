@@ -222,6 +222,40 @@ class PlanSpec extends SparkSuite {
       s"correlation fell out of the equi-join regime:\n$p")
   }
 
+  test("q218 TPC-H Q1: one codegen'd hash aggregate, date filter pushed to the scan") {
+    val df = Catalog.all("q218_tpch_q1").build(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"Q1 must hash-aggregate:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate cut not pushed to the scan:\n$p")
+  }
+
+  test("q219/q221/q223 TPC-H shapes stay in the equi-join regime (no per-row subqueries)") {
+    // Q12's fact-fact join, Q17's decorrelated scalar-average, and
+    // Q20's double-nested semi chain must all plan as equi joins —
+    // a BNLJ/cartesian in any of them is quadratic at 100 TB
+    for (name <- Seq("q219_tpch_q12", "q221_tpch_q17", "q223_tpch_q20")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name fell out of the equi-join regime:\n$p")
+    }
+    assert(plan("q221_tpch_q17").contains("LeftSemi"),
+      "q221 brand filter must semi-cut both legs")
+    assert(plan("q223_tpch_q20").contains("LeftSemi"),
+      "q223 nesting must be semi joins")
+  }
+
+  test("q222 TPC-H Q19: quantity hull reaches the lineitem scan, part broadcasts") {
+    val p = plan("q222_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), s"part side must broadcast:\n$p")
+    // the disjunction itself is not pushable across the join; its
+    // stated hull conjunct must reach the parquet scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)")
+      && p.contains("LessThanOrEqual(l_quantity,40.0)"),
+      s"quantity hull not pushed to the scan:\n$p")
+  }
+
   test("q201 DQ audit: row-grain checks are hash aggregates, FK arm is an anti equi join") {
     // the report's cost model: each table contributes ONE scan feeding a
     // map-side-combinable aggregate; referential integrity is the only
@@ -355,7 +389,8 @@ class PlanSpec extends SparkSuite {
     "q207_cohens_kappa",     // 1-row totals × a broadcast 1-row pe_num
     "q214_feature_corr",     // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",      // value-domain cell pairs + 1-row margin crosses
-    "q217_conversion_lift")  // #types rows × a broadcast 1-row global frame
+    "q217_conversion_lift",  // #types rows × a broadcast 1-row global frame
+    "q220_tpch_q15")         // supplier-grain revenue × a broadcast 1-row max
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -401,7 +436,8 @@ class PlanSpec extends SparkSuite {
     "q210_retrieval_eval",      // rides q125's ranking (its 1-row (N, avgdl) total)
     "q214_feature_corr",        // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",         // (#cells)² pair theta join at VALUE-domain grain + 1-row margins
-    "q217_conversion_lift")     // #types rows × a broadcast 1-row global frame
+    "q217_conversion_lift",     // #types rows × a broadcast 1-row global frame
+    "q220_tpch_q15")            // supplier-grain revenue × a broadcast 1-row max
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
