@@ -1315,13 +1315,16 @@ object Similarity {
     //      iteration is Long-sound only to n ≈ 2^20 ≈ 10^6 rows at
     //      |x| ≤ 1 — real embeddings are ~unit-norm (per-coord rms
     //      ~1/√64) which buys ~2^6 more, but the CONTRACT bound is
-    //      2^20. Past that, rescale the Gram before iterating: the
-    //      dominant eigenvector is invariant under G/2^k, so divide
-    //      every entry by 2^(bitlen(maxAbs)−35) once (driver-side, on
-    //      the collected triangle) and the accumulator stays ≤
-    //      2^(35+6+21) = 2^62 at any n — or quantize at 2^4, or run
-    //      the fit in DECIMAL(38); the distributed gram pass itself
-    //      is sound to n ≈ 2^47 rows.
+    //      2^20 without mitigation. The mitigation is IMPLEMENTED
+    //      below (round-13 verdict item 4): the dominant eigenvector
+    //      is invariant under G/2^k, so the collected triangle is
+    //      divided once by 2^(bitlen(maxAbs)−35) (truncating, JVM `/`
+    //      ≡ DuckDB `//`) before iterating — the accumulator then
+    //      stays ≤ 2^(35+6+21) = 2^62 at ANY n; the k0 CTE replays
+    //      the same rescale in the oracle, and GramSpec proves with
+    //      planted large-magnitude vectors that the rescale engages
+    //      and both engines still agree. The distributed gram pass
+    //      itself is sound to n ≈ 2^47 rows.
     //      v₀ = 1⃗·2^20, PowerIters fixed
     //      multiply-renormalize rounds where the renormalization is a
     //      TRUNCATING division by a power of two chosen from the max
@@ -1342,11 +1345,19 @@ object Similarity {
             .as("v"))
         val tri = gramTriAgg(s, q.select(col("v")))
           .collect()(0).getSeq[Long](0)
+        // Gram rescale: cap entry magnitude at 2^35 so the mat-vec
+        // accumulator (≤ 64·2^35·2^21 = 2^62) is Long-sound at any n.
+        // Truncating division (JVM `/`), mirrored by `//` in the k0
+        // oracle CTE; k0 = 0 leaves fixture-scale inputs untouched.
+        val maxAbsG = tri.foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
+        val k0 = math.max(
+          (64 - java.lang.Long.numberOfLeadingZeros(maxAbsG)) - 35, 0)
         val dim = GramDim
         val g = Array.ofDim[Long](dim, dim)
         var p = 0
         for (i <- 0 until dim; j <- i until dim) {
-          g(i)(j) = tri(p); g(j)(i) = tri(p); p += 1
+          val e = tri(p) / (1L << k0)
+          g(i)(j) = e; g(j)(i) = e; p += 1
         }
         var v = Array.fill(dim)(1L << 20)
         for (_ <- 1 to PowerIters) {
@@ -1378,11 +1389,15 @@ object Similarity {
         s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            |    x -> CAST(floor(CAST(x AS DOUBLE) * 256.0) AS BIGINT)) AS v
            |  FROM embeddings),
-           |gm AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |gm0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
            |    CAST(sum(v[CAST(i AS INT) + 1] * v[CAST(j AS INT) + 1]) AS BIGINT) AS g
            |  FROM q, generate_series(0, ${GramDim - 1}) t1(i),
            |    generate_series(0, ${GramDim - 1}) t2(j)
            |  GROUP BY 1, 2),
+           |k0 AS MATERIALIZED (SELECT greatest(CAST(length(bin(max(abs(g)))) AS BIGINT) - 35, 0) AS k
+           |  FROM gm0),
+           |gm AS MATERIALIZED (SELECT i, j,
+           |    g // CAST(pow(2, (SELECT k FROM k0)) AS BIGINT) AS g FROM gm0),
            |v0 AS (SELECT CAST(i AS BIGINT) AS idx, CAST(1048576 AS BIGINT) AS val
            |  FROM generate_series(0, ${GramDim - 1}) t(i)),
            |$iters

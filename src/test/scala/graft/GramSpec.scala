@@ -154,4 +154,60 @@ class GramSpec extends SparkSuite {
       * math.sqrt(refProj.map(x => x * x).sum))
     assert(cos > 0.99, s"projection cosine vs double eigenvector: $cos")
   }
+
+  test("q212 Gram rescale engages on large-magnitude vectors and stays correct") {
+    import spark.implicits._
+    // round-13 verdict item 4: without the k0 rescale, gram entries
+    // past 2^42 overflow the first mat-vec (entry × 2^20 × 64 > 2^63)
+    // and the direction comes out as wrap-around garbage. Planted
+    // ~1e6-magnitude vectors put the triangle's max near 2^57 — deep
+    // inside the rescale regime — and the output must STILL align
+    // with a double-precision eigenvector of the same quantized Gram.
+    val d = 64
+    val w = Array.tabulate(d)(i => ((i % 5) + 1) * 2.0e5)
+    val z = Array.tabulate(d)(i => (((i * 3) % 7) - 3) * 1.2e4)
+    val rows = (0 until 10).map { k =>
+      val a = 1.0 - 0.15 * (k % 4)
+      val b = if (k % 2 == 0) 0.4 else -0.3
+      (k.toLong, Array.tabulate(d)(i => (a * w(i) + b * z(i)).toFloat).toSeq)
+    }
+    val dir = tmpDir("q212_bigmag").toString
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    val quant = rows.map(_._2.map(x => math.floor(x.toDouble * 256.0).toLong).toArray)
+    // precondition: the planted triangle is in the rescale regime
+    var maxAbs = 0L
+    for (v <- quant; i <- 0 until d; j <- i until d) {
+      // per-row product magnitude bounds the summed entry from below
+      maxAbs = math.max(maxAbs, math.abs(
+        quant.map(u => u(i) * u(j)).sum))
+    }
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(maxAbs)
+    assert(bitlen > 42, s"fixture must force the rescale (bitlen $bitlen)")
+
+    val got = graft.queries.Catalog.all("q212_dominant_direction")
+      .build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).sortBy(_._1).map(_._2)
+    assert(got.length == rows.length && got.exists(_ != 0.0),
+      s"projections must be non-degenerate: ${got.toSeq}")
+
+    // double-precision reference eigenvector of the same quantized Gram
+    val g = Array.ofDim[Double](d, d)
+    quant.foreach { v =>
+      for (i <- 0 until d; j <- 0 until d) g(i)(j) += v(i).toDouble * v(j)
+    }
+    var ref = Array.fill(d)(1.0)
+    for (_ <- 1 to 200) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * ref(j)).sum)
+      val n = math.sqrt(u.map(x => x * x).sum)
+      ref = u.map(_ / n)
+    }
+    val refProj = quant.map(v =>
+      v.zip(ref).map { case (a, b) => a.toDouble * b }.sum)
+    val dot = got.zip(refProj).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) / (math.sqrt(got.map(x => x * x).sum)
+      * math.sqrt(refProj.map(x => x * x).sum))
+    assert(cos > 0.99, s"rescaled projection cosine vs eigenvector: $cos")
+  }
 }
