@@ -31,6 +31,16 @@ object Evaluation {
     * cannot drift (q204's OlsDerived discipline; sqrt is IEEE-754
     * correctly rounded, hence bit-stable cross-engine).
     */
+  /** q224's rank-discount table: milli-scaled 1/log2(rk+1) for rk =
+    * 1..Bm25TopK, frozen as integer literals (single source of truth
+    * for both engines — libm log2 is not cross-engine bit-stable, so
+    * the metric is defined over THIS table). Regenerate via
+    * round(1e6 / log2(rk + 1)) if Bm25TopK ever changes. Declared
+    * BEFORE defs: the oracle string renders from it at object init.
+    */
+  val NdcgDiscountMilli: Seq[(Int, Long)] = Seq(
+    1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L, 5 -> 386853L)
+
   private val SpearmanDerived: String = {
     val (n, sx, sy, sxx, syy, sxy) =
       ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
@@ -535,6 +545,92 @@ object Evaluation {
              |  coalesce(CAST(1.0 AS DOUBLE) / CAST(per.first_rel_rk AS DOUBLE),
              |    CAST(0.0 AS DOUBLE)) AS rr
              |FROM qsrc q LEFT JOIN per ON q.q_id = per.q_id
-             |LEFT JOIN rt ON q.q_id = rt.q_id""".stripMargin))
+             |LEFT JOIN rt ON q.q_id = rt.q_id""".stripMargin)),
+
+    // ---- nDCG@k over the q125 ranking — the standard ranking headline
+    //      metric q210's P@k/recall/RR scorecard lacked. Gains are the
+    //      q210 lang judgments (integer 0/1); the rank discounts
+    //      1/log2(rk+1) are QUANTIZED to the milli-scaled integer
+    //      table NdcgDiscountMilli (rendered into both engines from
+    //      the one Seq — log2 itself is libm, not cross-engine
+    //      bit-stable, so the metric is DEFINED over the quantized
+    //      table; at k = 5 the quantization error is < 1e-6 relative,
+    //      far below any decision threshold). DCG and IDCG are then
+    //      exact BIGINT sums — IDCG over the first min(n_rel_total, k)
+    //      discounts, the ideal ranking — and nDCG is ONE IEEE
+    //      division, NULL only where no relevant document exists
+    //      (IDCG = 0, undefined; the q210 degenerate-slice rule).
+    //      Anchored on the query list like q210: zero-candidate
+    //      queries report earned zeros. 100 TB: rides the bounded-heap
+    //      q125 ranking; the discount join is a k-row broadcast; the
+    //      IDCG arm is a ≤Q×k broadcast theta join at query grain.
+    "q224_ndcg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ranked = TextAnalysis.bm25SelfRank(s, d)
+        val src = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("lang"))
+        val qsrc = src.filter(col("doc_id") < TextAnalysis.Bm25Queries)
+          .toDF("q_id", "q_lang")
+        val wTab = NdcgDiscountMilli.toDF("rk", "w_milli")
+        val dcg = ranked
+          .join(broadcast(qsrc), "q_id")
+          .join(src.toDF("n_id", "n_lang"), "n_id")
+          .withColumn("rel", (col("q_lang") === col("n_lang")).cast("long"))
+          .join(broadcast(wTab), "rk")
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") * col("w_milli")).as("dcg_milli"))
+        val relTotal = src
+          .join(broadcast(qsrc), col("lang") === col("q_lang")
+            && col("doc_id") =!= col("q_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel_total"))
+        val idcg = relTotal
+          .join(broadcast(wTab),
+            col("rk") <= least(col("n_rel_total"),
+              lit(TextAnalysis.Bm25TopK.toLong)))
+          .groupBy(col("q_id")).agg(sum(col("w_milli")).as("idcg_milli"))
+        qsrc.select(col("q_id"))
+          .join(dcg, Seq("q_id"), "left")
+          .join(idcg, Seq("q_id"), "left")
+          .withColumn("dcg_milli", coalesce(col("dcg_milli"), lit(0L)))
+          .withColumn("idcg_milli", coalesce(col("idcg_milli"), lit(0L)))
+          .select(col("q_id"), col("dcg_milli"), col("idcg_milli"),
+            when(col("idcg_milli") > 0L,
+              col("dcg_milli").cast("double") / col("idcg_milli").cast("double"))
+              .as("ndcg"))
+      },
+      Some {
+        val values = NdcgDiscountMilli
+          .map { case (r, w) => s"($r, CAST($w AS BIGINT))" }.mkString(", ")
+        s"""WITH ranked AS (${TextAnalysis.Bm25OracleSql}),
+           |qsrc AS (SELECT doc_id AS q_id, lang AS q_lang
+           |  FROM documents WHERE doc_id < ${TextAnalysis.Bm25Queries}),
+           |w(rk, w_milli) AS (VALUES $values),
+           |judged AS (SELECT r.q_id, r.rk,
+           |    CASE WHEN n.lang = q.q_lang THEN 1 ELSE 0 END AS rel
+           |  FROM ranked r JOIN qsrc q USING (q_id)
+           |  JOIN documents n ON n.doc_id = r.n_id),
+           |dcg AS (SELECT j.q_id,
+           |    CAST(sum(j.rel * w.w_milli) AS BIGINT) AS dcg_milli
+           |  FROM judged j JOIN w ON w.rk = j.rk GROUP BY 1),
+           |rt AS (SELECT q.q_id, CAST(count(*) AS BIGINT) AS n_rel_total
+           |  FROM documents d JOIN qsrc q
+           |    ON d.lang = q.q_lang AND d.doc_id <> q.q_id
+           |  GROUP BY 1),
+           |idcg AS (SELECT rt.q_id,
+           |    CAST(sum(w.w_milli) AS BIGINT) AS idcg_milli
+           |  FROM rt JOIN w
+           |    ON w.rk <= least(rt.n_rel_total,
+           |      CAST(${TextAnalysis.Bm25TopK} AS BIGINT))
+           |  GROUP BY 1)
+           |SELECT q.q_id,
+           |  CAST(coalesce(dcg.dcg_milli, 0) AS BIGINT) AS dcg_milli,
+           |  CAST(coalesce(idcg.idcg_milli, 0) AS BIGINT) AS idcg_milli,
+           |  CASE WHEN coalesce(idcg.idcg_milli, 0) > 0
+           |    THEN CAST(coalesce(dcg.dcg_milli, 0) AS DOUBLE)
+           |      / CAST(idcg.idcg_milli AS DOUBLE) END AS ndcg
+           |FROM qsrc q LEFT JOIN dcg ON q.q_id = dcg.q_id
+           |LEFT JOIN idcg ON q.q_id = idcg.q_id""".stripMargin
+      })
   )
 }

@@ -175,6 +175,35 @@ class EvalStatsSpec extends SparkSuite {
     assert((0L until 5L).filter(_ != 2L).forall(q => got(q).getLong(1) > 0L))
   }
 
+  test("q224: nDCG equals a plain-loop recount over the q125 ranking") {
+    val langOf = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ranked = graft.queries.Catalog.all("q125_bm25").build(spark, sf())
+      .select("q_id", "n_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val w = graft.queries.Evaluation.NdcgDiscountMilli.toMap
+    val k = graft.queries.TextAnalysis.Bm25TopK
+    val byQ = ranked.groupBy(_._1)
+    val got = graft.queries.Catalog.all("q224_ndcg")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val queries = langOf.keys.filter(_ < graft.queries.TextAnalysis.Bm25Queries)
+    assert(got.keySet == queries.toSet)
+    queries.foreach { q =>
+      val dcg = byQ.getOrElse(q, Array.empty[(Long, Long, Int)])
+        .filter(t => langOf(t._2) == langOf(q)).map(t => w(t._3)).sum
+      val nRelTotal = langOf.count { case (d0, l) => d0 != q && l == langOf(q) }
+      val idcg = (1 to math.min(nRelTotal, k)).map(w).sum
+      val ndcg = if (idcg > 0) Some(dcg.toDouble / idcg.toDouble) else None
+      assert(got(q) == ((dcg, idcg, ndcg)), s"q$q: got ${got(q)}, want ($dcg, $idcg, $ndcg)")
+    }
+    // the statistic must discriminate on the fixture (not all equal)
+    val vals = got.values.flatMap(_._3).toSeq
+    assert(vals.distinct.size > 1, s"nDCG must vary across queries: $vals")
+  }
+
   test("q213: every per-source AUC equals the all-pairs ground truth") {
     val bySrc = Tables(spark, sf(), "documents")
       .select(col("source"), col("n_chars"), col("lang")).collect()

@@ -434,6 +434,7 @@ class PlanSpec extends SparkSuite {
     "q207_cohens_kappa",        // 1-row totals × a broadcast 1-row pe_num
     "q208_trend_mk",            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
     "q210_retrieval_eval",      // rides q125's ranking (its 1-row (N, avgdl) total)
+    "q224_ndcg",                // q125's 1-row total + the ≤Q×k broadcast IDCG theta join
     "q214_feature_corr",        // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",         // (#cells)² pair theta join at VALUE-domain grain + 1-row margins
     "q217_conversion_lift",     // #types rows × a broadcast 1-row global frame
