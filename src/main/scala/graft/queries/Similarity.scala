@@ -1340,73 +1340,154 @@ object Similarity {
     //      is determinism, which is what the oracle checks.
     "q212_dominant_direction" -> Q(
       (s, d) => {
-        val q = Tables.spread(Tables(s, d, "embeddings")).select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256.0D) AS BIGINT))")
-            .as("v"))
-        val tri = gramTriAgg(s, q.select(col("v")))
-          .collect()(0).getSeq[Long](0)
-        // Gram rescale: cap entry magnitude at 2^35 so the mat-vec
-        // accumulator (≤ 64·2^35·2^21 = 2^62) is Long-sound at any n.
-        // Truncating division (JVM `/`), mirrored by `//` in the k0
-        // oracle CTE; k0 = 0 leaves fixture-scale inputs untouched.
-        val maxAbsG = tri.foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
-        val k0 = math.max(
-          (64 - java.lang.Long.numberOfLeadingZeros(maxAbsG)) - 35, 0)
-        val dim = GramDim
-        val g = Array.ofDim[Long](dim, dim)
-        var p = 0
-        for (i <- 0 until dim; j <- i until dim) {
-          val e = tri(p) / (1L << k0)
-          g(i)(j) = e; g(j)(i) = e; p += 1
-        }
-        var v = Array.fill(dim)(1L << 20)
-        for (_ <- 1 to PowerIters) {
-          val u = Array.tabulate(dim) { i =>
-            var acc = 0L; var j = 0
-            while (j < dim) { acc += g(i)(j) * v(j); j += 1 }; acc
-          }
-          val maxAbs = u.map(math.abs).max
-          val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(maxAbs)
-          val k = math.max(bitlen - 21, 0)
-          v = u.map(x => x / (1L << k))
-        }
+        val q = quantizedEmbeddings(s, d)
+        val v = fitDominantDirection(s, q)
         val vLit = v.mkString("array(", "L, ", "L)")
         q.select(col("vec_id"), expr(
           s"aggregate(zip_with(v, $vLit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
           .as("proj"))
       },
       Some {
-        // every iteration CTE MATERIALIZED: DuckDB inlines CTEs per
-        // reference, so an unrolled 8-round chain is exponential
-        // without it (the q130 BPE-oracle lesson, NOTES.md round 12)
-        val iters = (1 to PowerIters).map { t =>
-          s"""u$t AS MATERIALIZED (SELECT g.i AS idx, CAST(sum(g.g * v.val) AS BIGINT) AS u
-             |  FROM gm g JOIN v${t - 1} v ON g.j = v.idx GROUP BY 1),
-             |k$t AS MATERIALIZED (SELECT greatest(CAST(length(bin(max(abs(u)))) AS BIGINT) - 21, 0) AS k FROM u$t),
-             |v$t AS MATERIALIZED (SELECT idx, u // CAST(pow(2, (SELECT k FROM k$t)) AS BIGINT) AS val FROM u$t)"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(floor(CAST(x AS DOUBLE) * 256.0) AS BIGINT)) AS v
-           |  FROM embeddings),
-           |gm0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-           |    CAST(sum(v[CAST(i AS INT) + 1] * v[CAST(j AS INT) + 1]) AS BIGINT) AS g
-           |  FROM q, generate_series(0, ${GramDim - 1}) t1(i),
-           |    generate_series(0, ${GramDim - 1}) t2(j)
-           |  GROUP BY 1, 2),
-           |k0 AS MATERIALIZED (SELECT greatest(CAST(length(bin(max(abs(g)))) AS BIGINT) - 35, 0) AS k
-           |  FROM gm0),
-           |gm AS MATERIALIZED (SELECT i, j,
-           |    g // CAST(pow(2, (SELECT k FROM k0)) AS BIGINT) AS g FROM gm0),
-           |v0 AS (SELECT CAST(i AS BIGINT) AS idx, CAST(1048576 AS BIGINT) AS val
-           |  FROM generate_series(0, ${GramDim - 1}) t(i)),
-           |$iters
+        s"""WITH $DominantDirectionCtes
            |SELECT q.vec_id,
            |  CAST(sum(q.v[CAST(f.idx AS INT) + 1] * f.val) AS BIGINT) AS proj
            |FROM q CROSS JOIN v$PowerIters f
            |GROUP BY 1""".stripMargin
+      }),
+
+    // ---- dominant-direction removal residuals — q212's sequel (the
+    //      round-12 task): per-vector energy left AFTER projecting out
+    //      v₁, i.e. what the Arora common-direction subtraction
+    //      actually removes. Exact integer moments per vector: norm2 =
+    //      Σx² and proj = x·v (both BIGINT; vv = Σv² ≤ 64·4^21 = 2^48
+    //      is a broadcast scalar), then resid2 = norm2 − (proj/vv)·proj
+    //      as ONE fixed IEEE op-DAG shared by both engines
+    //      (ResidDerived — norm2·vv and proj² would overflow 2^63 in
+    //      integers, so the division happens FIRST, in double; the DAG
+    //      is identical text, hence bit-stable) and resid_norm =
+    //      sqrt(greatest(resid2, 0)) guards the ulp-negative case of a
+    //      perfectly-parallel vector. 100 TB: the fit is q212's
+    //      (driver-side over the collected triangle); scoring is a
+    //      zero-shuffle scan-stage pair of integer dots against the
+    //      broadcast direction literal.
+    "q225_residual_norms" -> Q(
+      (s, d) => {
+        val q = quantizedEmbeddings(s, d)
+        val v = fitDominantDirection(s, q)
+        val vv = v.foldLeft(0L)((acc, x) => acc + x * x)
+        val vLit = v.mkString("array(", "L, ", "L)")
+        q.select(col("vec_id"),
+            expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0L, " +
+              "(acc, x) -> acc + x)").as("norm2"),
+            expr(s"aggregate(zip_with(v, $vLit, (a, b) -> a * b), 0L, " +
+              "(acc, x) -> acc + x)").as("proj"),
+            lit(vv).as("vv"))
+          .selectExpr(Seq("vec_id", "norm2", "proj", "vv") ++ ResidDerived: _*)
+      },
+      Some {
+        s"""WITH $DominantDirectionCtes,
+           |mom AS (SELECT q.vec_id,
+           |    CAST(sum(q.v[CAST(f.idx AS INT) + 1]
+           |           * q.v[CAST(f.idx AS INT) + 1]) AS BIGINT) AS norm2,
+           |    CAST(sum(q.v[CAST(f.idx AS INT) + 1] * f.val) AS BIGINT) AS proj
+           |  FROM q CROSS JOIN v$PowerIters f
+           |  GROUP BY 1),
+           |vvt AS (SELECT CAST(sum(val * val) AS BIGINT) AS vv
+           |  FROM v$PowerIters)
+           |SELECT vec_id, norm2, proj, vv,
+           |  ${ResidDerived.mkString(",\n           |  ")}
+           |FROM mom CROSS JOIN vvt""".stripMargin
       })
   )
+
+  /** q212/q225's shared oracle prologue: quantized embeddings, the
+    * exact Gram triangle, the k0 rescale (entry magnitude capped at
+    * 2^35), and the PowerIters unrolled multiply-renormalize chain.
+    * Every iteration CTE MATERIALIZED: DuckDB inlines CTEs per
+    * reference, so an unrolled chain is exponential without it (the
+    * q130 BPE-oracle lesson, NOTES.md round 12).
+    */
+  private lazy val DominantDirectionCtes: String = {
+    val iters = (1 to PowerIters).map { t =>
+      s"""u$t AS MATERIALIZED (SELECT g.i AS idx, CAST(sum(g.g * v.val) AS BIGINT) AS u
+         |  FROM gm g JOIN v${t - 1} v ON g.j = v.idx GROUP BY 1),
+         |k$t AS MATERIALIZED (SELECT greatest(CAST(length(bin(max(abs(u)))) AS BIGINT) - 21, 0) AS k FROM u$t),
+         |v$t AS MATERIALIZED (SELECT idx, u // CAST(pow(2, (SELECT k FROM k$t)) AS BIGINT) AS val FROM u$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 256.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |gm0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |    CAST(sum(v[CAST(i AS INT) + 1] * v[CAST(j AS INT) + 1]) AS BIGINT) AS g
+       |  FROM q, generate_series(0, ${GramDim - 1}) t1(i),
+       |    generate_series(0, ${GramDim - 1}) t2(j)
+       |  GROUP BY 1, 2),
+       |k0 AS MATERIALIZED (SELECT greatest(CAST(length(bin(max(abs(g)))) AS BIGINT) - 35, 0) AS k
+       |  FROM gm0),
+       |gm AS MATERIALIZED (SELECT i, j,
+       |    g // CAST(pow(2, (SELECT k FROM k0)) AS BIGINT) AS g FROM gm0),
+       |v0 AS (SELECT CAST(i AS BIGINT) AS idx, CAST(1048576 AS BIGINT) AS val
+       |  FROM generate_series(0, ${GramDim - 1}) t(i)),
+       |$iters""".stripMargin
+  }
+
+  /** q225's derived pair: residual energy and norm after removing the
+    * v₁ component — one shared IEEE op-DAG (division BEFORE the
+    * products: norm2·vv and proj² overflow BIGINT, (proj/vv)·proj in
+    * double does not and is the same correctly-rounded sequence in
+    * both engines). greatest(·, 0) absorbs the ulp-negative residual
+    * of an exactly-parallel vector before sqrt.
+    */
+  private val ResidDerived: Seq[String] = {
+    val resid2 = "CAST(norm2 AS DOUBLE) - (CAST(proj AS DOUBLE) " +
+      "/ CAST(vv AS DOUBLE)) * CAST(proj AS DOUBLE)"
+    Seq(
+      s"CASE WHEN vv > 0 THEN $resid2 END AS resid2",
+      s"CASE WHEN vv > 0 THEN sqrt(greatest($resid2, CAST(0 AS DOUBLE))) END AS resid_norm")
+  }
+
+  /** Embeddings quantized at 2^8 into exact integer vectors — the
+    * shared front end of q212/q225 (and the contract the oracle's `q`
+    * CTE replays verbatim).
+    */
+  private def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables(s, d, "embeddings")).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256.0D) AS BIGINT))")
+        .as("v"))
+
+  /** q212/q225's shared fit: collect the exact Gram triangle, rescale
+    * (cap entry magnitude at 2^35 so the mat-vec accumulator ≤
+    * 64·2^35·2^21 = 2^62 is Long-sound at any n; truncating division,
+    * JVM `/` ≡ DuckDB `//`, k0 = 0 at fixture scale), then PowerIters
+    * multiply-renormalize rounds in exact integers.
+    */
+  private def fitDominantDirection(s: SparkSession, q: DataFrame): Array[Long] = {
+    val tri = gramTriAgg(s, q.select(col("v")))
+      .collect()(0).getSeq[Long](0)
+    val maxAbsG = tri.foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
+    val k0 = math.max(
+      (64 - java.lang.Long.numberOfLeadingZeros(maxAbsG)) - 35, 0)
+    val dim = GramDim
+    val g = Array.ofDim[Long](dim, dim)
+    var p = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val e = tri(p) / (1L << k0)
+      g(i)(j) = e; g(j)(i) = e; p += 1
+    }
+    var v = Array.fill(dim)(1L << 20)
+    for (_ <- 1 to PowerIters) {
+      val u = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }; acc
+      }
+      val maxAbs = u.map(math.abs).max
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(maxAbs)
+      val k = math.max(bitlen - 21, 0)
+      v = u.map(x => x / (1L << k))
+    }
+    v
+  }
 
   /** q214's derived statistic: Pearson correlation of a dim pair from
     * the exact integer sums (n, sxy, sx, sy, sxx, syy) — a single SQL

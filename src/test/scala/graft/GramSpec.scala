@@ -210,4 +210,58 @@ class GramSpec extends SparkSuite {
       * math.sqrt(refProj.map(x => x * x).sum))
     assert(cos > 0.99, s"rescaled projection cosine vs eigenvector: $cos")
   }
+
+  test("q225 residuals replay the shared IEEE DAG from the exact moments") {
+    val got = graft.queries.Catalog.all("q225_residual_norms")
+      .build(spark, sf()).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (norm2, proj, vv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // replay the ResidDerived op order exactly: division FIRST
+      val resid2 = norm2.toDouble - (proj.toDouble / vv.toDouble) * proj.toDouble
+      assert(r.getDouble(4) == resid2, s"resid2 bit-replay: $r")
+      assert(r.getDouble(5) == math.sqrt(math.max(resid2, 0.0)),
+        s"resid_norm bit-replay: $r")
+      // geometry: removed energy never exceeds the vector's energy
+      assert(resid2 <= norm2.toDouble + 1e-6 * norm2.toDouble, s"resid2 > norm2: $r")
+    }
+    // the removal must be non-trivial on the fixture: some energy goes,
+    // some stays (neither all-parallel nor direction-orthogonal corpus)
+    val fracs = got.map(r =>
+      r.getDouble(5) / math.sqrt(math.max(r.getLong(1).toDouble, 1.0)))
+    assert(fracs.min < 0.95 && fracs.max > 0.05, s"degenerate removal: " +
+      s"min=${fracs.min} max=${fracs.max}")
+  }
+
+  test("q225: exactly-parallel vectors lose all energy, mixed vectors keep theirs") {
+    import spark.implicits._
+    // planted corpus: six exact multiples of one base direction (their
+    // quantized vectors are exact integer multiples, so the dominant
+    // direction IS the base and their residual is ~0) plus two rows
+    // with a strong off-direction component that must survive removal
+    val d = 64
+    val w = Array.tabulate(d)(i => ((i % 7) + 1) * 100.0)
+    // z exactly orthogonal to w (pairwise rotation: (w2m+1, -w2m)) and
+    // planted as w+z AND w-z, so the ŵẑ cross term of the Gram cancels
+    // and the dominant direction is exactly ŵ — parallel rows then owe
+    // residual only to quantization
+    val z = Array.tabulate(d)(i =>
+      if (i % 2 == 0) w(i + 1) else -w(i - 1))
+    val rows = Seq(1.0, 0.5, -0.75, 0.25, 1.25, -0.5).zipWithIndex.map {
+      case (a, k) => (k.toLong, w.map(x => (a * x).toFloat).toSeq)
+    } ++ Seq(
+      (6L, w.zip(z).map { case (a, b) => (a + b).toFloat }.toSeq),
+      (7L, w.zip(z).map { case (a, b) => (a - b).toFloat }.toSeq))
+    val dir = tmpDir("q225_parallel").toString
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.Catalog.all("q225_residual_norms")
+      .build(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(5) / math.sqrt(r.getLong(1).toDouble))).toMap
+    (0L to 5L).foreach(k =>
+      assert(got(k) < 0.05, s"parallel row $k keeps energy: ${got(k)}"))
+    Seq(6L, 7L).foreach(k =>
+      assert(got(k) > 0.1, s"mixed row $k lost its off-component: ${got(k)}"))
+  }
 }
