@@ -857,6 +857,49 @@ object StatefulOps {
         (col("n_bad") === 0L).as("pass"))
   }
 
+  /** q206's intake sibling — the streaming model-evaluation monitor
+    * (round-12 task #5): per event-time window × score bin, the
+    * calibration report for `value` read as a conversion-propensity
+    * score — exact bin counts, positives (event_type = 'purchase';
+    * a NULL type is NOT a conversion — absent label, not a violation
+    * gate), and the exact cents sum, with the empirical rate and mean
+    * score each ONE IEEE division of exact integers. Bins are a FIXED
+    * width-in-cents spec capped at maxBin−1 (batch q206 bins on the
+    * corpus min/max, which a stream cannot know; the monitor's
+    * contract is defined over THIS binning — same monotone-reliability
+    * read). A NULL score groups under a NULL bin and still reports: a
+    * scoreless feed is visible, never silently dropped. ONE windowed
+    * aggregate, map-side combinable; state ∝ open windows × (maxBin+1)
+    * bins under the watermark; a window's reliability row set
+    * finalizes when the watermark passes it. Parity: the SAME kernel
+    * in batch over the closed-window prefix is identical
+    * (StatefulOpsSpec); a restart re-emits nothing
+    * (CheckpointRestartSpec).
+    */
+  def calibrationMonitor(events: DataFrame, lateness: String, win: String,
+                         binCents: Long, maxBin: Int): DataFrame = {
+    val cents = "CAST(round(value * 100) AS BIGINT)"
+    events
+      // the NULL guard is load-bearing: least() SKIPS nulls, so a bare
+      // least(NULL DIV w, maxBin-1) would file a scoreless row under
+      // the TOP bin instead of the NULL bin
+      .withColumn("__bin", expr(
+        s"CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"ELSE least($cents DIV $binCents, CAST(${maxBin - 1} AS BIGINT)) END"))
+      .withColumn("__pos",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), win), col("__bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        sum(expr(cents)).as("sum_cents"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col("__bin").as("bin"), col("n"), col("n_pos"), col("sum_cents"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("emp_rate"),
+        (col("sum_cents").cast("double") / col("n").cast("double"))
+          .as("mean_cents"))
+  }
+
   /** Streaming value-quantile monitor — q170's intake sibling: per
     * event-time window × event_type, the GK sketch's p50/p95 of `value`
     * plus exact count/min/max — the latency/order-value pager read. The

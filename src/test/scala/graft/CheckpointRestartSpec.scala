@@ -145,6 +145,43 @@ class CheckpointRestartSpec extends SparkSuite {
       s"each closed window's report exactly once: ${got.mkString(", ")}")
   }
 
+  test("calibrationMonitor restart emits each (window, bin) exactly once") {
+    val src = tmpDir("calr_src"); val out = tmpDir("calr_out"); val ckpt = tmpDir("calr_ckpt")
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    def writeRows(name: String, rows: Seq[(String, String, Double)]): Unit =
+      java.nio.file.Files.writeString(src.resolve(name), rows.map { case (ts, et, v) =>
+        s"""{"ts":"$ts","event_type":"$et","value":$v}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.calibrationMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "0 seconds", "10 seconds", binCents = 5000L, maxBin = 4)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) fills bins 0 (one view) and 1 (one
+    // purchase); the t=25 row closes it
+    writeRows("f1.json", Seq(
+      ("2024-01-01T00:00:02Z", "view", 10.0),
+      ("2024-01-01T00:00:04Z", "purchase", 60.0),
+      ("2024-01-01T00:00:25Z", "view", 1.0)))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — the phase-1 window must
+    // NOT re-emit and the restored state must carry the t=25 row
+    writeRows("f2.json", Seq(("2024-01-01T00:01:40Z", "view", 1.0)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    val base = 1704067200000L
+    assert(got == Seq(
+      (base, 0L, 1L, 0L, 1000L, 0.0),
+      (base, 1L, 1L, 1L, 6000L, 1.0),
+      (base + 20000L, 0L, 1L, 0L, 100L, 0.0)),
+      s"each (window, bin) exactly once: ${got.mkString(", ")}")
+  }
+
   test("quantileMonitor restart emits each window exactly once with full sketches") {
     val src = tmpDir("qmr_src"); val out = tmpDir("qmr_out"); val ckpt = tmpDir("qmr_ckpt")
     val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")

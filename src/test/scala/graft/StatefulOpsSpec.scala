@@ -713,6 +713,56 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("calibration monitor: stream bins equal the batch kernel; rates discriminate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // window 1: low-value events rarely convert, high-value ones mostly
+    // do — the reliability read must rank the bins; one NULL-score row
+    // must surface as a NULL bin, not vanish
+    val rows = Seq[(java.sql.Timestamp, String, Option[Double])](
+      (tsAt(1), "view", Some(10.0)), (tsAt(2), "view", Some(20.0)),
+      (tsAt(3), "purchase", Some(30.0)), (tsAt(4), "view", Some(40.0)),
+      (tsAt(5), "purchase", Some(810.0)), (tsAt(6), "purchase", Some(820.0)),
+      (tsAt(7), "view", Some(830.0)),
+      (tsAt(8), "view", None),
+      (tsAt(120), "view", Some(1.0))) // watermark pusher
+    val src = rows.toDF("ts", "event_type", "value")
+
+    val in = MemoryStream[(java.sql.Timestamp, String, Option[Double])]
+    val q = StatefulOps.calibrationMonitor(
+        in.toDF().toDF("ts", "event_type", "value"),
+        "10 seconds", "30 seconds", binCents = 40000L, maxBin = 8)
+      .writeStream.format("memory").queryName("cal_mon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("calmon").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))) ->
+          ((r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            r.getDouble(5)))).toMap
+      val got = toMap(spark.table("cal_mon").collect())
+      val batch = toMap(StatefulOps.calibrationMonitor(
+        src, "10 seconds", "30 seconds", 40000L, 8).collect())
+        .filter { case ((w, _), _) => got.keySet.exists(_._1 == w) }
+      assert(got == batch, s"stream $got vs batch $batch")
+      val w1 = 1700000001000L / 30000L * 30000L
+      // bin 0: cents 1000..4000 -> 1 of 4 convert; bin 2: 81000..83000
+      // -> 2 of 3 convert; NULL bin: the scoreless row, visible
+      assert(got((w1, Some(0L))) == ((4L, 1L, Some(10000L), 0.25)),
+        s"low bin: ${got((w1, Some(0L)))}")
+      assert(got((w1, Some(2L)))._1 == 3L && got((w1, Some(2L)))._2 == 2L,
+        s"high bin: ${got((w1, Some(2L)))}")
+      assert(got((w1, None)) == ((1L, 0L, None, 0.0)),
+        s"NULL-score row must report under the NULL bin: ${got.get((w1, None))}")
+      assert(got((w1, Some(2L)))._4 > got((w1, Some(0L)))._4,
+        "reliability must rank the planted bins")
+    } finally q.stop()
+  }
+
   test("quantile monitor: exact counts, sketch p50/p95 inside exact rank brackets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
