@@ -60,9 +60,12 @@ object Bench {
     s.substring(s.lastIndexOf(')') + 2).trim.split(" ")(1).toLong
   } catch { case _: Throwable => 0L }
 
-  /** Count of processes burning >50% of a core that are neither this
-    * JVM, its ancestors (sbt), nor their descendants — i.e. guest-local
-    * competition the bench shares cores with.
+  /** Count of SUSTAINED processes (alive ≥ 30 s — `ps pcpu` is a
+    * lifetime average, so a short-lived burst at the checkpoint moment
+    * reads as >50% without having competed for the bench window)
+    * burning >50% of a core that are neither this JVM, its ancestors
+    * (sbt), nor their descendants — i.e. guest-local competition the
+    * bench actually shared cores with.
     */
   private def competingPids(): Int = try {
     val ours = {
@@ -82,10 +85,11 @@ object Bench {
       false
     }
     import scala.sys.process._
-    "ps -eo pid,pcpu --no-headers".!!.linesIterator.count { line =>
+    "ps -eo pid,pcpu,etimes --no-headers".!!.linesIterator.count { line =>
       val t = line.trim.split("\\s+")
-      t.length >= 2 &&
+      t.length >= 3 &&
         scala.util.Try(t(1).toDouble).getOrElse(0.0) > 50.0 &&
+        scala.util.Try(t(2).toLong).getOrElse(0L) >= 30L &&
         scala.util.Try(t(0).toLong).toOption.exists(p => !descendsFromOurs(p))
     }
   } catch { case _: Throwable => -1 }

@@ -119,7 +119,13 @@ object PlanDump {
     "q208_trend_mk" -> "Mann–Kendall: the one corpus-sized pass is the day hash-agg; the sign-pair theta join runs at day grain with both sides post-aggregate broadcast-sized",
     "q209_spearman" -> "Spearman: one orders scan → customer-grain agg; midrank maps are value-domain cumulatives equi-joined back; the five moments collapse in one hash-agg; rho = shared ÷/×/sqrt template",
     "q210_retrieval_eval" -> "retrieval eval: rides q125's bounded-heap ranking; judgments join k×Q rows to the broadcast query frame; the relevance-total arm is a lang-grain count against ≤Q broadcast rows",
-    "q212_dominant_direction" -> "PCA direction: the fit (power iteration) ran at build time over the collected gram triangle; the SERVED plan is a zero-shuffle scan-stage integer dot against the broadcast direction literal")
+    "q212_dominant_direction" -> "PCA direction: the fit (power iteration) ran at build time over the collected gram triangle; the SERVED plan is a zero-shuffle scan-stage integer dot against the broadcast direction literal",
+    "q218_tpch_q1" -> "TPC-H Q1: ONE full-fact scan into ONE map-side-combinable codegen hash-agg (partial→final) at 2-key grain; shipdate cut is a PushedFilter; averages are post-aggregate projections from the shared Q1Derived template",
+    "q220_tpch_q15" -> "TPC-H Q15: quarterly supplier revenue aggregated ONCE (date PushedFilter → suppkey exchange); the 1-row max broadcasts back over the view (no second lineitem scan); supplier names broadcast",
+    "q221_tpch_q17" -> "TPC-H Q17: correlated scalar-average decorrelated — per-part (count, Σqty) joins back at part grain; BOTH legs semi-cut by the broadcast brand filter before the partkey shuffle; threshold is the exact cross-multiply, never a float mean",
+    "q222_tpch_q19" -> "TPC-H Q19: the disjunction's quantity hull is a PushedFilter on the lineitem scan (Catalyst can't extract it from the OR); brand/size hull prunes part before the broadcast; the full disjunction is the join residual",
+    "q223_tpch_q20" -> "TPC-H Q20 shape: part broadcasts semi into the fact BEFORE the (suppkey, partkey) aggregate; the HAVING-sparse qualifying set semi-cuts supplier — a double-nested semi chain, one 2-key exchange",
+    "q225_residual_norms" -> "residual norms: fit shared with q212 (driver-side, collected triangle); the SERVED plan is two scan-stage integer dots (norm2, proj) against the broadcast direction literal plus the shared-template IEEE projection — zero shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
