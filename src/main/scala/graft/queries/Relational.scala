@@ -1754,10 +1754,17 @@ object Relational {
     //      ONE IEEE division of exact sums rendered from the shared
     //      Q1Derived template (the q204 OlsDerived discipline — both
     //      engines parse the same text, bit-identical doubles). 100 TB:
-    //      map-side combinable all the way, 6-row output; the charge
-    //      sum in c6 units holds to ~9e7 rows/group (1e11/row ceiling
-    //      against 2^63) — past that widen the charge sum to
-    //      DECIMAL(38) inside the agg, moments stay mergeable.
+    //      map-side combinable all the way, 6-row output. Q1's 6-group
+    //      grain makes it the one money aggregate whose per-group row
+    //      count is corpus-sized (~1.5e11 rows/group at 100 TB), so
+    //      the c4/c6 sums ACCUMULATE in DECIMAL(38,0) — mergeable,
+    //      Tungsten-native, Long-sound to 10^38 — and cast to BIGINT
+    //      only at output (exact while < 2^63; past that the cast
+    //      fails LOUDLY in both engines instead of wrapping silently,
+    //      and the output unit moves up — the q212 rescale lesson:
+    //      implement the mitigation, don't footnote it). The finer-
+    //      grain TPC-H entries (nation/order/customer grain) stay on
+    //      plain BIGINT sums with orders of magnitude of headroom.
     "q218_tpch_q1" -> Q(
       (s, d) => {
         Tables(s, d, "lineitem")
@@ -1767,8 +1774,10 @@ object Relational {
             expr("CAST(round(sum(l_quantity), 0) AS BIGINT)").as("sum_qty"),
             sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
               .as("sum_base_c"),
-            sum(expr(RevC4)).as("sum_disc_c4"),
-            sum(expr(ChargeC6)).as("sum_charge_c6"),
+            sum(expr(s"CAST($RevC4 AS DECIMAL(38,0))")).cast("long")
+              .as("sum_disc_c4"),
+            sum(expr(s"CAST($ChargeC6 AS DECIMAL(38,0))")).cast("long")
+              .as("sum_charge_c6"),
             sum(expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))
               .as("sum_disc100"),
             count(lit(1)).as("n_lines"))
@@ -1780,8 +1789,10 @@ object Relational {
              |    CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
              |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
              |      AS BIGINT) AS sum_base_c,
-             |    CAST(sum($RevC4) AS BIGINT) AS sum_disc_c4,
-             |    CAST(sum($ChargeC6) AS BIGINT) AS sum_charge_c6,
+             |    CAST(sum(CAST($RevC4 AS DECIMAL(38,0))) AS BIGINT)
+             |      AS sum_disc_c4,
+             |    CAST(sum(CAST($ChargeC6 AS DECIMAL(38,0))) AS BIGINT)
+             |      AS sum_charge_c6,
              |    CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
              |      AS BIGINT) AS sum_disc100,
              |    count(*) AS n_lines
@@ -2077,8 +2088,8 @@ object Relational {
   /** q218's charge term: cents × (100 − disc%) × (100 + tax%), i.e.
     * charge in 10⁻⁶-dollar units — exact for the fixture's ≤2-decimal
     * money columns, same shared-text discipline as RevC4. Per-row
-    * ceiling ~1e11, so a BIGINT sum holds to ~9e7 rows per group;
-    * the q218 header documents the DECIMAL(38) widening past that.
+    * ceiling ~1e11; q218 accumulates it in DECIMAL(38,0) (see its
+    * header) because Q1's 6-group grain makes rows/group corpus-sized.
     */
   private val ChargeC6: String =
     "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
