@@ -1564,7 +1564,10 @@ object Relational {
     // ---- TPC-H Q14: promotion-revenue share for one month — the
     //      conditional-sum ratio with a broadcast part dimension. Both
     //      legs ride ONE scan + ONE broadcast join; the percentage is
-    //      the q192 exact-division idiom.
+    //      the q192 exact-division idiom. 1-ROW grain at a 1/84 date
+    //      cut leaves only ~1.3× BIGINT headroom at 100 TB worst case,
+    //      so the c4 sums take q218's DECIMAL(38,0) accumulation
+    //      (BIGINT output cast — exact while < 2^63, loud past it).
     "q195_tpch_q14" -> Q(
       (s, d) => {
         val p = Tables(s, d, "part").select(col("p_partkey"), col("p_type"))
@@ -1573,9 +1576,12 @@ object Relational {
             col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .agg(
-            sum(when(col("p_type") === "PROMO", expr(RevC4))
-              .otherwise(lit(0L))).as("promo_c4"),
-            sum(expr(RevC4)).as("total_c4"))
+            sum(when(col("p_type") === "PROMO",
+              expr(s"CAST($RevC4 AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).cast("long")
+              .as("promo_c4"),
+            sum(expr(s"CAST($RevC4 AS DECIMAL(38,0))")).cast("long")
+              .as("total_c4"))
           .select(col("promo_c4"), col("total_c4"),
             expr("round((CAST(promo_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE)) " +
               "* CAST(100 AS DOUBLE), 6)").as("promo_pct_r6"))
@@ -1585,9 +1591,11 @@ object Relational {
              |        * CAST(100 AS DOUBLE), 6) AS promo_pct_r6
              |FROM (
              |  SELECT
-             |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $RevC4
-             |             ELSE 0 END) AS BIGINT) AS promo_c4,
-             |    CAST(sum($RevC4) AS BIGINT) AS total_c4
+             |    CAST(sum(CASE WHEN p_type = 'PROMO'
+             |             THEN CAST($RevC4 AS DECIMAL(38,0))
+             |             ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)
+             |      AS promo_c4,
+             |    CAST(sum(CAST($RevC4 AS DECIMAL(38,0))) AS BIGINT) AS total_c4
              |  FROM lineitem JOIN part ON l_partkey = p_partkey
              |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
              |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin)),
@@ -1957,10 +1965,15 @@ object Relational {
             (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
               col("l_quantity").between(20, 40)))
           .agg(count(lit(1)).as("n_lines"),
-            sum(expr(RevC4)).as("revenue_c4"))
+            // 1-row grain: DECIMAL(38,0) accumulation (q218's rule —
+            // the worst-case c4 mass of the qualifying slice clears
+            // 2^63 at 100 TB)
+            sum(expr(s"CAST($RevC4 AS DECIMAL(38,0))")).cast("long")
+              .as("revenue_c4"))
       },
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
-             |  CAST(sum($RevC4) AS BIGINT) AS revenue_c4
+             |  CAST(sum(CAST($RevC4 AS DECIMAL(38,0))) AS BIGINT)
+             |    AS revenue_c4
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE l_quantity >= 1 AND l_quantity <= 40
              |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
