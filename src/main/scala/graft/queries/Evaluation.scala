@@ -631,6 +631,93 @@ object Evaluation {
            |      / CAST(idcg.idcg_milli AS DOUBLE) END AS ndcg
            |FROM qsrc q LEFT JOIN dcg ON q.q_id = dcg.q_id
            |LEFT JOIN idcg ON q.q_id = idcg.q_id""".stripMargin
-      })
+      }),
+
+    // ---- average precision@k — the third standard ranking metric
+    //      beside q210's P@k/RR and q224's nDCG: AP@k =
+    //      (Σ_{hits} P@rank) / min(n_rel_total, k), rewarding EARLY
+    //      hits with full positional weight where nDCG uses log
+    //      discounts. Exact-integer trick: scale by 60 = lcm(1..5) —
+    //      every positional precision P@i = cum_rel/i becomes the
+    //      exact BIGINT (60 DIV i)·cum_rel (i divides 60 for all
+    //      i ≤ k = 5), so the AP numerator sums exactly and the
+    //      statistic is ONE IEEE division by the exact 60·min(nrt, k).
+    //      Per-QUERY rows, never a cross-query mean (mAP is a
+    //      row-order-dependent float sum — the house rule q210
+    //      documents); NULL only where no relevant document exists.
+    //      Anchored on the query list (q210's rule). 100 TB: rides the
+    //      bounded-heap q125 ranking; the cum-rel window partitions by
+    //      q_id over ≤ k rows per query.
+    "q226_avg_precision" -> Q(
+      (s, d) => {
+        val ranked = TextAnalysis.bm25SelfRank(s, d)
+        val src = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("lang"))
+        val qsrc = src.filter(col("doc_id") < TextAnalysis.Bm25Queries)
+          .toDF("q_id", "q_lang")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("rk"))
+        val per = ranked
+          .join(broadcast(qsrc), "q_id")
+          .join(src.toDF("n_id", "n_lang"), "n_id")
+          .withColumn("rel", (col("q_lang") === col("n_lang")).cast("long"))
+          .withColumn("cum_rel", sum(col("rel")).over(w))
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel")).as("n_rel"),
+            sum(when(col("rel") === 1L,
+              expr("CAST(60 DIV rk AS BIGINT) * cum_rel"))
+              .otherwise(0L)).as("ap60_num"))
+        val relTotal = src
+          .join(broadcast(qsrc), col("lang") === col("q_lang")
+            && col("doc_id") =!= col("q_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel_total"))
+        qsrc.select(col("q_id"))
+          .join(per, Seq("q_id"), "left")
+          .join(relTotal, Seq("q_id"), "left")
+          .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+          .withColumn("ap60_num", coalesce(col("ap60_num"), lit(0L)))
+          .withColumn("n_rel_total", coalesce(col("n_rel_total"), lit(0L)))
+          .withColumn("denom60",
+            lit(60L) * least(col("n_rel_total"),
+              lit(TextAnalysis.Bm25TopK.toLong)))
+          .select(col("q_id"), col("n_rel"), col("n_rel_total"),
+            col("ap60_num"), col("denom60"),
+            when(col("denom60") > 0L,
+              col("ap60_num").cast("double") / col("denom60").cast("double"))
+              .as("ap_at_k"))
+      },
+      Some(s"""WITH ranked AS (${TextAnalysis.Bm25OracleSql}),
+             |qsrc AS (SELECT doc_id AS q_id, lang AS q_lang
+             |  FROM documents WHERE doc_id < ${TextAnalysis.Bm25Queries}),
+             |judged AS (SELECT r.q_id, r.rk,
+             |    CASE WHEN n.lang = q.q_lang THEN 1 ELSE 0 END AS rel
+             |  FROM ranked r JOIN qsrc q USING (q_id)
+             |  JOIN documents n ON n.doc_id = r.n_id),
+             |cum AS (SELECT q_id, rk, rel,
+             |    CAST(sum(rel) OVER (PARTITION BY q_id ORDER BY rk) AS BIGINT)
+             |      AS cum_rel
+             |  FROM judged),
+             |per AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+             |    CAST(sum(CASE WHEN rel = 1
+             |      THEN (60 // rk) * cum_rel ELSE 0 END) AS BIGINT)
+             |      AS ap60_num
+             |  FROM cum GROUP BY 1),
+             |rt AS (SELECT q.q_id, CAST(count(*) AS BIGINT) AS n_rel_total
+             |  FROM documents d JOIN qsrc q
+             |    ON d.lang = q.q_lang AND d.doc_id <> q.q_id
+             |  GROUP BY 1)
+             |SELECT q.q_id,
+             |  CAST(coalesce(per.n_rel, 0) AS BIGINT) AS n_rel,
+             |  CAST(coalesce(rt.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+             |  CAST(coalesce(per.ap60_num, 0) AS BIGINT) AS ap60_num,
+             |  CAST(60 * least(coalesce(rt.n_rel_total, 0),
+             |    CAST(${TextAnalysis.Bm25TopK} AS BIGINT)) AS BIGINT)
+             |    AS denom60,
+             |  CASE WHEN coalesce(rt.n_rel_total, 0) > 0
+             |    THEN CAST(coalesce(per.ap60_num, 0) AS DOUBLE)
+             |      / CAST(60 * least(rt.n_rel_total,
+             |          CAST(${TextAnalysis.Bm25TopK} AS BIGINT)) AS DOUBLE)
+             |    END AS ap_at_k
+             |FROM qsrc q LEFT JOIN per ON q.q_id = per.q_id
+             |LEFT JOIN rt ON q.q_id = rt.q_id""".stripMargin))
   )
 }

@@ -204,6 +204,41 @@ class EvalStatsSpec extends SparkSuite {
     assert(vals.distinct.size > 1, s"nDCG must vary across queries: $vals")
   }
 
+  test("q226: AP@k equals a plain-loop recount over the q125 ranking") {
+    val langOf = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ranked = graft.queries.Catalog.all("q125_bm25").build(spark, sf())
+      .select("q_id", "n_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val k = graft.queries.TextAnalysis.Bm25TopK
+    val got = graft.queries.Catalog.all("q226_avg_precision")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val queries = langOf.keys.filter(_ < graft.queries.TextAnalysis.Bm25Queries)
+    assert(got.keySet == queries.toSet)
+    queries.foreach { q =>
+      val rows = ranked.filter(_._1 == q).sortBy(_._3)
+      var cum = 0L; var ap60 = 0L; var nRel = 0L
+      rows.foreach { case (_, nid, rk) =>
+        if (langOf(nid) == langOf(q)) {
+          cum += 1; nRel += 1
+          ap60 += (60L / rk) * cum
+        }
+      }
+      val nrt = langOf.count { case (d0, l) => d0 != q && l == langOf(q) }.toLong
+      val denom = 60L * math.min(nrt, k.toLong)
+      val ap = if (denom > 0) Some(ap60.toDouble / denom.toDouble) else None
+      assert(got(q) == ((nRel, nrt, ap60, denom, ap)),
+        s"q$q: got ${got(q)}, want ($nRel, $nrt, $ap60, $denom, $ap)")
+    }
+    // positional sensitivity must show on the fixture: AP values vary
+    val vals = got.values.flatMap(_._5).toSeq
+    assert(vals.distinct.size > 1, s"AP must vary across queries: $vals")
+  }
+
   test("q213: every per-source AUC equals the all-pairs ground truth") {
     val bySrc = Tables(spark, sf(), "documents")
       .select(col("source"), col("n_chars"), col("lang")).collect()

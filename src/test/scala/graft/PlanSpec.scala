@@ -435,6 +435,7 @@ class PlanSpec extends SparkSuite {
     "q208_trend_mk",            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
     "q210_retrieval_eval",      // rides q125's ranking (its 1-row (N, avgdl) total)
     "q224_ndcg",                // q125's 1-row total + the ≤Q×k broadcast IDCG theta join
+    "q226_avg_precision",       // rides q125's ranking (its 1-row (N, avgdl) total)
     "q214_feature_corr",        // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",         // (#cells)² pair theta join at VALUE-domain grain + 1-row margins
     "q217_conversion_lift",     // #types rows × a broadcast 1-row global frame
