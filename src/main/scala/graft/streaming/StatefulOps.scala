@@ -900,6 +900,59 @@ object StatefulOps {
           .as("mean_cents"))
   }
 
+  /** q213/q205's intake sibling — the streaming ranking-quality
+    * monitor: per event-time window, the Mann–Whitney AUC of `value`
+    * (read as a conversion-propensity score) against the purchase
+    * label, computed EXACTLY over cents-bucketed scores — the metric
+    * is DEFINED over the bucketing (ties inside a bucket tie-halve,
+    * q205's rule; a finer binCents narrows the quantization). Two
+    * chained stateful aggregates (the Spark 4 multiple-stateful-ops
+    * path the ewmaMonitor precedent uses): (window, bucket) pos/neg
+    * counts collapse map-side, then the per-window reduction
+    * re-groups on the window column and folds the ≤maxBin-row
+    * histogram into 2U = Σ_b pos_b·(2·cum_neg_below + neg_b) — all
+    * exact BIGINTs, AUC is ONE IEEE division, NULL when a window
+    * lacks a class (the q213 degenerate rule). Scoreless (NULL value)
+    * rows are EXCLUDED — an unscored row cannot be ranked; they stay
+    * visible in calibrationMonitor's NULL bin, never silently mixed
+    * into AUC. State ∝ open windows × maxBin bins + open windows.
+    * Parity: same kernel in batch ≡ stream (StatefulOpsSpec); restart
+    * re-emits nothing (CheckpointRestartSpec).
+    */
+  def aucMonitor(events: DataFrame, lateness: String, win: String,
+                 binCents: Long, maxBin: Int): DataFrame = {
+    val cents = "CAST(round(value * 100) AS BIGINT)"
+    val binned = events
+      .filter(col("value").isNotNull)
+      .withColumn("__bin", expr(
+        s"least($cents DIV $binCents, CAST(${maxBin - 1} AS BIGINT))"))
+      .withColumn("__pos",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), win), col("__bin"))
+      .agg(sum(col("__pos")).as("n_pos"),
+        sum(lit(1L) - col("__pos")).as("n_neg"))
+    binned
+      .groupBy(col("window"))
+      .agg(
+        collect_list(struct(col("__bin").as("b"), col("n_pos").as("p"),
+          col("n_neg").as("g"))).as("hist"),
+        sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col("n_pos"), col("n_neg"),
+        // fold ascending buckets: 2U accumulates pos·(2·cum_neg + neg)
+        expr("aggregate(array_sort(hist), " +
+          "struct(CAST(0 AS BIGINT) AS cum, CAST(0 AS BIGINT) AS u2), " +
+          "(acc, x) -> struct(acc.cum + x.g, " +
+          "acc.u2 + x.p * (2 * acc.cum + x.g)), " +
+          "acc -> acc.u2)").as("u2"))
+      .select(col("w_start"), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
   /** Streaming value-quantile monitor — q170's intake sibling: per
     * event-time window × event_type, the GK sketch's p50/p95 of `value`
     * plus exact count/min/max — the latency/order-value pager read. The

@@ -182,6 +182,43 @@ class CheckpointRestartSpec extends SparkSuite {
       s"each (window, bin) exactly once: ${got.mkString(", ")}")
   }
 
+  test("aucMonitor restart emits each window's AUC exactly once") {
+    val src = tmpDir("aucr_src"); val out = tmpDir("aucr_out"); val ckpt = tmpDir("aucr_ckpt")
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    def writeRows(name: String, rows: Seq[(String, String, Double)]): Unit =
+      java.nio.file.Files.writeString(src.resolve(name), rows.map { case (ts, et, v) =>
+        s"""{"ts":"$ts","event_type":"$et","value":$v}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.aucMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "0 seconds", "10 seconds", binCents = 5000L, maxBin = 4)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) has a low-bucket view and a high-bucket
+    // purchase (perfect separation, 2U = 2); t=25 closes it
+    writeRows("f1.json", Seq(
+      ("2024-01-01T00:00:02Z", "view", 10.0),
+      ("2024-01-01T00:00:04Z", "purchase", 60.0),
+      ("2024-01-01T00:00:25Z", "view", 1.0)))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — the phase-1 window must
+    // NOT re-emit; the restored state carries the t=25 all-neg row
+    writeRows("f2.json", Seq(("2024-01-01T00:01:40Z", "view", 1.0)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_._1).toSeq
+    val base = 1704067200000L
+    assert(got == Seq(
+      (base, 1L, 1L, 2L, Some(1.0)),
+      (base + 20000L, 0L, 1L, 0L, None)),
+      s"each window's AUC exactly once: ${got.mkString(", ")}")
+  }
+
   test("quantileMonitor restart emits each window exactly once with full sketches") {
     val src = tmpDir("qmr_src"); val out = tmpDir("qmr_out"); val ckpt = tmpDir("qmr_ckpt")
     val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")

@@ -763,6 +763,46 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("AUC monitor: stream equals batch kernel; ties halve, NULL scores excluded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // one 30 s window: clean separation (b0 views / b2 purchases) plus
+    // one same-bucket pos/neg pair (tie-halving) and one scoreless row
+    // (excluded). Hand count: buckets b0(p0,g2) b1(p1,g1) b2(p2,g0)
+    // → 2U = 0 + 1·(2·2+1) + 2·(2·3+0) = 17, AUC = 17/18.
+    val rows = Seq[(java.sql.Timestamp, String, Option[Double])](
+      (tsAt(1), "view", Some(10.0)), (tsAt(2), "view", Some(20.0)),
+      (tsAt(3), "purchase", Some(810.0)), (tsAt(4), "purchase", Some(820.0)),
+      (tsAt(5), "view", Some(400.0)), (tsAt(6), "purchase", Some(410.0)),
+      (tsAt(7), "view", None),
+      (tsAt(120), "view", Some(1.0))) // watermark pusher
+    val src = rows.toDF("ts", "event_type", "value")
+
+    val in = MemoryStream[(java.sql.Timestamp, String, Option[Double])]
+    val q = StatefulOps.aucMonitor(
+        in.toDF().toDF("ts", "event_type", "value"),
+        "10 seconds", "30 seconds", binCents = 40000L, maxBin = 8)
+      .writeStream.format("memory").queryName("auc_mon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("aucmon").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      val got = toMap(spark.table("auc_mon").collect())
+      val batch = toMap(StatefulOps.aucMonitor(
+        src, "10 seconds", "30 seconds", 40000L, 8).collect())
+        .filter { case (w, _) => got.contains(w) }
+      assert(got == batch, s"stream $got vs batch $batch")
+      val w1 = 1700000001000L / 30000L * 30000L
+      assert(got(w1) == ((3L, 3L, 17L, Some(17.0 / 18.0))),
+        s"hand-counted 2U/AUC: ${got(w1)}")
+    } finally q.stop()
+  }
+
   test("quantile monitor: exact counts, sketch p50/p95 inside exact rank brackets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
