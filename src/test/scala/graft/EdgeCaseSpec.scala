@@ -178,4 +178,22 @@ class EdgeCaseSpec extends SparkSuite {
     assert(quant(2L) == ((scale2, codes.map(_.toLong).sum, codes.min, codes.max,
       codes.count(c => math.abs(c) == 127))), s"${quant(2L)} vs $codes")
   }
+
+  test("q220 with an empty quarter emits no rows (max-of-empty stays NULL-safe)") {
+    import spark.implicits._
+    // the view's max over an EMPTY revenue table is a 1-row NULL frame
+    // in Spark (agg on empty input) and a NULL scalar subquery in
+    // DuckDB — both must make the equality filter drop everything,
+    // never emit a NULL-keyed winner
+    val dir = tmpDir("q220_empty").toString
+    Seq((1L, 2L, new java.sql.Timestamp(820454400000L), 100.0, 0.05))
+      // 1996-01-01: OUTSIDE the entry's 1997 Q1 window
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    Seq((2L, "Supplier#2")).toDF("s_suppkey", "s_name")
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
+    val out = graft.queries.Catalog.all("q220_tpch_q15").build(spark, dir)
+    assert(out.count() == 0, "empty quarter must yield an empty report")
+  }
 }
