@@ -140,6 +140,63 @@ class StreamingSoakSpec extends SparkSuite {
     }
   }
 
+  test("soak: AUC + calibration monitors hold open-window × bin state only (100 batches)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[(Timestamp, String, Option[Double])]
+      val ev = in.toDF().toDF("ts", "event_type", "value")
+      val auc = StatefulOps.aucMonitor(ev, "60 seconds", "30 seconds",
+          binCents = 5000L, maxBin = 8)
+        .writeStream.format("memory").queryName("soak_auc")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("soak_auc").toString).start()
+      val cal = StatefulOps.calibrationMonitor(ev, "60 seconds", "30 seconds",
+          binCents = 5000L, maxBin = 8)
+        .writeStream.format("memory").queryName("soak_cal")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("soak_cal").toString).start()
+      try {
+        val aState = Vector.newBuilder[Long]
+        val cState = Vector.newBuilder[Long]
+        for (b <- 0 until 100) {
+          // spread across buckets, keep both classes present, and keep
+          // exercising the NULL-score arm every batch
+          in.addData(
+            (ts(b * 10L), "view", Some((b % 8) * 50.0 + 10.0)),
+            (ts(b * 10L + 1), "purchase", Some(360.0)),
+            (ts(b * 10L + 2), "view", None))
+          auc.processAllAvailable(); cal.processAllAvailable()
+          Seq(auc -> aState, cal -> cState).foreach { case (q, buf) =>
+            val p = q.lastProgress
+            if (p != null && p.stateOperators.nonEmpty)
+              buf += p.stateOperators.map(_.numRowsTotal).sum
+          }
+        }
+        // contract: AUC state = open-window × bin rows (first agg) +
+        // open-window rows (the chained reduction); calibration = open
+        // windows × (bins + NULL bin). 30 s windows under a 60 s
+        // watermark at 10 s/batch → ≤ ~4 open windows × ≤ 9 bins ≈ 36
+        // + 4 ≈ 40; pinned at 128 with provider slack — the run
+        // creates ~33 windows × 9 bins ≈ 300 total rows, so unbounded
+        // growth cannot pass.
+        for ((name, series) <- Seq("auc" -> aState.result(), "cal" -> cState.result())) {
+          info(s"$name state series (every 10th): ${series.grouped(10).map(_.last).mkString(", ")}")
+          assert(series.max <= 128L,
+            s"$name monitor state exceeded the open-window bound: max=${series.max}")
+          assert(series.takeRight(25).max <= series.slice(25, 75).max,
+            s"$name monitor state still growing in the last quarter")
+        }
+        // soak is not vacuous: closed windows emitted, AUC defined on them
+        val aucRows = spark.table("soak_auc").collect()
+        assert(aucRows.length > 20)
+        assert(aucRows.count(r => !r.isNullAt(4)) > 20,
+          "both classes present per window -> AUC must be defined")
+        assert(spark.table("soak_cal").count() > 50)
+      } finally { auc.stop(); cal.stop() }
+    }
+  }
+
   test("soak: per-user transition + funnel state expires with the user churn (100 batches)") {
     // the round-9 per-user ops (transitionMonitor, funnelProgress) keep
     // ONE state row per ACTIVE user with an event-time timeout; a user
