@@ -981,6 +981,62 @@ object Windowed {
              |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
              |FROM dau d JOIN wau w USING (day)""".stripMargin)),
 
+    // ---- rolling actives, sketch-served — q162's 100 TB scale form
+    //      (the q177/q182 exact-vs-sketch idiom): one mergeable
+    //      datasketches HLL per day (hll_sketch_agg, lgK 14 → ~0.8%
+    //      rsd), the trailing-7-day WAU as an hll_union_agg over a
+    //      calendar RANGE frame (epoch-day ordered — a ROWS frame
+    //      would silently union the last 7 PRESENT days across a gap),
+    //      verified inside a 5% band of q162's exact explode-onto-
+    //      spine count. The band compare is pure integers
+    //      (|est − exact|·20 ≤ exact — hll_sketch_estimate returns
+    //      BIGINT), and the oracle pins hll_ok TRUE so a degenerate
+    //      sketch flips the row red; the estimate itself is
+    //      deliberately NOT an output column (DuckDB cannot replay
+    //      datasketches). 100 TB: the exact leg's ×7 explode + global
+    //      distinct is the fixture-scale verification bracket; the
+    //      serving path is day-grain sketches (corpus collapses in ONE
+    //      (day, user) distinct, sketches merge map-side) unioned at
+    //      ≤#days grain — the window is day-grain, value-domain
+    //      bounded.
+    "q227_wau_hll" -> Q(
+      (s, d) => {
+        val du = Tables(s, d, "events")
+          .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+          .distinct()
+        val wauExact = du
+          .select(explode(expr(
+            "sequence(day, date_add(day, 6), interval 1 day)")).as("day"),
+            col("user_id"))
+          .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau_exact"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .orderBy(col("day_n"))
+          .rangeBetween(-6, 0)
+        val unioned = du.groupBy(col("day"))
+          .agg(call_function("hll_sketch_agg",
+            col("user_id").cast("string"), lit(14)).as("sk"))
+          .withColumn("day_n",
+            datediff(col("day"), lit("1970-01-01").cast("date")))
+          .withColumn("est", call_function("hll_sketch_estimate",
+            call_function("hll_union_agg", col("sk"), lit(true)).over(w)))
+        unioned.select(col("day"), col("est"))
+          .join(wauExact, Seq("day"))
+          .select(col("day"), col("wau_exact"),
+            (abs(col("est") - col("wau_exact")) * lit(20L) <= col("wau_exact"))
+              .as("hll_ok"))
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+             |du AS (SELECT DISTINCT day, user_id FROM ev),
+             |cov AS (SELECT CAST(day + k * INTERVAL 1 DAY AS DATE) AS day,
+             |          user_id FROM du,
+             |        LATERAL (SELECT unnest(generate_series(0, 6)) AS k) l),
+             |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+             |          AS wau_exact FROM cov GROUP BY 1)
+             |SELECT d.day, w.wau_exact, TRUE AS hll_ok
+             |FROM (SELECT DISTINCT day FROM du) d
+             |JOIN wau w USING (day)""".stripMargin)),
+
     // ---- activity concentration (Gini): how unequally event volume
     //      spreads over users, per event type and overall — the "is one
     //      crawler/bot generating half the feed" read behind sampling

@@ -872,4 +872,37 @@ class AnalyticsPackSpec extends SparkSuite {
     // the signal must separate docs: not all fixture indices identical
     assert(expected.map(_._5).size > 1)
   }
+
+  test("q227 sketch WAU survives a calendar gap (RANGE frame, not ROWS)") {
+    import spark.implicits._
+    // planted activity with day 3..4 missing: a ROWS 6-PRECEDING frame
+    // would union the last 7 PRESENT days across the gap (over-count);
+    // the calendar RANGE frame must union exactly [d-6, d]. Users are
+    // disjoint per day so exact WAU is the sum of present-day counts
+    // in the calendar window — small enough that HLL at lgK 14 is
+    // exact, making hll_ok a sharp assertion, not a band.
+    val dir = tmpDir("q227_gap").toString
+    val days = Seq(0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12)
+    val rows = for {
+      d0 <- days
+      u <- 0 until 10
+    } yield (new java.sql.Timestamp(1700000000000L + d0 * 86400000L),
+      (d0 * 100 + u).toLong, "view", 1.0, "{}")
+    rows.toDF("ts", "user_id", "event_type", "value", "props")
+      .withColumn("event_id", col("user_id"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.Catalog.all("q227_wau_hll").build(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getBoolean(2))).sortBy(_._1)
+    assert(got.length == days.length)
+    // every day's sketch estimate must sit inside the band vs the
+    // calendar-exact count — in particular the post-gap days, where a
+    // ROWS frame would report 70 instead of 50/60
+    assert(got.forall(_._3), s"sketch window drifted off calendar: ${got.toSeq}")
+    val exactByDay = got.map(t => t._1 -> t._2).toMap
+    // day 8 covers days 2..8 -> present {2,5,6,7,8} = 50 users
+    val day8 = java.time.Instant.ofEpochMilli(1700000000000L + 8 * 86400000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    assert(exactByDay(day8) == 50L, s"calendar-exact WAU: $exactByDay")
+  }
 }

@@ -468,7 +468,8 @@ class PlanSpec extends SparkSuite {
       "q167_activity_outliers", // quartile cumulative at count-of-counts grain (rows ∝ distinct user-day counts)
       "q182_equidepth_hist", // exact-leg boundary cumulative at distinct-cents grain (verification harness; the GK sketch is the serving path)
       "q205_score_auc",      // cum-negatives at DISTINCT-SCORE grain (value-domain-bounded; pre-bucket at a row-sized domain)
-      "q209_spearman")       // midrank cumulatives at distinct-value grain (x ≤ #order-counts, y ≤ #spend-buckets)
+      "q209_spearman",       // midrank cumulatives at distinct-value grain (x ≤ #order-counts, y ≤ #spend-buckets)
+      "q227_wau_hll")        // HLL-union RANGE frame at DAY grain (≤ #days rows by construction)
     val offenders = Catalog.all.keys.flatMap { name =>
       val p = plan(name)
       val hasGlobalWindow = unpartitioned.unanchored.matches(p)
