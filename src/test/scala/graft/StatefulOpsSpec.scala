@@ -803,6 +803,47 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("AUC monitor: histogram fold equals all-pairs Mann-Whitney on random feeds") {
+    import spark.implicits._
+    // the 2U fold (pos_b·(2·cum_neg_below + neg_b) over ascending
+    // buckets) must equal the brute all-pairs count with tie-halving
+    // AT BUCKET GRAIN for arbitrary histograms — 5 seeded random
+    // windows, batch mode (same kernel the stream runs)
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val binCents = 4000L
+    val maxBin = 6
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until 60).map { i =>
+        (tsAt(i % 20), if (rng.nextBoolean()) "purchase" else "view",
+          Some(rng.nextInt(300).toDouble))
+      } :+ ((tsAt(120), "view", Option.empty[Double]))
+      val got = StatefulOps.aucMonitor(
+          rows.toDF("ts", "event_type", "value"),
+          "10 seconds", "30 seconds", binCents, maxBin)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      // brute reference: bucket every scored row, count pairs
+      val byWindow = rows.filter(_._3.isDefined).groupBy { case (t, _, _) =>
+        t.getTime / 30000L * 30000L
+      }
+      byWindow.foreach { case (w, rs) =>
+        val bucketed = rs.map { case (_, et, v) =>
+          val cents = math.round(v.get * 100)
+          (math.min(cents / binCents, (maxBin - 1).toLong), et == "purchase")
+        }
+        val pos = bucketed.filter(_._2).map(_._1)
+        val neg = bucketed.filterNot(_._2).map(_._1)
+        var u2 = 0L
+        for (p <- pos; n <- neg)
+          u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+        assert(got(w) == ((pos.length.toLong, neg.length.toLong, u2)),
+          s"seed $seed window $w: got ${got(w)}, want " +
+            s"(${pos.length}, ${neg.length}, $u2)")
+      }
+    }
+  }
+
   test("quantile monitor: exact counts, sketch p50/p95 inside exact rank brackets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
