@@ -915,12 +915,16 @@ object StatefulOps {
     * lacks a class (the q213 degenerate rule). Scoreless (NULL value)
     * rows are EXCLUDED — an unscored row cannot be ranked; they stay
     * visible in calibrationMonitor's NULL bin, never silently mixed
-    * into AUC. State ∝ open windows × maxBin bins + open windows.
+    * into AUC. `groupCol` (the q213 grouped form) slices the whole
+    * computation per group — the per-source scorecard that catches a
+    * model inverted on one slice while the pooled number looks fine;
+    * state then ∝ open windows × groups × bins.
     * Parity: same kernel in batch ≡ stream (StatefulOpsSpec); restart
     * re-emits nothing (CheckpointRestartSpec).
     */
   def aucMonitor(events: DataFrame, lateness: String, win: String,
-                 binCents: Long, maxBin: Int): DataFrame = {
+                 binCents: Long, maxBin: Int,
+                 groupCol: Option[String] = None): DataFrame = {
     val cents = "CAST(round(value * 100) AS BIGINT)"
     val binned = events
       .filter(col("value").isNotNull)
@@ -929,28 +933,32 @@ object StatefulOps {
       .withColumn("__pos",
         when(col("event_type") === "purchase", 1L).otherwise(0L))
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), win), col("__bin"))
+      .groupBy(Seq(window(col("ts"), win)) ++ groupCol.map(col)
+        :+ col("__bin"): _*)
       .agg(sum(col("__pos")).as("n_pos"),
         sum(lit(1L) - col("__pos")).as("n_neg"))
     binned
-      .groupBy(col("window"))
+      .groupBy(Seq(col("window")) ++ groupCol.map(col): _*)
       .agg(
         collect_list(struct(col("__bin").as("b"), col("n_pos").as("p"),
           col("n_neg").as("g"))).as("hist"),
         sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
-      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+      .select(Seq(
+        graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"))
+        ++ groupCol.map(col) ++ Seq(
         col("n_pos"), col("n_neg"),
         // fold ascending buckets: 2U accumulates pos·(2·cum_neg + neg)
         expr("aggregate(array_sort(hist), " +
           "struct(CAST(0 AS BIGINT) AS cum, CAST(0 AS BIGINT) AS u2), " +
           "(acc, x) -> struct(acc.cum + x.g, " +
           "acc.u2 + x.p * (2 * acc.cum + x.g)), " +
-          "acc -> acc.u2)").as("u2"))
-      .select(col("w_start"), col("n_pos"), col("n_neg"), col("u2"),
+          "acc -> acc.u2)").as("u2")): _*)
+      .select(Seq(col("w_start")) ++ groupCol.map(col) ++ Seq(
+        col("n_pos"), col("n_neg"), col("u2"),
         when(col("n_pos") > 0L && col("n_neg") > 0L,
           col("u2").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
-          .as("auc"))
+          .as("auc")): _*)
   }
 
   /** Streaming value-quantile monitor — q170's intake sibling: per

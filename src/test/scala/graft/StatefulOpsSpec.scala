@@ -803,6 +803,52 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("AUC monitor, grouped: an inverted slice surfaces while the pool hides it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // one window, two segments: A's score ranks purchases perfectly
+    // (AUC 1), B's is perfectly inverted (AUC 0) — pooled they cancel
+    // to ~0.5 and the regression is invisible (the q213 story)
+    val rows = Seq(
+      (tsAt(1), "A", "view", Some(10.0)), (tsAt(2), "A", "view", Some(20.0)),
+      (tsAt(3), "A", "purchase", Some(810.0)), (tsAt(4), "A", "purchase", Some(820.0)),
+      (tsAt(5), "B", "purchase", Some(10.0)), (tsAt(6), "B", "purchase", Some(20.0)),
+      (tsAt(7), "B", "view", Some(810.0)), (tsAt(8), "B", "view", Some(820.0)),
+      (tsAt(120), "A", "view", Some(1.0))) // watermark pusher
+    val src = rows.toDF("ts", "segment", "event_type", "value")
+
+    val in = MemoryStream[(java.sql.Timestamp, String, String, Option[Double])]
+    val q = StatefulOps.aucMonitor(
+        in.toDF().toDF("ts", "segment", "event_type", "value"),
+        "10 seconds", "30 seconds", binCents = 40000L, maxBin = 8,
+        groupCol = Some("segment"))
+      .writeStream.format("memory").queryName("auc_mon_grp")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("aucmongrp").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+      val got = toMap(spark.table("auc_mon_grp").collect())
+      val batch = toMap(StatefulOps.aucMonitor(src, "10 seconds", "30 seconds",
+        40000L, 8, Some("segment")).collect())
+        .filter { case ((w, _), _) => got.keySet.exists(_._1 == w) }
+      assert(got == batch, s"stream $got vs batch $batch")
+      val w1 = 1700000001000L / 30000L * 30000L
+      assert(got((w1, "A")) == ((2L, 2L, 8L, Some(1.0))), s"A: ${got((w1, "A"))}")
+      assert(got((w1, "B")) == ((2L, 2L, 0L, Some(0.0))), s"B: ${got((w1, "B"))}")
+      // the pooled kernel on the same rows really does hide it
+      val pooled = StatefulOps.aucMonitor(src, "10 seconds", "30 seconds",
+        40000L, 8).collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      assert(pooled(w1) == Some(0.5), s"pooled must cancel to 0.5: $pooled")
+    } finally q.stop()
+  }
+
   test("AUC monitor: histogram fold equals all-pairs Mann-Whitney on random feeds") {
     import spark.implicits._
     // the 2U fold (pos_b·(2·cum_neg_below + neg_b) over ascending
