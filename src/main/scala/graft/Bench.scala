@@ -50,7 +50,10 @@ object Bench {
   private def cpuJiffies(): (Long, Long) = try {
     val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-    (if (f.length > 7) f(7) else 0L, f.sum)
+    // total = user..steal (first 8 fields) only: Linux folds guest /
+    // guest_nice into user, so summing all 10 double-counts guest time
+    // and understates steal_pct
+    (if (f.length > 7) f(7) else 0L, f.take(8).sum)
   } catch { case _: Throwable => (0L, 0L) }
 
   private def ppidOf(pid: Long): Long = try {
@@ -196,22 +199,22 @@ object Bench {
     }
     // spread-triggered re-measure (round-13 verdict item 1): a stat
     // whose max/min exceeds SpreadLimit is re-sampled up to MaxReruns
-    // times and the lowest-spread stat is published; rerunsOf records
-    // how many re-measures each entry needed so the artifact itself
-    // says which numbers were contested.
+    // times and the LAST re-measure is published — not the lowest-spread
+    // one, which would be a best-of-N selection biased toward favorable
+    // runs. rerunsOf records how many re-measures each entry needed so
+    // the artifact itself says which numbers were contested.
     val rerunsOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def withRerun(name: String)(sample: () => Stat): Stat = {
-      var best = sample()
+      var cur = sample()
       var n = 0
-      while (best.spread > SpreadLimit && n < MaxReruns) {
-        System.err.println(f"[bench] $name spread ${best.spread}%.1fx > " +
+      while (cur.spread > SpreadLimit && n < MaxReruns) {
+        System.err.println(f"[bench] $name spread ${cur.spread}%.1fx > " +
           f"${SpreadLimit}%.1fx — re-measuring")
-        val again = sample()
-        if (again.spread < best.spread) best = again
+        cur = sample()
         n += 1
       }
       if (n > 0) rerunsOf(name) = n
-      best
+      cur
     }
     def coldStat(name: String): Stat =
       withRerun(name)(() => stat(Seq.fill(SampleCount)(run(name))))

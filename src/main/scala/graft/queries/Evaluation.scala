@@ -25,12 +25,6 @@ import graft.Tables
   */
 object Evaluation {
 
-  /** q209's derived statistic: Pearson correlation over the (already
-    * exact-integer) doubled midranks, from the five moments — rendered
-    * into BOTH engines from this single template so the IEEE op DAG
-    * cannot drift (q204's OlsDerived discipline; sqrt is IEEE-754
-    * correctly rounded, hence bit-stable cross-engine).
-    */
   /** q224's rank-discount table: milli-scaled 1/log2(rk+1) for rk =
     * 1..Bm25TopK, frozen as integer literals (single source of truth
     * for both engines — libm log2 is not cross-engine bit-stable, so
@@ -41,6 +35,12 @@ object Evaluation {
   val NdcgDiscountMilli: Seq[(Int, Long)] = Seq(
     1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L, 5 -> 386853L)
 
+  /** q209's derived statistic: Pearson correlation over the (already
+    * exact-integer) doubled midranks, from the five moments — rendered
+    * into BOTH engines from this single template so the IEEE op DAG
+    * cannot drift (q204's OlsDerived discipline; sqrt is IEEE-754
+    * correctly rounded, hence bit-stable cross-engine).
+    */
   private val SpearmanDerived: String = {
     val (n, sx, sy, sxx, syy, sxy) =
       ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",

@@ -176,10 +176,10 @@ class GramSpec extends SparkSuite {
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
 
     val quant = rows.map(_._2.map(x => math.floor(x.toDouble * 256.0).toLong).toArray)
-    // precondition: the planted triangle is in the rescale regime
+    // precondition: the planted triangle is in the rescale regime —
+    // compute the exact max |summed triangle entry| over the Gram
     var maxAbs = 0L
-    for (v <- quant; i <- 0 until d; j <- i until d) {
-      // per-row product magnitude bounds the summed entry from below
+    for (i <- 0 until d; j <- i until d) {
       maxAbs = math.max(maxAbs, math.abs(
         quant.map(u => u(i) * u(j)).sum))
     }
