@@ -2023,6 +2023,335 @@ object Relational {
              |  HAVING CAST(round(sum(l_quantity), 0) AS BIGINT) > 80)"""
         .stripMargin)),
 
+    // ---- TPC-H Q2 (shape): min-cost supplier per part — the
+    //      decorrelated correlated-MIN subquery re-joined to its own
+    //      aggregate, under a dimension snowflake (supplier→nation→
+    //      region), with top-k output. The fixture has no partsupp, so
+    //      "supply cost" adapts to the minimum observed line price
+    //      (cents) per part among EUROPE-region suppliers; the shape
+    //      under test — aggregate-then-rejoin at (key, min) + snowflake
+    //      broadcast + TakeOrderedAndProject — is Q2's. Ties at the min
+    //      all report (exact-integer cents, the q220 rule). 100 TB: the
+    //      region slice of supplier broadcasts; ONE partkey exchange
+    //      computes the min and the (part, supplier, cost) distinct
+    //      offers re-join it partkey-partitioned; part joins at partkey
+    //      grain (AQE picks BHJ at fixture scale, SMJ past broadcast
+    //      size); output is top-100 via TakeOrderedAndProject.
+    "q228_tpch_q2" -> Q(
+      (s, d) => {
+        val eu = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            expr("CAST(round(s_acctbal * 100, 0) AS BIGINT)").as("bal_c"),
+            col("n_name"))
+        val lines = Tables(s, d, "lineitem")
+          .join(broadcast(eu.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+              .as("cost_c"))
+          .distinct()
+        val mn = lines.groupBy(col("l_partkey").as("pk"))
+          .agg(min(col("cost_c")).as("min_cost_c"))
+        lines
+          .join(mn, col("l_partkey") === col("pk") &&
+            col("cost_c") === col("min_cost_c"))
+          .join(Tables(s, d, "part").filter(col("p_type") === "STANDARD")
+            .select(col("p_partkey"), col("p_name")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+          .select(col("bal_c"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("min_cost_c"),
+            col("s_suppkey"))
+          .orderBy(col("bal_c").desc, col("s_suppkey"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH eu AS (
+             |  SELECT s_suppkey, s_name,
+             |    CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_c, n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |lines AS (
+             |  SELECT DISTINCT l_partkey, l_suppkey,
+             |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cost_c
+             |  FROM lineitem
+             |  WHERE l_suppkey IN (SELECT s_suppkey FROM eu)),
+             |mn AS (SELECT l_partkey AS pk, min(cost_c) AS min_cost_c
+             |  FROM lines GROUP BY 1)
+             |SELECT bal_c, s_name, n_name, p_partkey, p_name, min_cost_c,
+             |  s_suppkey
+             |FROM lines JOIN mn ON l_partkey = pk AND cost_c = min_cost_c
+             |JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+             |JOIN eu ON l_suppkey = s_suppkey
+             |ORDER BY bal_c DESC, s_suppkey, p_partkey LIMIT 100"""
+        .stripMargin)),
+
+    // ---- TPC-H Q4 (shape): order-priority checking — the correlated
+    //      EXISTS semi join whose condition references BOTH sides
+    //      (l_shipdate against the outer row's o_orderdate). The
+    //      fixture has no commit/receipt dates, so "late" adapts to
+    //      shipped > 30 days after order date (q219's adaptation); the
+    //      shape under test is the equi semi join with a non-equi
+    //      residual, counted per priority. 100 TB: the quarter cut is
+    //      a pushed filter on the orders scan; one orderkey exchange
+    //      for the semi; output is #priorities rows.
+    "q229_tpch_q4" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .join(Tables(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_shipdate")),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- TPC-H Q9 (shape): product-type profit by nation and year —
+    //      the 5-way star join with a SIGNED money measure grouped by
+    //      a derived date part. The fixture has no partsupp, so unit
+    //      cost adapts to p_retailprice; profit = revenue (c4 units)
+    //      minus retail-cents × qty × 100 (same c4 unit), exact per
+    //      row, possibly negative. Accumulated in DECIMAL(38,0) and
+    //      cast at the boundary (the q218 rule: nation×year grain is
+    //      corpus-sized at 100 TB; overflow must fail loudly, not
+    //      wrap). 100 TB: the widget cut prunes part before its
+    //      partkey join (AQE: BHJ at fixture, SMJ at scale); supplier→
+    //      nation broadcasts; ONE orderkey exchange joins orders;
+    //      output is #nations × #years rows.
+    "q230_tpch_q9" -> Q(
+      (s, d) => {
+        val pw = Tables(s, d, "part").filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sn = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        Tables(s, d, "lineitem")
+          .join(pw, col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, d, "orders")
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(sum(expr(s"CAST($RevC4 - $CostC4 AS DECIMAL(38,0))"))
+            .cast("long").as("sum_profit_c4"))
+      },
+      Some(s"""SELECT n_name, year(o_orderdate) AS o_year,
+             |  CAST(sum(CAST($RevC4 - $CostC4 AS DECIMAL(38,0)))
+             |    AS BIGINT) AS sum_profit_c4
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- TPC-H Q11 (shape): important stock — per-key value with a
+    //      HAVING against a GLOBAL scalar aggregate of the same derived
+    //      table. Adapted to per-part revenue from EUROPE-region
+    //      suppliers (no partsupp), kept if value > 1.5× the mean part
+    //      value — scale-free, unlike Q11's fixed fraction, so the
+    //      predicate splits at every sf (probed 14/331/2922 of
+    //      200/1984/19960). The threshold compares as the exact
+    //      integer cross-multiply value·n·10 > 15·Σvalue in
+    //      DECIMAL(38,0) (Σvalue is corpus-sized at 100 TB; the
+    //      product's bound 2⁶³·n·10 < 10³⁸ holds to n ≈ 5·10¹⁷ parts).
+    //      100 TB: region slice broadcasts into the fact semi; ONE
+    //      partkey exchange; the 1-row global frame broadcasts back
+    //      over the part-grain aggregate (q220's idiom).
+    "q231_tpch_q11" -> Q(
+      (s, d) => {
+        val eu = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"))
+        val v = Tables(s, d, "lineitem")
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"),
+            "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr(RevC4)).as("value_c4"))
+        val g = v.agg(
+          sum(col("value_c4").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        v.crossJoin(broadcast(g))
+          .filter(expr("CAST(value_c4 AS DECIMAL(38,0)) * n * 10 > 15 * s"))
+          .select(col("l_partkey"), col("value_c4"))
+      },
+      Some(s"""WITH eu AS (
+             |  SELECT s_suppkey FROM supplier
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |v AS (SELECT l_partkey, CAST(sum($RevC4) AS BIGINT) AS value_c4
+             |  FROM lineitem
+             |  WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+             |  GROUP BY 1),
+             |g AS (SELECT CAST(sum(CAST(value_c4 AS DECIMAL(38,0)))
+             |    AS DECIMAL(38,0)) AS s, count(*) AS n FROM v)
+             |SELECT l_partkey, value_c4 FROM v, g
+             |WHERE CAST(value_c4 AS DECIMAL(38,0)) * n * 10 > 15 * s"""
+        .stripMargin)),
+
+    // ---- TPC-H Q16 (shape): supplier count by part attributes — the
+    //      NOT-IN exclusion subquery (anti join) + COUNT DISTINCT over
+    //      a deduplicated pair set + negated predicates on the dim.
+    //      The fixture has no partsupp or s_comment, so the pair set
+    //      is the DISTINCT (partkey, suppkey) observed in lineitem and
+    //      "complaint" suppliers adapt to names ending in '7' (~10% at
+    //      every sf — the negative-acctbal arm is EMPTY at sf0.001, so
+    //      it cannot carry the exclusion). 100 TB: ONE pair-grain
+    //      distinct exchange (the dominant shuffle, unavoidable — the
+    //      measure is defined over distinct pairs), the complaint set
+    //      broadcasts into an anti join, part joins at partkey grain,
+    //      then a (brand, type, size) count-distinct re-aggregate.
+    "q232_tpch_q16" -> Q(
+      (s, d) => {
+        val bad = Tables(s, d, "supplier")
+          .filter(col("s_name").like("%7")).select(col("s_suppkey"))
+        Tables(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(Tables(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_name LIKE '%7')
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- TPC-H Q21 (shape): suppliers who kept orders waiting — the
+    //      EXISTS + NOT-EXISTS self-join pair on the fact table, the
+    //      hardest canonical subquery shape. Adapted: a (supplier,
+    //      order) pair waits if the order is status 'F', this
+    //      supplier shipped > 90 days after the order date, ANOTHER
+    //      supplier has a line on the order (semi), and NO other
+    //      supplier shipped late on it (anti). Pairs are DISTINCT
+    //      before counting (a supplier's multiple late lines on one
+    //      order count once). 100 TB: the late set is one orderkey-
+    //      residual join cut by the pushed status filter; both self
+    //      joins are equi on orderkey with a suppkey≠ residual — three
+    //      orderkey exchanges total, never all-pairs; supplier names
+    //      broadcast; top-100 via TakeOrderedAndProject.
+    "q233_tpch_q21" -> Q(
+      (s, d) => {
+        val l1 = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = l1
+          .join(Tables(s, d, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val sole = late
+          .join(l1.select(col("l_orderkey").as("xo"), col("l_suppkey").as("xs")),
+            col("l_orderkey") === col("xo") && col("l_suppkey") =!= col("xs"),
+            "left_semi")
+          .join(late.select(col("l_orderkey").as("yo"), col("l_suppkey").as("ys")),
+            col("l_orderkey") === col("yo") && col("l_suppkey") =!= col("ys"),
+            "left_anti")
+        sole.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"), col("s_suppkey"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(100)
+      },
+      Some("""WITH late AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |SELECT s_name, count(*) AS numwait, s_suppkey
+             |FROM late lt JOIN supplier ON s_suppkey = lt.l_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem x
+             |              WHERE x.l_orderkey = lt.l_orderkey
+             |                AND x.l_suppkey <> lt.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late y
+             |                  WHERE y.l_orderkey = lt.l_orderkey
+             |                    AND y.l_suppkey <> lt.l_suppkey)
+             |GROUP BY s_name, s_suppkey
+             |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin)),
+
+    // ---- TPC-H Q22 (shape): global sales opportunity — the
+    //      uncorrelated scalar-AVERAGE subquery + NOT-EXISTS anti join
+    //      + substring-derived grouping key. Adapted: country code is
+    //      the last two digits of c_name (no c_phone), "no orders"
+    //      becomes no orders since 1999 (every fixture customer has
+    //      SOME order), and the average compares as the exact integer
+    //      cross-multiply bal_c·n > Σbal_c over positive balances
+    //      (bal_c ≤ 10⁶ cents, so the product is Long-safe to n ≈
+    //      9·10¹² customers; Σ accumulates in DECIMAL(38,0)). 100 TB:
+    //      the 1-row (Σ, n) frame broadcasts over the customer scan;
+    //      the anti join is equi on custkey against the date-pruned
+    //      orders projection; output is ≤100 code groups.
+    "q234_tpch_q22" -> Q(
+      (s, d) => {
+        val pos = Tables(s, d, "customer")
+          .filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"),
+            expr("substring(c_name, length(c_name) - 1, 2)").as("cntrycode"),
+            expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("bal_c"))
+        val g = pos.agg(
+          sum(col("bal_c").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        pos.crossJoin(broadcast(g))
+          .filter(expr("CAST(bal_c * n AS DECIMAL(38,0)) > s"))
+          .join(Tables(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("cntrycode"))
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      },
+      Some("""WITH pos AS (
+             |  SELECT c_custkey,
+             |    substring(c_name, length(c_name) - 1, 2) AS cntrycode,
+             |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+             |  FROM customer WHERE c_acctbal > 0),
+             |g AS (SELECT CAST(sum(CAST(bal_c AS DECIMAL(38,0)))
+             |    AS DECIMAL(38,0)) AS s, count(*) AS n FROM pos)
+             |SELECT cntrycode, count(*) AS numcust,
+             |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+             |FROM pos, g
+             |WHERE CAST(bal_c * n AS DECIMAL(38,0)) > s
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+             |GROUP BY 1""".stripMargin)),
+
     // ---- exact-moment OLS calibration: per-returnflag least-squares fit
     //      of line revenue (whole dollars) on quantity — the closed-form
     //      regression every monitoring/calibration pipeline ships (price
@@ -2097,6 +2426,17 @@ object Relational {
   private val RevC4: String =
     "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
       "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+
+  /** q230's unit-cost term in RevC4's 10⁻⁴-dollar units: retail cents ×
+    * whole-unit quantity × 100. The fixture has no partsupp, so retail
+    * price stands in for supply cost; exactness and shared-text
+    * discipline are RevC4's. Per-row profit (RevC4 − CostC4) fits a
+    * BIGINT with ~7 orders of headroom; the q230 SUM is the part that
+    * needs DECIMAL(38,0).
+    */
+  private val CostC4: String =
+    "CAST(round(p_retailprice * 100, 0) AS BIGINT) * " +
+      "CAST(round(l_quantity, 0) AS BIGINT) * 100"
 
   /** q218's charge term: cents × (100 − disc%) × (100 + tax%), i.e.
     * charge in 10⁻⁶-dollar units — exact for the fixture's ≤2-decimal

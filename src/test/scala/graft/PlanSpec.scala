@@ -260,6 +260,35 @@ class PlanSpec extends SparkSuite {
       s"quantity hull not pushed to the scan:\n$p")
   }
 
+  test("q228–q234 TPC-H remainder shapes: subqueries stay equi joins, top-ks stay bounded") {
+    // Q2/Q9/Q16's joins must all be equi (a cartesian in the min-rejoin
+    // or the star is quadratic at 100 TB); Q4's EXISTS and Q21's
+    // EXISTS + NOT-EXISTS pair must plan as orderkey semi/anti joins
+    // with the date/suppkey comparisons as residuals, never per-row
+    // subqueries; Q11/Q22's 1-row global frames are the only allowed
+    // non-equi joins (whitelisted broadcast crosses).
+    for (name <- Seq("q228_tpch_q2", "q229_tpch_q4", "q230_tpch_q9",
+        "q232_tpch_q16", "q233_tpch_q21")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name fell out of the equi-join regime:\n$p")
+    }
+    assert(plan("q229_tpch_q4").contains("LeftSemi"),
+      "q229 EXISTS must be a semi join")
+    val q21 = plan("q233_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q233 needs both correlation joins:\n$q21")
+    assert(plan("q232_tpch_q16").contains("LeftAnti"),
+      "q232 complaint exclusion must be an anti join")
+    assert(plan("q234_tpch_q22").contains("LeftAnti"),
+      "q234 no-recent-orders must be an anti join")
+    // Q2 and Q21 emit top-100: the global order must be a
+    // TakeOrderedAndProject, never a full sort
+    for (name <- Seq("q228_tpch_q2", "q233_tpch_q21"))
+      assert(plan(name).contains("TakeOrderedAndProject"),
+        s"$name top-k must be TakeOrderedAndProject")
+  }
+
   test("q201 DQ audit: row-grain checks are hash aggregates, FK arm is an anti equi join") {
     // the report's cost model: each table contributes ONE scan feeding a
     // map-side-combinable aggregate; referential integrity is the only
@@ -394,7 +423,9 @@ class PlanSpec extends SparkSuite {
     "q214_feature_corr",     // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",      // value-domain cell pairs + 1-row margin crosses
     "q217_conversion_lift",  // #types rows × a broadcast 1-row global frame
-    "q220_tpch_q15")         // supplier-grain revenue × a broadcast 1-row max
+    "q220_tpch_q15",         // supplier-grain revenue × a broadcast 1-row max
+    "q231_tpch_q11",         // part-grain value × a broadcast 1-row (Σ, n) frame
+    "q234_tpch_q22")         // positive-balance customers × a broadcast 1-row (Σ, n) mean
   private val intentionalNestedLoop = Set(
     "q08_theta_join", "q38_range_join",   // band/range conditions
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
@@ -443,7 +474,9 @@ class PlanSpec extends SparkSuite {
     "q214_feature_corr",        // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",         // (#cells)² pair theta join at VALUE-domain grain + 1-row margins
     "q217_conversion_lift",     // #types rows × a broadcast 1-row global frame
-    "q220_tpch_q15")            // supplier-grain revenue × a broadcast 1-row max
+    "q220_tpch_q15",            // supplier-grain revenue × a broadcast 1-row max
+    "q231_tpch_q11",            // part-grain value × a broadcast 1-row (Σ, n) frame
+    "q234_tpch_q22")            // positive-balance customers × a broadcast 1-row (Σ, n) mean
 
   test("no accidental cartesian or nested-loop joins anywhere in the catalog") {
     val offenders = Catalog.all.keys.flatMap { name =>
