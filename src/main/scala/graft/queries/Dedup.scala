@@ -477,8 +477,75 @@ object Dedup {
              |  AND a.c_mktsegment = b.c_mktsegment
              |  AND a.c_custkey < b.c_custkey
              |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
-             |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin))
+             |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)),
+
+    // ---- MinHash ESTIMATOR-ACCURACY audit: per LSH candidate pair,
+    //      the signature-agreement estimate (est32/32 ≈ Jaccard) next
+    //      to the EXACT hashed-shingle Jaccard — the q177 sketch-audit
+    //      idea applied to the dedup family's sketch. Both columns are
+    //      exact in BOTH engines: the permutation constants are shared
+    //      integer literals and the shingle hash is the md5 prefix, so
+    //      DuckDB replays the 32 signature components bit-for-bit (the
+    //      machinery q41's bucket parity already rests on, here made an
+    //      auditable output). Rep grain (distinct texts) — exact-dup
+    //      members add no estimator information. 100 TB: q41's plan
+    //      verbatim minus the τ filter — one capped (band, bsig)
+    //      shuffle, signatures + hashed sets ride it, pair grain is
+    //      Σ bucket² bounded by BucketCap.
+    "q235_minhash_accuracy" -> Q(
+      (s, d) => {
+        val docs = shingledReps(s, textGroups(s, d))
+        val sig = withSig(s, docs)
+        val h60 = (x: Column) =>
+          if (native(s)) call_function("graft_hash60", x) else hash60(x)
+        val bands = sig
+          .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
+            col("sig"), posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
+        bands
+          .groupBy(col("band"), col("bsig"))
+          .agg(collectCapped(s, struct(col("doc_id"), col("hs"), col("sig")),
+            witness(BucketCap)).as("ids"))
+          .withColumn("ids", slice(col("ids"), 1, BucketCap))
+          .filter(size(col("ids")) > 1)
+          .select(explode(sortedPairs(col("ids"))).as("p"))
+          .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+            expr("size(filter(zip_with(p.a.sig, p.b.sig, (x, y) -> x = y), v -> v))")
+              .cast("long").as("e32"),
+            (size(array_intersect(col("p.a.hs"), col("p.b.hs"))).cast("double") /
+              size(array_union(col("p.a.hs"), col("p.b.hs")))).as("jac"))
+          // a pair can match in several bands — keep it once (est32 and
+          // jac are pair-functions, identical in every occurrence)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(first(col("e32")).as("est32"),
+            round(first(col("jac")), 4).as("jaccard"))
+      },
+      Some(minhashAccuracyOracle(BucketCap)))
   )
+
+  /** q235's oracle: [[minhashOracle]]'s CTEs up to the candidate set
+    * (shingles, exact-dup collapse, signatures, capped band buckets),
+    * then the per-pair signature-agreement count from the `mh`
+    * relation and the exact Jaccard from `inter0`/`sz` — spliced, not
+    * duplicated, so the sketch pipeline stays single-sourced (the
+    * dupClustersOracle discipline).
+    */
+  private def minhashAccuracyOracle(cap: Int): String = {
+    val mo = minhashOracle(cap)
+    val split = mo.lastIndexOf("rep_pairs AS")
+    require(split > 0, "minhashOracle shape changed; update minhashAccuracyOracle")
+    mo.substring(0, split).trim.stripSuffix(",") + ",\n" +
+      """est AS (SELECT c.ra, c.rb,
+        |    CAST(count(*) FILTER (x.v = y.v) AS BIGINT) AS est32
+        |  FROM cand c JOIN mh x ON x.doc_id = c.ra
+        |  JOIN mh y ON y.doc_id = c.rb AND y.j = x.j
+        |  GROUP BY c.ra, c.rb)
+        |SELECT e.ra AS doc_a, e.rb AS doc_b, e.est32,
+        |  round(COALESCE(i.c, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.c, 0)), 4)
+        |    AS jaccard
+        |FROM est e JOIN sz sa ON sa.doc_id = e.ra
+        |JOIN sz sb ON sb.doc_id = e.rb
+        |LEFT JOIN inter0 i ON i.ra = e.ra AND i.rb = e.rb""".stripMargin
+  }
 
   /** q43's document-frequency cap: shingles appearing in more than DfCap
     * DISTINCT texts (df is counted post-collapse — duplicate copies of a
