@@ -1212,8 +1212,85 @@ object TextAnalysis {
              |SELECT doc_id, n_tokens, n_types, sum_sq,
              |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) /
              |    CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
-             |FROM div_a""".stripMargin))
+             |FROM div_a""".stripMargin)),
+
+    // ---- ROBUST per-source length gate: low-median + MAD (median
+    //      absolute deviation) document-length statistics and the
+    //      outlier count at MadK×MAD — the outlier rule that, unlike
+    //      q111's mean/stddev profile, a few garbage mega-documents
+    //      cannot drag (median and MAD have 50% breakdown; mean/σ have
+    //      0%). Medians are LOW medians (the rank-⌈n/2⌉ element via
+    //      cumulative counts — no interpolation, so both engines agree
+    //      in pure integers; the q182 exact-boundary technique). MadK=2
+    //      because the fixture's lengths are near-uniform (max dev ≈
+    //      2.5–4.4 MAD, probed at all three sfs — k=3 selects ZERO at
+    //      sf0.1, a vacuous gate); heavy-tailed real corpora use 3–5.
+    //      100 TB: ONE corpus scan into a map-side-combinable
+    //      (source, length) aggregate; every later step — cumulative
+    //      windows (partitioned by source), the deviation re-grain,
+    //      the outlier count — runs at value-domain grain (#sources ×
+    //      #distinct-lengths), never per-document.
+    "q236_robust_mad" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lc = Tables(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("ln"))
+          .groupBy(col("source"), col("ln")).agg(count(lit(1)).as("c"))
+        val n = lc.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+        val med = lc
+          .withColumn("cm", sum(col("c"))
+            .over(Window.partitionBy(col("source")).orderBy(col("ln"))))
+          .join(broadcast(n), "source")
+          .filter(col("cm") * 2 >= col("n_docs"))
+          .groupBy(col("source")).agg(min(col("ln")).as("med"))
+        val dc = lc.join(broadcast(med), "source")
+          .groupBy(col("source"), abs(col("ln") - col("med")).as("dv"))
+          .agg(sum(col("c")).as("c"))
+        val mad = dc
+          .withColumn("cm", sum(col("c"))
+            .over(Window.partitionBy(col("source")).orderBy(col("dv"))))
+          .join(broadcast(n), "source")
+          .filter(col("cm") * 2 >= col("n_docs"))
+          .groupBy(col("source")).agg(min(col("dv")).as("mad"))
+        dc.join(broadcast(med), "source").join(broadcast(mad), "source")
+          .groupBy(col("source"))
+          .agg(min(col("med")).as("med_len"), min(col("mad")).as("mad_len"),
+            sum(col("c")).as("n_docs"),
+            sum(when(col("dv") > lit(MadK) * col("mad"), col("c"))
+              .otherwise(0L)).as("n_outliers"))
+      },
+      Some(s"""WITH lc AS (SELECT source, len(string_split(text, ' ')) AS ln,
+             |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+             |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+             |  FROM lc GROUP BY 1),
+             |cum AS (SELECT source, ln, c,
+             |    sum(c) OVER (PARTITION BY source ORDER BY ln) AS cm FROM lc),
+             |med AS (SELECT cum.source, min(ln) AS med
+             |  FROM cum JOIN n ON n.source = cum.source
+             |  WHERE cm * 2 >= n_docs GROUP BY 1),
+             |dc AS (SELECT lc.source, abs(ln - med) AS dv,
+             |    CAST(sum(c) AS BIGINT) AS c
+             |  FROM lc JOIN med ON med.source = lc.source GROUP BY 1, 2),
+             |dcum AS (SELECT source, dv, c,
+             |    sum(c) OVER (PARTITION BY source ORDER BY dv) AS cm FROM dc),
+             |mad AS (SELECT dcum.source, min(dv) AS mad
+             |  FROM dcum JOIN n ON n.source = dcum.source
+             |  WHERE cm * 2 >= n_docs GROUP BY 1)
+             |SELECT dc.source, min(med) AS med_len, min(mad) AS mad_len,
+             |  CAST(sum(c) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN dv > $MadK * mad THEN c ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dc JOIN med ON med.source = dc.source
+             |JOIN mad ON mad.source = dc.source
+             |GROUP BY 1""".stripMargin))
   )
+
+  /** q236's outlier multiplier: |len − median| > MadK × MAD flags a
+    * document. 2 on the fixture (see the entry header); production
+    * corpora typically run 3–5.
+    */
+  val MadK = 2
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and
     * top-1/2-gram concentration with the keep verdict, as a struct

@@ -135,4 +135,67 @@ class QualityStatsSpec extends SparkSuite {
       assert(varx > 0 && vary > 0, s"$flag degenerate fixture")
     }
   }
+
+  /** Low median (rank ⌈n/2⌉, no interpolation) — q236's definition. */
+  private def lowMedian(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    s((s.length + 1) / 2 - 1)
+  }
+
+  test("q236: per-source median/MAD/outliers match a scalar reference, outlier arm engaged") {
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("source"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).length.toLong)
+    val ref = docs.groupBy(_._1).map { case (src, rows) =>
+      val lens = rows.map(_._2).toSeq
+      val med = lowMedian(lens)
+      val mad = lowMedian(lens.map(l => math.abs(l - med)))
+      val out = lens.count(l =>
+        math.abs(l - med) > graft.queries.TextAnalysis.MadK * mad).toLong
+      src -> ((med, mad, lens.length.toLong, out))
+    }
+    val got = graft.queries.Catalog.all("q236_robust_mad").build(spark, sf())
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // the MadK multiplier must flag SOMETHING on the fixture or the
+    // gate is vacuous (the reason MadK is 2, not the textbook 3–5)
+    assert(got.values.map(_._4).sum > 0, "outlier arm never engages")
+  }
+
+  test("q236: a planted heavy tail is the only outlier; MAD ignores it") {
+    import spark.implicits._
+    // lens 8,9,10,10,10,11,12,30: low-med = 10, deviations sorted
+    // 0,0,0,1,1,2,2,20 -> MAD = 1; only the 30-token doc clears 2xMAD.
+    // The MEAN path would put the cut at mean+2sigma ~ 26 but drag the
+    // center to 12.5 - MAD keeps the center at the true 10.
+    val lens = Seq(8, 9, 10, 10, 10, 11, 12, 30)
+    val dir = tmpDir("q236_planted").toString
+    lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "), "en", "s0", n.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Catalog.all("q236_robust_mad").build(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) == ((10L, 1L, 8L, 1L)), r(0).toString)
+  }
+
+  test("q235: signature estimate tracks exact Jaccard within the 32-hash envelope") {
+    val rows = graft.queries.Catalog.all("q235_minhash_accuracy")
+      .build(spark, sf()).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))) // (est32, jaccard)
+    assert(rows.nonEmpty, "no candidate pairs at sf0.001")
+    // 32 hashes: sigma <= sqrt(0.25/32) ~ 0.088; 4 sigma = 0.354. The
+    // fixture's observed max is ~0.20 (measured at sf0.1) - a violation
+    // here means the signature kernel and the shingle hash disagree.
+    val worst = rows.map { case (e, j) => math.abs(e / 32.0 - j) }.max
+    assert(worst <= 0.354, f"estimator error $worst%.3f beyond 4-sigma")
+    // non-vacuous: the audit must see IMPERFECT estimates, not only
+    // exact-dup pairs where est = 32 and jaccard = 1 agree trivially
+    assert(rows.exists { case (e, j) => e < 32 || j < 1.0 },
+      "only trivial pairs - audit is vacuous")
+  }
 }
