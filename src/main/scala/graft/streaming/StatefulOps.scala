@@ -985,6 +985,40 @@ object StatefulOps {
         col("event_type"), col("n"), col("p50"), col("p95"),
         col("min_val"), col("max_val"))
 
+  /** Streaming heavy-hitters monitor — q65's intake sibling: per
+    * event-time window, the Misra–Gries candidate set over the token
+    * stream plus the window's exact token count N. The sketch is the
+    * whole point at stream scale: exact per-window token frequencies
+    * need the window's full token DOMAIN in state (unbounded on an
+    * open-vocabulary feed), while the MG buffer is O(capacity) per
+    * open window and keeps the classic guarantee — every token with
+    * in-window frequency > N/(capacity+1) is IN the candidate list
+    * (the spec pins it against brute-force counts of the fed data).
+    * Candidates carry no counts by design: MG estimates undercount by
+    * up to N/(capacity+1), so production recounts candidates exactly
+    * in batch — q65's sketch-then-verify, split across the
+    * stream/batch boundary. Candidates emit sorted (deterministic
+    * output). ONE windowed aggregate; the MG buffer merges across
+    * partial aggregation like any TypedImperativeAggregate (the
+    * percentile_approx path quantileMonitor already rides); state ∝
+    * open windows under the watermark.
+    */
+  def topkMonitor(docs: DataFrame, textCol: String, tsCol: String,
+                  lateness: String, win: String, capacity: Int): DataFrame = {
+    require(docs.sparkSession.catalog.functionExists("graft_mg_candidates"),
+      "topkMonitor needs the graft_mg_candidates native aggregate — " +
+        "register graft.plans.GraftExtensions")
+    docs
+      .select(col(tsCol), explode(split(col(textCol), " ")).as("__tok"))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), win))
+      .agg(count(lit(1)).as("n_tokens"),
+        call_function("graft_mg_candidates", col("__tok"), lit(capacity))
+          .as("cands"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col("n_tokens"), array_sort(col("cands")).as("candidates"))
+  }
+
   final case class EwmaIn(gkey: String, day_ms: Long, n: Long)
   final case class EwmaSt(ewmaFp: Long)
   final case class EwmaFold(gkey: String, day_ms: Long, n: Long,

@@ -75,6 +75,51 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("topk monitor: planted heavy hitters survive the per-window MG guarantee") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text")
+    val cap = 4
+    val q = StatefulOps.topkMonitor(docs, "text", "ts",
+        lateness = "10 seconds", win = "30 seconds", capacity = cap)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,30): 'hot' 12x + 'warm' 9x + 8 singletons = 29 tokens;
+      // freq > 29/(4+1) = 5.8 guarantees hot and warm survive.
+      // window [30,60): 'other' dominates outright.
+      in.addData(
+        (ts(5), Seq.fill(6)("hot").mkString(" ")),
+        (ts(12), (Seq.fill(6)("hot") ++ Seq.fill(9)("warm")).mkString(" ")),
+        (ts(20), (1 to 8).map(i => s"cold$i").mkString(" ")),
+        (ts(35), "other other other rare"))
+      q.processAllAvailable()
+      in.addData((ts(300), "flush")) // advance the watermark past both
+      q.processAllAvailable()
+      val rows = spark.table("topk")
+        .select("w_start", "n_tokens", "candidates")
+        .as[(Long, Long, Seq[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3.toSet))).toMap
+      val (n0, c0) = rows(0L)
+      assert(n0 == 29L, s"window-0 token count $n0")
+      assert(c0.contains("hot") && c0.contains("warm"),
+        s"guaranteed heavy hitters missing: $c0")
+      assert(c0.size <= cap, s"candidate list exceeds capacity: $c0")
+      val (n1, c1) = rows(30000L)
+      assert(n1 == 4L && c1.contains("other"), s"window-1: $n1 $c1")
+      // brute-force the guarantee over everything fed to window 0: any
+      // token past the N/(cap+1) bar MUST be a candidate
+      val fed = Seq.fill(12)("hot") ++ Seq.fill(9)("warm") ++
+        (1 to 8).map(i => s"cold$i")
+      val bar = fed.size.toDouble / (cap + 1)
+      fed.groupBy(identity).foreach { case (t, occ) =>
+        if (occ.size > bar) assert(c0.contains(t), s"$t clears the bar, absent")
+      }
+    } finally q.stop()
+  }
+
   test("windowed drift monitor: off-distribution feed flags, stream equals batch recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
