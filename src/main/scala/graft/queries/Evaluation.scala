@@ -35,6 +35,15 @@ object Evaluation {
   val NdcgDiscountMilli: Seq[(Int, Long)] = Seq(
     1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L, 5 -> 386853L)
 
+  /** q237's derived statistic: Brier = Σ((score−mn) − y·den)² /
+    * (n·den²) — exact integer numerator, ONE shared IEEE op-DAG
+    * (the OlsDerived discipline). Declared BEFORE defs (a val):
+    * the oracle string renders from it at object init.
+    */
+  private val BrierDerived: Seq[String] = Seq(
+    "CAST(sse AS DOUBLE) / (CAST(n_docs AS DOUBLE) * " +
+      "CAST(den AS DOUBLE) * CAST(den AS DOUBLE)) AS brier")
+
   /** q209's derived statistic: Pearson correlation over the (already
     * exact-integer) doubled midranks, from the five moments — rendered
     * into BOTH engines from this single template so the IEEE op DAG
@@ -718,6 +727,53 @@ object Evaluation {
              |          CAST(${TextAnalysis.Bm25TopK} AS BIGINT)) AS DOUBLE)
              |    END AS ap_at_k
              |FROM qsrc q LEFT JOIN per ON q.q_id = per.q_id
-             |LEFT JOIN rt ON q.q_id = rt.q_id""".stripMargin))
+             |LEFT JOIN rt ON q.q_id = rt.q_id""".stripMargin)),
+
+    // ---- BRIER score per source: the PROPER scoring rule the family's
+    //      other two lenses don't give — q205's AUC sees only ranking
+    //      (any monotone rescale leaves it fixed) and q206's
+    //      calibration bins see only bin means; Brier = mean((p − y)²)
+    //      punishes BOTH miscalibration and low sharpness (Murphy
+    //      decomposition), so it catches a classifier AUC flatters.
+    //      The score channel is q206's verbatim (min-max-normalized
+    //      n_chars as P(lang = en)). Exactness: p = (score − mn)/den
+    //      with den = mx − mn + 1 a GLOBAL 1-row frame, so
+    //      (p − y)² = ((score − mn) − y·den)²/den² has an exact BIGINT
+    //      numerator per row; the Σ accumulates in DECIMAL(38,0)
+    //      (per-row ceiling den² ≈ 10¹² at the fixture's char range —
+    //      corpus-sized groups clear 2⁶³, the q218 rule) and the ONE
+    //      IEEE division per group comes from the shared template.
+    //      100 TB: one 1-row (mn, mx) broadcast over the scan, one
+    //      map-side-combinable source-grain aggregate.
+    "q237_brier_score" -> Q(
+      (s, d) => {
+        val base = Tables.spread(Tables(s, d, "documents"))
+          .select(col("source"), col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("y"))
+        val mm = base.agg(min(col("score")).as("mn"),
+          (max(col("score")) - min(col("score")) + 1L).as("den"))
+        base.crossJoin(broadcast(mm))
+          .select(col("source"), col("den"),
+            (col("score") - col("mn") - col("y") * col("den")).as("r"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("CAST(r * r AS DECIMAL(38,0))")).cast("long").as("sse"),
+            min(col("den")).as("den"))
+          .selectExpr(Seq("source", "n_docs", "sse") ++ BrierDerived: _*)
+      },
+      Some(s"""WITH b AS (SELECT source, n_chars AS score,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+             |    CAST(max(score) - min(score) + 1 AS BIGINT) AS den FROM b),
+             |m AS (SELECT source, den, score - mn - y * den AS r
+             |  FROM b CROSS JOIN mm),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(CAST(r * r AS DECIMAL(38,0))) AS BIGINT) AS sse,
+             |    CAST(min(den) AS BIGINT) AS den
+             |  FROM m GROUP BY 1)
+             |SELECT source, n_docs, sse,
+             |  ${BrierDerived.mkString(",\n             |  ")}
+             |FROM g""".stripMargin))
   )
 }

@@ -2352,6 +2352,71 @@ object Relational {
              |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
              |GROUP BY 1""".stripMargin)),
 
+    // ---- WINSORIZED mean per priority: order value clamped to the
+    //      exact per-group [p05, p95] before averaging — the robust
+    //      mean every revenue/latency dashboard wants once a single
+    //      fat-finger order can drag the raw mean (q236's breakdown
+    //      argument applied to the mean instead of the center).
+    //      Boundaries are exact LOW-rank order statistics (min v with
+    //      cum·20 ≥ n, resp. ≥ 19n — the q182 exact-boundary
+    //      technique, no interpolation), the clamped sum accumulates
+    //      in DECIMAL(38,0) (clamped cents × corpus-sized groups clear
+    //      2⁶³ at 100 TB — the q218 rule), and the mean is ONE IEEE
+    //      division. 100 TB: ONE fact scan into a map-side-combinable
+    //      (priority, cents) aggregate; cumulative windows and the
+    //      clamp run at value-domain grain (#priorities × #distinct
+    //      cents), never per-order; boundary tables broadcast.
+    "q239_winsorized_mean" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vc = Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("v"))
+          .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+        val n = vc.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+        val cum = vc.withColumn("cm", sum(col("c"))
+            .over(Window.partitionBy(col("grp")).orderBy(col("v"))))
+          .join(broadcast(n), "grp")
+        val lo = cum.filter(col("cm") * 20 >= col("n"))
+          .groupBy(col("grp")).agg(min(col("v")).as("p05"))
+        val hi = cum.filter(col("cm") * 20 >= col("n") * 19)
+          .groupBy(col("grp")).agg(min(col("v")).as("p95"))
+        vc.join(broadcast(lo), "grp").join(broadcast(hi), "grp")
+          .select(col("grp"), col("p05"), col("p95"), col("c"),
+            when(col("v") < col("p05"), col("p05"))
+              .when(col("v") > col("p95"), col("p95"))
+              .otherwise(col("v")).as("wv"))
+          .groupBy(col("grp"))
+          .agg(min(col("p05")).as("p05_c"), min(col("p95")).as("p95_c"),
+            sum(expr("CAST(wv * c AS DECIMAL(38,0))")).cast("long")
+              .as("wsum_c"),
+            sum(col("c")).as("n_rows"))
+          .selectExpr("grp", "p05_c", "p95_c", "wsum_c", "n_rows",
+            "CAST(wsum_c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS winsor_mean_c")
+      },
+      Some("""WITH b AS (SELECT o_orderpriority AS grp,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+             |  FROM orders),
+             |vc AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM b GROUP BY 1, 2),
+             |n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+             |cum AS (SELECT grp, v, c,
+             |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cm FROM vc),
+             |lo AS (SELECT cum.grp, min(v) AS p05
+             |  FROM cum JOIN n USING (grp) WHERE cm * 20 >= n GROUP BY 1),
+             |hi AS (SELECT cum.grp, min(v) AS p95
+             |  FROM cum JOIN n USING (grp) WHERE cm * 20 >= 19 * n GROUP BY 1),
+             |w AS (SELECT vc.grp,
+             |    CASE WHEN v < p05 THEN p05 WHEN v > p95 THEN p95
+             |      ELSE v END AS wv, c, p05, p95
+             |  FROM vc JOIN lo ON lo.grp = vc.grp JOIN hi ON hi.grp = vc.grp)
+             |SELECT grp, min(p05) AS p05_c, min(p95) AS p95_c,
+             |  CAST(sum(CAST(wv * c AS DECIMAL(38,0))) AS BIGINT) AS wsum_c,
+             |  CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(wv * c AS DECIMAL(38,0))) AS DOUBLE)
+             |    / CAST(sum(c) AS DOUBLE) AS winsor_mean_c
+             |FROM w GROUP BY 1""".stripMargin)),
+
     // ---- exact-moment OLS calibration: per-returnflag least-squares fit
     //      of line revenue (whole dollars) on quantity — the closed-form
     //      regression every monitoring/calibration pipeline ships (price

@@ -1283,7 +1283,109 @@ object TextAnalysis {
              |    AS BIGINT) AS n_outliers
              |FROM dc JOIN med ON med.source = dc.source
              |JOIN mad ON mad.source = dc.source
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- FUSION-SHIFT audit: truncated rank-biased overlap (RBO@k,
+    //      Webber et al. 2010) between q128's lexical leg and its
+    //      RRF-fused output — "how far did adding the dense leg move
+    //      the ranking the lexical index would have served". RBO is
+    //      the top-weighted agreement measure Kendall/Spearman are not
+    //      (they weight all ranks equally and need conjoint lists);
+    //      here rbo1920 = 1860 means the dense leg changed nothing,
+    //      404 means the head was rewritten. Exact by construction:
+    //      each overlapping doc contributes the integer suffix weight
+    //      [[RboSuffix1920]](max(rank_lex, rank_fused)) and the ONE
+    //      IEEE division to [0,1) happens at output. The two-legs-raw
+    //      form (BM25 vs dense) is deliberately NOT the entry: the
+    //      fixture's legs share ~0 of their top-5s (probed 1/0/0
+    //      overlapping docs at the three sfs — a constant-zero metric
+    //      gates nothing). 100 TB: both rankings are ≤ k rows per
+    //      query by construction (the q128 contract), so everything
+    //      past the legs is query-grain; the weight table broadcasts.
+    "q238_fusion_rbo" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = Similarity.vecs(s, d)
+        val lex = bm25SelfRank(s, d)
+        val den = Similarity.searchTopK(s, e,
+          e.filter(col("vec_id") < Bm25Queries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")), Bm25TopK)
+        val fused = rrfFuse(lex, den, Bm25TopK)
+        val w = RboSuffix1920.toDF("m", "wt")
+        val ov = lex.select(col("q_id"), col("n_id"), col("rk").as("ra"))
+          .join(fused.select(col("q_id"), col("n_id"), col("rk").as("rb")),
+            Seq("q_id", "n_id"))
+          .select(col("q_id"), greatest(col("ra"), col("rb")).as("m"))
+          .join(broadcast(w), Seq("m"))
+        e.filter(col("vec_id") < Bm25Queries).select(col("vec_id").as("q_id"))
+          .join(ov, Seq("q_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(col("m")).as("n_overlap"),
+            coalesce(sum(col("wt")), lit(0L)).as("rbo1920"))
+          .selectExpr("q_id", "n_overlap", "rbo1920",
+            "CAST(rbo1920 AS DOUBLE) / CAST(1920 AS DOUBLE) AS rbo")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              |  FROM docs),
+              |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+              |       FROM docs WHERE doc_id < $Bm25Queries),
+              |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              |    CAST(any_value(dl) AS BIGINT) AS dl
+              |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+              |  WHERE term IN (SELECT DISTINCT term FROM qt)
+              |  GROUP BY doc_id, term),
+              |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+              |lsc AS (SELECT q.q_id, p.doc_id AS n_id,
+              |    CAST(sum(CAST(floor(
+              |      CAST(length(bin(t.n_docs // f.df)) AS DOUBLE)
+              |        * (CAST(p.tf AS DOUBLE) * CAST($Bm25K1p1 AS DOUBLE))
+              |        / (CAST(p.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+              |           * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+              |              + CAST($Bm25B AS DOUBLE) * (CAST(p.dl AS DOUBLE) / t.avgdl)))
+              |      * $FixedPoint.0) AS BIGINT)) AS BIGINT) AS fsc
+              |  FROM post p JOIN qt q USING (term) JOIN dft f USING (term)
+              |    CROSS JOIN tot t
+              |  WHERE p.doc_id <> q.q_id
+              |  GROUP BY q.q_id, p.doc_id),
+              |lexr AS (SELECT q_id, n_id, rk
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY fsc DESC, n_id) AS rk FROM lsc)
+              |  WHERE rk <= $Bm25TopK),
+              |e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $Bm25Queries),
+              |dsc AS (SELECT q_id, e.vec_id AS n_id,
+              |    list_dot_product(qv, e.v)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+              |  FROM q JOIN e ON e.vec_id <> q.q_id),
+              |denr AS (SELECT q_id, n_id, rk
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS rk FROM dsc)
+              |  WHERE rk <= $Bm25TopK),
+              |f AS (SELECT coalesce(l.q_id, dn.q_id) AS q_id,
+              |    coalesce(l.n_id, dn.n_id) AS n_id,
+              |    coalesce($FixedPoint // ($RrfK + l.rk), 0)
+              |      + coalesce($FixedPoint // ($RrfK + dn.rk), 0) AS rrf_fp
+              |  FROM lexr l FULL JOIN denr dn
+              |    ON l.q_id = dn.q_id AND l.n_id = dn.n_id),
+              |fr AS (SELECT q_id, n_id, rk
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY rrf_fp DESC, n_id) AS rk FROM f)
+              |  WHERE rk <= $Bm25TopK),
+              |w(m, wt) AS (VALUES ${RboSuffix1920
+                .map { case (m, wt) => s"($m, $wt)" }.mkString(", ")}),
+              |ov AS (SELECT l.q_id, greatest(l.rk, fr.rk) AS m
+              |  FROM lexr l JOIN fr ON fr.q_id = l.q_id AND fr.n_id = l.n_id),
+              |qs AS (SELECT vec_id AS q_id FROM e WHERE vec_id < $Bm25Queries)
+              |SELECT qs.q_id, CAST(count(o.m) AS BIGINT) AS n_overlap,
+              |  CAST(coalesce(sum(w.wt), 0) AS BIGINT) AS rbo1920,
+              |  CAST(coalesce(sum(w.wt), 0) AS DOUBLE) / CAST(1920 AS DOUBLE)
+              |    AS rbo
+              |FROM qs LEFT JOIN ov o ON o.q_id = qs.q_id
+              |LEFT JOIN w ON w.m = o.m
+              |GROUP BY 1""".stripMargin))
   )
 
   /** q236's outlier multiplier: |len − median| > MadK × MAD flags a
@@ -1291,6 +1393,19 @@ object TextAnalysis {
     * corpora typically run 3–5.
     */
   val MadK = 2
+
+  /** q238's rank-biased-overlap weight table: the contribution of a
+    * document appearing at ranks (ra, rb) in the two lists is the
+    * SUFFIX sum Σ_{d ≥ max(ra,rb)} (1−p)·p^(d−1)/d, scaled by 1920 =
+    * 2^Bm25TopK·lcm(1..Bm25TopK) so every term is an exact integer at
+    * persistence p = 1/2 (per-depth coefficients 960, 240, 80, 30, 12).
+    * Truncated RBO@5's maximum is 1860/1920 = 1 − p^k. Frozen as ONE
+    * literal table rendered into both engines (the NdcgDiscountMilli
+    * pattern); regenerate as suffix sums of (1920 / 2^d) / d if
+    * Bm25TopK or p ever changes.
+    */
+  val RboSuffix1920: Seq[(Int, Long)] =
+    Seq(1 -> 1322L, 2 -> 362L, 3 -> 122L, 4 -> 42L, 5 -> 12L)
 
   /** q109's kernel as ONE reusable stateless projection: n_tokens and
     * top-1/2-gram concentration with the keep verdict, as a struct

@@ -402,4 +402,54 @@ class EvalStatsSpec extends SparkSuite {
     // orderers spend more), or the entry verifies nothing
     assert(row.getDouble(6) > 0.5, s"fixture association too weak: $row")
   }
+
+  test("q237: Brier equals the scalar reference; sources differ (non-degenerate)") {
+    val rows = Tables(spark, sf(), "documents")
+      .select(col("source"), col("n_chars"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val scores = rows.map(_._2)
+    val mn = scores.min
+    val den = scores.max - mn + 1
+    val ref = rows.groupBy(_._1).map { case (src, rs) =>
+      val sse = rs.map { case (_, sc, lang) =>
+        val r = (sc - mn) - (if (lang == "en") den else 0L)
+        r * r
+      }.sum
+      src -> ((rs.length.toLong, sse,
+        sse.toDouble / (rs.length.toDouble * den.toDouble * den.toDouble)))
+    }
+    val got = graft.queries.Catalog.all("q237_brier_score")
+      .build(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // per-source briers must actually differ or the slice adds nothing
+    assert(got.values.map(_._3).toSet.size > 1, "flat brier across sources")
+  }
+
+  test("q238: RBO equals the suffix-weight recount over q128's own ranking") {
+    // every (lexical top-k) ∩ (fused top-k) member appears in q128's
+    // output carrying its lex_rk, so the reference needs only that
+    // table — an independent path through the fusion contract
+    val fused = graft.queries.Catalog.all("q128_hybrid_rrf")
+      .build(spark, sf()).collect()
+    val w = graft.queries.TextAnalysis.RboSuffix1920.toMap
+    val ref = fused.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.filter(!_.isNullAt(2))
+        .map(r => w(math.max(r.getInt(2), r.getInt(5)))).sum
+    }
+    val got = graft.queries.Catalog.all("q238_fusion_rbo")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == ref.keySet, s"query set: ${got.keySet}")
+    for ((q, rbo1920) <- ref) {
+      assert(got(q)._2 == rbo1920, s"q$q: got ${got(q)._2}, want $rbo1920")
+      assert(got(q)._3 == rbo1920.toDouble / 1920.0, s"q$q division")
+    }
+    // the audit must see a real SHIFT (not identity) and a real
+    // OVERLAP (not disjoint lists) somewhere on the fixture
+    assert(got.values.exists(_._2 < 1860L), "fusion never moved a ranking")
+    assert(got.values.exists(_._2 > 0L), "legs fully disjoint - vacuous")
+  }
 }
