@@ -1784,8 +1784,89 @@ object Windowed {
              |    AND x.item < y.item)
              |SELECT a, b, CAST(count(*) AS BIGINT) AS n_sessions
              |FROM cov_p GROUP BY 1, 2
-             |HAVING count(*) >= $CovisMinSessions""".stripMargin))
+             |HAVING count(*) >= $CovisMinSessions""".stripMargin)),
+
+    // ---- TOP-K CHURN: day-over-day rank-biased overlap of the top-5
+    //      most-active users — the leaderboard-stability monitor
+    //      (rbo1920 = 1860 means yesterday's board held; 0 means it
+    //      was swept). Reuses q238's exact suffix-weight table
+    //      ([[TextAnalysis.RboSuffix1920]], p = ½, k = 5); both arms
+    //      engage on the fixture (zeros AND 1322+ pairs at every sf,
+    //      probed). 100 TB: ONE event scan into a map-side-combinable
+    //      (day, user) count; the per-day top-5 collapses through the
+    //      graft_topk bounded heap at DAY grain — never a single-
+    //      partition per-day sort (the q171b argument: a day holds
+    //      ~10⁹ users at 100 TB; the heap's state is O(k) per day) —
+    //      with the bit-identical ranking-window fallback; everything
+    //      downstream is day-grain (≤ #days × k rows).
+    "q240_topk_churn" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dn = Tables(s, d, "events")
+          .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+          .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("n"))
+        val t5 =
+          if (s.catalog.functionExists("graft_topk"))
+            dn.groupBy(col("day"))
+              .agg(call_function("graft_topk", col("n").cast("double"),
+                col("user_id"), lit(ChurnTopK)).as("top"))
+              .select(col("day"), posexplode(col("top")).as(Seq("pos", "t")))
+              .select(col("day"), col("t.id").as("user_id"),
+                (col("pos") + 1).as("rk"))
+          else {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("day"))
+              .orderBy(col("n").desc, col("user_id").asc)
+            dn.withColumn("rk", row_number().over(w))
+              .filter(col("rk") <= ChurnTopK)
+              .select(col("day"), col("user_id"), col("rk"))
+          }
+        val a = t5.toDF("day", "user_id", "ra")
+        val b = t5.toDF("day_b", "user_id_b", "rb")
+        val ov = a
+          .join(b, date_add(col("day"), 1) === col("day_b") &&
+            col("user_id") === col("user_id_b"))
+          .select(col("day"), greatest(col("ra"), col("rb")).as("m"))
+          .join(broadcast(TextAnalysis.RboSuffix1920.toDF("m", "wt")),
+            Seq("m"))
+        a.select(col("day")).distinct()
+          .join(b.select(col("day_b")).distinct(),
+            date_add(col("day"), 1) === col("day_b"), "left_semi")
+          .join(ov, Seq("day"), "left_outer")
+          .groupBy(col("day"))
+          .agg(count(col("m")).as("n_overlap"),
+            coalesce(sum(col("wt")), lit(0L)).as("rbo1920"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+            col("n_overlap"), col("rbo1920"),
+            expr("CAST(rbo1920 AS DOUBLE) / CAST(1920 AS DOUBLE)").as("rbo"))
+      },
+      Some(s"""WITH dn AS (SELECT CAST(ts AS DATE) AS day, user_id,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             |t5 AS (SELECT day, user_id, rk
+             |  FROM (SELECT day, user_id, row_number() OVER (
+             |      PARTITION BY day ORDER BY n DESC, user_id) AS rk FROM dn)
+             |  WHERE rk <= $ChurnTopK),
+             |w(m, wt) AS (VALUES ${TextAnalysis.RboSuffix1920
+                .map { case (m, wt) => s"($m, $wt)" }.mkString(", ")}),
+             |ov AS (SELECT a.day, greatest(a.rk, b.rk) AS m FROM t5 a
+             |  JOIN t5 b ON b.day = a.day + INTERVAL 1 DAY
+             |    AND b.user_id = a.user_id),
+             |days AS (SELECT DISTINCT a.day FROM t5 a
+             |  JOIN t5 b ON b.day = a.day + INTERVAL 1 DAY)
+             |SELECT strftime(days.day, '%Y-%m-%d') AS day_str,
+             |  CAST(count(o.m) AS BIGINT) AS n_overlap,
+             |  CAST(coalesce(sum(w.wt), 0) AS BIGINT) AS rbo1920,
+             |  CAST(coalesce(sum(w.wt), 0) AS DOUBLE) / CAST(1920 AS DOUBLE)
+             |    AS rbo
+             |FROM days LEFT JOIN ov o ON o.day = days.day
+             |LEFT JOIN w ON w.m = o.m
+             |GROUP BY days.day""".stripMargin))
   )
+
+  /** q240's leaderboard depth — tied to [[TextAnalysis.RboSuffix1920]]
+    * (the weight table is k = 5, p = ½ specific).
+    */
+  val ChurnTopK = 5
 
   /** q186's coincidence floor: an item pair must co-occur in at least
     * this many distinct (user, day) sessions to ship as a

@@ -905,4 +905,35 @@ class AnalyticsPackSpec extends SparkSuite {
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
     assert(exactByDay(day8) == 50L, s"calendar-exact WAU: $exactByDay")
   }
+
+  test("q240: heap-path churn equals the ranking-window recount; both arms engage") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // independent reference: per-day top-5 via the ranking window (the
+    // oracle's formulation), RBO recounted with plain Scala
+    val t5 = Tables(spark, sf(), "events")
+      .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+      .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("day")).orderBy(col("n").desc, col("user_id").asc)))
+      .filter(col("rk") <= graft.queries.Windowed.ChurnTopK)
+      .select(col("day"), col("user_id"), col("rk"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2)))
+    val byDay = t5.groupBy(_._1)
+    val w = graft.queries.TextAnalysis.RboSuffix1920.toMap
+    val ref = byDay.keys.toSeq.sorted.flatMap { day =>
+      val next = java.time.LocalDate.parse(day).plusDays(1).toString
+      byDay.get(next).map { nx =>
+        val nrk = nx.map(t => t._2 -> t._3).toMap
+        day -> byDay(day).flatMap(t => nrk.get(t._2)
+          .map(rb => w(math.max(t._3, rb)))).sum
+      }
+    }.toMap
+    val got = graft.queries.Catalog.all("q240_topk_churn").build(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // the monitor must see BOTH a held board and a swept one
+    assert(got.values.exists(_ > 0L) && got.values.exists(_ == 0L),
+      s"churn arm degenerate: $got")
+  }
 }
