@@ -1019,6 +1019,51 @@ object StatefulOps {
         col("n_tokens"), array_sort(col("cands")).as("candidates"))
   }
 
+  /** q236's intake sibling — the streaming robust length gate: per
+    * event-time window × key, the LOW-median, MAD, and k×MAD outlier
+    * count of document token length, exactly as batch q236 defines
+    * them (rank-⌈n/2⌉ order statistics, no interpolation — the spec
+    * pins stream ≡ a scalar recount of the same rows). Two chained
+    * stateful aggregates (the aucMonitor path): (window, key, length)
+    * counts collapse map-side — state ∝ open windows × keys × DISTINCT
+    * lengths, the value-domain bound that makes an exact windowed
+    * median affordable (lengths, unlike an open vocabulary, have a
+    * small domain) — then the per-window reduction folds the sorted
+    * length histogram with three HOF passes: cumulative→median,
+    * |len−med| re-grain→MAD, then the outlier count. No collect, no
+    * driver loop; every fold runs over a ≤#distinct-lengths array.
+    */
+  def madMonitor(docs: DataFrame, textCol: String, tsCol: String,
+                 keyCol: String, lateness: String, win: String,
+                 k: Int = graft.queries.TextAnalysis.MadK): DataFrame = {
+    val medFold = (lenField: String) =>
+      "aggregate(%s, " +
+        "struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med), " +
+        s"(acc, x) -> struct(acc.cum + x.c, " +
+        s"CASE WHEN acc.med IS NULL AND (acc.cum + x.c) * 2 >= n_docs " +
+        s"THEN x.$lenField ELSE acc.med END), " +
+        "acc -> acc.med)"
+    docs
+      .withColumn("__ln", size(split(col(textCol), " ")).cast("long"))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), win), col(keyCol), col("__ln"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("window"), col(keyCol))
+      .agg(collect_list(struct(col("__ln").as("ln"), col("c").as("c")))
+        .as("hist"), sum(col("c")).as("n_docs"))
+      .withColumn("hist", array_sort(col("hist")))
+      .withColumn("med", expr(medFold("ln").format("hist")))
+      .withColumn("dhist", expr(
+        "array_sort(transform(hist, x -> struct(abs(x.ln - med) AS dv, x.c AS c)))"))
+      .withColumn("mad", expr(medFold("dv").format("dhist")))
+      .withColumn("n_outliers", expr(
+        s"aggregate(dhist, CAST(0 AS BIGINT), (acc, x) -> " +
+          s"acc + CASE WHEN x.dv > $k * mad THEN x.c ELSE CAST(0 AS BIGINT) END)"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col(keyCol), col("n_docs"), col("med").as("med_len"),
+        col("mad").as("mad_len"), col("n_outliers"))
+  }
+
   final case class EwmaIn(gkey: String, day_ms: Long, n: Long)
   final case class EwmaSt(ewmaFp: Long)
   final case class EwmaFold(gkey: String, day_ms: Long, n: Long,

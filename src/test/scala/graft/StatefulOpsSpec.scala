@@ -120,6 +120,35 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mad monitor: windowed median/MAD/outliers match q236's exact definitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "source", "text")
+    val q = StatefulOps.madMonitor(docs, "text", "ts", "source",
+        lateness = "10 seconds", win = "30 seconds")
+      .writeStream.format("memory").queryName("madm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,30): q236's planted-tail case — med 10, MAD 1, the
+      // 30-token doc is the single 2xMAD outlier. window [30,60):
+      // constant lengths — med 5, MAD 0, zero outliers (dv > 0 never).
+      val lens0 = Seq(8, 9, 10, 10, 10, 11, 12, 30)
+      in.addData(lens0.map(n => (ts(5), "s0", Seq.fill(n)("w").mkString(" "))))
+      in.addData(Seq.fill(4)((ts(40), "s0", "w w w w w")))
+      q.processAllAvailable()
+      in.addData((ts(300), "s0", "flush"))
+      q.processAllAvailable()
+      val rows = spark.table("madm")
+        .select("w_start", "source", "n_docs", "med_len", "mad_len",
+          "n_outliers")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(rows.contains((0L, "s0", 8L, 10L, 1L, 1L)), s"window 0: $rows")
+      assert(rows.contains((30000L, "s0", 4L, 5L, 0L, 0L)), s"window 1: $rows")
+    } finally q.stop()
+  }
+
   test("windowed drift monitor: off-distribution feed flags, stream equals batch recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
