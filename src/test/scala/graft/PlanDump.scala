@@ -125,7 +125,20 @@ object PlanDump {
     "q221_tpch_q17" -> "TPC-H Q17: correlated scalar-average decorrelated — per-part (count, Σqty) joins back at part grain; BOTH legs semi-cut by the broadcast brand filter before the partkey shuffle; threshold is the exact cross-multiply, never a float mean",
     "q222_tpch_q19" -> "TPC-H Q19: the disjunction's quantity hull is a PushedFilter on the lineitem scan (Catalyst can't extract it from the OR); brand/size hull prunes part before the broadcast; the full disjunction is the join residual",
     "q223_tpch_q20" -> "TPC-H Q20 shape: part broadcasts semi into the fact BEFORE the (suppkey, partkey) aggregate; the HAVING-sparse qualifying set semi-cuts supplier — a double-nested semi chain, one 2-key exchange",
-    "q225_residual_norms" -> "residual norms: fit shared with q212 (driver-side, collected triangle); the SERVED plan is two scan-stage integer dots (norm2, proj) against the broadcast direction literal plus the shared-template IEEE projection — zero shuffles")
+    "q225_residual_norms" -> "residual norms: fit shared with q212 (driver-side, collected triangle); the SERVED plan is two scan-stage integer dots (norm2, proj) against the broadcast direction literal plus the shared-template IEEE projection — zero shuffles",
+    "q228_tpch_q2" -> "TPC-H Q2: region slice of supplier broadcasts; ONE partkey exchange computes the min and the distinct offers re-join it partkey-partitioned; part joins UNHINTED (AQE: BHJ at fixture, SMJ past broadcast size); top-100 is TakeOrderedAndProject",
+    "q229_tpch_q4" -> "TPC-H Q4: correlated EXISTS as an orderkey-equi LEFT SEMI with the shipdate-vs-orderdate comparison as join residual — never a per-row subquery; the quarter cut is a PushedFilter on the orders scan",
+    "q230_tpch_q9" -> "TPC-H Q9: widget cut prunes part before its partkey join; supplier→nation broadcasts; ONE orderkey exchange joins orders; signed profit accumulates in DECIMAL(38,0) (nation×year grain is corpus-sized at 100 TB)",
+    "q231_tpch_q11" -> "TPC-H Q11: region slice broadcasts semi into the fact; ONE partkey exchange; the 1-row (Σ, n) frame broadcasts back over the part-grain aggregate; threshold is the DECIMAL(38,0) cross-multiply, never a float fraction",
+    "q232_tpch_q16" -> "TPC-H Q16: ONE pair-grain distinct exchange (the measure is defined over distinct pairs), complaint set broadcast LeftAnti, part at partkey grain, then a (brand, type, size) count-distinct re-aggregate",
+    "q233_tpch_q21" -> "TPC-H Q21: EXISTS + NOT-EXISTS as orderkey-equi semi/anti joins with the suppkey inequality as residual (q198's rule, on the full late-pair pipeline); three orderkey exchanges total; top-100 is TakeOrderedAndProject",
+    "q234_tpch_q22" -> "TPC-H Q22: the 1-row (Σ, n) positive-balance frame broadcasts over the customer scan; the scalar-average compares as the exact integer cross-multiply; no-recent-orders is a custkey-equi LeftAnti against the date-pruned orders projection",
+    "q235_minhash_accuracy" -> "minhash estimator audit: q41's plan minus the τ filter — one capped (band, bsig) shuffle with signatures + hashed sets riding it; est32 and exact Jaccard are both computed map-side per bucket pair, the pair-dedup shuffle carries 24 bytes",
+    "q236_robust_mad" -> "robust MAD gate: ONE corpus scan → map-side-combinable (source, length) aggregate; medians via cumulative windows at value-domain grain (partitioned by source); deviation re-grain and outlier count never touch per-document rows again",
+    "q237_brier_score" -> "Brier score: q206's 1-row (mn, den) broadcast frame over the scan, exact integer residual per row, DECIMAL(38,0) SSE in one source-grain hash-agg, the division a post-aggregate shared-template projection",
+    "q238_fusion_rbo" -> "fusion RBO: both rankings are ≤k rows per query by construction (q128's bounded legs); the overlap join, suffix-weight broadcast, and per-query fold all run at query grain — nothing corpus-sized past the legs",
+    "q239_winsorized_mean" -> "winsorized mean: ONE fact scan → (priority, cents) aggregate; exact-rank p05/p95 via cumulative windows at value-domain grain; the clamp and DECIMAL(38,0) sum run on the reduced grain; boundary tables broadcast",
+    "q240_topk_churn" -> "top-k churn: ONE event scan → (day, user) hash-agg; per-day top-5 collapses through the graft_topk bounded heap (O(k) state per day — never a per-day ranking sort); day-pair RBO at ≤#days×k grain with the broadcast weight table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
