@@ -44,6 +44,44 @@ object Evaluation {
     "CAST(sse AS DOUBLE) / (CAST(n_docs AS DOUBLE) * " +
       "CAST(den AS DOUBLE) * CAST(den AS DOUBLE)) AS brier")
 
+  /** q241's per-bin decomposition terms — ONE canonical SQL text per
+    * term, rendered into both engines (the OlsDerived discipline).
+    * All inputs are exact BIGINTs at bin grain; each term is a fixed
+    * IEEE DAG. p̄_b enters as s_b/(n_b·den), ȳ_b as y_b/n_b.
+    */
+  private val MurphyRelTerm: String = {
+    val diff = "(CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * " +
+      "CAST(den AS DOUBLE)) - CAST(y_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    s"CAST(n_b AS DOUBLE) * ($diff * $diff) AS relterm"
+  }
+  private val MurphyResTerm: String = {
+    val diff = "(CAST(y_b AS DOUBLE) / CAST(n_b AS DOUBLE) - " +
+      "CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE))"
+    s"CAST(n_b AS DOUBLE) * ($diff * $diff) AS resterm"
+  }
+  private val MurphyWbvTerm: String =
+    "CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) " +
+      "AS wbvterm"
+  private val MurphyCovTerm: String =
+    "(CAST(spy_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(y_b AS DOUBLE) " +
+      "/ CAST(n_b AS DOUBLE)) / CAST(den AS DOUBLE) AS covterm"
+
+  /** q241's final statistics from the folded bin sums + the global
+    * frame — shared verbatim by both engines. The five components
+    * satisfy brier = wbv + rel − res + unc − 2·cov EXACTLY in real
+    * arithmetic (the spec pins the float gap at ≤1e-12).
+    */
+  private val MurphyDerived: Seq[String] = Seq(
+    "CAST(sse AS DOUBLE) / (CAST(gn AS DOUBLE) * CAST(den AS DOUBLE) * " +
+      "CAST(den AS DOUBLE)) AS brier",
+    "relsum / CAST(gn AS DOUBLE) AS reliability",
+    "ressum / CAST(gn AS DOUBLE) AS resolution",
+    "(CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE)) * (CAST(1 AS DOUBLE) - " +
+      "CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE)) AS uncertainty",
+    "(CAST(ssq AS DOUBLE) - wbvsum) / (CAST(gn AS DOUBLE) * " +
+      "CAST(den AS DOUBLE) * CAST(den AS DOUBLE)) AS within_bin_var",
+    "covsum / CAST(gn AS DOUBLE) AS within_bin_cov")
+
   /** q209's derived statistic: Pearson correlation over the (already
     * exact-integer) doubled midranks, from the five moments — rendered
     * into BOTH engines from this single template so the IEEE op DAG
@@ -774,6 +812,89 @@ object Evaluation {
              |  FROM m GROUP BY 1)
              |SELECT source, n_docs, sse,
              |  ${BrierDerived.mkString(",\n             |  ")}
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // ---- MURPHY decomposition of the Brier score: reliability,
+    //      resolution, uncertainty PLUS the two binning terms the
+    //      textbook form drops (within-bin variance and within-bin
+    //      score–label covariance), so the identity
+    //      brier = wbv + rel − res + unc − 2·cov closes EXACTLY — the
+    //      self-check that distinguishes an implemented decomposition
+    //      from an approximated one (the spec pins the gap ≤1e-12;
+    //      with continuous scores binned post-hoc the dropped terms
+    //      are ~1e-3 here, larger than rel−res differences a model
+    //      comparison would read). Bins are q206's deciles verbatim.
+    //      Cross-engine exactness: every bin statistic is an exact
+    //      BIGINT; each per-bin term is ONE shared IEEE DAG; the
+    //      bin-ordered float folds use the seed-0 left fold ≡ DuckDB
+    //      list_reduce equivalence (0.0 + t = t for the non-negative
+    //      and non-(−0.0) terms these are). 100 TB: one corpus scan
+    //      → decile-grain aggregate (map-side combinable); folds run
+    //      over ≤10-element arrays; three 1-row broadcast crosses.
+    "q241_brier_decomposition" -> Q(
+      (s, d) => {
+        val base = Tables.spread(Tables(s, d, "documents"))
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("y"))
+        val mm = base.agg(min(col("score")).as("mn"),
+          (max(col("score")) - min(col("score")) + 1L).as("den"))
+        val m = base.crossJoin(broadcast(mm))
+          .select((col("score") - col("mn")).as("sc"), col("y"), col("den"),
+            expr("CAST((score - mn) * 10 DIV den AS BIGINT)").as("bin"),
+            (col("score") - col("mn") - col("y") * col("den")).as("r"))
+        val g = m.agg(count(lit(1)).as("gn"), sum(col("y")).as("gy"),
+          sum(expr("CAST(r * r AS DECIMAL(38,0))")).cast("long").as("sse"),
+          sum(expr("CAST(sc * sc AS DECIMAL(38,0))")).cast("long").as("ssq"),
+          min(col("den")).as("den"))
+        val bins = m.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_b"), sum(col("sc")).as("s_b"),
+            sum(col("y")).as("y_b"), sum(expr("sc * y")).as("spy_b"))
+        val t = bins.crossJoin(broadcast(g))
+          .selectExpr(Seq("bin", MurphyRelTerm, MurphyResTerm,
+            MurphyWbvTerm, MurphyCovTerm): _*)
+        val fold = (f: String) =>
+          s"aggregate(array_sort(h), CAST(0 AS DOUBLE), (a, x) -> a + x.$f)"
+        t.agg(collect_list(struct(col("bin"), col("relterm"), col("resterm"),
+            col("wbvterm"), col("covterm"))).as("h"),
+            count(lit(1)).as("n_bins"))
+          .select(col("n_bins"), expr(fold("relterm")).as("relsum"),
+            expr(fold("resterm")).as("ressum"),
+            expr(fold("wbvterm")).as("wbvsum"),
+            expr(fold("covterm")).as("covsum"))
+          .crossJoin(broadcast(g))
+          .selectExpr(Seq("gn AS n_docs", "n_bins") ++ MurphyDerived: _*)
+      },
+      Some(s"""WITH b AS (SELECT n_chars AS score,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+             |    CAST(max(score) - min(score) + 1 AS BIGINT) AS den FROM b),
+             |m AS (SELECT score - mn AS sc, y, den,
+             |    CAST((score - mn) * 10 // den AS BIGINT) AS bin,
+             |    score - mn - y * den AS r FROM b CROSS JOIN mm),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+             |    CAST(sum(y) AS BIGINT) AS gy,
+             |    CAST(sum(CAST(r * r AS DECIMAL(38,0))) AS BIGINT) AS sse,
+             |    CAST(sum(CAST(sc * sc AS DECIMAL(38,0))) AS BIGINT) AS ssq,
+             |    CAST(min(den) AS BIGINT) AS den FROM m),
+             |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(sum(sc) AS BIGINT) AS s_b,
+             |    CAST(sum(y) AS BIGINT) AS y_b,
+             |    CAST(sum(sc * y) AS BIGINT) AS spy_b FROM m GROUP BY 1),
+             |t AS (SELECT bin, $MurphyRelTerm, $MurphyResTerm,
+             |    $MurphyWbvTerm, $MurphyCovTerm FROM bins CROSS JOIN g),
+             |f AS (SELECT
+             |    list_reduce(list(relterm ORDER BY bin), (a, c) -> a + c)
+             |      AS relsum,
+             |    list_reduce(list(resterm ORDER BY bin), (a, c) -> a + c)
+             |      AS ressum,
+             |    list_reduce(list(wbvterm ORDER BY bin), (a, c) -> a + c)
+             |      AS wbvsum,
+             |    list_reduce(list(covterm ORDER BY bin), (a, c) -> a + c)
+             |      AS covsum,
+             |    CAST(count(*) AS BIGINT) AS n_bins FROM t)
+             |SELECT gn AS n_docs, n_bins,
+             |  ${MurphyDerived.mkString(",\n             |  ")}
+             |FROM f CROSS JOIN g""".stripMargin))
   )
 }

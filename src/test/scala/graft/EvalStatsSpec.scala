@@ -452,4 +452,47 @@ class EvalStatsSpec extends SparkSuite {
     assert(got.values.exists(_._2 < 1860L), "fusion never moved a ranking")
     assert(got.values.exists(_._2 > 0L), "legs fully disjoint - vacuous")
   }
+
+  test("q241: Murphy decomposition closes its identity and matches a scalar recount") {
+    val rows = Tables(spark, sf(), "documents")
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "en") 1L else 0L))
+    val mn = rows.map(_._1).min
+    val den = (rows.map(_._1).max - mn + 1).toDouble
+    val n = rows.length.toDouble
+    // integer bin exactly as the entry computes it, BEFORE any float
+    val ps = rows.map { case (s, y) =>
+      ((s - mn) * 10 / den.toLong, (s - mn) / den, y.toDouble) }
+    val brier = ps.map { case (_, p, y) => (p - y) * (p - y) }.sum / n
+    val yBar = ps.map(_._3).sum / n
+    val byBin = ps.groupBy(_._1)
+      .map { case (b, v) => b -> v.map(t => (t._2, t._3)) }
+    def binStats = byBin.values.map { b =>
+      val nb = b.length.toDouble
+      val pb = b.map(_._1).sum / nb; val yb = b.map(_._2).sum / nb
+      (nb, pb, yb, b)
+    }
+    val rel = binStats.map { case (nb, pb, yb, _) => nb * (pb - yb) * (pb - yb) }.sum / n
+    val res = binStats.map { case (nb, _, yb, _) => nb * (yb - yBar) * (yb - yBar) }.sum / n
+    val unc = yBar * (1 - yBar)
+    val wbv = binStats.map { case (_, pb, _, b) =>
+      b.map { case (p, _) => (p - pb) * (p - pb) }.sum }.sum / n
+    val cov = binStats.map { case (_, pb, _, b) =>
+      b.map { case (p, y) => (p - pb) * y }.sum }.sum / n
+
+    val r = graft.queries.Catalog.all("q241_brier_decomposition")
+      .build(spark, sf()).collect().head
+    val (gb, grel, gres, gunc, gwbv, gcov) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    // the identity the two extra terms exist to close
+    assert(math.abs(gb - (gwbv + grel - gres + gunc - 2 * gcov)) <= 1e-12,
+      s"identity gap: $r")
+    for ((got, want, nm) <- Seq((gb, brier, "brier"), (grel, rel, "rel"),
+        (gres, res, "res"), (gunc, unc, "unc"), (gwbv, wbv, "wbv"),
+        (gcov, cov, "cov")))
+      assert(math.abs(got - want) <= 1e-9,
+        s"$nm: got $got, want $want")
+    // all three Murphy components must carry real signal
+    assert(grel > 0 && gres > 0 && gunc > 0, s"degenerate components: $r")
+  }
 }
