@@ -1397,7 +1397,85 @@ object Similarity {
            |SELECT vec_id, norm2, proj, vv,
            |  ${ResidDerived.mkString(",\n           |  ")}
            |FROM mom CROSS JOIN vvt""".stripMargin
-      })
+      }),
+
+    // ---- ANN RANKING FIDELITY: truncated rank-biased overlap between
+    //      the brute-force cosine top-k (q50, the ground truth) and the
+    //      IVF-probed top-k (q51, the serving path) — the rank-aware
+    //      complement to AnnRecallSpec's set-recall floors: recall says
+    //      the right NEIGHBORS survive probing, RBO says they survive
+    //      in the right ORDER (a rank-1 neighbor demoted to rank 5
+    //      passes recall but drops rbo1920 from 1860 to 1498 — the
+    //      sf0.001 fixture shows exactly that). Weights are
+    //      [[TextAnalysis.RboSuffix1920]] (p = ½, k = TopK = 5); both
+    //      rankings exclude self identically. Observed: disturbed
+    //      rankings at sf0.001/0.01, PERFECT 1860 across all queries
+    //      at sf0.1 — probing 2/8 centroids is rank-exact there, the
+    //      finding this entry exists to report. 100 TB: both legs are
+    //      the audited q50/q51 plans (bounded heaps, broadcast
+    //      queries); everything past them is ≤ Q×k rows.
+    "q242_ann_rank_fidelity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = vecs(s, d)
+        val queries = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val cents = trainCentroids(s, d)
+        val ivf = ivfSearchTopK(s, assignToCentroids(s, e, cents),
+          queries, cents, Probes, TopK)
+        val brute = searchTopK(s, e, queries, TopK)
+        val ov = brute.select(col("q_id"), col("n_id"), col("rk").as("rb"))
+          .join(ivf.select(col("q_id"), col("n_id"), col("rk").as("ri")),
+            Seq("q_id", "n_id"))
+          .select(col("q_id"), greatest(col("rb"), col("ri")).as("m"))
+          .join(broadcast(TextAnalysis.RboSuffix1920.toDF("m", "wt")),
+            Seq("m"))
+        e.filter(col("vec_id") < NumQueries).select(col("vec_id").as("q_id"))
+          .join(ov, Seq("q_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(col("m")).as("n_overlap"),
+            coalesce(sum(col("wt")), lit(0L)).as("rbo1920"))
+          .selectExpr("q_id", "n_overlap", "rbo1920",
+            "CAST(rbo1920 AS DOUBLE) / CAST(1920 AS DOUBLE) AS rbo")
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+              |${kmeansIterSql}
+              |asg AS (SELECT vec_id, c_id, v FROM (
+              |  SELECT e.vec_id, c.c_id, e.v, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c$KMeansIters c) WHERE rn = 1),
+              |probes AS (SELECT q_id, qv, c_id FROM (
+              |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id, row_number() OVER (
+              |    PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.c_id) AS rn
+              |  FROM e CROSS JOIN c$KMeansIters c WHERE e.vec_id < $NumQueries) WHERE rn <= $Probes),
+              |sc AS (SELECT p.q_id, a.vec_id AS n_id, ${sqlCos("p.qv", "a.v")} AS cos
+              |       FROM probes p JOIN asg a ON a.c_id = p.c_id
+              |       WHERE a.vec_id <> p.q_id),
+              |ivfr AS (SELECT q_id, n_id, rk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rk FROM sc) WHERE rk <= $TopK),
+              |bsc AS (SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+              |    ${sqlCos("q.v", "e2.v")} AS cos
+              |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
+              |  WHERE q.vec_id < $NumQueries),
+              |bruter AS (SELECT q_id, n_id, rk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rk FROM bsc) WHERE rk <= $TopK),
+              |w(m, wt) AS (VALUES ${TextAnalysis.RboSuffix1920
+                .map { case (m, wt) => s"($m, $wt)" }.mkString(", ")}),
+              |ov AS (SELECT b.q_id, greatest(b.rk, i.rk) AS m
+              |  FROM bruter b JOIN ivfr i ON i.q_id = b.q_id
+              |    AND i.n_id = b.n_id),
+              |qs AS (SELECT vec_id AS q_id FROM e WHERE vec_id < $NumQueries)
+              |SELECT qs.q_id, CAST(count(o.m) AS BIGINT) AS n_overlap,
+              |  CAST(coalesce(sum(w.wt), 0) AS BIGINT) AS rbo1920,
+              |  CAST(coalesce(sum(w.wt), 0) AS DOUBLE) / CAST(1920 AS DOUBLE)
+              |    AS rbo
+              |FROM qs LEFT JOIN ov o ON o.q_id = qs.q_id
+              |LEFT JOIN w ON w.m = o.m
+              |GROUP BY 1""".stripMargin))
   )
 
   /** q212/q225's shared oracle prologue: quantized embeddings, the

@@ -234,4 +234,21 @@ class AnnRecallSpec extends SparkSuite {
       assert(expectedMode(c) == src, s"cluster $c mode: $src vs ${expectedMode(c)}")
     }
   }
+
+  test("q242: IVF ranking fidelity — floors frozen, disturbance actually observed") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.queries.Catalog.all("q242_ann_rank_fidelity")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == graft.queries.Similarity.NumQueries)
+    // frozen floor (deterministic pipeline; observed min 1498): a drop
+    // below means probing or the heap tie-order regressed
+    got.foreach { case (q, rbo) =>
+      assert(rbo >= 1400L, s"query $q fidelity collapsed: $rbo")
+    }
+    // the fixture must show BOTH regimes or the audit is vacuous: at
+    // least one rank-exact query and one genuinely disturbed ranking
+    assert(got.values.exists(_ == 1860L), s"no rank-exact query: $got")
+    assert(got.values.exists(_ < 1860L), s"no disturbed ranking: $got")
+  }
 }

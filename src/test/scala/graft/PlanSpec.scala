@@ -433,6 +433,7 @@ class PlanSpec extends SparkSuite {
     // broadcast corpus×(tiny queries/planes side) — linear in corpus:
     "q44_embed_neardup", "q50_ann_brute", "q51_ann_ivf", "q52_ann_lsh",
     "q124_semdedup",   // corpus × broadcast k-centroid LocalRelation (q51's shape)
+    "q242_ann_rank_fidelity", // q50's broadcast query batch + q51's k-centroid probe, combined
     "q129_cluster_profile", // same broadcast k-centroid probe as q51/q124
     "q10_cross_join", "q107_mixture_plan",
     "q108_vocab_coverage", "q114_token_spectrum", "q121_mixture_sample",
