@@ -138,7 +138,9 @@ object PlanDump {
     "q237_brier_score" -> "Brier score: q206's 1-row (mn, den) broadcast frame over the scan, exact integer residual per row, DECIMAL(38,0) SSE in one source-grain hash-agg, the division a post-aggregate shared-template projection",
     "q238_fusion_rbo" -> "fusion RBO: both rankings are ≤k rows per query by construction (q128's bounded legs); the overlap join, suffix-weight broadcast, and per-query fold all run at query grain — nothing corpus-sized past the legs",
     "q239_winsorized_mean" -> "winsorized mean: ONE fact scan → (priority, cents) aggregate; exact-rank p05/p95 via cumulative windows at value-domain grain; the clamp and DECIMAL(38,0) sum run on the reduced grain; boundary tables broadcast",
-    "q240_topk_churn" -> "top-k churn: ONE event scan → (day, user) hash-agg; per-day top-5 collapses through the graft_topk bounded heap (O(k) state per day — never a per-day ranking sort); day-pair RBO at ≤#days×k grain with the broadcast weight table")
+    "q240_topk_churn" -> "top-k churn: ONE event scan → (day, user) hash-agg; per-day top-5 collapses through the graft_topk bounded heap (O(k) state per day — never a per-day ranking sort); day-pair RBO at ≤#days×k grain with the broadcast weight table",
+    "q241_brier_decomposition" -> "Murphy decomposition: one corpus scan → decile-grain hash-agg; per-bin terms are fixed shared IEEE DAGs; the bin-ordered folds run over ≤10-element arrays; three 1-row broadcast crosses, nothing corpus-sized after the bin aggregate",
+    "q242_ann_rank_fidelity" -> "ANN rank fidelity: both legs are the audited q50/q51 plans (broadcast query batch, k-centroid probe, bounded heaps); the overlap join, weight broadcast, and per-query fold all run at ≤Q×k grain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
