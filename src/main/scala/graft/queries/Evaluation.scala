@@ -66,6 +66,17 @@ object Evaluation {
     "(CAST(spy_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(y_b AS DOUBLE) " +
       "/ CAST(n_b AS DOUBLE)) / CAST(den AS DOUBLE) AS covterm"
 
+  /** q243's derived columns: capture (share of all positives in the
+    * best-first cumulative), per-decile lift, cumulative lift — fixed
+    * shared IEEE DAGs over the exact decile counts.
+    */
+  private val GainsDerived: Seq[String] = Seq(
+    "CAST(cum_p AS DOUBLE) / CAST(gp AS DOUBLE) AS capture",
+    "(CAST(p_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / " +
+      "(CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE)) AS lift",
+    "(CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE)) / " +
+      "(CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE)) AS cum_lift")
+
   /** q241's final statistics from the folded bin sums + the global
     * frame — shared verbatim by both engines. The five components
     * satisfy brier = wbv + rel − res + unc − 2·cov EXACTLY in real
@@ -895,6 +906,58 @@ object Evaluation {
              |    CAST(count(*) AS BIGINT) AS n_bins FROM t)
              |SELECT gn AS n_docs, n_bins,
              |  ${MurphyDerived.mkString(",\n             |  ")}
-             |FROM f CROSS JOIN g""".stripMargin))
+             |FROM f CROSS JOIN g""".stripMargin)),
+
+    // ---- GAINS / LIFT table: the model-eval artifact AUC and
+    //      calibration don't give — per score decile (best-first), how
+    //      much of the positive class the top-k deciles CAPTURE and
+    //      the decile's lift over the base rate; the targeting /
+    //      sample-selection readout (send the crawler to the top-2
+    //      deciles ⇒ capture tells you the recall you bought). Bins
+    //      are q206's deciles verbatim; counts are exact BIGINTs; the
+    //      cumulative runs best-first over the ≤10-row decile grain
+    //      (an intentional global window — value-domain-bounded by
+    //      construction); capture/lift are fixed shared IEEE DAGs.
+    //      100 TB: one corpus scan → decile hash-agg; everything after
+    //      is ≤10 rows + a 1-row broadcast frame.
+    "q243_gains_table" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.spread(Tables(s, d, "documents"))
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("y"))
+        val mm = base.agg(min(col("score")).as("mn"),
+          (max(col("score")) - min(col("score")) + 1L).as("den"))
+        val m = base.crossJoin(broadcast(mm))
+          .select(expr("CAST((score - mn) * 10 DIV den AS BIGINT)").as("bin"),
+            col("y"))
+        val g = m.agg(count(lit(1)).as("gn"), sum(col("y")).as("gp"))
+        val w = Window.orderBy(col("bin").desc)
+        m.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_b"), sum(col("y")).as("p_b"))
+          .withColumn("cum_n", sum(col("n_b")).over(w))
+          .withColumn("cum_p", sum(col("p_b")).over(w))
+          .crossJoin(broadcast(g))
+          .selectExpr(Seq("bin", "n_b", "p_b", "cum_n", "cum_p")
+            ++ GainsDerived: _*)
+      },
+      Some(s"""WITH b AS (SELECT n_chars AS score,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+             |    CAST(max(score) - min(score) + 1 AS BIGINT) AS den FROM b),
+             |m AS (SELECT CAST((score - mn) * 10 // den AS BIGINT) AS bin, y
+             |  FROM b CROSS JOIN mm),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+             |    CAST(sum(y) AS BIGINT) AS gp FROM m),
+             |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(sum(y) AS BIGINT) AS p_b FROM m GROUP BY 1),
+             |cum AS (SELECT bin, n_b, p_b,
+             |    CAST(sum(n_b) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+             |    CAST(sum(p_b) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_p
+             |  FROM bins)
+             |SELECT bin, n_b, p_b, cum_n, cum_p,
+             |  ${GainsDerived.mkString(",\n             |  ")}
+             |FROM cum CROSS JOIN g""".stripMargin))
   )
 }

@@ -495,4 +495,35 @@ class EvalStatsSpec extends SparkSuite {
     // all three Murphy components must carry real signal
     assert(grel > 0 && gres > 0 && gunc > 0, s"degenerate components: $r")
   }
+
+  test("q243: gains table equals a scalar recount; capture is monotone to 1.0") {
+    val rows = Tables(spark, sf(), "documents")
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "en") 1L else 0L))
+    val mn = rows.map(_._1).min
+    val den = rows.map(_._1).max - mn + 1
+    val byBin = rows.groupBy { case (s, _) => (s - mn) * 10 / den }
+    val gp = rows.map(_._2).sum.toDouble
+    val gRate = gp / rows.length
+    val got = graft.queries.Catalog.all("q243_gains_table")
+      .build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == byBin.keySet, s"bins: ${got.keySet}")
+    var cumN = 0L; var cumP = 0L
+    for (bin <- got.keys.toSeq.sorted.reverse) {
+      val b = byBin(bin)
+      cumN += b.length; cumP += b.map(_._2).sum
+      val (nB, pB, gotCumN, gotCumP, capture, lift) = got(bin)
+      assert((nB, pB, gotCumN, gotCumP) ==
+        ((b.length.toLong, b.map(_._2).sum, cumN, cumP)), s"bin $bin")
+      assert(capture == cumP / gp, s"bin $bin capture")
+      assert(math.abs(lift - (pB.toDouble / nB) / gRate) < 1e-12,
+        s"bin $bin lift")
+    }
+    // best-first capture must END at exactly 1.0 (all positives seen)
+    assert(got(got.keys.min)._5 == 1.0, s"final capture: ${got(got.keys.min)}")
+    // and the deciles must differ in lift, or the table ranks nothing
+    assert(got.values.map(_._6).toSet.size > 1, "flat lift across deciles")
+  }
 }

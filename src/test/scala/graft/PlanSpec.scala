@@ -421,6 +421,7 @@ class PlanSpec extends SparkSuite {
     "q206_calibration",      // corpus × a broadcast 1-row (min, max) frame
     "q237_brier_score",      // corpus × a broadcast 1-row (mn, den) frame (q206's class)
     "q241_brier_decomposition", // corpus × 1-row (mn, den); decile bins × 1-row global frame
+    "q243_gains_table",      // corpus × 1-row (mn, den); ≤10 decile rows × 1-row (gn, gp)
     "q207_cohens_kappa",     // 1-row totals × a broadcast 1-row pe_num
     "q214_feature_corr",     // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",      // value-domain cell pairs + 1-row margin crosses
@@ -471,6 +472,7 @@ class PlanSpec extends SparkSuite {
     "q206_calibration",         // corpus × a broadcast 1-row (min, max) frame
     "q237_brier_score",         // corpus × a broadcast 1-row (mn, den) frame (q206's class)
     "q241_brier_decomposition", // corpus × 1-row (mn, den); decile bins × 1-row global frame
+    "q243_gains_table",         // corpus × 1-row (mn, den); ≤10 decile rows × 1-row (gn, gp)
     "q238_fusion_rbo",          // q128's legs verbatim (1-row (N, avgdl) total + broadcast query batch)
     "q207_cohens_kappa",        // 1-row totals × a broadcast 1-row pe_num
     "q208_trend_mk",            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
@@ -512,7 +514,8 @@ class PlanSpec extends SparkSuite {
       "q182_equidepth_hist", // exact-leg boundary cumulative at distinct-cents grain (verification harness; the GK sketch is the serving path)
       "q205_score_auc",      // cum-negatives at DISTINCT-SCORE grain (value-domain-bounded; pre-bucket at a row-sized domain)
       "q209_spearman",       // midrank cumulatives at distinct-value grain (x ≤ #order-counts, y ≤ #spend-buckets)
-      "q227_wau_hll")        // HLL-union RANGE frame at DAY grain (≤ #days rows by construction)
+      "q227_wau_hll",        // HLL-union RANGE frame at DAY grain (≤ #days rows by construction)
+      "q243_gains_table")    // best-first cumulative over the ≤10-row decile grain
     val offenders = Catalog.all.keys.flatMap { name =>
       val p = plan(name)
       val hasGlobalWindow = unpartitioned.unanchored.matches(p)
