@@ -77,6 +77,21 @@ object Evaluation {
     "(CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE)) / " +
       "(CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE)) AS cum_lift")
 
+  /** q244's per-bin term and finals: ECE = Σ (n_b/n)·|p̄_b − ȳ_b|
+    * (bin-ordered fold, the q241 mechanism), MCE = max |p̄_b − ȳ_b|
+    * (order-free, no fold needed). One canonical text per term.
+    */
+  private val EceBinTerm: String = {
+    val diff = "(CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * " +
+      "CAST(den AS DOUBLE)) - CAST(y_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    s"(CAST(n_b AS DOUBLE) / CAST(gn AS DOUBLE)) * abs($diff) AS eceterm"
+  }
+  private val MceBinTerm: String = {
+    val diff = "(CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * " +
+      "CAST(den AS DOUBLE)) - CAST(y_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    s"abs($diff) AS mceterm"
+  }
+
   /** q241's final statistics from the folded bin sums + the global
     * frame — shared verbatim by both engines. The five components
     * satisfy brier = wbv + rel − res + unc − 2·cov EXACTLY in real
@@ -958,6 +973,63 @@ object Evaluation {
              |  FROM bins)
              |SELECT bin, n_b, p_b, cum_n, cum_p,
              |  ${GainsDerived.mkString(",\n             |  ")}
-             |FROM cum CROSS JOIN g""".stripMargin))
+             |FROM cum CROSS JOIN g""".stripMargin)),
+
+    // ---- EXPECTED / MAXIMUM CALIBRATION ERROR: the two scalars a
+    //      calibration DASHBOARD wants next to q206's bin table and
+    //      q241's decomposition — ECE is the count-weighted mean
+    //      |confidence − accuracy| gap over the deciles (the number
+    //      model cards report), MCE the worst bin's gap (the number
+    //      an SLA bounds). ECE folds bin-ordered (the q241 mechanism —
+    //      ordered float sums are bit-identical cross-engine); MCE is
+    //      a plain max over per-bin doubles (order-free). Deciles,
+    //      counts, and the per-bin gap DAG are q206/q241's verbatim.
+    //      100 TB: one corpus scan → decile hash-agg → a ≤10-element
+    //      fold; two 1-row broadcast crosses.
+    "q244_calibration_error" -> Q(
+      (s, d) => {
+        val base = Tables.spread(Tables(s, d, "documents"))
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("y"))
+        val mm = base.agg(min(col("score")).as("mn"),
+          (max(col("score")) - min(col("score")) + 1L).as("den"))
+        val m = base.crossJoin(broadcast(mm))
+          .select((col("score") - col("mn")).as("sc"), col("y"), col("den"),
+            expr("CAST((score - mn) * 10 DIV den AS BIGINT)").as("bin"))
+        val g = m.agg(count(lit(1)).as("gn"), min(col("den")).as("den"))
+        m.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_b"), sum(col("sc")).as("s_b"),
+            sum(col("y")).as("y_b"))
+          .crossJoin(broadcast(g))
+          .selectExpr("bin", EceBinTerm, MceBinTerm)
+          .agg(collect_list(struct(col("bin"), col("eceterm"))).as("h"),
+            max(col("mceterm")).as("mce"), count(lit(1)).as("n_bins"))
+          .crossJoin(broadcast(g.select(col("gn"))))
+          .select(col("gn").as("n_docs"), col("n_bins"),
+            expr("aggregate(array_sort(h), CAST(0 AS DOUBLE), " +
+              "(a, x) -> a + x.eceterm)").as("ece"),
+            col("mce"))
+      },
+      Some(s"""WITH b AS (SELECT n_chars AS score,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+             |    CAST(max(score) - min(score) + 1 AS BIGINT) AS den FROM b),
+             |m AS (SELECT score - mn AS sc, y, den,
+             |    CAST((score - mn) * 10 // den AS BIGINT) AS bin
+             |  FROM b CROSS JOIN mm),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+             |    CAST(min(den) AS BIGINT) AS den FROM m),
+             |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(sum(sc) AS BIGINT) AS s_b,
+             |    CAST(sum(y) AS BIGINT) AS y_b FROM m GROUP BY 1),
+             |t AS (SELECT bin, $EceBinTerm, $MceBinTerm
+             |  FROM bins CROSS JOIN g)
+             |SELECT (SELECT gn FROM g) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_bins,
+             |  list_reduce(list(eceterm ORDER BY bin), (a, c) -> a + c)
+             |    AS ece,
+             |  max(mceterm) AS mce
+             |FROM t""".stripMargin))
   )
 }

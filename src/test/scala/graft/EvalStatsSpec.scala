@@ -526,4 +526,31 @@ class EvalStatsSpec extends SparkSuite {
     // and the deciles must differ in lift, or the table ranks nothing
     assert(got.values.map(_._6).toSet.size > 1, "flat lift across deciles")
   }
+
+  test("q244: ECE/MCE equal a scalar recount; MCE bounds ECE") {
+    val rows = Tables(spark, sf(), "documents")
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "en") 1.0 else 0.0))
+    val mn = rows.map(_._1).min
+    val den = (rows.map(_._1).max - mn + 1).toDouble
+    val n = rows.length.toDouble
+    val gaps = rows.groupBy { case (s, _) => (s - mn) * 10 / den.toLong }
+      .values.map { b =>
+        val nb = b.length.toDouble
+        // exact integer sums first, then the entry's own IEEE DAG
+        val pb = b.map(t => t._1 - mn).sum.toDouble / (nb * den)
+        val yb = b.map(_._2).sum / nb
+        (nb, math.abs(pb - yb))
+      }
+    val ece = gaps.map { case (nb, g) => (nb / n) * g }.sum
+    val mce = gaps.map(_._2).max
+    val r = graft.queries.Catalog.all("q244_calibration_error")
+      .build(spark, sf()).collect().head
+    assert(math.abs(r.getDouble(2) - ece) <= 1e-12,
+      s"ece: got ${r.getDouble(2)}, want $ece")
+    assert(math.abs(r.getDouble(3) - mce) <= 1e-12,
+      s"mce: got ${r.getDouble(3)}, want $mce")
+    // the scalars must carry signal and respect their own bound
+    assert(r.getDouble(2) > 0 && r.getDouble(3) >= r.getDouble(2), r.toString)
+  }
 }

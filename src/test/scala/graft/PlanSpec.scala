@@ -422,6 +422,7 @@ class PlanSpec extends SparkSuite {
     "q237_brier_score",      // corpus × a broadcast 1-row (mn, den) frame (q206's class)
     "q241_brier_decomposition", // corpus × 1-row (mn, den); decile bins × 1-row global frame
     "q243_gains_table",      // corpus × 1-row (mn, den); ≤10 decile rows × 1-row (gn, gp)
+    "q244_calibration_error", // corpus × 1-row (mn, den); decile rows × 1-row frames
     "q207_cohens_kappa",     // 1-row totals × a broadcast 1-row pe_num
     "q214_feature_corr",     // 1-row gram × a broadcast 1-row (n, sums) frame
     "q216_kendall_tau",      // value-domain cell pairs + 1-row margin crosses
@@ -473,6 +474,7 @@ class PlanSpec extends SparkSuite {
     "q237_brier_score",         // corpus × a broadcast 1-row (mn, den) frame (q206's class)
     "q241_brier_decomposition", // corpus × 1-row (mn, den); decile bins × 1-row global frame
     "q243_gains_table",         // corpus × 1-row (mn, den); ≤10 decile rows × 1-row (gn, gp)
+    "q244_calibration_error",   // corpus × 1-row (mn, den); decile rows × 1-row frames
     "q238_fusion_rbo",          // q128's legs verbatim (1-row (N, avgdl) total + broadcast query batch)
     "q207_cohens_kappa",        // 1-row totals × a broadcast 1-row pe_num
     "q208_trend_mk",            // day-grain pair theta join (≤ #days² rows, both sides post-agg)
