@@ -467,11 +467,11 @@ class EvalStatsSpec extends SparkSuite {
     val yBar = ps.map(_._3).sum / n
     val byBin = ps.groupBy(_._1)
       .map { case (b, v) => b -> v.map(t => (t._2, t._3)) }
-    def binStats = byBin.values.map { b =>
+    val binStats = byBin.values.map { b =>
       val nb = b.length.toDouble
       val pb = b.map(_._1).sum / nb; val yb = b.map(_._2).sum / nb
       (nb, pb, yb, b)
-    }
+    }.toSeq
     val rel = binStats.map { case (nb, pb, yb, _) => nb * (pb - yb) * (pb - yb) }.sum / n
     val res = binStats.map { case (nb, _, yb, _) => nb * (yb - yBar) * (yb - yBar) }.sum / n
     val unc = yBar * (1 - yBar)

@@ -140,7 +140,9 @@ object PlanDump {
     "q239_winsorized_mean" -> "winsorized mean: ONE fact scan → (priority, cents) aggregate; exact-rank p05/p95 via cumulative windows at value-domain grain; the clamp and DECIMAL(38,0) sum run on the reduced grain; boundary tables broadcast",
     "q240_topk_churn" -> "top-k churn: ONE event scan → (day, user) hash-agg; per-day top-5 collapses through the graft_topk bounded heap (O(k) state per day — never a per-day ranking sort); day-pair RBO at ≤#days×k grain with the broadcast weight table",
     "q241_brier_decomposition" -> "Murphy decomposition: one corpus scan → decile-grain hash-agg; per-bin terms are fixed shared IEEE DAGs; the bin-ordered folds run over ≤10-element arrays; three 1-row broadcast crosses, nothing corpus-sized after the bin aggregate",
-    "q242_ann_rank_fidelity" -> "ANN rank fidelity: both legs are the audited q50/q51 plans (broadcast query batch, k-centroid probe, bounded heaps); the overlap join, weight broadcast, and per-query fold all run at ≤Q×k grain")
+    "q242_ann_rank_fidelity" -> "ANN rank fidelity: both legs are the audited q50/q51 plans (broadcast query batch, k-centroid probe, bounded heaps); the overlap join, weight broadcast, and per-query fold all run at ≤Q×k grain",
+    "q243_gains_table" -> "gains table: one corpus scan → decile hash-agg; the best-first cumulative is an intentional global window over the ≤10-row decile grain; capture/lift are post-aggregate shared-template projections",
+    "q244_calibration_error" -> "ECE/MCE: one corpus scan → decile hash-agg; ECE folds the ≤10 bin terms in bin order (cross-engine-exact ordered sum), MCE is an order-free max; two 1-row broadcast crosses")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
