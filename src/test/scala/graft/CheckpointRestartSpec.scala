@@ -251,6 +251,79 @@ class CheckpointRestartSpec extends SparkSuite {
       s"each closed window exactly once with full stats: ${got.mkString(", ")}")
   }
 
+  private val docSchema = StructType.fromDDL(
+    "ts TIMESTAMP, source STRING, text STRING")
+
+  private def writeDocRows(dir: Path, name: String,
+      rows: Seq[(String, String)]): Unit =
+    Files.writeString(dir.resolve(name), rows.map { case (ts, text) =>
+      s"""{"ts":"$ts","source":"s0","text":"$text"}"""
+    }.mkString("\n"))
+
+  test("topkMonitor restart emits each window's candidates exactly once") {
+    val src = tmpDir("tkr_src"); val out = tmpDir("tkr_out"); val ckpt = tmpDir("tkr_ckpt")
+    def startQuery() = graft.streaming.StatefulOps.topkMonitor(
+        spark.readStream.schema(docSchema).json(src.toString),
+        "text", "ts", "0 seconds", "10 seconds", capacity = 3)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) holds 8 tokens, 'hot' 4x (> 8/4 — MG
+    // guarantees it survives); the t=25 doc stays open state
+    writeDocRows(src, "f1.json", Seq(
+      ("2024-01-01T00:00:02Z", "hot hot hot cold1 cold2"),
+      ("2024-01-01T00:00:04Z", "hot warm warm"),
+      ("2024-01-01T00:00:25Z", "late late")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — the phase-1 window must
+    // NOT re-emit and the restored MG buffer must hold the t=25 tokens
+    writeDocRows(src, "f2.json", Seq(("2024-01-01T00:01:40Z", "flush")))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).toSet)).sortBy(_._1).toSeq
+    val base = 1704067200000L
+    assert(got.map(t => (t._1, t._2)) == Seq((base, 8L), (base + 20000L, 2L)),
+      s"each window exactly once: ${got.mkString(", ")}")
+    assert(got.head._3.contains("hot"), s"guaranteed heavy hitter: ${got.head}")
+    assert(got(1)._3 == Set("late"), s"restored state window: ${got(1)}")
+  }
+
+  test("madMonitor restart emits each window's robust stats exactly once") {
+    val src = tmpDir("mdr_src"); val out = tmpDir("mdr_out"); val ckpt = tmpDir("mdr_ckpt")
+    def startQuery() = graft.streaming.StatefulOps.madMonitor(
+        spark.readStream.schema(docSchema).json(src.toString),
+        "text", "ts", "source", "0 seconds", "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) holds q236's planted-tail lengths
+    // (8,9,10,10,10,11,12,30 -> med 10, MAD 1, one outlier); the t=25
+    // doc (5 tokens) stays open
+    val lens = Seq(8, 9, 10, 10, 10, 11, 12, 30)
+    writeDocRows(src, "f1.json",
+      lens.zipWithIndex.map { case (n, i) =>
+        (f"2024-01-01T00:00:0${i % 8}Z", Seq.fill(n)("w").mkString(" "))
+      } :+ ("2024-01-01T00:00:25Z", "a b c d e"))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — phase-1 window must NOT
+    // re-emit; the restored histogram yields med 5, MAD 0, 0 outliers
+    writeDocRows(src, "f2.json", Seq(("2024-01-01T00:01:40Z", "flush")))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val base = 1704067200000L
+    assert(got == Seq(
+      (base, "s0", 8L, 10L, 1L, 1L),
+      (base + 20000L, "s0", 1L, 5L, 0L, 0L)),
+      s"each window's stats exactly once: ${got.mkString(", ")}")
+  }
+
   private val evSchema = StructType.fromDDL(
     "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")
 
