@@ -101,6 +101,19 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Cumulative JVM GC wall ms across all collectors. Sampled around
+    * each timed run so the artifact carries per-sample gc_ms — when an
+    * in-context median diverges from an isolated re-measure (round-15
+    * verdict: q135 4.3 s in-context vs 1.1 s isolated under
+    * load_before 10.3), the GC ledger says whether the gap was heap
+    * pressure from neighboring entries or something outside the JVM.
+    */
+  private def gcMsNow(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
   /** The one probe-carrying entry that stays cold-timed in the headline
     * number: a fit-cost regression sentinel (the BPE fit is the largest
     * driver-coordinated fit in the catalog).
@@ -185,25 +198,37 @@ object Bench {
     val warm = Seq("q04_join_sortmerge", "q41_dedup_minhash", "q50_ann_brute")
     warm.filter(Catalog.headline.contains).foreach(run)
 
-    final case class Stat(min: Double, median: Double, max: Double) {
+    final case class Stat(min: Double, median: Double, max: Double,
+                          gcMs: Seq[Long]) {
       def json: String =
-        s"""{"min":$min,"median":$median,"max":$max}"""
+        s"""{"min":$min,"median":$median,"max":$max,""" +
+          s""""gc_ms":${gcMs.mkString("[", ",", "]")}}"""
       def spread: Double =
         // a failed sample (-1) is an error, not noise — re-measuring
         // a failing query would just fail again, slowly
         if (min > 0) max / min else 1.0
     }
-    def stat(samples: Seq[Double]): Stat = {
-      val xs = samples.sorted
-      Stat(xs.head, xs(xs.size / 2), xs.last)
+    // each sample = (seconds, GC ms that elapsed inside it), gc_ms kept
+    // in SAMPLE order (not sorted) so a one-off GC spike is attributable
+    def stat(samples: Seq[(Double, Long)]): Stat = {
+      val xs = samples.map(_._1).sorted
+      Stat(xs.head, xs(xs.size / 2), xs.last, samples.map(_._2))
+    }
+    def withGc(f: => Double): (Double, Long) = {
+      val g0 = gcMsNow()
+      val s = f
+      (s, gcMsNow() - g0)
     }
     // spread-triggered re-measure (round-13 verdict item 1): a stat
     // whose max/min exceeds SpreadLimit is re-sampled up to MaxReruns
     // times and the LAST re-measure is published — not the lowest-spread
     // one, which would be a best-of-N selection biased toward favorable
-    // runs. rerunsOf records how many re-measures each entry needed so
-    // the artifact itself says which numbers were contested.
-    val rerunsOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // runs. rerunsOf records how many re-measures each entry needed AND
+    // whether the published stat ever met the spread bar (round-15
+    // advice: a stat that exhausted MaxReruns still over-limit was
+    // indistinguishable from one that converged).
+    val rerunsOf =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Int, Boolean)]
     def withRerun(name: String)(sample: () => Stat): Stat = {
       var cur = sample()
       var n = 0
@@ -213,11 +238,14 @@ object Bench {
         cur = sample()
         n += 1
       }
-      if (n > 0) rerunsOf(name) = n
+      if (n > 0) rerunsOf(name) = (n, cur.spread <= SpreadLimit)
+      if (cur.spread > SpreadLimit)
+        System.err.println(f"[bench] $name published at spread " +
+          f"${cur.spread}%.1fx — UNRESOLVED after $n re-measures")
       cur
     }
     def coldStat(name: String): Stat =
-      withRerun(name)(() => stat(Seq.fill(SampleCount)(run(name))))
+      withRerun(name)(() => stat(Seq.fill(SampleCount)(withGc(run(name)))))
 
     def runThunk(thunk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -239,10 +267,11 @@ object Bench {
         // no warm-up: the first sample carries the probe shape's codegen
         // compile and the median discards it. Re-measures re-sample the
         // SAME warm artifact — the fit is paid once per entry.
-        withRerun(name)(() => stat(Seq.fill(SampleCount)(runThunk(thunk))))
+        withRerun(name)(() =>
+          stat(Seq.fill(SampleCount)(withGc(runThunk(thunk)))))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name probe prepare failed: ${e.getMessage}")
-        Stat(-1.0, -1.0, -1.0)
+        Stat(-1.0, -1.0, -1.0, Seq.empty)
       } finally {
         spark.sharedState.cacheManager.clearCache()
       }
@@ -271,7 +300,7 @@ object Bench {
       // distinct rerun key: these entries were already measured (probe
       // mode) in the headline pass above
       .map(n => n -> withRerun(n + ":cold_fit")(() =>
-        stat(Seq.fill(SampleCount)(run(n)))))
+        stat(Seq.fill(SampleCount)(withGc(run(n))))))
 
     // closing quiet checkpoint: measured AFTER the last timed sample so
     // the steal fraction covers exactly the window the stats came from
@@ -282,7 +311,15 @@ object Bench {
       if (jiffies1 > jiffies0)
         (steal1 - steal0).toDouble / (jiffies1 - jiffies0).toDouble
       else 0.0
-    val quiet = stealPct < 0.05 && competingBefore == 0 && competingAfter == 0
+    // quiet also requires the machine to have been idle-ish when the
+    // bench STARTED: BENCH_r15 recorded quiet=true at load_before 10.28
+    // on 32 CPUs (steal and competing checks can't see load that drains
+    // during the run) and carried a phantom 2.3x regression on an
+    // unchanged entry that re-measured at 1.07 s in isolation. The
+    // threshold is cpus/4 per the round-15 verdict prescription.
+    val loadQuietMax = cpus.toDouble / 4.0
+    val quiet = stealPct < 0.05 && competingBefore == 0 &&
+      competingAfter == 0 && loadBefore < loadQuietMax
 
     def objOf(pairs: Seq[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -293,8 +330,10 @@ object Bench {
     val pvar = objOf(probeResults.map { case (n, st) => n -> st.json })
     val cf = objOf(coldFits.map { case (n, st) => n -> st.json })
     val total = measured.map(_._3.median).filter(_ >= 0).sum
-    val reruns = objOf(rerunsOf.toSeq.map { case (n, c) => n -> c.toString })
+    val reruns = objOf(rerunsOf.toSeq.map { case (n, (c, conv)) =>
+      n -> s"""{"n":$c,"converged":$conv}""" })
     val machine = s"""{"load_before":$loadBefore,"load_after":$loadAfter,""" +
+      s""""load_quiet_max":$loadQuietMax,""" +
       s""""steal_pct":$stealPct,"competing_before":$competingBefore,""" +
       s""""competing_after":$competingAfter}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mode":$modes,"variance":$variance,"probes":$ps,"probe_variance":$pvar,"cold_fits":$cf,"samples":$SampleCount,"quiet":$quiet,"machine":$machine,"reruns":$reruns,"sf":"$sfDir"}"""

@@ -531,7 +531,10 @@ object Dedup {
     */
   private def minhashAccuracyOracle(cap: Int): String = {
     val mo = minhashOracle(cap)
-    val split = mo.lastIndexOf("rep_pairs AS")
+    // line-anchored (+1 skips the \n; -1 miss becomes 0 and fails the
+    // require) so a future CTE merely ENDING in "rep_pairs" can't
+    // silently shift the splice past the guard
+    val split = mo.lastIndexOf("\nrep_pairs AS") + 1
     require(split > 0, "minhashOracle shape changed; update minhashAccuracyOracle")
     mo.substring(0, split).trim.stripSuffix(",") + ",\n" +
       """est AS (SELECT c.ra, c.rb,
@@ -1283,7 +1286,7 @@ object Dedup {
     */
   def splitLeakageOracle(cap: Int): String = {
     val mo = minhashOracle(cap)
-    val split = mo.lastIndexOf("SELECT doc_a, doc_b, jaccard FROM inter")
+    val split = mo.lastIndexOf("\nSELECT doc_a, doc_b, jaccard FROM inter") + 1
     require(split > 0, "minhashOracle shape changed; update splitLeakageOracle")
     val ctes = mo.substring(0, split).trim.stripSuffix(",")
     val pairsSelect = mo.substring(split).trim
@@ -1309,7 +1312,7 @@ object Dedup {
 
   def dupClustersOracle(cap: Int): String = {
     val mo = minhashOracle(cap)
-    val split = mo.lastIndexOf("SELECT doc_a, doc_b, jaccard FROM inter")
+    val split = mo.lastIndexOf("\nSELECT doc_a, doc_b, jaccard FROM inter") + 1
     require(split > 0, "minhashOracle shape changed; update dupClustersOracle")
     val ctes = mo.substring(0, split).trim.stripSuffix(",") // "WITH tok AS (...), ..., intra AS (...)"
     val pairsSelect = mo.substring(split).trim
@@ -1338,7 +1341,7 @@ object Dedup {
     */
   def dedupAttributionOracle(cap: Int): String = {
     val co = dupClustersOracle(cap)
-    val split = co.lastIndexOf("SELECT lbl.v AS doc_id")
+    val split = co.lastIndexOf("\nSELECT lbl.v AS doc_id") + 1
     require(split > 0, "dupClustersOracle shape changed; update dedupAttributionOracle")
     co.substring(0, split).trim.stripSuffix(",") + ",\n" +
       """rm AS (SELECT lbl.v AS doc_id, lbl.l AS cluster_id FROM lbl WHERE lbl.v <> lbl.l)

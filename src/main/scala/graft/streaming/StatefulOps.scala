@@ -1036,11 +1036,14 @@ object StatefulOps {
   def madMonitor(docs: DataFrame, textCol: String, tsCol: String,
                  keyCol: String, lateness: String, win: String,
                  k: Int = graft.queries.TextAnalysis.MadK): DataFrame = {
-    val medFold = (lenField: String) =>
-      "aggregate(%s, " +
+    // plain interpolation of (array, field) — not a %s/.format template,
+    // which would throw UnknownFormatConversionException at plan-build
+    // time if a future edit adds a % (modulo, percent literal) to the fold
+    def medFold(arr: String, lenField: String): String =
+      s"aggregate($arr, " +
         "struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med), " +
-        s"(acc, x) -> struct(acc.cum + x.c, " +
-        s"CASE WHEN acc.med IS NULL AND (acc.cum + x.c) * 2 >= n_docs " +
+        "(acc, x) -> struct(acc.cum + x.c, " +
+        "CASE WHEN acc.med IS NULL AND (acc.cum + x.c) * 2 >= n_docs " +
         s"THEN x.$lenField ELSE acc.med END), " +
         "acc -> acc.med)"
     docs
@@ -1052,10 +1055,10 @@ object StatefulOps {
       .agg(collect_list(struct(col("__ln").as("ln"), col("c").as("c")))
         .as("hist"), sum(col("c")).as("n_docs"))
       .withColumn("hist", array_sort(col("hist")))
-      .withColumn("med", expr(medFold("ln").format("hist")))
+      .withColumn("med", expr(medFold("hist", "ln")))
       .withColumn("dhist", expr(
         "array_sort(transform(hist, x -> struct(abs(x.ln - med) AS dv, x.c AS c)))"))
-      .withColumn("mad", expr(medFold("dv").format("dhist")))
+      .withColumn("mad", expr(medFold("dhist", "dv")))
       .withColumn("n_outliers", expr(
         s"aggregate(dhist, CAST(0 AS BIGINT), (acc, x) -> " +
           s"acc + CASE WHEN x.dv > $k * mad THEN x.c ELSE CAST(0 AS BIGINT) END)"))

@@ -126,12 +126,12 @@ object PlanDump {
     "q222_tpch_q19" -> "TPC-H Q19: the disjunction's quantity hull is a PushedFilter on the lineitem scan (Catalyst can't extract it from the OR); brand/size hull prunes part before the broadcast; the full disjunction is the join residual",
     "q223_tpch_q20" -> "TPC-H Q20 shape: part broadcasts semi into the fact BEFORE the (suppkey, partkey) aggregate; the HAVING-sparse qualifying set semi-cuts supplier — a double-nested semi chain, one 2-key exchange",
     "q225_residual_norms" -> "residual norms: fit shared with q212 (driver-side, collected triangle); the SERVED plan is two scan-stage integer dots (norm2, proj) against the broadcast direction literal plus the shared-template IEEE projection — zero shuffles",
-    "q228_tpch_q2" -> "TPC-H Q2: region slice of supplier broadcasts; ONE partkey exchange computes the min and the distinct offers re-join it partkey-partitioned; part joins UNHINTED (AQE: BHJ at fixture, SMJ past broadcast size); top-100 is TakeOrderedAndProject",
+    "q228_tpch_q2" -> "TPC-H Q2: region slice of supplier broadcasts; ONE lineitem scan and ONE partkey exchange feed both the (part,supplier,cost) distinct (partkey clustering satisfies the wider grouping) and the per-partkey window min — the min-rejoin collapses to filter-on-window, no second distinct subtree (round-15 fix); part joins UNHINTED (AQE: BHJ at fixture, SMJ past broadcast size); top-100 is TakeOrderedAndProject",
     "q229_tpch_q4" -> "TPC-H Q4: correlated EXISTS as an orderkey-equi LEFT SEMI with the shipdate-vs-orderdate comparison as join residual — never a per-row subquery; the quarter cut is a PushedFilter on the orders scan",
     "q230_tpch_q9" -> "TPC-H Q9: widget cut prunes part before its partkey join; supplier→nation broadcasts; ONE orderkey exchange joins orders; signed profit accumulates in DECIMAL(38,0) (nation×year grain is corpus-sized at 100 TB)",
     "q231_tpch_q11" -> "TPC-H Q11: region slice broadcasts semi into the fact; ONE partkey exchange; the 1-row (Σ, n) frame broadcasts back over the part-grain aggregate; threshold is the DECIMAL(38,0) cross-multiply, never a float fraction",
     "q232_tpch_q16" -> "TPC-H Q16: ONE pair-grain distinct exchange (the measure is defined over distinct pairs), complaint set broadcast LeftAnti, part at partkey grain, then a (brand, type, size) count-distinct re-aggregate",
-    "q233_tpch_q21" -> "TPC-H Q21: EXISTS + NOT-EXISTS as orderkey-equi semi/anti joins with the suppkey inequality as residual (q198's rule, on the full late-pair pipeline); three orderkey exchanges total; top-100 is TakeOrderedAndProject",
+    "q233_tpch_q21" -> "TPC-H Q21: EXISTS + NOT-EXISTS as orderkey-equi semi/anti joins with the suppkey inequality as residual (q198's rule); the late pair set is persisted ONCE (InMemoryTableScan on the probe base and the anti build — the join+distinct subtree is never rebuilt, round-15 fix); top-100 is TakeOrderedAndProject",
     "q234_tpch_q22" -> "TPC-H Q22: the 1-row (Σ, n) positive-balance frame broadcasts over the customer scan; the scalar-average compares as the exact integer cross-multiply; no-recent-orders is a custkey-equi LeftAnti against the date-pruned orders projection",
     "q235_minhash_accuracy" -> "minhash estimator audit: q41's plan minus the τ filter — one capped (band, bsig) shuffle with signatures + hashed sets riding it; est32 and exact Jaccard are both computed map-side per bucket pair, the pair-dedup shuffle carries 24 bytes",
     "q236_robust_mad" -> "robust MAD gate: ONE corpus scan → map-side-combinable (source, length) aggregate; medians via cumulative windows at value-domain grain (partitioned by source); deviation re-grain and outlier count never touch per-document rows again",
