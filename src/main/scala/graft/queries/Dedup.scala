@@ -130,8 +130,14 @@ object Dedup {
   private def expandPairs(repPairs: DataFrame, groups: DataFrame,
                           selfScore: Column = lit(1.0),
                           intraEligible: Column = col("eligible")): DataFrame = {
+    // materialized ONCE: the ids_a leg, ids_b leg, and intra-pair leg all
+    // re-evaluated the collapse aggregate before round 16 (the lint's
+    // q41/q43/q44/q45/q143/q173 findings) — three corpus scans for one
+    // (rep, ids, eligible) map whose size is ids-only (no text). At
+    // 100 TB the cache is the cheap side by orders of magnitude.
     val membership = groups.select(col("doc_id").as("rep"), col("ids"),
       intraEligible.as("eligible"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = repPairs
       .join(membership.select(col("rep"), col("ids").as("ids_a")),
         col("doc_a") === col("rep")).drop("rep")

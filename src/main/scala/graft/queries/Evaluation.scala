@@ -291,9 +291,12 @@ object Evaluation {
     //      grain (#days ≈ tens..thousands, broadcast-sized both sides).
     "q208_trend_mk" -> Q(
       (s, d) => {
+        // day-grain counts persist ONCE: both legs of the Mann–Kendall
+        // pair join re-ran the corpus aggregate before round 16 (lint)
         val daily = Tables(s, d, "events")
           .select(expr("CAST(ts AS DATE)").as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = daily.toDF("d1", "n1")
           .join(broadcast(daily.toDF("d2", "n2")), col("d1") < col("d2"))
         pairs.agg(
@@ -485,11 +488,15 @@ object Evaluation {
     //      same bucketing that bounds q209's rank grids.
     "q216_kendall_tau" -> Q(
       (s, d) => {
+        // customer-grain (x, y) profile persists ONCE: the cell table,
+        // the n count, and both tie margins are all re-aggregates of it
+        // — pre-round-16 each re-scanned orders (lint finding)
         val per = Tables(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("x"),
             expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000 AS BIGINT)")
               .as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cells = per.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
         val a = cells.toDF("xa", "ya", "ca")
         val b = cells.toDF("xb", "yb", "cb")
@@ -868,13 +875,21 @@ object Evaluation {
           .select((col("score") - col("mn")).as("sc"), col("y"), col("den"),
             expr("CAST((score - mn) * 10 DIV den AS BIGINT)").as("bin"),
             (col("score") - col("mn") - col("y") * col("den")).as("r"))
-        val g = m.agg(count(lit(1)).as("gn"), sum(col("y")).as("gy"),
-          sum(expr("CAST(r * r AS DECIMAL(38,0))")).cast("long").as("sse"),
-          sum(expr("CAST(sc * sc AS DECIMAL(38,0))")).cast("long").as("ssq"),
-          min(col("den")).as("den"))
+        // ONE corpus pass to decile grain (the global moments carry as
+        // extra per-bin partials, then re-sum — exact DECIMAL(38,0)
+        // arithmetic is associative); pre-round-16 the global frame and
+        // the bin table each re-scanned the corpus (lint finding)
         val bins = m.groupBy(col("bin"))
           .agg(count(lit(1)).as("n_b"), sum(col("sc")).as("s_b"),
-            sum(col("y")).as("y_b"), sum(expr("sc * y")).as("spy_b"))
+            sum(col("y")).as("y_b"), sum(expr("sc * y")).as("spy_b"),
+            sum(expr("CAST(r * r AS DECIMAL(38,0))")).as("sse_b"),
+            sum(expr("CAST(sc * sc AS DECIMAL(38,0))")).as("ssq_b"),
+            min(col("den")).as("den_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = bins.agg(sum(col("n_b")).as("gn"), sum(col("y_b")).as("gy"),
+          sum(col("sse_b")).cast("long").as("sse"),
+          sum(col("ssq_b")).cast("long").as("ssq"),
+          min(col("den_b")).as("den"))
         val t = bins.crossJoin(broadcast(g))
           .selectExpr(Seq("bin", MurphyRelTerm, MurphyResTerm,
             MurphyWbvTerm, MurphyCovTerm): _*)

@@ -997,12 +997,15 @@ object Pipeline {
             explode(distinctShingles(s, col("text"), OverlapGram)).as("sh"))
         // ONE heavy pass: per-shingle source sets. collect_set dedups
         // map-side, so no separate distinct shuffle precedes it (probe:
-        // the extra exchange cost ~40% on the all-shared corpus). Both
-        // consumers below hang off this same aggregate, so ReuseExchange
-        // dedups the shingle shuffle — per-source totals come from
-        // exploding the (tiny) per-shingle sets, NOT a second scan.
+        // the extra exchange cost ~40% on the all-shared corpus). The
+        // aggregate is PERSISTED — the round-16 lint showed the
+        // "ReuseExchange dedups the shuffle" assumption this comment
+        // used to make never held (per-source totals and the pair leg
+        // each rebuilt the exploded-shingle aggregate from the scan);
+        // the cache is the inverted index both consumers read.
         val bySh = sh.groupBy(col("sh"))
           .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val perSrc = bySh.select(explode(col("ss")).as("source"))
           .groupBy(col("source")).agg(count(lit(1)).as("n"))
         val pairs = bySh
@@ -1788,9 +1791,13 @@ object Pipeline {
     //      the per-source CDF window partitions at that bounded grain.
     "q203_ks_drift" -> Q(
       (s, d) => {
+        // (source, len)-grain counts persist ONCE: the length marginal,
+        // per-source totals, and the grid left-join are all re-aggregates
+        // of it — pre-round-16 each re-scanned the corpus (lint finding)
         val perSL = Tables(s, d, "documents")
           .groupBy(col("source"), col("n_chars").as("len"))
           .agg(count(lit(1)).as("c_sl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val perL = perSL.groupBy(col("len")).agg(sum(col("c_sl")).as("c_l"))
         val srcN = perSL.groupBy(col("source")).agg(sum(col("c_sl")).as("n_s"))
         val tot = perL.agg(sum(col("c_l")).as("n_tot"))

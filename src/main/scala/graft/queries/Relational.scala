@@ -628,16 +628,21 @@ object Relational {
         val v = Tables(s, d, "orders")
           .select(col("o_orderstatus").as("st"), col("o_totalprice"),
             expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        // the cents-grain cumulative and the status-grain rank frame
+        // persist ONCE: the three rank picks each re-ran the corpus
+        // histogram + window before round 16 (duplicate-subtree lint)
         val cc = v.groupBy(col("st"), col("cents")).agg(count(lit(1)).as("cnt"))
         val cum = cc.select(col("st"), col("cents"),
           sum(col("cnt")).over(Window.partitionBy(col("st"))
             .orderBy(col("cents").asc)
             .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = v.groupBy(col("st")).agg(count(lit(1)).as("n"))
           .select(col("st"), col("n"),
             expr("greatest(CAST(1 AS BIGINT), n DIV 2 - (n * 2 + 99) DIV 100)").as("r_lo"),
             expr("least(n, (n + 1) DIV 2 + (n * 2 + 99) DIV 100)").as("r_hi"),
             expr("(n + 1) DIV 2").as("r_med"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def pick(rank: String, out: String) =
           cum.join(broadcast(tot), "st").filter(col("cum") >= col(rank))
             .groupBy(col("st")).agg(min(col("cents")).as(out))
@@ -1020,10 +1025,14 @@ object Relational {
         def skewOf(key: String): DataFrame = {
           import org.apache.spark.sql.expressions.Window
           val cnt = ev.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          // ≤64-bucket histogram persists ONCE per key: totals and the
+          // p99 cumulative both re-ran the corpus per-key count before
+          // round 16 (duplicate-subtree lint finding)
           val hist = cnt
             .groupBy(expr("CAST(length(bin(c)) AS INT)").as("bits"))
             .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
               max(col("c")).as("max_c"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val tot = hist.agg(sum(col("n_keys")).as("k"), sum(col("n_rows")).as("r"),
             max(col("max_c")).as("mx"))
           val wc = Window.orderBy(col("bits")).rowsBetween(Window.unboundedPreceding, 0)
@@ -1140,6 +1149,8 @@ object Relational {
             sum(col("cnt")).over(Window.orderBy(col("cents").asc)
               .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
         val tot = v.agg(count(lit(1)).as("n"))
+        // the (HistB−1)-row rank frame persists ONCE: the pick join and
+        // the final report both re-ran the corpus count before round 16
         val ranks = tot
           .select(explode(expr(s"sequence(1, ${HistB - 1})")).as("k"), col("n"))
           .select(col("k"), col("n"),
@@ -1148,6 +1159,7 @@ object Relational {
             expr("greatest(CAST(1 AS BIGINT), r_k - (n * 2 + 99) DIV 100)")
               .as("r_lo"),
             expr("least(n, r_k + (n * 2 + 99) DIV 100)").as("r_hi"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val picks = cum.join(broadcast(ranks), col("cum") >= col("r_lo"))
           .groupBy(col("k")).agg(
             min(when(col("cum") >= col("r_k"), col("cents")))
@@ -2190,11 +2202,15 @@ object Relational {
             .filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"))
+        // part-grain values persist ONCE: the 1-row (Σ, n) frame and the
+        // threshold filter both re-ran the lineitem semi+aggregate
+        // before round 16 (duplicate-subtree lint finding)
         val v = Tables(s, d, "lineitem")
           .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"),
             "left_semi")
           .groupBy(col("l_partkey"))
           .agg(sum(expr(RevC4)).as("value_c4"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val g = v.agg(
           sum(col("value_c4").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
@@ -2383,6 +2399,10 @@ object Relational {
           .select(col("o_orderpriority").as("grp"),
             expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("v"))
           .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+          // value-domain histogram persists ONCE: totals, the cumulative
+          // rank chain, and the winsorize join are all re-aggregates of
+          // it — pre-round-16 each re-scanned orders (lint finding)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = vc.groupBy(col("grp")).agg(sum(col("c")).as("n"))
         val cum = vc.withColumn("cm", sum(col("c"))
             .over(Window.partitionBy(col("grp")).orderBy(col("v"))))

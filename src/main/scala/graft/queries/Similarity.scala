@@ -757,7 +757,12 @@ object Similarity {
     //      in production the assignment is a persisted index artifact
     //      (the q51 pattern) and both stages read it for free.
     "q124_semdedup" -> Q(
-      (s, d) => semDedupFlags(s, semDedupAssign(s, d)),
+      // batch arm persists the assignment exactly like the probe arm
+      // below: semDedupFlags probes it three times (both self-join legs
+      // + the final flag join), which pre-round-16 rebuilt the whole
+      // cross-join assignment per leg (duplicate-subtree lint finding)
+      (s, d) => semDedupFlags(s, semDedupAssign(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
               |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
@@ -830,12 +835,16 @@ object Similarity {
     //      vector-grain aggregate, and a K-row broadcast join.
     "q138_knn_outlier" -> Q(
       (s, d) => {
+        // vector-grain scores persist ONCE: both the bottom-K heap and
+        // the final flag join probe it, and each probe re-derived the
+        // whole kNN edge pipeline before round 16 (lint finding)
         val scores = knnEdges(s, d).groupBy(col("q_id"))
           .agg(sum(expr(s"CAST(floor(cos * $FixedPointScale.0) AS BIGINT)")).as("fsum"),
             count(lit(1)).as("n"))
           .select(col("q_id").as("vec_id"),
             (col("fsum").cast("double") / lit(FixedPointScale.toDouble) /
               col("n").cast("double")).as("mean_cos"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val flagged =
           if (s.catalog.functionExists("graft_topk"))
             scores.agg(call_function("graft_topk", -col("mean_cos"),
@@ -1107,12 +1116,20 @@ object Similarity {
         val docs = Tables.spread(Tables(s, d, "documents"))
           .select(col("doc_id"), col("source"), col("n_chars"))
         val j = asg.join(docs, asg("vec_id") === docs("doc_id"))
-        val stats = j.groupBy(col("c_id"))
-          .agg(count(lit(1)).as("n_docs"),
+        // ONE corpus pass to (c_id, source) grain (≤ k × #sources rows),
+        // persisted; stats and mode are both re-aggregates of it —
+        // pre-round-16 each ran its own assignment+join pipeline over
+        // the corpus (duplicate-subtree lint finding). Partial sums of
+        // exact BIGINTs re-sum to identical totals.
+        val grain = j.groupBy(col("c_id"), col("source"))
+          .agg(count(lit(1)).as("cnt"),
             sum(expr(s"CAST(floor(cosc * $FixedPointScale.0) AS BIGINT)")).as("fcos"),
             sum(col("n_chars")).as("chars"))
-        val mode = j.groupBy(col("c_id"), col("source"))
-          .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = grain.groupBy(col("c_id"))
+          .agg(sum(col("cnt")).as("n_docs"), sum(col("fcos")).as("fcos"),
+            sum(col("chars")).as("chars"))
+        val mode = grain
           .groupBy(col("c_id"))
           .agg(min(struct((-col("cnt")).as("neg"), col("source"))).as("m"))
           .select(col("c_id"), col("m.source").as("top_source"),
@@ -1167,10 +1184,14 @@ object Similarity {
     //      id-equijoins over the slim (a, b) edge projection.
     "q152_graph_triangles" -> Q(
       (s, d) => {
+        // the ≤ n·KnnK canonical edge set persists ONCE: triangleStats
+        // probes it five ways (degrees + three wedge-join legs), and
+        // each leg re-derived the IVF kNN pipeline before round 16
         val und = knnEdges(s, d).filter(col("q_id") =!= col("n_id"))
           .select(least(col("q_id"), col("n_id")).as("a"),
             greatest(col("q_id"), col("n_id")).as("b"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         triangleStats(und)
       },
       Some(knnOracleCte + """,

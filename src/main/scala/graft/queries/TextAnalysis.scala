@@ -397,9 +397,13 @@ object TextAnalysis {
     //      (PlanSpec allowlist).
     "q114_token_spectrum" -> Q(
       (s, d) => {
+        // vocab-grain term frequencies persist ONCE: the 1-row total and
+        // the f-histogram are both re-aggregates of it (pre-round-16
+        // each rebuilt the exploded-corpus aggregate — lint finding)
         val tf = Tables.spread(Tables(s, d, "documents"))
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("f"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = tf.agg(sum(col("f")).as("total_mass"),
           count(lit(1)).as("n_vocab"))
         tf.groupBy(col("f")).agg(count(lit(1)).as("n_types"))
@@ -1004,6 +1008,69 @@ object TextAnalysis {
         () => bpeEncodeDocs(s, d, wordIds)
       })),
 
+    // ---- BPE ROUND-TRIP: decode q136's encoding back to text and pin
+    //      losslessness — the reconstruction proof the tokenizer family
+    //      (q130 merge induction, q131 fertility, q136 encode) did not
+    //      have: encode-then-decode at VOCAB grain (word → ids via the
+    //      symbol map, ids → symbols via its INVERSE, symbols
+    //      concatenate to characters — never a word-table lookup, which
+    //      would round-trip the join key instead of the code), then the
+    //      per-doc reassembly in word order. Output per doc: the
+    //      decoded text's sha2 (hash-compared cross-engine — the
+    //      decoded STRING must match, not just the flag) and lossless =
+    //      decoded ≡ whitespace-normalized original. 100 TB: decode is
+    //      vocab-grain; the doc pass is q136's one dictionary join +
+    //      doc-grain reassembly shuffle.
+    "q245_bpe_roundtrip" -> Q(
+      (s, d) => {
+        val (vocab, symIds) = bpeSymbolTable(s, d)
+        val inv: Map[Int, String] = symIds.map(_.swap)
+        val dec = vocab.select(col("word"),
+          concat_ws("", transform(
+            transform(col("syms"), sy => element_at(typedLit(symIds), sy)),
+            i => element_at(typedLit(inv), i))).as("dec"))
+        Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("text"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+          .join(dec, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(pos, dec))), p -> p.dec), ' ')").as("dec_text"),
+            first(col("text")).as("text"))
+          .select(col("doc_id"), col("n_words"),
+            sha2(col("dec_text"), 256).as("dec_sha"),
+            (col("dec_text") === expr(
+              "array_join(filter(split(text, ' '), w -> w <> ''), ' ')"))
+              .as("lossless"))
+      },
+      Some(s"""WITH $bpeWordRoundsSql,
+              |va AS (SELECT word, string_split(trim(w), ' ') AS syms FROM w$BpeMerges),
+              |sid AS (SELECT sy, CAST(row_number() OVER (ORDER BY sy) AS INT) AS id
+              |        FROM (SELECT DISTINCT unnest(syms) AS sy FROM va)),
+              |we AS (SELECT word, i, syms[i] AS sy FROM va,
+              |       LATERAL (SELECT unnest(generate_series(1, len(syms))) AS i) l),
+              |wi AS (SELECT word, list(id ORDER BY i) AS ids
+              |       FROM we JOIN sid USING (sy) GROUP BY word),
+              |dw AS (SELECT word, string_agg(sy, '' ORDER BY i) AS dec FROM (
+              |    SELECT word, i, ids[i] AS id FROM wi,
+              |    LATERAL (SELECT unnest(generate_series(1, len(ids))) AS i) l2)
+              |  JOIN sid USING (id) GROUP BY word),
+              |tok AS (SELECT doc_id, text, i, ws[i] AS word
+              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+              |        FROM documents),
+              |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) l3
+              |  WHERE ws[i] <> ''),
+              |enc AS (SELECT t.doc_id, t.text, t.i, dw.dec
+              |        FROM tok t JOIN dw USING (word))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |  sha256(string_agg(dec, ' ' ORDER BY i)) AS dec_sha,
+              |  (string_agg(dec, ' ' ORDER BY i) = array_to_string(
+              |    list_filter(string_split(text, ' '), w -> w <> ''), ' '))
+              |    AS lossless
+              |FROM enc GROUP BY doc_id, text""".stripMargin)),
+
     // ---- per-doc TF-IDF keywords: the top-[[TfidfTopK]] terms of every
     //      document by tf × quantized idf — the lightweight
     //      keyword-extraction verb (doc tagging, index hints, cluster
@@ -1065,8 +1132,12 @@ object TextAnalysis {
     //      re-aggregate the cell table (≪ corpus) and ride broadcasts.
     "q153_chisq_independence" -> Q(
       (s, d) => {
+        // (source, lang)-grain cells persist ONCE: row/col/grand margins
+        // and the expectation join are all re-aggregates of the cell
+        // table — pre-round-16 each re-scanned the corpus (lint finding)
         val cells = Tables(s, d, "documents")
           .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rt = cells.groupBy(col("source")).agg(sum(col("n")).as("row_tot"))
         val ct = cells.groupBy(col("lang")).agg(sum(col("n")).as("col_tot"))
         val g = cells.agg(sum(col("n")).as("grand"))
@@ -1124,8 +1195,12 @@ object TextAnalysis {
       (s, d) => {
         val toks = Tables.spread(Tables(s, d, "documents"))
           .select(split(col("text"), " ").as("toks"))
+        // vocab-grain unigram counts persist ONCE: the token total and
+        // both PMI count joins re-ran the exploded-corpus aggregate
+        // before round 16 (duplicate-subtree lint finding)
         val uni = toks.select(explode(col("toks")).as("t"))
           .groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nTok = uni.agg(sum(col("c")).as("n_tok"))
         val pairs = toks.filter(size(col("toks")) >= 2)
           .select(explode(expr(
@@ -1233,10 +1308,14 @@ object TextAnalysis {
     "q236_robust_mad" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // the (source, length) histogram persists ONCE: totals, the
+        // median chain, and the deviation re-grain are all re-aggregates
+        // of it — pre-round-16 each re-scanned the corpus (lint finding)
         val lc = Tables(s, d, "documents")
           .select(col("source"),
             size(split(col("text"), " ")).cast("long").as("ln"))
           .groupBy(col("source"), col("ln")).agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = lc.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
         val med = lc
           .withColumn("cm", sum(col("c"))
@@ -1973,6 +2052,19 @@ object TextAnalysis {
     * is the serving artifact the per-batch encode joins against.
     */
   def bpeWordIds(s: SparkSession, d: String): DataFrame = {
+    val (vocab, symIds) = bpeSymbolTable(s, d)
+    val ids = typedLit(symIds)
+    vocab.select(col("word"),
+      transform(col("syms"), sy => element_at(ids, sy)).as("ids"))
+  }
+
+  /** The trained tokenizer's symbol layer: the persisted (word, syms)
+    * vocab after the merge fold, plus the symbol → id map (lexicographic
+    * rank — both engines derive identical ids with no shared state).
+    * [[bpeWordIds]] encodes through it; q245 decodes back through its
+    * inverse.
+    */
+  def bpeSymbolTable(s: SparkSession, d: String): (DataFrame, Map[String, Int]) = {
     val merges = bpeFit(s, d).map(m => (m._1, m._2))
     val vocab = bpeVocab(s, d).select(col("word"),
         split(trim(bpeApply(col("w"), merges)), " ").as("syms"))
@@ -1981,9 +2073,7 @@ object TextAnalysis {
       .select(explode(col("syms")).as("sy")).distinct()
       .orderBy(col("sy")).collect().map(_.getString(0))
       .zipWithIndex.map { case (sy, i) => sy -> (i + 1) }.toMap
-    val ids = typedLit(symIds)
-    vocab.select(col("word"),
-      transform(col("syms"), sy => element_at(ids, sy)).as("ids"))
+    (vocab, symIds)
   }
 
   /** q136's per-batch serving stage: re-encode the corpus through ONE

@@ -900,6 +900,56 @@ object StatefulOps {
           .as("mean_cents"))
   }
 
+  /** q243's intake sibling — the streaming GAINS/LIFT scorecard, the
+    * last batch eval entry without a streaming form (round-15 verdict
+    * item 6): per event-time window × score bin (best-first), how much
+    * of the positive class the top bins CAPTURE and each bin's lift
+    * over the window's base rate. Rides calibrationMonitor's kernel —
+    * the same fixed width-in-cents bins, exact counts — then the
+    * per-window reduction (the aucMonitor chained-stateful path) folds
+    * the ≤maxBin-row histogram best-first: cum_n/cum_pos are running
+    * BIGINT sums over the DESC-sorted bins; capture = cum_pos/tot_pos
+    * and lift = (n_pos·tot_n)/(n·tot_pos) are each ONE IEEE division /
+    * fixed tree of exact integers, NULL when the window has no
+    * positives (the q213 degenerate rule). Scoreless rows are EXCLUDED
+    * — an unscored row cannot be ranked best-first (aucMonitor's rule,
+    * NOT calibrationMonitor's NULL bin). State ∝ open windows ×
+    * (maxBin+1) bins; the O(B²) slice-folds run over ≤maxBin elements.
+    */
+  def gainsMonitor(events: DataFrame, lateness: String, win: String,
+                   binCents: Long, maxBin: Int): DataFrame = {
+    val cents = "CAST(round(value * 100) AS BIGINT)"
+    events
+      .filter(col("value").isNotNull)
+      .withColumn("__bin", expr(
+        s"least($cents DIV $binCents, CAST(${maxBin - 1} AS BIGINT))"))
+      .withColumn("__pos",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), win), col("__bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"))
+      .groupBy(col("window"))
+      .agg(collect_list(struct(col("__bin").as("bin"), col("n"),
+          col("n_pos"))).as("h"),
+        sum(col("n")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))
+      .withColumn("hs", expr("reverse(array_sort(h))")) // best-first
+      .select(col("window"), col("tot_n"), col("tot_pos"), col("hs"),
+        posexplode(col("hs")).as(Seq("i", "r")))
+      .withColumn("cum_n", expr(
+        "aggregate(slice(hs, 1, i + 1), CAST(0 AS BIGINT), (a, x) -> a + x.n)"))
+      .withColumn("cum_pos", expr(
+        "aggregate(slice(hs, 1, i + 1), CAST(0 AS BIGINT), (a, x) -> a + x.n_pos)"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col("r.bin").as("bin"), col("r.n").as("n"), col("r.n_pos").as("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        expr("CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END")
+          .as("capture"),
+        expr("CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE CAST(r.n_pos * tot_n AS DOUBLE) " +
+          "/ CAST(r.n * tot_pos AS DOUBLE) END").as("lift"))
+  }
+
   /** q213/q205's intake sibling — the streaming ranking-quality
     * monitor: per event-time window, the Mann–Whitney AUC of `value`
     * (read as a conversion-propensity score) against the purchase
@@ -1017,6 +1067,33 @@ object StatefulOps {
           .as("cands"))
       .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
         col("n_tokens"), array_sort(col("cands")).as("candidates"))
+  }
+
+  /** Per-key [[topkMonitor]] — Misra–Gries heavy-hitter candidates per
+    * (event-time window × key), the per-slice form (the same grouping
+    * step q213 applies to q205's AUC): a per-source intake board where
+    * the global monitor would let one dominant source mask every other
+    * slice's hitters. Identical kernel and guarantee per group — every
+    * token with in-(window, key) frequency > n_tokens/(capacity+1)
+    * survives its group's buffer. ONE windowed aggregate; state ∝ open
+    * windows × keys × capacity.
+    */
+  def topkMonitorGrouped(docs: DataFrame, textCol: String, tsCol: String,
+                         keyCol: String, lateness: String, win: String,
+                         capacity: Int): DataFrame = {
+    require(docs.sparkSession.catalog.functionExists("graft_mg_candidates"),
+      "topkMonitorGrouped needs the graft_mg_candidates native aggregate — " +
+        "register graft.plans.GraftExtensions")
+    docs
+      .select(col(tsCol), col(keyCol),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), win), col(keyCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        call_function("graft_mg_candidates", col("__tok"), lit(capacity))
+          .as("cands"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col(keyCol), col("n_tokens"), array_sort(col("cands")).as("candidates"))
   }
 
   /** q236's intake sibling — the streaming robust length gate: per

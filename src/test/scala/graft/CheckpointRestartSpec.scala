@@ -182,6 +182,47 @@ class CheckpointRestartSpec extends SparkSuite {
       s"each (window, bin) exactly once: ${got.mkString(", ")}")
   }
 
+  test("gainsMonitor restart emits each (window, bin) gains row exactly once") {
+    val src = tmpDir("gnr_src"); val out = tmpDir("gnr_out"); val ckpt = tmpDir("gnr_ckpt")
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    def writeRows(name: String, rows: Seq[(String, String, Double)]): Unit =
+      java.nio.file.Files.writeString(src.resolve(name), rows.map { case (ts, et, v) =>
+        s"""{"ts":"$ts","event_type":"$et","value":$v}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.gainsMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "0 seconds", "10 seconds", binCents = 5000L, maxBin = 4)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) fills bin 0 (one view) and bin 1 (one
+    // purchase) — best-first: b1 capture 1 lift 2, b0 capture 1 lift 0;
+    // the t=25 row stays open state
+    writeRows("f1.json", Seq(
+      ("2024-01-01T00:00:02Z", "view", 10.0),
+      ("2024-01-01T00:00:04Z", "purchase", 60.0),
+      ("2024-01-01T00:00:25Z", "view", 1.0)))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — phase-1 rows must NOT
+    // re-emit; the restored window has no positive → NULL capture/lift
+    writeRows("f2.json", Seq(("2024-01-01T00:01:40Z", "view", 1.0)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+      .sortBy(t => (t._1, -t._2)).toSeq
+    val base = 1704067200000L
+    assert(got == Seq(
+      (base, 1L, 1L, 1L, 1L, 1L, Some(1.0), Some(2.0)),
+      (base, 0L, 1L, 0L, 2L, 1L, Some(1.0), Some(0.0)),
+      (base + 20000L, 0L, 1L, 0L, 1L, 0L, None, None)),
+      s"each (window, bin) exactly once: ${got.mkString(", ")}")
+  }
+
   test("aucMonitor restart emits each window's AUC exactly once") {
     val src = tmpDir("aucr_src"); val out = tmpDir("aucr_out"); val ckpt = tmpDir("aucr_ckpt")
     val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
@@ -289,6 +330,43 @@ class CheckpointRestartSpec extends SparkSuite {
       s"each window exactly once: ${got.mkString(", ")}")
     assert(got.head._3.contains("hot"), s"guaranteed heavy hitter: ${got.head}")
     assert(got(1)._3 == Set("late"), s"restored state window: ${got(1)}")
+  }
+
+  test("topkMonitorGrouped restart emits each (window, key) board exactly once") {
+    val src = tmpDir("tkg_src"); val out = tmpDir("tkg_out"); val ckpt = tmpDir("tkg_ckpt")
+    def startQuery() = graft.streaming.StatefulOps.topkMonitorGrouped(
+        spark.readStream.schema(docSchema).json(src.toString),
+        "text", "ts", "source", "0 seconds", "10 seconds", capacity = 3)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: window [0,10) holds two keys — s0: 'hot' 3x + 2 singles
+    // (5 tokens, bar 5/4 → hot guaranteed); s1: 'own' 2x (2 tokens,
+    // bar 1/2 → own guaranteed); the t=25 doc (key s1) stays open state
+    Files.writeString(src.resolve("f1.json"), Seq(
+      """{"ts":"2024-01-01T00:00:02Z","source":"s0","text":"hot hot hot cold1 cold2"}""",
+      """{"ts":"2024-01-01T00:00:04Z","source":"s1","text":"own own"}""",
+      """{"ts":"2024-01-01T00:00:25Z","source":"s1","text":"late late"}"""
+    ).mkString("\n"))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; t=100 closes [20,30) — neither phase-1 board
+    // may re-emit and the restored per-key MG buffer carries the t=25
+    // tokens under ITS key
+    Files.writeString(src.resolve("f2.json"),
+      """{"ts":"2024-01-01T00:01:40Z","source":"s0","text":"flush"}""")
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getSeq[String](3).toSet)).sortBy(t => (t._1, t._2)).toSeq
+    val base = 1704067200000L
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq((base, "s0", 5L), (base, "s1", 2L), (base + 20000L, "s1", 2L)),
+      s"each (window, key) exactly once: ${got.mkString(", ")}")
+    assert(got.head._4.contains("hot"), s"s0 heavy hitter: ${got.head}")
+    assert(got(1)._4 == Set("own"), s"s1 board: ${got(1)}")
+    assert(got(2)._4 == Set("late"), s"restored-state board: ${got(2)}")
   }
 
   test("madMonitor restart emits each window's robust stats exactly once") {

@@ -24,12 +24,40 @@ class EventsTsSpec extends SparkSuite {
     * sf0.001 those are milliseconds; nothing here executes the final
     * query itself.
     */
-  private def eventsQueries: Seq[String] =
+  private def eventsQueries: Seq[String] = {
+    // `Dataset.inputFiles` stops at InMemoryRelation leaves, and since
+    // round 16 many entries persist a reduced intermediate — the scan
+    // set must be collected THROUGH cached plans or persist-carrying
+    // events queries (q142, q162, …) silently leave the guard.
+    def physFiles(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          physFiles(im.relation.cachedPlan)
+        // AdaptiveSparkPlanExec is a LEAF node — collect() cannot
+        // descend into the plan it wraps (every cachedPlan is one)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          physFiles(a.inputPlan)
+      }.flatten
+    def logiFiles(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      p.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Nil
+          }
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          physFiles(imr.cachedPlan)
+      }.flatten
     queries.Catalog.all.toSeq.collect {
       case (name, q)
-          if q.build(spark, sf()).inputFiles.exists(_.contains("events.parquet")) =>
+          if logiFiles(q.build(spark, sf()).queryExecution.optimizedPlan)
+            .exists(_.contains("events.parquet")) =>
         name
     }
+  }
 
   test("every events-touching catalog query is identical over both ts encodings") {
     import java.nio.file._

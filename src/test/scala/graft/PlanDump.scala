@@ -47,7 +47,7 @@ object PlanDump {
     "q121_mixture_sample" -> "mixture materialization: #sources-row model broadcast back to the scan, per-row hash Bernoulli + epoch explode — one corpus-sized shuffle (the shared token aggregate), output bounded by the token budget",
     "q122_stutter_scrub" -> "stutter scrub: index-lambda filter per row in the scan stage, zero shuffles at any corpus size",
     "q123_span_dup" -> "exact-substring span report: winnowing anchors + window hashing in the scan stage, ONE (h, doc_id) shuffle; the h-grain count is a window over that exchange — the anchor scan never runs twice",
-    "q124_semdedup" -> "SemDeDup: q51 trained-centroid assignment (broadcast index), ONE c_id shuffle reused by both self-join legs, cluster-local Σ|c|² pairwise — no global pairwise anywhere",
+    "q124_semdedup" -> "SemDeDup: q51 trained-centroid assignment (broadcast index) PERSISTED once (round 16 — the exchange-reuse the old plan claimed covered only the two self-join legs, leaving the flag join a third full build); both pairwise legs and the flag join read the cache, cluster-local Σ|c|² pairwise — no global pairwise anywhere",
     "q125_bm25" -> "BM25 retrieval: query-term set broadcast prunes corpus tokens in the scan stage, one matched-postings tf shuffle, df broadcast back, map-side-combinable fixed-point score aggregate, graft_topk bounded heap per query",
     "q126_span_scrub" -> "span scrub: q123's single h shuffle feeds count AND keeper from one window; scrub starts roll up doc-grain; the token mask is a scan-stage HOF over the rejoined text",
     "q127_dsir_weight" -> "DSIR selection: ONE conditional-count token hash-agg fits both unigram models, the merged ≤2V delta map ships as a literal, scoring + the 2^w integer resampling coin are a zero-shuffle scan-stage fold",
@@ -62,6 +62,7 @@ object PlanDump {
     "q134_knn_graph" -> "kNN graph: every vector probes the broadcast k-row trained-centroid index (bounded heap), candidates from ONE c_id equijoin against the assignment — Σ|c|² cluster-local, never n² — per-vector top-k collapses map-side through graft_topk",
     "q135_source_drift" -> "source drift: ONE persisted (source, token) aggregate feeds token totals, source totals, and the TVD term join; fixed-point BIGINT term sums (no float accumulation, no logs); broadcast 1-row grand total; #sources-row output",
     "q136_bpe_encode" -> "BPE encoding: words encode once at vocab grain (merge fold + symbol-id map literal); docs re-encode via one dictionary join on word (vocab ≪ corpus — broadcastable); the per-doc ordered reassembly is the only corpus-sized shuffle, and it IS the output",
+    "q245_bpe_roundtrip" -> "BPE round-trip: encode-then-decode at VOCAB grain (symbol-id map + its inverse as literals — never a word-table lookup); one dictionary join + per-doc ordered reassembly (q136's shape); lossless pinned per doc against the whitespace-normalized original",
     "q137_mixture_temperature" -> "temperature mixture: one #sources-grain token aggregate, quantized sqrt weights (order-free BIGINT weight sum), broadcast 1-row total — q107's shape with derived instead of given weights",
     "q138_knn_outlier" -> "kNN outliers: q134's edge pipeline, vector-grain fixed-point mean aggregate, global bottom-K via the bounded heap in a SINGLE group (map-side collapse to ≤K per partition — no global sort), K-row broadcast flag join",
     "q139_semantic_clusters" -> "semantic clusters: thresholded kNN edges (bounded by k·KnnK) into the q101 closure kernel — min-label propagation rounds with eager lineage truncation; the final size join and singleton left-join are id-equijoins",
@@ -104,7 +105,7 @@ object PlanDump {
     "q183_kanon_report" -> "k-anonymity census: ONE quasi-identifier-grain hash-agg (map-side combinable), risky flag as a post-aggregate projection — output bounded by the QI domain, never rows",
     "q184_cusum_changepoint" -> "CUSUM change-point: q174's shape — one corpus-sized day hash-agg, two-sided integer fold at day grain (out array is the only accumulator: one copy of each recurrence), explode back to day grain",
     "q185_incremental_stats" -> "incremental stats: two filtered partial aggregates union into an O(#sources) merge re-aggregate — the daily-refresh cost is O(delta) + the merge, never a corpus rescan; all moments mergeable by construction",
-    "q186_covisitation" -> "co-visitation: ONE deduped (user, day, item) exchange shared by both pair legs (ReusedExchange, q124's precedent), session-grain pair join, item-pair hash-agg with the coincidence floor after partial aggregation",
+    "q186_covisitation" -> "co-visitation: the capped (user, day, item) set PERSISTED once (round 16 — the ReusedExchange this prose used to claim never materialized in the executed plan), both pair legs read the cache, session-grain pair join, item-pair hash-agg with the coincidence floor after partial aggregation",
     "q187_join_cardinality" -> "join calibration: per audited join two key-grain hash-aggs + a key-grain equijoin compute the TRUE size as sum-of-products — the corpus-sized joined output never materializes; stats rows are 1-row crosses",
     "q188_tpch_q5" -> "six-way join (TPC-H Q5): all dimension legs BroadcastHashJoin, the single fact-fact edge is the only shuffle join, the one-year date cut is a PushedFilter on the orders scan, region prunes nations before any fact is touched",
     "q189_tpch_q3" -> "TPC-H Q3: customer is a broadcast LEFT SEMI that cuts orders BEFORE the one orderkey shuffle; date filters are PushedFilters on both fact scans; top-10 is TakeOrderedAndProject on the exact-integer revenue",

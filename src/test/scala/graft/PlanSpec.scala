@@ -146,15 +146,20 @@ class PlanSpec extends SparkSuite {
     assert(generates == 1, s"expected one anchor-scan Generate, got $generates:\n$p")
   }
 
-  test("q124 self-join legs reuse the single c_id exchange") {
-    // both pairwise legs are alias-only projections over the same
-    // repartition(c_id) — they must canonicalize to ONE exchange, or the
-    // centroid-assignment subtree (a corpus scan + shuffle) runs twice.
+  test("q124 self-join legs share one materialized assignment") {
+    // both pairwise legs and the final flag join probe the SAME
+    // centroid assignment — since round 16 it persists (the exchange
+    // reuse this pin used to accept covered only the two self-join
+    // legs, leaving the flag join a third full assignment build), so
+    // every leg must read the in-memory relation, or the assignment
+    // subtree (a corpus scan + shuffle) runs more than once.
     val df = Catalog.all("q124_semdedup").build(spark, sf())
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-      s"c_id exchange not shared between self-join legs:\n$p")
+    val lp = df.queryExecution.optimizedPlan
+    assert(lp.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"q124 assignment is not persisted:\n$lp")
+    assert(duplicatedFactSubtrees(lp).isEmpty,
+      s"q124 still rebuilds a fact subtree per leg:\n$lp")
   }
 
   test("q179 SCD2 runs end to end on a single user_id exchange") {
@@ -179,15 +184,19 @@ class PlanSpec extends SparkSuite {
       s"diversity scoring must not shuffle:\n$p")
   }
 
-  test("q186 pair legs reuse the single session-items exchange") {
-    // both co-visitation legs are alias-only renames over the SAME
-    // deduped (user, day, item) subtree — they must canonicalize to one
-    // exchange (q124's precedent), or the distinct shuffle runs twice.
+  test("q186 pair legs share one materialized session-items set") {
+    // both co-visitation legs read the SAME capped (user, day, item)
+    // set — persisted since round 16 (the exchange-reuse form of this
+    // pin relied on canonicalization that the round-16 lint showed was
+    // not rebuilding-proof), so both legs must read the cache, or the
+    // dedup+cap aggregate (a corpus scan + shuffle) runs twice.
     val df = Catalog.all("q186_covisitation").build(spark, sf())
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-      s"session-items exchange not shared between pair legs:\n$p")
+    val lp = df.queryExecution.optimizedPlan
+    assert(lp.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"q186 session-items set is not persisted:\n$lp")
+    assert(duplicatedFactSubtrees(lp).isEmpty,
+      s"q186 still rebuilds a fact subtree per leg:\n$lp")
   }
 
   test("q188 six-way join: every dimension leg broadcasts, dates push down") {
@@ -649,25 +658,14 @@ class PlanSpec extends SparkSuite {
     */
   private val intentionalRecompute: Set[String] = Set.empty
 
-  /** Round-16 burn-down list: entries the lint flagged on its first run
-    * (the q228/q233 recompute class predates the lint). Each fix —
-    * materializing the shared reduced intermediate once — removes its
-    * entry from this set; the set must only shrink, never grow.
+  /** Round-16 burn-down list: the lint's first run flagged 36 entries
+    * (the q228/q233 recompute class predated the lint). All 36 were
+    * fixed in round 16 by materializing the shared reduced intermediate
+    * once (persist) or re-aggregating exact partials from one pass
+    * (q129/q241); the set is EMPTY and must stay empty — a new entry
+    * here is a regression, not a to-do.
     */
-  private val pendingFix: Set[String] = Set(
-    "q110_source_overlap", "q114_token_spectrum", "q124_semdedup",
-    "q129_cluster_profile", "q138_knn_outlier", "q142_event_transitions",
-    "q143_containment", "q145_transition_anomaly", "q146_event_funnel",
-    "q147_retention_cohorts", "q152_graph_triangles",
-    "q153_chisq_independence", "q154_pmi_collocations",
-    "q156_gap_histogram", "q157_key_skew", "q159_transition_accuracy",
-    "q160_ab_test", "q167_activity_outliers", "q169_conversion_lag",
-    "q170_quantile_sketch", "q173_split_leakage", "q182_equidepth_hist",
-    "q186_covisitation", "q203_ks_drift", "q208_trend_mk",
-    "q216_kendall_tau", "q227_wau_hll", "q231_tpch_q11",
-    "q236_robust_mad", "q239_winsorized_mean", "q240_topk_churn",
-    "q241_brier_decomposition", "q41_dedup_minhash", "q43_ngram_jaccard",
-    "q44_embed_neardup", "q45_simhash_hamming")
+  private val pendingFix: Set[String] = Set.empty
 
   test("no duplicated heavy fact subtree anywhere in the catalog (q228/q233 class)") {
     val offenders = Catalog.all.keys.toSeq.sorted.flatMap { name =>

@@ -120,6 +120,56 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("grouped topk monitor: per-key MG guarantee where a global board would mask a slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "source", "text")
+    val cap = 2
+    val q = StatefulOps.topkMonitorGrouped(docs, "text", "ts", "source",
+        lateness = "10 seconds", win = "30 seconds", capacity = cap)
+      .writeStream.format("memory").queryName("topkg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,30): source a holds 'hot' 6x + 2 singles (8 tokens,
+      // bar 8/3 ≈ 2.67 → hot guaranteed); source b holds 'niche' 4x +
+      // 1 single (5 tokens, bar 5/3 ≈ 1.67 → niche guaranteed PER KEY).
+      // Globally the bar is 13/3 ≈ 4.33 — 'niche' (4) clears nothing
+      // there: exactly the slice the global monitor can mask.
+      in.addData(
+        (ts(5), "a", Seq.fill(6)("hot").mkString(" ")),
+        (ts(10), "a", "c1 c2"),
+        (ts(12), "b", (Seq.fill(4)("niche") :+ "c3").mkString(" ")))
+      q.processAllAvailable()
+      in.addData((ts(300), "a", "flush")) // close the window
+      q.processAllAvailable()
+      val rows = spark.table("topkg")
+        .select("w_start", "source", "n_tokens", "candidates")
+        .as[(Long, String, Long, Seq[String])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4.toSet))).toMap
+      val (na, ca) = rows((0L, "a"))
+      assert(na == 8L && ca.contains("hot") && ca.size <= cap,
+        s"source-a board: $na $ca")
+      val (nb, cb) = rows((0L, "b"))
+      assert(nb == 5L && cb.contains("niche") && cb.size <= cap,
+        s"source-b board: $nb $cb")
+      // brute-force the per-key guarantee: within each key, any token
+      // past n_key/(cap+1) MUST be that key's candidate
+      val fed = Map(
+        "a" -> (Seq.fill(6)("hot") ++ Seq("c1", "c2")),
+        "b" -> (Seq.fill(4)("niche") :+ "c3"))
+      fed.foreach { case (k, toks) =>
+        val bar = toks.size.toDouble / (cap + 1)
+        val cands = rows((0L, k))._2
+        toks.groupBy(identity).foreach { case (t, occ) =>
+          if (occ.size > bar)
+            assert(cands.contains(t), s"$k: $t clears the bar, absent")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("mad monitor: windowed median/MAD/outliers match q236's exact definitions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -834,6 +884,56 @@ class StatefulOpsSpec extends SparkSuite {
         s"NULL-score row must report under the NULL bin: ${got.get((w1, None))}")
       assert(got((w1, Some(2L)))._4 > got((w1, Some(0L)))._4,
         "reliability must rank the planted bins")
+    } finally q.stop()
+  }
+
+  test("gains monitor: stream equals batch kernel; capture ends at 1, top bin lifts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsAt(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // one 30 s window — bins b0 (n=2, pos=1), b1 (n=1, pos=0),
+    // b2 (n=3, pos=2); tot 6/3. Best-first hand count:
+    // b2 capture 2/3 lift (2·6)/(3·3); b1 capture 2/3 lift 0;
+    // b0 capture 1 lift (1·6)/(2·3) = 1. One scoreless row: EXCLUDED.
+    val rows = Seq[(java.sql.Timestamp, String, Option[Double])](
+      (tsAt(1), "view", Some(10.0)), (tsAt(2), "purchase", Some(20.0)),
+      (tsAt(3), "view", Some(400.0)),
+      (tsAt(4), "purchase", Some(810.0)), (tsAt(5), "purchase", Some(830.0)),
+      (tsAt(6), "view", Some(820.0)),
+      (tsAt(7), "view", None),
+      (tsAt(120), "view", Some(1.0))) // watermark pusher
+    val src = rows.toDF("ts", "event_type", "value")
+
+    val in = MemoryStream[(java.sql.Timestamp, String, Option[Double])]
+    val q = StatefulOps.gainsMonitor(
+        in.toDF().toDF("ts", "event_type", "value"),
+        "10 seconds", "30 seconds", binCents = 40000L, maxBin = 8)
+      .writeStream.format("memory").queryName("gains_mon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("gainsmon").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+            if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+      val got = toMap(spark.table("gains_mon").collect())
+      val batch = toMap(StatefulOps.gainsMonitor(
+        src, "10 seconds", "30 seconds", 40000L, 8).collect())
+        .filter { case ((w, _), _) => got.keySet.exists(_._1 == w) }
+      assert(got == batch, s"stream $got vs batch $batch")
+      val w1 = 1700000001000L / 30000L * 30000L
+      assert(got((w1, 2L)) == ((3L, 2L, 3L, 2L,
+        Some(2.0 / 3.0), Some(12.0 / 9.0))), s"top bin: ${got((w1, 2L))}")
+      assert(got((w1, 1L)) == ((1L, 0L, 4L, 2L, Some(2.0 / 3.0), Some(0.0))),
+        s"middle bin: ${got((w1, 1L))}")
+      assert(got((w1, 0L)) == ((2L, 1L, 6L, 3L, Some(1.0), Some(1.0))),
+        s"capture must END at exactly 1: ${got((w1, 0L))}")
+      assert(got((w1, 2L))._6.get > 1.0, "top bin must lift above base rate")
+      assert(!got.keySet.exists { case (w, b) => w == w1 && b > 2L },
+        "scoreless row must be excluded, not binned")
     } finally q.stop()
   }
 
