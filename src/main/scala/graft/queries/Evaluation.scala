@@ -330,11 +330,15 @@ object Evaluation {
     //      moment collection is one hash agg.
     "q209_spearman" -> Q(
       (s, d) => {
+        // customer-grain (x, y) profile persists ONCE: both rank maps
+        // and the moment join re-scanned orders before round 16
+        // (widened duplicate-aggregate lint finding; q216's rule)
         val per = Tables(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("x"),
             expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000 AS BIGINT)")
               .as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def rank2(valueCol: String, out: String) = {
           val g = per.groupBy(col(valueCol).as("v"))
             .agg(count(lit(1)).as("c"))
@@ -1011,10 +1015,15 @@ object Evaluation {
         val m = base.crossJoin(broadcast(mm))
           .select((col("score") - col("mn")).as("sc"), col("y"), col("den"),
             expr("CAST((score - mn) * 10 DIV den AS BIGINT)").as("bin"))
-        val g = m.agg(count(lit(1)).as("gn"), min(col("den")).as("den"))
-        m.groupBy(col("bin"))
+        // ONE corpus pass to decile grain (q241's rule): the global
+        // frame re-sums exact per-bin partials instead of re-scanning
+        // (widened duplicate-aggregate lint finding)
+        val bins = m.groupBy(col("bin"))
           .agg(count(lit(1)).as("n_b"), sum(col("sc")).as("s_b"),
-            sum(col("y")).as("y_b"))
+            sum(col("y")).as("y_b"), min(col("den")).as("den_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = bins.agg(sum(col("n_b")).as("gn"), min(col("den_b")).as("den"))
+        bins
           .crossJoin(broadcast(g))
           .selectExpr("bin", EceBinTerm, MceBinTerm)
           .agg(collect_list(struct(col("bin"), col("eceterm"))).as("h"),

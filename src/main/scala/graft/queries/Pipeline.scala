@@ -482,6 +482,10 @@ object Pipeline {
           .withColumn("w", expr(
             "CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1.0 " +
               "WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS DOUBLE)"))
+          // #sources-grain plan persists ONCE: the budget frame and the
+          // rate rows both re-ran the corpus token sum before round 16
+          // (widened duplicate-aggregate lint finding)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = byedrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("w")).as("sw"))
@@ -556,6 +560,8 @@ object Pipeline {
               .as("tokens"))
           .withColumn("wfp", expr(
             s"CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * $DriftFp.0D) AS BIGINT)"))
+          // #sources-grain plan persists ONCE (q107's rule)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = byedrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("wfp")).as("swfp"))

@@ -1272,9 +1272,14 @@ object Similarity {
     "q214_feature_corr" -> Q(
       (s, d) => {
         val dG = GramDim
+        // the quantized-vector projection persists ONCE: the Gram kernel
+        // and the (n, per-dim sums) frame are two global aggregates over
+        // the same rows, each re-scanning embeddings before round 16
+        // (widened duplicate-aggregate lint finding)
         val q = Tables.spread(Tables(s, d, "embeddings")).select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256.0D) AS BIGINT))")
           .as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val agg = gramTriAgg(s, q).crossJoin(broadcast(
           q.agg(count(lit(1)).as("n"),
             expr("aggregate(collect_list(v), CAST(array() AS ARRAY<BIGINT>), " +

@@ -274,9 +274,13 @@ object TextAnalysis {
     //      broadcast 1-row crossJoin.
     "q108_vocab_coverage" -> Q(
       (s, d) => {
+        // vocab-grain counts persist ONCE: the total mass and the top-V
+        // head both re-ran the exploded-corpus aggregate before round 16
+        // (widened duplicate-aggregate lint finding)
         val counts = Tables.spread(Tables(s, d, "documents"))
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val total = counts.agg(sum(col("tf")).as("total"))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("tf").desc, col("token").asc)

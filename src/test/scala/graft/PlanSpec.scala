@@ -588,18 +588,19 @@ class PlanSpec extends SparkSuite {
 
   /** Identity under which two subtrees are "the same computation".
     * Column pruning rewrites an Aggregate's OUTPUT list per consumer
-    * (one arm keeps (pk, sk, cost), the other just (pk, cost)), so a
-    * distinct-style aggregate — no aggregate functions, output ⊆
-    * grouping — is keyed by (grouping, child) instead of full canonical
-    * equality. Everything else must match exactly.
+    * (one arm keeps (pk, sk, cost), the other just (pk, cost)), so
+    * EVERY aggregate is keyed by (grouping, child) instead of full
+    * canonical equality: two aggregates with the same grouping over the
+    * same input are one pass — whether they kept different output
+    * subsets (the q228 distinct class) or carry different aggregate
+    * functions entirely (the q244 class: the histogram and its totals
+    * frame should re-aggregate one materialization, or fuse into one
+    * agg). Everything else must match exactly.
     */
   private def dupKey(n: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Any = {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
     n.canonicalized match {
-      case a: Aggregate
-          if !a.aggregateExpressions.exists(_.exists(_.isInstanceOf[AggregateExpression])) =>
-        ("distinct", a.groupingExpressions, a.child)
+      case a: Aggregate => ("agg", a.groupingExpressions, a.child)
       case other => other
     }
   }
