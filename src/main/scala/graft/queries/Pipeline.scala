@@ -1212,9 +1212,13 @@ object Pipeline {
         val nStop = size(filter(toks, t => t === "the" || t === "a"))
         val quality = least(lit(1.0), nTok / lit(100.0)) *
           (lit(1.0) - nStop.cast("double") / nTok)
+        // doc-grain (id, source, n_tok, bucket) projection persists
+        // ONCE: the bucket histogram and the phase re-join both re-ran
+        // the quality scoring scan before round 16
         val b = Tables.spread(Tables(s, d, "documents"))
           .select(col("doc_id"), col("source"), nTok.cast("int").as("n_tok"),
             floor(quality * 1024).as("bucket"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wCum = org.apache.spark.sql.expressions.Window
           .orderBy(col("bucket")).rowsBetween(Long.MinValue, -1)
         val wAll = org.apache.spark.sql.expressions.Window
@@ -1269,6 +1273,9 @@ object Pipeline {
           .withColumn("w", expr(
             "CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1.0 " +
               "WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS DOUBLE)"))
+          // #sources-grain plan persists ONCE (q107's rule): the budget
+          // frame and the epoch table re-ran the token sum before r16
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = perSrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("w")).as("sw"))

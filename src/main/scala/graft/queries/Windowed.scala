@@ -494,11 +494,15 @@ object Windowed {
       (s, d) => {
         val ev = Tables(s, d, "events")
           .select(expr("CAST(ts AS DATE)").as("day"), col("value"), col("user_id"))
+        // day-grain rollup persists ONCE and the spine bounds derive
+        // from IT (min/max of day over day grain ≡ over rows) — the
+        // old spine re-scanned the corpus just for two dates
         val daily = ev.groupBy(col("day"))
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"),
             round(sum(col("value")), 4).as("sum_val"))
-        val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
           .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
         spine.join(daily, Seq("day"), "left")
           .select(col("day"),
@@ -858,12 +862,15 @@ object Windowed {
     //      frame is a broadcast 1-row cross; output is #types rows.
     "q217_conversion_lift" -> Q(
       (s, d) => {
+        // user-grain conversion flags persist ONCE: the per-type join
+        // and the global frame both re-scanned events before round 16
         val conv = Tables(s, d, "events")
           .select(col("user_id"), col("event_type"), col("value"))
           .groupBy(col("user_id"))
           .agg(max(when(col("event_type") === "purchase" &&
               col("value") >= AbConvValue, 1L).otherwise(0L))
             .as("converted"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val exposed = Tables(s, d, "events")
           .groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n_ev"))
@@ -918,8 +925,11 @@ object Windowed {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables(s, d, "events")
           .select(expr("CAST(ts AS DATE)").as("day"))
+        // day-grain counts persist ONCE; spine bounds derive from the
+        // rollup (q149's rule) — one corpus scan total
         val daily = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
-        val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
           .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
         val filled = spine.join(daily, Seq("day"), "left")
           .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
@@ -986,7 +996,12 @@ object Windowed {
       (s, d) => {
         val ev = Tables(s, d, "events")
           .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+        // (day, user)-grain distinct persists ONCE: the DAU count and
+        // the 7-day explode both re-ran the corpus distinct before
+        // round 16 (q227's rule; the aggregate lint can't see this pair
+        // because the explode changes the child)
         val du = ev.distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dau = du.groupBy(col("day"))
           .agg(count(lit(1)).as("dau")) // already distinct at (day, user)
         val wau = du
