@@ -19,44 +19,11 @@ object LintScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val FactTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
-    def scansFact(p: LogicalPlan): Boolean =
-      p.collectLeaves().exists {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              val loc = fs.location.rootPaths.mkString(",")
-              FactTables.exists(t => loc.contains(t + ".parquet"))
-            case _ => false
-          }
-        case _ => false
-      }
-    def isHeavy(p: LogicalPlan): Boolean = p.exists {
-      case _: Aggregate | _: Join | _: Window | _: Distinct => true
-      case _ => false
-    }
-    def dupKey(n: LogicalPlan): Any =
-      n.canonicalized match {
-        case a: Aggregate => ("agg", a.groupingExpressions, a.child)
-        case other => other
-      }
-    def dups(lp: LogicalPlan): Seq[LogicalPlan] = {
-      val counts = scala.collection.mutable.Map.empty[Any, Int]
-      lp.foreach { n =>
-        if (isHeavy(n) && scansFact(n)) {
-          val c = dupKey(n)
-          counts(c) = counts.getOrElse(c, 0) + 1
-        }
-      }
-      val dupForms = counts.collect { case (k, v) if v >= 2 => k }.toSet
-      val out = scala.collection.mutable.Buffer.empty[LogicalPlan]
-      def walk(n: LogicalPlan): Unit =
-        if (dupForms(dupKey(n))) out += n
-        else n.children.foreach(walk)
-      walk(lp)
-      out.toSeq
-    }
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    // lint kernel is single-sourced in PlanLint (PlanSpec enforces it)
+    val FactTables = PlanLint.FactTables
+    def dups(lp: LogicalPlan): Seq[LogicalPlan] =
+      PlanLint.duplicatedFactSubtrees(lp)
 
     // mode 2: count fact-table SCANS per entry (any subplan shape),
     // descending into caches — the same-file >=2 report is the

@@ -550,84 +550,16 @@ class PlanSpec extends SparkSuite {
 
   // ---- duplicate-subtree lint (round-15 verdict item 2) ----------------
   //
-  // The q228/q233 class: a corpus-sized join/aggregate subtree referenced
-  // from two places in the query builds TWICE in the physical plan (no
-  // ReusedExchange) — at 100 TB that doubles the dominant fact-scan +
-  // exchange cost. The lint finds canonically-identical heavy subtrees
-  // (containing a join/aggregate/window AND a fact-table scan) inside one
-  // optimized logical plan; a flagged entry is excused only if its
-  // EXECUTED plan shows Spark reused the computation (ReusedExchange /
-  // reused query stage / table cache) or it is allowlisted as a justified
-  // re-scan.
+  // The kernel lives in [[PlanLint]] (shared with the LintScratch
+  // diagnostic main so the two can't drift). A flagged entry is excused
+  // only if its EXECUTED plan shows Spark reused the computation
+  // (ReusedExchange / reused query stage / table cache) or it is
+  // allowlisted as a justified re-scan.
 
-  /** Fact-sized tables: the ones whose double-scan is a 100 TB outage.
-    * region/nation/supplier/customer/part are dims here (broadcast-class).
-    */
-  private val FactTables = Seq("lineitem", "orders", "events",
-    "documents", "embeddings")
-
-  private def scansFact(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-    p.collectLeaves().exists {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            val loc = fs.location.rootPaths.mkString(",")
-            FactTables.exists(t => loc.contains(t + ".parquet"))
-          case _ => false
-        }
-      case _ => false
-    }
-
-  private def isHeavy(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    p.exists {
-      case _: Aggregate | _: Join | _: Window | _: Distinct => true
-      case _ => false
-    }
-  }
-
-  /** Identity under which two subtrees are "the same computation".
-    * Column pruning rewrites an Aggregate's OUTPUT list per consumer
-    * (one arm keeps (pk, sk, cost), the other just (pk, cost)), so
-    * EVERY aggregate is keyed by (grouping, child) instead of full
-    * canonical equality: two aggregates with the same grouping over the
-    * same input are one pass — whether they kept different output
-    * subsets (the q228 distinct class) or carry different aggregate
-    * functions entirely (the q244 class: the histogram and its totals
-    * frame should re-aggregate one materialization, or fuse into one
-    * agg). Everything else must match exactly.
-    */
-  private def dupKey(n: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Any = {
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    n.canonicalized match {
-      case a: Aggregate => ("agg", a.groupingExpressions, a.child)
-      case other => other
-    }
-  }
-
-  /** Maximal subtrees that occur ≥2 times (by [[dupKey]]) in the plan
-    * and are heavy + fact-bearing. Top-down: a duplicated parent subsumes
-    * its (necessarily duplicated) children.
-    */
-  private[graft] def duplicatedFactSubtrees(
+  private def duplicatedFactSubtrees(
       lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    val counts = scala.collection.mutable.Map.empty[Any, Int]
-    lp.foreach { n =>
-      if (isHeavy(n) && scansFact(n)) {
-        val c = dupKey(n)
-        counts(c) = counts.getOrElse(c, 0) + 1
-      }
-    }
-    val dupForms = counts.collect { case (k, v) if v >= 2 => k }.toSet
-    val out = scala.collection.mutable.Buffer.empty[LogicalPlan]
-    def walk(n: LogicalPlan): Unit =
-      if (dupForms(dupKey(n))) out += n
-      else n.children.foreach(walk)
-    walk(lp)
-    out.toSeq
-  }
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    PlanLint.duplicatedFactSubtrees(lp)
 
   test("duplicate-subtree detector catches the round-15 q228 class (self-test)") {
     // the OLD q228 shape: distinct → (min-aggregate, rejoin) builds the
