@@ -101,6 +101,37 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Cumulative process CPU seconds (all threads). Sampled around each
+    * timed run so every stat carries per-sample cpu_s next to gc_ms:
+    * wall-vs-cpu divergence is the signature that separates invisible
+    * host contention from a genuine engine regression (round-16
+    * verdict #1: q127's probe published 4.9x on byte-unchanged code
+    * with gc_ms all 0 and every quiet gate green — wall time alone
+    * cannot self-adjudicate that class). Under contention the process
+    * does the SAME work (cpu_s flat) but is scheduled less (wall
+    * grows); a real regression grows both.
+    *
+    * Primary source is /proc/self/stat utime+stime jiffies (USER_HZ is
+    * 100 on every Linux ABI — it is a fixed kernel-to-user constant,
+    * not the kernel HZ); falls back to the JMX process-CPU counter.
+    */
+  private def processCpuSeconds(): Double = try {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+    // comm (field 2) may contain spaces/parens; fields resume after
+    // the LAST ')': utime and stime are fields 14/15 (1-based), i.e.
+    // index 11/12 of the post-comm tail
+    val t = s.substring(s.lastIndexOf(')') + 2).trim.split(" ")
+    (t(11).toLong + t(12).toLong) / 100.0
+  } catch { case _: Throwable =>
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val ns = os.getProcessCpuTime
+        if (ns >= 0) ns / 1e9 else -1.0
+      case _ => -1.0
+    }
+  }
+
   /** Cumulative JVM GC wall ms across all collectors. Sampled around
     * each timed run so the artifact carries per-sample gc_ms — when an
     * in-context median diverges from an isolated re-measure (round-15
@@ -198,26 +229,49 @@ object Bench {
     val warm = Seq("q04_join_sortmerge", "q41_dedup_minhash", "q50_ann_brute")
     warm.filter(Catalog.headline.contains).foreach(run)
 
+    // each sample = wall seconds + the GC ms and process-CPU seconds
+    // that elapsed inside it; both ledgers kept in SAMPLE order (not
+    // sorted) so a one-off spike is attributable to its sample
+    final case class Sample(sec: Double, gcMs: Long, cpuS: Double)
     final case class Stat(min: Double, median: Double, max: Double,
-                          gcMs: Seq[Long]) {
+                          gcMs: Seq[Long], cpuS: Seq[Double],
+                          contended: Boolean) {
       def json: String =
         s"""{"min":$min,"median":$median,"max":$max,""" +
-          s""""gc_ms":${gcMs.mkString("[", ",", "]")}}"""
+          s""""gc_ms":${gcMs.mkString("[", ",", "]")},""" +
+          s""""cpu_s":${cpuS.map(c => f"$c%.2f").mkString("[", ",", "]")},""" +
+          s""""contended":$contended}"""
       def spread: Double =
         // a failed sample (-1) is an error, not noise — re-measuring
         // a failing query would just fail again, slowly
         if (min > 0) max / min else 1.0
     }
-    // each sample = (seconds, GC ms that elapsed inside it), gc_ms kept
-    // in SAMPLE order (not sorted) so a one-off GC spike is attributable
-    def stat(samples: Seq[(Double, Long)]): Stat = {
-      val xs = samples.map(_._1).sorted
-      Stat(xs.head, xs(xs.size / 2), xs.last, samples.map(_._2))
+    // Self-adjudication of the q127/q135 phantom class (round-16
+    // verdict #1): a sample whose WALL is >2x the entry's fastest
+    // sample while its PROCESS CPU stayed within 1.25x of that fastest
+    // sample did the same compute but got scheduled less — host
+    // contention, not an engine regression. The entry is annotated
+    // contended=true so a slow median in the artifact carries its own
+    // adjudication instead of needing a judge re-measure.
+    def contendedIn(samples: Seq[Sample]): Boolean = {
+      val valid = samples.filter(s => s.sec > 0 && s.cpuS >= 0)
+      valid.nonEmpty && {
+        val base = valid.minBy(_.sec)
+        valid.exists(s =>
+          s.sec > 2.0 * base.sec && s.cpuS <= 1.25 * base.cpuS + 0.05)
+      }
     }
-    def withGc(f: => Double): (Double, Long) = {
+    def stat(samples: Seq[Sample]): Stat = {
+      val xs = samples.map(_.sec).sorted
+      Stat(xs.head, xs(xs.size / 2), xs.last,
+        samples.map(_.gcMs), samples.map(_.cpuS), contendedIn(samples))
+    }
+    def withMeters(f: => Double): Sample = {
       val g0 = gcMsNow()
+      val c0 = processCpuSeconds()
       val s = f
-      (s, gcMsNow() - g0)
+      Sample(s, gcMsNow() - g0,
+        if (c0 < 0) -1.0 else processCpuSeconds() - c0)
     }
     // spread-triggered re-measure (round-13 verdict item 1): a stat
     // whose max/min exceeds SpreadLimit is re-sampled up to MaxReruns
@@ -245,7 +299,7 @@ object Bench {
       cur
     }
     def coldStat(name: String): Stat =
-      withRerun(name)(() => stat(Seq.fill(SampleCount)(withGc(run(name)))))
+      withRerun(name)(() => stat(Seq.fill(SampleCount)(withMeters(run(name)))))
 
     def runThunk(thunk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -268,10 +322,10 @@ object Bench {
         // compile and the median discards it. Re-measures re-sample the
         // SAME warm artifact — the fit is paid once per entry.
         withRerun(name)(() =>
-          stat(Seq.fill(SampleCount)(withGc(runThunk(thunk)))))
+          stat(Seq.fill(SampleCount)(withMeters(runThunk(thunk)))))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name probe prepare failed: ${e.getMessage}")
-        Stat(-1.0, -1.0, -1.0, Seq.empty)
+        Stat(-1.0, -1.0, -1.0, Seq.empty, Seq.empty, contended = false)
       } finally {
         spark.sharedState.cacheManager.clearCache()
       }
@@ -300,7 +354,7 @@ object Bench {
       // distinct rerun key: these entries were already measured (probe
       // mode) in the headline pass above
       .map(n => n -> withRerun(n + ":cold_fit")(() =>
-        stat(Seq.fill(SampleCount)(withGc(run(n))))))
+        stat(Seq.fill(SampleCount)(withMeters(run(n))))))
 
     // closing quiet checkpoint: measured AFTER the last timed sample so
     // the steal fraction covers exactly the window the stats came from

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Caches.TrackedPersist
 import graft.Tables
 import graft.functions.ParityFns._
 import graft.functions.VectorFns
@@ -137,7 +138,7 @@ object Dedup {
     // 100 TB the cache is the cheap side by orders of magnitude.
     val membership = groups.select(col("doc_id").as("rep"), col("ids"),
       intraEligible.as("eligible"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val inter = repPairs
       .join(membership.select(col("rep"), col("ids").as("ids_a")),
         col("doc_a") === col("rep")).drop("rep")
@@ -423,7 +424,7 @@ object Dedup {
       probe = Some((s, d) => {
         val docs = Tables.spread(Tables(s, d, "documents"))
         val idx = bandIndex(s, docs.filter(col("doc_id") % 10 < 8), BucketCap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         idx.count()
         () => fuzzyProbe(s, docs.filter(col("doc_id") % 10 >= 8), idx)
       })),

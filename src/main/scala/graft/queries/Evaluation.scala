@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Caches.TrackedPersist
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.expressions.Window
@@ -296,7 +297,7 @@ object Evaluation {
         val daily = Tables(s, d, "events")
           .select(expr("CAST(ts AS DATE)").as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val pairs = daily.toDF("d1", "n1")
           .join(broadcast(daily.toDF("d2", "n2")), col("d1") < col("d2"))
         pairs.agg(
@@ -338,7 +339,7 @@ object Evaluation {
           .agg(count(lit(1)).as("x"),
             expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000 AS BIGINT)")
               .as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         def rank2(valueCol: String, out: String) = {
           val g = per.groupBy(col(valueCol).as("v"))
             .agg(count(lit(1)).as("c"))
@@ -500,7 +501,7 @@ object Evaluation {
           .agg(count(lit(1)).as("x"),
             expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000 AS BIGINT)")
               .as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val cells = per.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
         val a = cells.toDF("xa", "ya", "ca")
         val b = cells.toDF("xb", "yb", "cb")
@@ -889,8 +890,12 @@ object Evaluation {
             sum(expr("CAST(r * r AS DECIMAL(38,0))")).as("sse_b"),
             sum(expr("CAST(sc * sc AS DECIMAL(38,0))")).as("ssq_b"),
             min(col("den")).as("den_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val g = bins.agg(sum(col("n_b")).as("gn"), sum(col("y_b")).as("gy"),
+          .persistTracked
+        // coalesce: the oracle's gn is count(*) (0 on an empty corpus);
+        // sum over zero bin rows is NULL — keep the 0-based degenerate
+        // semantics the pre-round-16 global frame had
+        val g = bins.agg(coalesce(sum(col("n_b")), lit(0L)).as("gn"),
+          sum(col("y_b")).as("gy"),
           sum(col("sse_b")).cast("long").as("sse"),
           sum(col("ssq_b")).cast("long").as("ssq"),
           min(col("den_b")).as("den"))
@@ -1021,8 +1026,10 @@ object Evaluation {
         val bins = m.groupBy(col("bin"))
           .agg(count(lit(1)).as("n_b"), sum(col("sc")).as("s_b"),
             sum(col("y")).as("y_b"), min(col("den")).as("den_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val g = bins.agg(sum(col("n_b")).as("gn"), min(col("den_b")).as("den"))
+          .persistTracked
+        // coalesce for the same empty-corpus reason as q241's gn above
+        val g = bins.agg(coalesce(sum(col("n_b")), lit(0L)).as("gn"),
+          min(col("den_b")).as("den"))
         bins
           .crossJoin(broadcast(g))
           .selectExpr("bin", EceBinTerm, MceBinTerm)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Caches.TrackedPersist
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -485,7 +486,7 @@ object Pipeline {
           // #sources-grain plan persists ONCE: the budget frame and the
           // rate rows both re-ran the corpus token sum before round 16
           // (widened duplicate-aggregate lint finding)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = byedrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("w")).as("sw"))
@@ -561,7 +562,7 @@ object Pipeline {
           .withColumn("wfp", expr(
             s"CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * $DriftFp.0D) AS BIGINT)"))
           // #sources-grain plan persists ONCE (q107's rule)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = byedrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("wfp")).as("swfp"))
@@ -725,7 +726,7 @@ object Pipeline {
         val docs = Tables.spread(Tables(s, d, "documents"))
         val existing = docs.filter(col("doc_id") % 10 < 8)
           .select(sha2(col("text"), 256).as("h")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         existing.count()
         () => exactDedupGate(docs.filter(col("doc_id") % 10 >= 8), existing)
       })),
@@ -1011,7 +1012,7 @@ object Pipeline {
         // the cache is the inverted index both consumers read.
         val bySh = sh.groupBy(col("sh"))
           .agg(sort_array(collect_set(col("source"))).as("ss"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val perSrc = bySh.select(explode(col("ss")).as("source"))
           .groupBy(col("source")).agg(count(lit(1)).as("n"))
         val pairs = bySh
@@ -1218,7 +1219,7 @@ object Pipeline {
         val b = Tables.spread(Tables(s, d, "documents"))
           .select(col("doc_id"), col("source"), nTok.cast("int").as("n_tok"),
             floor(quality * 1024).as("bucket"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val wCum = org.apache.spark.sql.expressions.Window
           .orderBy(col("bucket")).rowsBetween(Long.MinValue, -1)
         val wAll = org.apache.spark.sql.expressions.Window
@@ -1275,7 +1276,7 @@ object Pipeline {
               "WHEN source IN ('src3','src4','src5') THEN 0.5 ELSE 0.25 END AS DOUBLE)"))
           // #sources-grain plan persists ONCE (q107's rule): the budget
           // frame and the epoch table re-ran the token sum before r16
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = perSrc.agg(
           sum(col("tokens")).cast("double").as("all_toks"),
           sum(col("w")).as("sw"))
@@ -1472,7 +1473,7 @@ object Pipeline {
           .select(col("source"), explode(split(col("text"), " ")).as("t"))
           .filter(col("t") =!= "")
           .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tt = st.groupBy(col("t")).agg(sum(col("c")).as("ct"))
         val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
         val g = tt.agg(sum(col("ct")).as("n"))
@@ -1810,7 +1811,7 @@ object Pipeline {
         val perSL = Tables(s, d, "documents")
           .groupBy(col("source"), col("n_chars").as("len"))
           .agg(count(lit(1)).as("c_sl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val perL = perSL.groupBy(col("len")).agg(sum(col("c_sl")).as("c_l"))
         val srcN = perSL.groupBy(col("source")).agg(sum(col("c_sl")).as("n_s"))
         val tot = perL.agg(sum(col("c_l")).as("n_tot"))

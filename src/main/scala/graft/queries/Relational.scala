@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Caches.TrackedPersist
 import graft.Tables
 import graft.functions.ParityFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -636,13 +637,13 @@ object Relational {
           sum(col("cnt")).over(Window.partitionBy(col("st"))
             .orderBy(col("cents").asc)
             .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = v.groupBy(col("st")).agg(count(lit(1)).as("n"))
           .select(col("st"), col("n"),
             expr("greatest(CAST(1 AS BIGINT), n DIV 2 - (n * 2 + 99) DIV 100)").as("r_lo"),
             expr("least(n, (n + 1) DIV 2 + (n * 2 + 99) DIV 100)").as("r_hi"),
             expr("(n + 1) DIV 2").as("r_med"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         def pick(rank: String, out: String) =
           cum.join(broadcast(tot), "st").filter(col("cum") >= col(rank))
             .groupBy(col("st")).agg(min(col("cents")).as(out))
@@ -1032,7 +1033,7 @@ object Relational {
             .groupBy(expr("CAST(length(bin(c)) AS INT)").as("bits"))
             .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
               max(col("c")).as("max_c"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .persistTracked
           val tot = hist.agg(sum(col("n_keys")).as("k"), sum(col("n_rows")).as("r"),
             max(col("max_c")).as("mx"))
           val wc = Window.orderBy(col("bits")).rowsBetween(Window.unboundedPreceding, 0)
@@ -1159,7 +1160,7 @@ object Relational {
             expr("greatest(CAST(1 AS BIGINT), r_k - (n * 2 + 99) DIV 100)")
               .as("r_lo"),
             expr("least(n, r_k + (n * 2 + 99) DIV 100)").as("r_hi"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val picks = cum.join(broadcast(ranks), col("cum") >= col("r_lo"))
           .groupBy(col("k")).agg(
             min(when(col("cum") >= col("r_k"), col("cents")))
@@ -2210,7 +2211,7 @@ object Relational {
             "left_semi")
           .groupBy(col("l_partkey"))
           .agg(sum(expr(RevC4)).as("value_c4"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val g = v.agg(
           sum(col("value_c4").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
@@ -2298,7 +2299,7 @@ object Relational {
             col("l_orderkey") === col("o_orderkey") &&
               col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
           .select(col("l_orderkey"), col("l_suppkey")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val sole = late
           .join(l1.select(col("l_orderkey").as("xo"), col("l_suppkey").as("xs")),
             col("l_orderkey") === col("xo") && col("l_suppkey") =!= col("xs"),
@@ -2402,7 +2403,7 @@ object Relational {
           // value-domain histogram persists ONCE: totals, the cumulative
           // rank chain, and the winsorize join are all re-aggregates of
           // it — pre-round-16 each re-scanned orders (lint finding)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val n = vc.groupBy(col("grp")).agg(sum(col("c")).as("n"))
         val cum = vc.withColumn("cm", sum(col("c"))
             .over(Window.partitionBy(col("grp")).orderBy(col("v"))))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Caches.TrackedPersist
 import graft.Tables
 import graft.functions.VectorFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -583,7 +584,7 @@ object Similarity {
         val e = vecs(s, d)
         val cents = trainCentroids(s, d)
         val assign = assignToCentroids(s, e, cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         assign.count()
         () => ivfSearchTopK(s, assign,
           e.filter(col("vec_id") < NumQueries)
@@ -762,7 +763,7 @@ object Similarity {
       // + the final flag join), which pre-round-16 rebuilt the whole
       // cross-join assignment per leg (duplicate-subtree lint finding)
       (s, d) => semDedupFlags(s, semDedupAssign(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+        .persistTracked),
       Some(s"""WITH e AS (SELECT vec_id,
               |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
               |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
@@ -785,7 +786,7 @@ object Similarity {
       // index); probe = the cluster-local pairwise flagging over it
       probe = Some((s, d) => {
         val wc = semDedupAssign(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         wc.count()
         () => semDedupFlags(s, wc)
       })),
@@ -813,7 +814,7 @@ object Similarity {
         val e = vecs(s, d)
         val cents = trainCentroids(s, d)
         val assign = assignToCentroids(s, e, cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         assign.count()
         () => ivfSearchTopK(s, assign,
           e.select(col("vec_id").as("q_id"), col("v").as("qv")),
@@ -844,7 +845,7 @@ object Similarity {
           .select(col("q_id").as("vec_id"),
             (col("fsum").cast("double") / lit(FixedPointScale.toDouble) /
               col("n").cast("double")).as("mean_cos"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val flagged =
           if (s.catalog.functionExists("graft_topk"))
             scores.agg(call_function("graft_topk", -col("mean_cos"),
@@ -892,7 +893,7 @@ object Similarity {
       // the min-label closure + singleton fold over the warm edge set
       probe = Some((s, d) => {
         val edges = knnEdges(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         edges.count()
         () => semanticClustersFrom(s, d, edges)
       })),
@@ -1125,7 +1126,7 @@ object Similarity {
           .agg(count(lit(1)).as("cnt"),
             sum(expr(s"CAST(floor(cosc * $FixedPointScale.0) AS BIGINT)")).as("fcos"),
             sum(col("n_chars")).as("chars"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val stats = grain.groupBy(col("c_id"))
           .agg(sum(col("cnt")).as("n_docs"), sum(col("fcos")).as("fcos"),
             sum(col("chars")).as("chars"))
@@ -1191,7 +1192,7 @@ object Similarity {
           .select(least(col("q_id"), col("n_id")).as("a"),
             greatest(col("q_id"), col("n_id")).as("b"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         triangleStats(und)
       },
       Some(knnOracleCte + """,
@@ -1279,7 +1280,7 @@ object Similarity {
         val q = Tables.spread(Tables(s, d, "embeddings")).select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256.0D) AS BIGINT))")
           .as("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val agg = gramTriAgg(s, q).crossJoin(broadcast(
           q.agg(count(lit(1)).as("n"),
             expr("aggregate(collect_list(v), CAST(array() AS ARRAY<BIGINT>), " +

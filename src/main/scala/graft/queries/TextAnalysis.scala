@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Caches.TrackedPersist
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -280,7 +281,7 @@ object TextAnalysis {
         val counts = Tables.spread(Tables(s, d, "documents"))
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val total = counts.agg(sum(col("tf")).as("total"))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("tf").desc, col("token").asc)
@@ -407,7 +408,7 @@ object TextAnalysis {
         val tf = Tables.spread(Tables(s, d, "documents"))
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("f"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = tf.agg(sum(col("f")).as("total_mass"),
           count(lit(1)).as("n_vocab"))
         tf.groupBy(col("f")).agg(count(lit(1)).as("n_types"))
@@ -759,7 +760,7 @@ object TextAnalysis {
         val docs = Tables.spread(Tables(s, d, "documents"))
         val idx = persistedBm25Index(docs)
         val corpus = Similarity.vecs(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         corpus.count()
         val queries = docs.filter(col("doc_id") < Bm25Queries)
           .select(col("doc_id").as("q_id"), col("text"))
@@ -867,7 +868,7 @@ object TextAnalysis {
         val e = Similarity.vecs(s, d)
         val cents = Similarity.trainCentroids(s, d)
         val assign = Similarity.assignToCentroids(s, e, cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         assign.count()
         val queries = docs.filter(col("doc_id") < Bm25Queries)
           .select(col("doc_id").as("q_id"), col("text"))
@@ -1007,7 +1008,7 @@ object TextAnalysis {
       // corpus re-encode through the warm dictionary join
       probe = Some((s, d) => {
         val wordIds = bpeWordIds(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         wordIds.count()
         () => bpeEncodeDocs(s, d, wordIds)
       })),
@@ -1141,7 +1142,7 @@ object TextAnalysis {
         // table — pre-round-16 each re-scanned the corpus (lint finding)
         val cells = Tables(s, d, "documents")
           .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val rt = cells.groupBy(col("source")).agg(sum(col("n")).as("row_tot"))
         val ct = cells.groupBy(col("lang")).agg(sum(col("n")).as("col_tot"))
         val g = cells.agg(sum(col("n")).as("grand"))
@@ -1204,7 +1205,7 @@ object TextAnalysis {
         // before round 16 (duplicate-subtree lint finding)
         val uni = toks.select(explode(col("toks")).as("t"))
           .groupBy(col("t")).agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val nTok = uni.agg(sum(col("c")).as("n_tok"))
         val pairs = toks.filter(size(col("toks")) >= 2)
           .select(explode(expr(
@@ -1319,7 +1320,7 @@ object TextAnalysis {
           .select(col("source"),
             size(split(col("text"), " ")).cast("long").as("ln"))
           .groupBy(col("source"), col("ln")).agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val n = lc.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
         val med = lc
           .withColumn("cm", sum(col("c"))
@@ -1583,11 +1584,13 @@ object TextAnalysis {
     // [[bm25Index]] postings instead (the serving shape). CALLER
     // CONTRACT: the persist has no unpersist path inside the returned
     // plan — Bench/Verify clearCache() between builds; any other
-    // long-lived session building catalog entries repeatedly should do
-    // the same or cached projections accumulate for the session.
+    // long-lived session calls graft.Caches.release(spark) after
+    // consuming a build's result (every builder persist routes through
+    // the tracked graft.Caches ledger) or cached projections
+    // accumulate for the session.
     val tokd = Tables.spread(Tables(s, d, "documents"))
       .select(col("doc_id"), toksOf.as("toks"), size(toksOf).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val tot = tokd
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
@@ -1603,7 +1606,7 @@ object TextAnalysis {
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     bm25Rank(s,
       post.join(broadcast(dft), Seq("term"))
@@ -1706,8 +1709,8 @@ object TextAnalysis {
     */
   def persistedBm25Index(docs: DataFrame): Bm25Index = {
     val idx = bm25Index(docs)
-    val post = idx.post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = idx.tot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = idx.post.persistTracked
+    val tot = idx.tot.persistTracked
     post.count(); tot.count()
     Bm25Index(post, tot)
   }
@@ -2072,7 +2075,7 @@ object TextAnalysis {
     val merges = bpeFit(s, d).map(m => (m._1, m._2))
     val vocab = bpeVocab(s, d).select(col("word"),
         split(trim(bpeApply(col("w"), merges)), " ").as("syms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val symIds: Map[String, Int] = vocab
       .select(explode(col("syms")).as("sy")).distinct()
       .orderBy(col("sy")).collect().map(_.getString(0))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Caches.TrackedPersist
 import graft.Tables
 import graft.functions.ParityFns._
 import graft.operators.AsOfJoin
@@ -272,7 +273,7 @@ object Windowed {
         // the probability join both re-ran the corpus lag window before
         // round 16 (duplicate-subtree lint finding)
         val cnt = transitionCounts(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = cnt.groupBy(col("prev_type")).agg(sum(col("n")).as("t"))
         cnt.join(broadcast(tot), Seq("prev_type"))
           .select(col("prev_type"), col("event_type").as("next_type"), col("n"),
@@ -326,7 +327,7 @@ object Windowed {
               .as("bits_per_trans"))
           // user-grain scores persist ONCE: the top-K heap and the flag
           // join both re-ran the corpus lag window before round 16
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val flagged =
           if (s.catalog.functionExists("graft_topk"))
             sc.agg(call_function("graft_topk", col("bits_per_trans"),
@@ -382,11 +383,11 @@ object Windowed {
         // its step count — pre-round-16 every consumer re-scanned events
         val t1 = ev.filter(col("event_type") === "signup")
           .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val t2 = ev.filter(col("event_type") === "view")
           .join(t1, "user_id").filter(col("ts") > col("t1"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val t3 = ev.filter(col("event_type") === "purchase")
           .join(t2, "user_id").filter(col("ts") > col("t2"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
@@ -455,7 +456,7 @@ object Windowed {
           // (cohort, offset)-grain rollup persists ONCE: the offset-0
           // size row and the retention join both re-ran the corpus
           // distinct before round 16 (duplicate-subtree lint finding)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val size = act.filter(col("week_offset") === 0)
           .select(col("cohort_week"), col("n_users").as("cohort_size"))
         act.join(broadcast(size), Seq("cohort_week"))
@@ -501,7 +502,7 @@ object Windowed {
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"),
             round(sum(col("value")), 4).as("sum_val"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
           .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
         spine.join(daily, Seq("day"), "left")
@@ -550,7 +551,7 @@ object Windowed {
           .groupBy(expr("CAST(length(bin(gap_us + 1)) AS INT)").as("bucket_bits"))
           .agg(count(lit(1)).as("n"), min(col("gap_us")).as("min_gap_us"),
             max(col("gap_us")).as("max_gap_us"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = h.agg(sum(col("n")).as("total"))
         h.crossJoin(broadcast(tot))
           .select(col("bucket_bits"), col("n"), col("min_gap_us"),
@@ -599,7 +600,7 @@ object Windowed {
             sum(col("n_events")).as("n_events"),
             min(col("dur_us")).as("min_dur_us"),
             max(col("dur_us")).as("max_dur_us"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = h.agg(sum(col("n_sessions")).as("total"))
         h.crossJoin(broadcast(tot))
           .select(col("bucket_bits"), col("n_sessions"), col("n_events"),
@@ -685,7 +686,7 @@ object Windowed {
         val pred = cnt.groupBy(col("prev_type"))
           .agg(min(struct((-col("n")).as("nn"), col("event_type").as("p"))).as("m"))
           .select(col("prev_type"), col("m.p").as("pred_next"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
@@ -761,7 +762,7 @@ object Windowed {
         // round 16 (duplicate-subtree lint finding)
         val byV = conv.groupBy(col("variant"))
           .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val z = byV
           .agg(sum(when(col("variant") === 0, col("n_users"))).as("n0"),
             sum(when(col("variant") === 0, col("n_conv"))).as("c0"),
@@ -870,7 +871,7 @@ object Windowed {
           .agg(max(when(col("event_type") === "purchase" &&
               col("value") >= AbConvValue, 1L).otherwise(0L))
             .as("converted"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val exposed = Tables(s, d, "events")
           .groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n_ev"))
@@ -928,7 +929,7 @@ object Windowed {
         // day-grain counts persist ONCE; spine bounds derive from the
         // rollup (q149's rule) — one corpus scan total
         val daily = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
           .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
         val filled = spine.join(daily, Seq("day"), "left")
@@ -1001,7 +1002,7 @@ object Windowed {
         // round 16 (q227's rule; the aggregate lint can't see this pair
         // because the explode changes the child)
         val du = ev.distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val dau = du.groupBy(col("day"))
           .agg(count(lit(1)).as("dau")) // already distinct at (day, user)
         val wau = du
@@ -1053,7 +1054,7 @@ object Windowed {
         val du = Tables(s, d, "events")
           .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val wauExact = du
           .select(explode(expr(
             "sequence(day, date_add(day, 6), interval 1 day)")).as("day"),
@@ -1113,7 +1114,7 @@ object Windowed {
         val ut = Tables(s, d, "events")
           .groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val act = ut.unionByName(
           ut.groupBy(col("user_id")).agg(sum(col("n")).as("n"))
             .select(col("user_id"), lit("__all__").as("event_type"), col("n")))
@@ -1179,7 +1180,7 @@ object Windowed {
         val ud = Tables(s, d, "events")
           .groupBy(col("user_id"), expr("CAST(ts AS DATE)").as("day"))
           .agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val cc = ud.groupBy(col("n")).agg(count(lit(1)).as("k"))
         val cum = cc.withColumn("rcum",
           sum(col("k")).over(Window.orderBy(col("n").asc)))
@@ -1281,7 +1282,7 @@ object Windowed {
           .groupBy(expr("CAST(length(bin(lat_us + 1)) AS INT)").as("bucket_bits"))
           .agg(count(lit(1)).as("n_users"), min(col("lat_us")).as("min_lat_us"),
             max(col("lat_us")).as("max_lat_us"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val tot = h.agg(sum(col("n_users")).as("total"))
         h.crossJoin(broadcast(tot))
           .select(col("bucket_bits"), col("n_users"), col("min_lat_us"),
@@ -1554,7 +1555,7 @@ object Windowed {
           .agg(count(lit(1)).as("n"))
           .select(expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)")
             .as("dow"), col("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val byDow = days.groupBy(col("dow"))
           .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
         val tot = days.agg(count(lit(1)).as("t_days"),
@@ -1605,7 +1606,7 @@ object Windowed {
           .select(col("day"),
             expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)").as("dow"),
             col("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val byDow = days.groupBy(col("dow"))
           .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
         days.join(broadcast(byDow), Seq("dow"))
@@ -1892,7 +1893,7 @@ object Windowed {
         // both distinct-day probes re-ran the corpus (day, user) count
         // before round 16 (duplicate-subtree lint finding)
         val t5c = t5
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked
         val a = t5c.toDF("day", "user_id", "ra")
         val b = t5c.toDF("day_b", "user_id_b", "rb")
         val ov = a
@@ -1989,7 +1990,7 @@ object Windowed {
     // re-ran the dedup+cap aggregate before round 16 (the "exchange
     // reuse" this function used to assume never materialized — lint)
     val one = capped
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val a = one.select(col("user_id"), col("day"), col("item").as("a"))
     val b = one.select(col("user_id"), col("day"), col("item").as("b"))
     a.join(b, Seq("user_id", "day"))

@@ -945,9 +945,11 @@ object StatefulOps {
         expr("CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE) " +
           "ELSE CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END")
           .as("capture"),
+        // cast BEFORE multiplying: n_pos·tot_n in BIGINT overflows at
+        // ~1e10-row windows and (ANSI off) wraps to a wrong lift
         expr("CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE) " +
-          "ELSE CAST(r.n_pos * tot_n AS DOUBLE) " +
-          "/ CAST(r.n * tot_pos AS DOUBLE) END").as("lift"))
+          "ELSE (CAST(r.n_pos AS DOUBLE) * CAST(tot_n AS DOUBLE)) " +
+          "/ (CAST(r.n AS DOUBLE) * CAST(tot_pos AS DOUBLE)) END").as("lift"))
   }
 
   /** q213/q205's intake sibling — the streaming ranking-quality
