@@ -1854,7 +1854,55 @@ object Pipeline {
              |  FROM cdf)
              |SELECT source, n_s, n_rest, CAST(max(diff) AS BIGINT) AS ks_num,
              |  CAST(max(diff) AS DOUBLE) / CAST(n_s * n_rest AS DOUBLE) AS ks
-             |FROM d GROUP BY 1, 2, 3""".stripMargin))
+             |FROM d GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- P19 CorpusSink round-trip — the partitioned writer's
+    //      oracle-checked entry (round-16 verdict item 4; previously
+    //      P19 was the only verb with no CORRECTNESS row). Writes the
+    //      documents slice through CorpusSink.write (lang-partitioned,
+    //      shard-salted, file-rolled), reads the files back, and emits
+    //      per partition: row count, a BYTE-STABLE content digest
+    //      (sha2 over the doc-grain digests in sorted order — any
+    //      dropped/duplicated/corrupted row or column changes it), and
+    //      a file-count bound check. The oracle predicts rows + digest
+    //      from the INPUT table (what a lossless round-trip must
+    //      preserve) and pins files_ok literally TRUE: each lang lands
+    //      in <= shards tasks and each task rolls a file every
+    //      SinkMaxRows rows, so n_files must sit in
+    //      [1, shards + n_rows/SinkMaxRows] — a small-files or
+    //      giant-file regression in the writer flips the flag and
+    //      hash-fails. (Exact per-file layout pins live in
+    //      CorpusSinkSpec; an external engine can't see our task
+    //      count, so the oracle checks the bound, not the exact n.)
+    "q246_corpus_sink_roundtrip" -> Q(
+      (s, d) => {
+        val outDir = s"/tmp/graft_q246_sink/${d.replace('/', '_')}"
+        graft.sinks.CorpusSink.write(
+          Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang")),
+          outDir, Seq("lang"), "doc_id",
+          shards = SinkShards, maxRecordsPerFile = SinkMaxRows)
+        s.read.parquet(outDir)
+          .select(col("lang"), col("doc_id"), col("text"),
+            input_file_name().as("__f"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("__f")).as("__files"),
+            sha2(array_join(array_sort(collect_list(
+              sha2(concat_ws(":", col("doc_id"), col("text")), 256))), ""), 256)
+              .as("content_sha"))
+          .select(col("lang"), col("n_rows"), col("content_sha"),
+            (col("__files") >= 1L && col("__files") <=
+              lit(SinkShards.toLong) +
+                (col("n_rows").cast("double") / lit(SinkMaxRows.toDouble))
+                  .cast("long")).as("files_ok"))
+      },
+      Some("""WITH d AS (SELECT lang,
+             |    sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+             |  sha256(string_agg(h, '' ORDER BY h)) AS content_sha,
+             |  TRUE AS files_ok
+             |FROM d GROUP BY lang""".stripMargin))
   )
 
   /** q183's anonymity floor: an equivalence class smaller than KAnonK
@@ -1977,4 +2025,14 @@ object Pipeline {
     */
   val DriftFp = 1048576L
   val DriftTau = 0.06
+
+  /** q246 sink parameters: shards salts each lang over 4 write tasks
+    * (the skew guard under test), SinkMaxRows = 100 forces file rolling
+    * at every fixture SF so the round-trip actually crosses multiple
+    * files per partition — a writer that stopped rolling (giant-file
+    * regression) or exploded into per-task-per-value files (small-files
+    * regression) breaks the oracle-pinned [1, shards + rows/max] bound.
+    */
+  val SinkShards = 4
+  val SinkMaxRows = 100L
 }

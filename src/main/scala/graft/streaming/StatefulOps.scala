@@ -1037,6 +1037,56 @@ object StatefulOps {
         col("event_type"), col("n"), col("p50"), col("p95"),
         col("min_val"), col("max_val"))
 
+  /** Streaming rolling-active-users monitor — q162's intake sibling
+    * (the round-16 parity-table gap): per event-time window, the
+    * window's distinct active users (dau), the ROLLING distinct users
+    * over this + the `roll - 1` preceding windows (wau), and
+    * stickiness = dau/wau — exactly q162's explode-onto-coverage shape
+    * re-expressed as chained stateful aggregates. Each event covers
+    * the `roll` windows it keeps its user active in (k = 0..roll-1
+    * cover copies, cover_ts = ts + k·win), so a window's user set is
+    * precisely "users with an event in the last `roll` windows" — the
+    * same trick that lets batch q162 avoid a per-day re-scan makes the
+    * streaming distinct exact with bounded state.
+    *
+    * Mechanics: the cover stream watermark is lateness + (roll-1)·win
+    * (a k = 0 copy of a maximally-late event must still be on time
+    * after its k = roll-1 sibling advanced the clock); first stateful
+    * agg dedupes (window, user) keeping whether any k = 0 copy landed
+    * (the dau flag); the second re-aggregates per window (the
+    * aucMonitor chained-agg path). State ∝ open windows × active users
+    * (× nothing else — the flag is one long), evicted at the horizon.
+    * Emits only on window close (append mode), like every monitor
+    * here. Windows in a corpus gap can emit dau = 0 (trailing coverage
+    * keeps wau > 0); batch q162's inner join drops those days — the
+    * parity spec compares against THIS kernel run in batch, and the
+    * q162 cross-check filters to event-bearing windows.
+    */
+  def activeUsersMonitor(events: DataFrame, tsCol: String, userCol: String,
+                         latenessSec: Long, winSec: Long,
+                         roll: Int = 7): DataFrame = {
+    require(roll >= 1 && winSec > 0 && latenessSec >= 0,
+      s"bad activeUsersMonitor params: roll=$roll win=$winSec late=$latenessSec")
+    val horizon = latenessSec + (roll - 1).toLong * winSec
+    val perUser = events
+      .select(col(tsCol), col(userCol).as("__user"),
+        explode(sequence(lit(0), lit(roll - 1))).as("__k"))
+      .select(
+        expr(s"timestampadd(SECOND, __k * $winSec, $tsCol)").as("__cts"),
+        col("__user"), (col("__k") === 0).cast("long").as("__now"))
+      .withWatermark("__cts", s"$horizon seconds")
+      .groupBy(window(col("__cts"), s"$winSec seconds"), col("__user"))
+      .agg(max(col("__now")).as("__active_now"))
+    perUser
+      .groupBy(col("window"))
+      .agg(sum(col("__active_now")).as("dau"), count(lit(1)).as("wau"))
+      .select(graft.functions.ParityFns.epochMs(col("window.start")).as("w_start"),
+        col("dau"), col("wau"),
+        when(col("wau") > 0L,
+          col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
   /** Streaming heavy-hitters monitor — q65's intake sibling: per
     * event-time window, the Misra–Gries candidate set over the token
     * stream plus the window's exact token count N. The sketch is the

@@ -223,6 +223,46 @@ class CheckpointRestartSpec extends SparkSuite {
       s"each (window, bin) exactly once: ${got.mkString(", ")}")
   }
 
+  test("activeUsersMonitor restart emits each window's actives exactly once") {
+    val src = tmpDir("aur_src"); val out = tmpDir("aur_out"); val ckpt = tmpDir("aur_ckpt")
+    val schema = StructType.fromDDL("ts TIMESTAMP, user_id BIGINT")
+    def writeRows(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.writeString(src.resolve(name), rows.map { case (ts, u) =>
+        s"""{"ts":"$ts","user_id":$u}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.activeUsersMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "ts", "user_id", latenessSec = 0L, winSec = 10L, roll = 2)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    // phase 1: users 1,2 in [0,10); the t=35 pusher's own coverage
+    // advances the watermark to 35, closing [0,10) (dau 2, wau 2) and
+    // [10,20) (dau 0, wau 2 — roll-2 trailing coverage)
+    writeRows("f1.json", Seq(
+      ("2024-01-01T00:00:02Z", 1L),
+      ("2024-01-01T00:00:04Z", 2L),
+      ("2024-01-01T00:00:35Z", 9L)))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; the t=100 pusher closes the pusher's own
+    // [30,40) and [40,50) — phase-1 windows must NOT re-emit
+    writeRows("f2.json", Seq(("2024-01-01T00:01:40Z", 9L)))
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(_._1).toSeq
+    val base = 1704067200000L
+    assert(got == Seq(
+      (base, 2L, 2L, Some(1.0)),
+      (base + 10000L, 0L, 2L, Some(0.0)),
+      (base + 30000L, 1L, 1L, Some(1.0)),
+      (base + 40000L, 0L, 1L, Some(0.0))),
+      s"each window exactly once: ${got.mkString(", ")}")
+  }
+
   test("aucMonitor restart emits each window's AUC exactly once") {
     val src = tmpDir("aucr_src"); val out = tmpDir("aucr_out"); val ckpt = tmpDir("aucr_ckpt")
     val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
@@ -564,6 +604,94 @@ class CheckpointRestartSpec extends SparkSuite {
         r.getAs[String]("step_name"))).sortBy(_._2).toSeq
     assert(got == Seq((1L, 1, "signup"), (1L, 2, "view"), (1L, 3, "purchase")),
       s"expected each funnel step exactly once, got: ${got.mkString(", ")}")
+  }
+
+  test("qualityMonitor restart emits each (window, key) exactly once") {
+    val src = tmpDir("qmr_src"); val out = tmpDir("qmr_out"); val ckpt = tmpDir("qmr_ckpt")
+    val schema = StructType.fromDDL("text STRING, ts TIMESTAMP, src STRING")
+    def writeDocs(name: String, rows: Seq[(String, String)]): Unit =
+      Files.writeString(src.resolve(name), rows.map { case (t, ts) =>
+        s"""{"text":"$t","ts":"$ts","src":"feed"}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.qualityMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "text", "ts", "src", "0 seconds", "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val phase1 = Seq(
+      ("aa aa aa aa aa aa", "2024-01-01T00:00:02Z"), // stutter — flagged
+      ("alpha bravo charlie delta", "2024-01-01T00:00:04Z"),
+      ("echo foxtrot golf hotel", "2024-01-01T00:00:25Z"))
+    val phase2 = Seq(("india juliet kilo lima", "2024-01-01T00:01:40Z"))
+    writeDocs("f1.json", phase1)
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    writeDocs("f2.json", phase2)
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == got.map(_._1).distinct,
+      s"a (window, key) re-emitted after restart: $got")
+    // values pinned against the SAME kernel run in batch over the
+    // union of both phases (the stream≡batch contract across a restart)
+    import spark.implicits._
+    val batch = graft.streaming.StatefulOps.qualityMonitor(
+        (phase1 ++ phase2).map { case (t, ts) =>
+          (t, java.sql.Timestamp.from(java.time.Instant.parse(ts)), "feed")
+        }.toDF("text", "ts", "src"), "text", "ts", "src",
+        "0 seconds", "10 seconds")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .filter(b => got.exists(_._1 == b._1)).sortBy(_._1).toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.map(t => (t._3, t._4)) == Seq((2L, 1L), (1L, 0L)),
+      s"window doc/flag counts: $got")
+  }
+
+  test("funnelMonitor restart emits each (window, key) funnel exactly once") {
+    val src = tmpDir("fmr_src"); val out = tmpDir("fmr_out"); val ckpt = tmpDir("fmr_ckpt")
+    val schema = StructType.fromDDL("text STRING, ts TIMESTAMP, src STRING")
+    def writeDocs(name: String, rows: Seq[(String, String)]): Unit =
+      Files.writeString(src.resolve(name), rows.map { case (t, ts) =>
+        s"""{"text":"$t","ts":"$ts","src":"feed"}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.funnelMonitor(
+        spark.readStream.schema(schema).json(src.toString),
+        "text", "ts", "src", "0 seconds", "10 seconds")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val phase1 = Seq(
+      ("the quick brown fox jumps over the lazy dog and it is a good day",
+        "2024-01-01T00:00:02Z"),
+      ("zz zz zz zz zz zz", "2024-01-01T00:00:04Z"),
+      ("the cat sat on the mat and it was warm", "2024-01-01T00:00:25Z"))
+    val phase2 = Seq(("done", "2024-01-01T00:01:40Z"))
+    writeDocs("f1.json", phase1)
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    writeDocs("f2.json", phase2)
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == got.map(_._1).distinct,
+      s"a (window, key) re-emitted after restart: $got")
+    import spark.implicits._
+    val batch = graft.streaming.StatefulOps.funnelMonitor(
+        (phase1 ++ phase2).map { case (t, ts) =>
+          (t, java.sql.Timestamp.from(java.time.Instant.parse(ts)), "feed")
+        }.toDF("text", "ts", "src"), "text", "ts", "src",
+        "0 seconds", "10 seconds")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .filter(b => got.exists(_._1 == b._1)).sortBy(_._1).toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.map(_._3) == Seq(2L, 1L), s"window doc counts: $got")
   }
 
   test("driftMonitor restart emits each closed window exactly once") {

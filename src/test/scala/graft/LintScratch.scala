@@ -21,46 +21,21 @@ object LintScratch {
 
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     // lint kernel is single-sourced in PlanLint (PlanSpec enforces it)
-    val FactTables = PlanLint.FactTables
     def dups(lp: LogicalPlan): Seq[LogicalPlan] =
       PlanLint.duplicatedFactSubtrees(lp)
 
     // mode 2: count fact-table SCANS per entry (any subplan shape),
-    // descending into caches — the same-file >=2 report is the
-    // double-I/O sweep the canonical-dup lint cannot see
-    def physScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      p.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          Seq(f.relation.location.rootPaths.mkString(","))
-        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          Nil // a cache READ is free — only count the cache's own build once
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          physScans(a.inputPlan)
-      }.flatten
-    def logiScans(p: LogicalPlan): Seq[String] = {
-      val seen = scala.collection.mutable.Set.empty[LogicalPlan]
-      p.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              Seq(fs.location.rootPaths.mkString(","))
-            case _ => Nil
-          }
-        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          // count each distinct cache build once, however many reads
-          if (seen.add(imr.canonicalized.asInstanceOf[LogicalPlan])) physScans(imr.cachedPlan) else Nil
-      }.flatten
-    }
+    // descending into caches — the same-table >=2 report is the
+    // double-I/O sweep the canonical-dup lint cannot see. Kernel is
+    // single-sourced in PlanLint.factScanCounts (PlanDump records the
+    // counts into PLANS.md; PlanSpec asserts them).
     if (args.length > 1 && args(1) == "--scans") {
       Catalog.all.keys.toSeq.sorted.foreach { name =>
         try {
           val df = Catalog.all(name).build(spark, sfDir)
-          val byFile = logiScans(df.queryExecution.optimizedPlan)
-            .filter(f => FactTables.exists(t => f.contains(t + ".parquet")))
-            .groupBy(identity).view.mapValues(_.size)
-            .collect { case (f, n) if n >= 2 =>
-              s"${f.split('/').last}x$n" }
-          if (byFile.nonEmpty) println(s"== $name ${byFile.mkString(" ")}")
+          val multi = PlanLint.factScanCounts(df.queryExecution.optimizedPlan)
+            .collect { case (t, n) if n >= 2 => s"${t}x$n" }
+          if (multi.nonEmpty) println(s"== $name ${multi.mkString(" ")}")
         } catch { case e: Throwable =>
           println(s"== $name ERROR ${e.getMessage}")
         } finally spark.sharedState.cacheManager.clearCache()

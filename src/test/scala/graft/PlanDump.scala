@@ -163,13 +163,38 @@ object PlanDump {
     sb.append("CartesianProduct/BNLJ) on every catalog query; this file is the\n")
     sb.append("human-readable audit trail.\n")
     Audited.foreach { case (name, note) =>
+      // per-entry cache isolation: an earlier entry's persist must not
+      // rewrite a later entry's dumped plan via useCachedData
+      spark.sharedState.cacheManager.clearCache()
       val df = queries.Catalog.all(name).build(spark, sfDir)
+      val scans = PlanLint.renderScanCounts(
+        PlanLint.factScanCounts(df.queryExecution.optimizedPlan))
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
+      sb.append(s"\n## $name\n\n$note\n\nscans: $scans\n\n```\n$plan```\n")
     }
+    // Fact-scan count pins for EVERY catalog entry (round-16 verdict
+    // item 2): PlanSpec asserts these exact counts, so any regression
+    // that adds a fact re-scan fails the suite even when the duplicated
+    // subtree is not canonically equal (the shape the dup lint can't
+    // key on).
+    sb.append("\n## Fact-scan counts (all catalog entries)\n\n")
+    sb.append("One line per entry: how many times each fact table's file is\n")
+    sb.append("scanned in the optimized plan (distinct cache builds counted\n")
+    sb.append("once, cache reads free; `-` = no fact scan). Asserted exactly\n")
+    sb.append("by PlanSpec — regenerate this file after intentional plan\n")
+    sb.append("changes.\n\n```\n")
+    queries.Catalog.all.keys.toSeq.sorted.foreach { name =>
+      spark.sharedState.cacheManager.clearCache()
+      val df = queries.Catalog.all(name).build(spark, sfDir)
+      val scans = PlanLint.renderScanCounts(
+        PlanLint.factScanCounts(df.queryExecution.optimizedPlan))
+      sb.append(s"$name $scans\n")
+    }
+    sb.append("```\n")
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote ${Audited.size} plans to $out")
+    println(s"wrote ${Audited.size} plans + " +
+      s"${queries.Catalog.all.size} scan-count pins to $out")
     spark.stop()
   }
 }

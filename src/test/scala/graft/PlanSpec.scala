@@ -586,6 +586,22 @@ class PlanSpec extends SparkSuite {
     } finally { cached.unpersist(blocking = false); () }
   }
 
+  test("fact-table match is path-component-anchored (decoy self-test)") {
+    // round-16 verdict #3: the old bare-substring match let
+    // `fake_lineitem.parquet` trip the lint and let a renamed fact
+    // variant slip configuration drift past it
+    assert(PlanLint.isFactFile("lineitem.parquet"))
+    assert(PlanLint.isFactFile("events_v2.parquet"),
+      "renamed fact variant must NOT dodge the lint")
+    assert(PlanLint.isFactFile("events-2026.parquet"))
+    assert(!PlanLint.isFactFile("fake_lineitem.parquet"),
+      "suffix-named non-fact fixture must not trip the lint")
+    assert(!PlanLint.isFactFile("eventshistory.parquet"),
+      "separator-less prefix is a different table, not a variant")
+    assert(!PlanLint.isFactFile("lineitem.parquet.bak"))
+    assert(!PlanLint.isFactFile("nation.parquet"), "dims are not fact")
+  }
+
   /** Justified duplicate-subtree re-scans: entries whose repeated subtree
     * is intentional and bounded. Every entry here must say why.
     */
@@ -600,24 +616,74 @@ class PlanSpec extends SparkSuite {
     */
   private val pendingFix: Set[String] = Set.empty
 
-  test("no duplicated heavy fact subtree anywhere in the catalog (q228/q233 class)") {
+  /** The scan-count pins PlanDump recorded into PLANS.md (round-16
+    * verdict item 2): entry -> rendered per-fact-table counts. Asserted
+    * inside the catalog-wide loop below (same builds, no second pass).
+    */
+  private lazy val recordedScanCounts: Map[String, String] = {
+    // explicit UTF-8: the forked test JVM's default charset is not
+    // UTF-8 and PLANS.md carries multibyte arrows in the prose
+    val lines = java.nio.file.Files
+      .readString(java.nio.file.Paths.get("PLANS.md")).linesIterator.toSeq
+    val start = lines.indexWhere(_.startsWith("## Fact-scan counts"))
+    assert(start >= 0, "PLANS.md has no fact-scan count section — " +
+      "regenerate with `sbt \"Test/runMain graft.PlanDump\"`")
+    lines.drop(start).dropWhile(_ != "```").drop(1).takeWhile(_ != "```")
+      .filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf(' ')
+        l.substring(0, i) -> l.substring(i + 1).trim
+      }.toMap
+  }
+
+  test("no duplicated heavy fact subtree anywhere in the catalog (q228/q233 class)" +
+      " and fact-scan counts match the PLANS.md pins") {
+    val scanMismatches = scala.collection.mutable.Buffer.empty[String]
     val offenders = Catalog.all.keys.toSeq.sorted.flatMap { name =>
       if (intentionalRecompute(name) || pendingFix(name)) None
       else {
+        // per-entry cache isolation (round-16 advice): all ~240 entries
+        // build in ONE session, and every build() registers its
+        // persist()s in the session CacheManager. Without clearing,
+        // useCachedData can substitute an EARLIER entry's cache into a
+        // LATER entry's plan, turning a genuine duplicated fact subtree
+        // into InMemoryRelation leaves the lint ignores — an
+        // iteration-order-dependent false negative. LintScratch (the
+        // single-sourced sibling) already clears per entry.
+        spark.sharedState.cacheManager.clearCache()
         val df = Catalog.all(name).build(spark, sf())
-        val dups = duplicatedFactSubtrees(df.queryExecution.optimizedPlan)
-        if (dups.isEmpty) None
-        else {
-          // runtime adjudication: AQE may still reuse the stage/exchange,
-          // which makes the duplication free — execute and re-read
-          df.write.format("noop").mode("overwrite").save()
-          val p = df.queryExecution.executedPlan.toString
-          if (p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
-              p.contains("InMemoryTableScan")) None
-          else Some(s"$name: ${dups.size} duplicated fact subtree(s), no reuse")
+        // scan-count pin: EXACT match against the PLANS.md record — a
+        // count that went DOWN is an unrecorded improvement (regenerate
+        // the pins), a count that went UP is the recompute class
+        val got = PlanLint.renderScanCounts(
+          PlanLint.factScanCounts(df.queryExecution.optimizedPlan))
+        recordedScanCounts.get(name) match {
+          case Some(want) if want == got => ()
+          case Some(want) =>
+            scanMismatches += s"$name: recorded [$want] but plan scans [$got]"
+          case None =>
+            scanMismatches += s"$name: no scan-count pin in PLANS.md " +
+              "(new entry? regenerate via Test/runMain graft.PlanDump)"
         }
+        val dups = duplicatedFactSubtrees(df.queryExecution.optimizedPlan)
+        val verdict =
+          if (dups.isEmpty) None
+          else {
+            // runtime adjudication: AQE may still reuse the stage/exchange,
+            // which makes the duplication free — execute and re-read
+            df.write.format("noop").mode("overwrite").save()
+            val p = df.queryExecution.executedPlan.toString
+            if (p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+                p.contains("InMemoryTableScan")) None
+            else Some(s"$name: ${dups.size} duplicated fact subtree(s), no reuse")
+          }
+        spark.sharedState.cacheManager.clearCache()
+        verdict
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(scanMismatches.isEmpty,
+      s"${scanMismatches.size} fact-scan count regressions vs PLANS.md:\n" +
+        scanMismatches.mkString("\n"))
   }
 }

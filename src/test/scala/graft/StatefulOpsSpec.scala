@@ -1285,4 +1285,72 @@ class StatefulOpsSpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("activeUsersMonitor: stream equals batch kernel; rolling distinct is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+    def tsAt(sec: Long) = new Timestamp(base + sec * 1000)
+    // win=10s, roll=3. Events: users 1,2 in W0 [0,10); user 1 in W1
+    // [10,20); user 3 in W3 [30,40). Rolling-3 hand count:
+    //   W0 dau 2 wau {1,2}=2; W1 dau 1 wau {1,2}=2; W2 dau 0 wau {1,2}=2
+    //   W3 dau 1 wau {1,3}=2; W4 dau 0 wau {3}=1; W5 dau 0 wau {3}=1
+    val rows = Seq[(Timestamp, Long)](
+      (tsAt(2), 1L), (tsAt(4), 2L), (tsAt(6), 1L),
+      (tsAt(12), 1L),
+      (tsAt(33), 3L),
+      (tsAt(300), 99L)) // watermark pusher
+    val src = rows.toDF("ts", "user_id")
+
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StatefulOps.activeUsersMonitor(
+        in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+        latenessSec = 0L, winSec = 10L, roll = 3)
+      .writeStream.format("memory").queryName("active_mon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("activemon").toString).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      val got = toMap(spark.table("active_mon").collect())
+      // stream ≡ batch: the same kernel over the same rows as a batch
+      // DataFrame, filtered to the windows the stream has closed
+      val batch = toMap(StatefulOps.activeUsersMonitor(
+        src, "ts", "user_id", 0L, 10L, 3).collect())
+        .filter { case (w, _) => got.contains(w) }
+      assert(got == batch, s"stream $got vs batch $batch")
+      def w(i: Int) = base + i * 10000L
+      assert(got(w(0)) == ((2L, 2L, Some(1.0))), s"W0: ${got(w(0))}")
+      assert(got(w(1)) == ((1L, 2L, Some(0.5))), s"W1: ${got(w(1))}")
+      assert(got(w(2)) == ((0L, 2L, Some(0.0))),
+        s"gap window W2 keeps trailing coverage: ${got(w(2))}")
+      assert(got(w(3)) == ((1L, 2L, Some(0.5))), s"W3: ${got(w(3))}")
+      assert(got(w(4)) == ((0L, 1L, Some(0.0))), s"W4: ${got(w(4))}")
+      assert(got(w(5)) == ((0L, 1L, Some(0.0))), s"W5: ${got(w(5))}")
+      assert(!got.contains(w(6)), "W6 has no coverage and must not emit")
+    } finally q.stop()
+  }
+
+  test("activeUsersMonitor batch kernel matches q162 on event-bearing days") {
+    // the monitor at win = 1 day, roll = 7 IS q162's dau/wau/stickiness
+    // on every day that has events (q162's inner join drops the
+    // trailing-coverage days the monitor also reports)
+    val d = sf()
+    val ev = Tables(spark, d, "events")
+    val got = StatefulOps.activeUsersMonitor(
+        ev, "ts", "user_id", 0L, 86400L, 7)
+      .select(expr("CAST(timestamp_millis(w_start) AS DATE)").as("day"),
+        col("dau"), col("wau"))
+      .filter(col("dau") > 0)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = queries.Catalog.all("q162_active_users").build(spark, d)
+      .select(col("day"), col("dau"), col("wau"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want, s"monitor vs q162: ${got.diff(want)} | ${want.diff(got)}")
+  }
 }
