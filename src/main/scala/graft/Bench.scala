@@ -239,7 +239,10 @@ object Bench {
       def json: String =
         s"""{"min":$min,"median":$median,"max":$max,""" +
           s""""gc_ms":${gcMs.mkString("[", ",", "]")},""" +
-          s""""cpu_s":${cpuS.map(c => f"$c%.2f").mkString("[", ",", "]")},""" +
+          // Double.toString, not %.2f: the f-interpolator is
+          // locale-sensitive (comma decimals would corrupt the JSON)
+          s""""cpu_s":${cpuS.map(c => (math.round(c * 100) / 100.0).toString)
+            .mkString("[", ",", "]")},""" +
           s""""contended":$contended}"""
       def spread: Double =
         // a failed sample (-1) is an error, not noise — re-measuring

@@ -619,11 +619,14 @@ class CheckpointRestartSpec extends SparkSuite {
       .writeStream.format("parquet").option("path", out.toString)
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
+    // keep needs top1 <= 0.20 AND top2 <= 0.20 — i.e. >= 6 distinct
+    // tokens (top2 of a 6-token all-distinct doc is exactly 1/5)
     val phase1 = Seq(
       ("aa aa aa aa aa aa", "2024-01-01T00:00:02Z"), // stutter — flagged
-      ("alpha bravo charlie delta", "2024-01-01T00:00:04Z"),
-      ("echo foxtrot golf hotel", "2024-01-01T00:00:25Z"))
-    val phase2 = Seq(("india juliet kilo lima", "2024-01-01T00:01:40Z"))
+      ("alpha bravo charlie delta echo foxtrot", "2024-01-01T00:00:04Z"),
+      ("echo foxtrot golf hotel india juliet", "2024-01-01T00:00:25Z"))
+    val phase2 = Seq(
+      ("kilo lima mike november oscar papa", "2024-01-01T00:01:40Z"))
     writeDocs("f1.json", phase1)
     val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
     writeDocs("f2.json", phase2)
