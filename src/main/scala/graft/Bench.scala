@@ -154,6 +154,30 @@ object Bench {
   /** Former weak rows re-measured cold with variance each round. */
   val ColdFitEvidence = Seq("q51_ann_ivf", "q127_dsir_weight")
 
+  /** One timed sample: wall seconds plus the GC ms and process-CPU
+    * seconds that elapsed inside it.
+    */
+  final case class Sample(sec: Double, gcMs: Long, cpuS: Double)
+
+  /** Self-adjudication of the q127/q135 phantom class (round-16
+    * verdict #1): a sample whose WALL is >2x the entry's fastest
+    * sample while its PROCESS CPU stayed within 1.25x of that fastest
+    * sample did the same compute but got scheduled less — host
+    * contention, not an engine regression. The entry is annotated
+    * contended=true (and re-measured, same budget as the spread
+    * trigger) so a slow median in the artifact carries its own
+    * adjudication instead of needing a judge re-measure. Object-level
+    * (not a local def) so BenchStatSpec can pin the classifier.
+    */
+  def contendedIn(samples: Seq[Sample]): Boolean = {
+    val valid = samples.filter(s => s.sec > 0 && s.cpuS >= 0)
+    valid.nonEmpty && {
+      val base = valid.minBy(_.sec)
+      valid.exists(s =>
+        s.sec > 2.0 * base.sec && s.cpuS <= 1.25 * base.cpuS + 0.05)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -205,7 +229,9 @@ object Bench {
       } finally {
         // Queries that persist an intermediate (q125's tokenized-docs
         // projection) must not hand the NEXT timed run a warm cache —
-        // every sample pays the full cold pipeline.
+        // every sample pays the full cold pipeline. release() also
+        // trims the Caches ledger's DataFrame refs.
+        graft.Caches.release(spark)
         spark.sharedState.cacheManager.clearCache()
       }
     }
@@ -229,10 +255,8 @@ object Bench {
     val warm = Seq("q04_join_sortmerge", "q41_dedup_minhash", "q50_ann_brute")
     warm.filter(Catalog.headline.contains).foreach(run)
 
-    // each sample = wall seconds + the GC ms and process-CPU seconds
-    // that elapsed inside it; both ledgers kept in SAMPLE order (not
-    // sorted) so a one-off spike is attributable to its sample
-    final case class Sample(sec: Double, gcMs: Long, cpuS: Double)
+    // gc_ms / cpu_s ledgers kept in SAMPLE order (not sorted) so a
+    // one-off spike is attributable to its sample
     final case class Stat(min: Double, median: Double, max: Double,
                           gcMs: Seq[Long], cpuS: Seq[Double],
                           contended: Boolean) {
@@ -248,21 +272,6 @@ object Bench {
         // a failed sample (-1) is an error, not noise — re-measuring
         // a failing query would just fail again, slowly
         if (min > 0) max / min else 1.0
-    }
-    // Self-adjudication of the q127/q135 phantom class (round-16
-    // verdict #1): a sample whose WALL is >2x the entry's fastest
-    // sample while its PROCESS CPU stayed within 1.25x of that fastest
-    // sample did the same compute but got scheduled less — host
-    // contention, not an engine regression. The entry is annotated
-    // contended=true so a slow median in the artifact carries its own
-    // adjudication instead of needing a judge re-measure.
-    def contendedIn(samples: Seq[Sample]): Boolean = {
-      val valid = samples.filter(s => s.sec > 0 && s.cpuS >= 0)
-      valid.nonEmpty && {
-        val base = valid.minBy(_.sec)
-        valid.exists(s =>
-          s.sec > 2.0 * base.sec && s.cpuS <= 1.25 * base.cpuS + 0.05)
-      }
     }
     def stat(samples: Seq[Sample]): Stat = {
       val xs = samples.map(_.sec).sorted
@@ -287,18 +296,23 @@ object Bench {
     val rerunsOf =
       scala.collection.mutable.LinkedHashMap.empty[String, (Int, Boolean)]
     def withRerun(name: String)(sample: () => Stat): Stat = {
+      // a contended stat (wall/cpu divergence — see Bench.contendedIn)
+      // triggers the same re-measure budget as an over-limit spread:
+      // the sample set is known-polluted, and re-sampling is cheap
+      def dirty(s: Stat) = s.spread > SpreadLimit || s.contended
       var cur = sample()
       var n = 0
-      while (cur.spread > SpreadLimit && n < MaxReruns) {
-        System.err.println(f"[bench] $name spread ${cur.spread}%.1fx > " +
-          f"${SpreadLimit}%.1fx — re-measuring")
+      while (dirty(cur) && n < MaxReruns) {
+        System.err.println(f"[bench] $name spread ${cur.spread}%.1fx " +
+          f"(limit ${SpreadLimit}%.1fx), contended=${cur.contended} — re-measuring")
         cur = sample()
         n += 1
       }
-      if (n > 0) rerunsOf(name) = (n, cur.spread <= SpreadLimit)
-      if (cur.spread > SpreadLimit)
+      if (n > 0) rerunsOf(name) = (n, !dirty(cur))
+      if (dirty(cur))
         System.err.println(f"[bench] $name published at spread " +
-          f"${cur.spread}%.1fx — UNRESOLVED after $n re-measures")
+          f"${cur.spread}%.1fx, contended=${cur.contended} — " +
+          f"UNRESOLVED after $n re-measures")
       cur
     }
     def coldStat(name: String): Stat =
@@ -330,6 +344,7 @@ object Bench {
         System.err.println(s"[bench] $name probe prepare failed: ${e.getMessage}")
         Stat(-1.0, -1.0, -1.0, Seq.empty, Seq.empty, contended = false)
       } finally {
+        graft.Caches.release(spark)
         spark.sharedState.cacheManager.clearCache()
       }
 

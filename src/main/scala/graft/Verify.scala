@@ -30,10 +30,13 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        } finally
+        } finally {
           // queries that persist intermediates (q125/q128/q132) must not
-          // accumulate cached blocks across a 117-query dump
+          // accumulate cached blocks across a 234-query dump; release
+          // also trims the Caches ledger's DataFrame refs
+          graft.Caches.release(spark)
           spark.sharedState.cacheManager.clearCache()
+        }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -143,7 +143,8 @@ object PlanDump {
     "q241_brier_decomposition" -> "Murphy decomposition: one corpus scan → decile-grain hash-agg; per-bin terms are fixed shared IEEE DAGs; the bin-ordered folds run over ≤10-element arrays; three 1-row broadcast crosses, nothing corpus-sized after the bin aggregate",
     "q242_ann_rank_fidelity" -> "ANN rank fidelity: both legs are the audited q50/q51 plans (broadcast query batch, k-centroid probe, bounded heaps); the overlap join, weight broadcast, and per-query fold all run at ≤Q×k grain",
     "q243_gains_table" -> "gains table: one corpus scan → decile hash-agg; the best-first cumulative is an intentional global window over the ≤10-row decile grain; capture/lift are post-aggregate shared-template projections",
-    "q244_calibration_error" -> "ECE/MCE: one corpus scan → decile hash-agg; ECE folds the ≤10 bin terms in bin order (cross-engine-exact ordered sum), MCE is an order-free max; two 1-row broadcast crosses")
+    "q244_calibration_error" -> "ECE/MCE: one corpus scan → decile hash-agg; ECE folds the ≤10 bin terms in bin order (cross-engine-exact ordered sum), MCE is an order-free max; two 1-row broadcast crosses",
+    "q246_corpus_sink_roundtrip" -> "CorpusSink round-trip: ONE documents scan into the salted lang-partitioned write (shard column exists only to spread the exchange, dropped before the files), read-back aggregates at lang grain — per-partition sorted-digest sha2, file-count bound as a post-aggregate predicate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
