@@ -36,14 +36,16 @@ import org.apache.spark.sql.functions._
   *    linear-by-design entries): the failure mode being pinned against
   *    (quadratic) measures ~2 on this estimator.
   *
-  * Documented exception: q124_semdedup is pinned at 2.6, not 1.45 —
-  * with the centroid count HELD FIXED while the corpus scales, the
-  * cluster-local pairwise stage grows Σ|c|² (that is q124's documented
-  * cost contract: deployments must scale k with the corpus so |c|
-  * stays bounded). Its row doubles as the harness self-test that
-  * superlinear shapes are visible to this probe at all (it measures
-  * ~1.5 at these points — clearly above every linear entry — rising
-  * toward 2 as the pairwise term takes over).
+  * Documented exceptions: q124_semdedup and q139_semantic_clusters
+  * are pinned at 2.6, not 1.45 — with the centroid count HELD FIXED
+  * while the corpus scales, their cluster-local candidate/pairwise
+  * stages grow Σ|c|² (the documented cost contract of both:
+  * deployments must scale k with the corpus so |c| stays bounded;
+  * q139's per-vector graft_topk bound makes the effect saturate at
+  * larger scales — it measures ~1.9 at 2/4/8× and ~1.2 at 4/8/16×).
+  * The q124 row doubles as the harness self-test that superlinear
+  * shapes are visible to this probe at all (it measures ~1.9 at
+  * 8/16/32× — clearly above every linear entry).
   */
 class ScaleExponentSpec extends SparkSuite {
 
@@ -56,10 +58,13 @@ class ScaleExponentSpec extends SparkSuite {
   private val Pins: Seq[(String, String, String, Int, Int, Double)] = Seq(
     ("q01_agg", "lineitem", "l_orderkey", 16, 4, 1.45),
     ("q41_dedup_minhash", "documents", "doc_id", 4, 4, 1.45),
-    ("q43_ngram_jaccard", "documents", "doc_id", 4, 4, 1.45),
+    ("q43_ngram_jaccard", "documents", "doc_id", 8, 4, 1.5),
     ("q45_simhash_hamming", "documents", "doc_id", 4, 4, 1.45),
     ("q123_span_dup", "documents", "doc_id", 4, 4, 1.55),
     ("q162_active_users", "events", "user_id", 16, 4, 1.6),
+    ("q97_incremental_dedup", "documents", "doc_id", 4, 4, 1.45),
+    ("q125_bm25", "documents", "doc_id", 4, 4, 1.45),
+    ("q139_semantic_clusters", "embeddings", "vec_id", 2, 2, 2.6),
     ("q124_semdedup", "embeddings", "vec_id", 8, 2, 2.6))
 
   private val base = sf("sf0.01")
