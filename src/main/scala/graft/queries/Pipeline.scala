@@ -1902,7 +1902,85 @@ object Pipeline {
              |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
              |  sha256(string_agg(h, '' ORDER BY h)) AS content_sha,
              |  TRUE AS files_ok
-             |FROM d GROUP BY lang""".stripMargin))
+             |FROM d GROUP BY lang""".stripMargin)),
+
+    // ---- duplicate-LINE (boilerplate) scrub — the C4/RefinedWeb rule
+    //      the span family doesn't cover: drop every LINE whose
+    //      document frequency exceeds LineDfCap (site navigation,
+    //      headers, copyright footers — text that repeats VERBATIM
+    //      across unrelated pages), keep everything else, reassemble
+    //      the document in original line order. q122 is within-doc
+    //      stutter and q123/q126 are fixed-width token windows; this
+    //      verb's grain is the natural line/sentence boundary and its
+    //      signal is CROSS-document frequency. The fixture corpus has
+    //      no line structure, so the frame is synthesized
+    //      deterministically in-query (the q151 two-snapshot
+    //      precedent): a global banner (df = corpus), a per-source
+    //      header (df = docs/source ≈ 25 at every SF), a paired topic
+    //      line (df = 2 — duplicated but UNDER the cap, must be kept),
+    //      the unique body (df ≈ 1), a global footer — the cap (3)
+    //      splits all four regimes, so scrubbed, kept-duplicated and
+    //      kept-unique lines all occur at every SF.
+    //      100 TB shape: line df via one (h60, doc) distinct + one
+    //      map-side-combinable h-grain count (8-byte keys, never
+    //      text); the flag joins back by h equijoin; the only
+    //      text-bearing shuffle is the doc-grain ordered reassembly,
+    //      which IS the output. The documents file is scanned twice
+    //      (df leg + reassembly leg) — the frame-before-binning
+    //      adjudication: both scans prune to 3 columns, and a
+    //      corpus-grain cache of (pos, line) rows would cost more
+    //      than the second pruned scan.
+    "q247_boilerplate_scrub" -> Q(
+      (s, d) => {
+        def framed = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"),
+            concat(lit("shared portal navigation bar. section "),
+              col("source"), lit(" index. topic "),
+              expr("CAST(doc_id DIV 2 AS BIGINT)"), lit(" notes. "),
+              col("text"),
+              lit(". copyright footer all rights reserved")).as("text"))
+        def sents = framed
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+          .withColumn("h",
+            graft.functions.ParityFns.hash60(lower(trim(col("sent")))))
+        val dfreq = sents.select(col("h"), col("doc_id")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("line_df"))
+        sents.join(dfreq, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("line_df") > LineDfCap, 1L).otherwise(0L))
+              .as("n_scrubbed"),
+            // nulls (scrubbed lines) drop out of collect_list; empty
+            // array joins to "" (the all-scrubbed degenerate — DuckDB
+            // side coalesces to match)
+            sha2(array_join(transform(array_sort(collect_list(
+              when(col("line_df") <= LineDfCap,
+                struct(col("pos"), col("sent"))))),
+              x => x.getField("sent")), ". "), 256).as("clean_sha"))
+      },
+      Some(s"""WITH framed AS (SELECT doc_id,
+             |    'shared portal navigation bar. section ' || source ||
+             |    ' index. topic ' || CAST(doc_id // 2 AS VARCHAR) ||
+             |    ' notes. ' || text ||
+             |    '. copyright footer all rights reserved' AS text
+             |  FROM documents),
+             |sents AS (SELECT doc_id,
+             |    generate_subscripts(string_split(text, '. '), 1) AS pos,
+             |    unnest(string_split(text, '. ')) AS sent
+             |  FROM framed),
+             |h AS (SELECT doc_id, pos, sent,
+             |    CAST('0x' || substr(md5(lower(trim(sent))),1,15) AS BIGINT)
+             |      AS h FROM sents),
+             |d AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT)
+             |      AS line_df FROM h GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN line_df > $LineDfCap THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_scrubbed,
+             |  sha256(coalesce(string_agg(
+             |    CASE WHEN line_df <= $LineDfCap THEN sent END,
+             |    '. ' ORDER BY pos), '')) AS clean_sha
+             |FROM h JOIN d USING (h) GROUP BY doc_id""".stripMargin))
   )
 
   /** q183's anonymity floor: an equivalence class smaller than KAnonK
@@ -2035,4 +2113,13 @@ object Pipeline {
     */
   val SinkShards = 4
   val SinkMaxRows = 100L
+
+  /** q247's boilerplate threshold: a line is scrubbed when it appears
+    * verbatim in MORE than this many documents. 3 splits the fixture's
+    * three synthesized df regimes (global frame = corpus, per-source
+    * header ≈ docs/source, unique body ≈ 1) non-degenerately at every
+    * SF; production corpora set it from a boilerplate audit (the C4
+    * rule used 1 at three-sentence-span grain).
+    */
+  val LineDfCap = 3
 }
