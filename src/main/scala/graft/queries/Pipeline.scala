@@ -1932,14 +1932,7 @@ object Pipeline {
     //      than the second pruned scan.
     "q247_boilerplate_scrub" -> Q(
       (s, d) => {
-        def framed = Tables.spread(Tables(s, d, "documents"))
-          .select(col("doc_id"),
-            concat(lit("shared portal navigation bar. section "),
-              col("source"), lit(" index. topic "),
-              expr("CAST(doc_id DIV 2 AS BIGINT)"), lit(" notes. "),
-              col("text"),
-              lit(". copyright footer all rights reserved")).as("text"))
-        def sents = framed
+        def sents = framedDocs(s, d)
           .select(col("doc_id"),
             posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
           .withColumn("h",
@@ -2113,6 +2106,62 @@ object Pipeline {
     */
   val SinkShards = 4
   val SinkMaxRows = 100L
+
+  /** q247's synthesized line-structured corpus (the fixture text has no
+    * line boundaries — the q151 in-query-synthesis precedent): global
+    * banner (df = corpus), per-source header (df ≈ docs/source), a
+    * paired topic line (df = 2, under the cap), the unique body, a
+    * global footer. Shared by the q247 entry and the boilerplateGate
+    * specs so the fit and the scrub see the same corpus.
+    */
+  private[graft] def framedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables(s, d, "documents"))
+      .select(col("doc_id"),
+        concat(lit("shared portal navigation bar. section "),
+          col("source"), lit(" index. topic "),
+          expr("CAST(doc_id DIV 2 AS BIGINT)"), lit(" notes. "),
+          col("text"),
+          lit(". copyright footer all rights reserved")).as("text"))
+
+  /** The OFFLINE half of the q247 rule as a serving artifact: the
+    * hash60s of every line whose document frequency exceeds `cap`,
+    * df-descending, truncated at `maxLines` — a bounded model artifact
+    * shipped to the driver (the q51-centroid / q118-vocab precedent;
+    * production refreshes it on the batch cadence). The intake gate
+    * ([[scrubLines]] / `StatefulOps.boilerplateGate`) probes this set
+    * statelessly per row, so the SERVING path never pays the corpus
+    * df aggregate.
+    */
+  def boilerplateFit(docs: DataFrame, textCol: String, idCol: String,
+                     cap: Int, maxLines: Int = 10000): Seq[Long] =
+    docs
+      .select(col(idCol), explode(split(col(textCol), "\\. ")).as("sent"))
+      .select(col(idCol),
+        graft.functions.ParityFns.hash60(lower(trim(col("sent")))).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") > cap)
+      .orderBy(col("line_df").desc, col("h"))
+      .limit(maxLines)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** The SERVING half: scrub every line whose hash60 is in the fitted
+    * boilerplate set — one stateless per-row HOF projection (filter
+    * preserves original line order), zero shuffles at any corpus size.
+    * `boiler` is bounded by [[boilerplateFit]]'s maxLines, so the
+    * array literal broadcasts with the plan; the per-line probe is a
+    * linear array_contains — fine at serving line counts; switch the
+    * artifact to a sorted array + binary search expression if a corpus
+    * ever fits 100k+ distinct boilerplate lines.
+    */
+  def scrubLines(df: DataFrame, textCol: String, boiler: Seq[Long]): DataFrame = {
+    val bl = typedLit(boiler.toArray)
+    val sents = split(col(textCol), "\\. ")
+    val kept = filter(sents, x => !array_contains(bl,
+      graft.functions.ParityFns.hash60(lower(trim(x)))))
+    df.withColumn("clean_text", array_join(kept, ". "))
+      .withColumn("n_scrubbed", (size(sents) - size(kept)).cast("long"))
+  }
 
   /** q247's boilerplate threshold: a line is scrubbed when it appears
     * verbatim in MORE than this many documents. 3 splits the fixture's

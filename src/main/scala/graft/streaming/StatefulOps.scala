@@ -1301,4 +1301,26 @@ object StatefulOps {
         ()
       }
       .start()
+
+  /** q247's intake sibling — boilerplate-line scrubbing on the stream:
+    * every incoming document loses the lines whose hash60 is in the
+    * OFFLINE-fitted boilerplate set
+    * ([[graft.queries.Pipeline.boilerplateFit]] — the df aggregate runs
+    * on the batch cadence; the artifact is a bounded line-hash list).
+    * The scrub itself ([[graft.queries.Pipeline.scrubLines]]) is one
+    * stateless per-row HOF projection — the surprisalGate shape — so
+    * the stream pays zero shuffles and holds zero state; exactly-once
+    * per batch comes from foreachBatch + the checkpoint, pinned like
+    * fuzzyGate's.
+    */
+  def boilerplateGate(incoming: DataFrame, textCol: String,
+      boiler: Seq[Long], checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.Pipeline.scrubLines(batch, textCol, boiler), id)
+        ()
+      }
+      .start()
 }

@@ -1286,6 +1286,55 @@ class StatefulOpsSpec extends SparkSuite {
     }
   }
 
+  test("boilerplateGate: fitted set + stateless scrub reproduce q247's batch rule") {
+    val d = sf()
+    val framed = queries.Pipeline.framedDocs(spark, d)
+    val boiler = queries.Pipeline.boilerplateFit(
+      framed, "text", "doc_id", queries.Pipeline.LineDfCap)
+    assert(boiler.nonEmpty, "fixture frame must yield boilerplate lines")
+    // fit + serving scrub must equal the one-shot q247 rule doc-by-doc
+    val served = queries.Pipeline.scrubLines(framed, "text", boiler)
+      .select(col("doc_id"), sha2(col("clean_text"), 256).as("clean_sha"),
+        col("n_scrubbed"))
+    val oneShot = queries.Catalog.all("q247_boilerplate_scrub").build(spark, d)
+      .select(col("doc_id"), col("clean_sha"), col("n_scrubbed"))
+    assert(served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty,
+      "serving scrub diverged from the one-shot q247 rule")
+  }
+
+  test("boilerplateGate: stream batches scrub identically to the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boiler = Seq("shared banner", "footer line")
+      .map(t => graft.functions.TextKernels.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    val rows = Seq(
+      (1L, "shared banner. unique alpha text. footer line"),
+      (2L, "unique beta text. footer line"),
+      (3L, "no boilerplate at all"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    val q = StatefulOps.boilerplateGate(
+        in.toDF().toDF("doc_id", "text"), "text", boiler,
+        tmpDir("bpgate").toString) { (scrubbed, _) =>
+      got ++= scrubbed.select(col("doc_id"), col("clean_text"), col("n_scrubbed"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      ()
+    }
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val batch = queries.Pipeline.scrubLines(
+          rows.toDF("doc_id", "text"), "text", boiler)
+        .select(col("doc_id"), col("clean_text"), col("n_scrubbed"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1),
+        s"stream ${got.sortBy(_._1)} vs batch ${batch.sortBy(_._1)}")
+      assert(got.find(_._1 == 1L).get == ((1L, "unique alpha text", 2L)))
+      assert(got.find(_._1 == 3L).get == ((3L, "no boilerplate at all", 0L)))
+    } finally q.stop()
+  }
+
   test("activeUsersMonitor: stream equals batch kernel; rolling distinct is exact") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
