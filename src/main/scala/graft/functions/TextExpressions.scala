@@ -121,3 +121,35 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/** Binary-search membership of a long in a SORTED-ascending array<long>
+  * — the probe for bounded fitted sets shipped as array literals (the
+  * q247 boilerplate line-hash artifact): `array_contains` scans the
+  * whole literal per row, this is log2(n) long compares. The sort
+  * order is the CALLER's contract (Pipeline.scrubLines sorts the
+  * artifact before building the literal); an unsorted array returns
+  * arbitrary wrong answers, exactly like Arrays.binarySearch.
+  */
+case class SortedContains(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_sorted_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, v: Any): Any =
+    TextKernels.sortedContains(a.asInstanceOf[ArrayData], v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, v) =>
+      s"graft.functions.TextKernels.sortedContains($a, $v)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedContains = copy(left = l, right = r)
+}

@@ -117,6 +117,27 @@ object TextKernels {
     v >>> 4
   }
 
+  /** Binary-search membership in a SORTED-ascending long array (caller
+    * contract — violations return garbage, not errors, exactly like
+    * java.util.Arrays.binarySearch). The probe for bounded fitted sets
+    * shipped as array literals (the q247 boilerplate line hashes):
+    * array_contains is a linear scan per row — at a 10k-line artifact
+    * that is 10k comparisons per document line, where this is 14.
+    */
+  def sortedContains(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                     v: Long): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val m = arr.getLong(mid)
+      if (m == v) return true
+      else if (m < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
   /** First 8 hex chars of md5 as a long in [0, 2^32) — the column
     * formulation `conv(substring(md5(x),1,8),16,10)`.
     */

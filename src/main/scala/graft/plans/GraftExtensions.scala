@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, ShinglesK, SimHash, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, ShinglesK, SimHash, SortedContains, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "graft_srpsig",
       "graft_srpsig(v, bits) - sign-random-projection sketch of an array<double>", 2)(
       c => SrpSignature(c.head, intLit("graft_srpsig", "bits", c(1))))
+    register(e, "graft_sorted_contains",
+      "graft_sorted_contains(sorted_array_bigint, v) - binary-search membership " +
+        "(caller guarantees ascending sort)", 2)(
+      c => SortedContains(c(0), c(1)))
     register(e, "graft_hamming",
       "graft_hamming(a, b) - Hamming distance between two array<int> signatures", 2)(
       c => HammingDistance(c(0), c(1)))

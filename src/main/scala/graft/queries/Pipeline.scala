@@ -2155,10 +2155,17 @@ object Pipeline {
     * ever fits 100k+ distinct boilerplate lines.
     */
   def scrubLines(df: DataFrame, textCol: String, boiler: Seq[Long]): DataFrame = {
-    val bl = typedLit(boiler.toArray)
+    // SORTED literal: the native probe is a binary search; the HOF
+    // fallback (no extensions registered) is the linear array_contains
+    val bl = typedLit(boiler.sorted.toArray)
+    val native = df.sparkSession.catalog.functionExists("graft_sorted_contains")
+    def hit(x: Column): Column = {
+      val h = graft.functions.ParityFns.hash60(lower(trim(x)))
+      if (native) call_function("graft_sorted_contains", bl, h)
+      else array_contains(bl, h)
+    }
     val sents = split(col(textCol), "\\. ")
-    val kept = filter(sents, x => !array_contains(bl,
-      graft.functions.ParityFns.hash60(lower(trim(x)))))
+    val kept = filter(sents, x => !hit(x))
     df.withColumn("clean_text", array_join(kept, ". "))
       .withColumn("n_scrubbed", (size(sents) - size(kept)).cast("long"))
   }

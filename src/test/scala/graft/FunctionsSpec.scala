@@ -40,11 +40,14 @@ class FunctionsSpec extends SparkSuite {
         |  graft_hash60('x') > 0 AS h60,
         |  graft_simhash('a b') AS sim,
         |  size(graft_srpsig(array(1.0D, 2.0D), 8)) AS srp,
-        |  graft_hamming(array(1, 0, 1), array(1, 1, 1)) AS ham
+        |  graft_hamming(array(1, 0, 1), array(1, 1, 1)) AS ham,
+        |  graft_sorted_contains(array(1L, 5L, 9L), 5L) AS sc_hit,
+        |  graft_sorted_contains(array(1L, 5L, 9L), 4L) AS sc_miss
         |""".stripMargin).head()
     assert(scalar.getDouble(0) == 11.0 && scalar.getDouble(1) == 1.0)
     assert(scalar.getInt(2) == 2 && scalar.getInt(3) == 32)
     assert(scalar.getBoolean(4) && scalar.getInt(7) == 1)
+    assert(scalar.getBoolean(8) && !scalar.getBoolean(9))
 
     val agg = spark.sql(
       """SELECT

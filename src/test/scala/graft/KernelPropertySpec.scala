@@ -110,6 +110,22 @@ class KernelPropertySpec extends SparkSuite {
     * plus a bridge check that the Spark expressions compute the same
     * keys as the plain-Scala mirror.
     */
+  test("sortedContains == linear membership for arbitrary sorted long arrays") {
+    val rng = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val n = rng.nextInt(40) // 0..39 incl. the empty array
+      val arr = Array.fill(n)(rng.nextLong() % 1000).distinct.sorted
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+      // probe members, near-misses, and extremes
+      val probes = arr.toSeq ++ arr.map(_ + 1) ++ arr.map(_ - 1) ++
+        Seq(Long.MinValue, Long.MaxValue, 0L)
+      probes.foreach { v =>
+        assert(TextKernels.sortedContains(ad, v) == arr.contains(v),
+          s"v=$v arr=${arr.mkString(",")}")
+      }
+    }
+  }
+
   test("q45 two-level 14-bit banding is exact at hamming <= 3") {
     def others(sim: Long, b: Int): Long = b match {
       case 0 => sim >> 8
