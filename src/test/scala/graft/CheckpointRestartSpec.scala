@@ -735,6 +735,66 @@ class CheckpointRestartSpec extends SparkSuite {
       s"expected each closed window exactly once, got: ${got.mkString(", ")}")
   }
 
+  test("simhashDedup restart suppresses a near-dup of a PRE-restart doc") {
+    // the Spark-managed dropDuplicatesWithinWatermark state must
+    // survive the checkpoint: a post-restart arrival whose SimHash
+    // equals a phase-1 doc's (here a word PERMUTATION — SimHash is
+    // order-free) must NOT re-emit
+    val src = tmpDir("sdr_src"); val out = tmpDir("sdr_out"); val ckpt = tmpDir("sdr_ckpt")
+    val schema = StructType.fromDDL("text STRING, ts TIMESTAMP")
+    def writeDocs(name: String, rows: Seq[(String, String)]): Unit =
+      Files.writeString(src.resolve(name), rows.map { case (t, ts) =>
+        s"""{"text":"$t","ts":"$ts"}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.simhashDedup(
+        spark.readStream.schema(schema).json(src.toString),
+        "text", "ts", "1 hour")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    writeDocs("f1.json", Seq(
+      ("alpha bravo charlie delta", "2024-01-01T00:00:02Z"),
+      ("echo foxtrot golf", "2024-01-01T00:00:04Z")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    writeDocs("f2.json", Seq(
+      ("delta charlie bravo alpha", "2024-01-01T00:00:30Z"), // permutation — dup
+      ("hotel india juliet", "2024-01-01T00:00:31Z")))       // genuinely new
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out.toString)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("alpha bravo charlie delta", "echo foxtrot golf",
+      "hotel india juliet"),
+      s"restored fingerprint state must suppress the permuted re-arrival: $got")
+  }
+
+  test("srpDedup restart suppresses a rescaled re-embedding of a PRE-restart vector") {
+    val src = tmpDir("srr_src"); val out = tmpDir("srr_out"); val ckpt = tmpDir("srr_ckpt")
+    val schema = StructType.fromDDL(
+      "vec_id BIGINT, v ARRAY<DOUBLE>, ts TIMESTAMP")
+    def writeVecs(name: String, rows: Seq[(Long, Seq[Double], String)]): Unit =
+      Files.writeString(src.resolve(name), rows.map { case (id, v, ts) =>
+        s"""{"vec_id":$id,"v":[${v.mkString(",")}],"ts":"$ts"}"""
+      }.mkString("\n"))
+    def startQuery() = graft.streaming.StatefulOps.srpDedup(
+        spark.readStream.schema(schema).json(src.toString),
+        "v", "ts", "1 hour", bits = 32)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    writeVecs("f1.json", Seq(
+      (1L, Seq(1.0, 2.0, -3.0), "2024-01-01T00:00:02Z"),
+      (2L, Seq(-4.0, 0.5, 2.0), "2024-01-01T00:00:04Z")))
+    val q1 = startQuery(); try q1.processAllAvailable() finally q1.stop()
+    writeVecs("f2.json", Seq(
+      (3L, Seq(2.0, 4.0, -6.0), "2024-01-01T00:00:30Z"),  // 2x vec 1 — same sketch
+      (4L, Seq(4.0, -0.5, -2.0), "2024-01-01T00:00:31Z"))) // negated vec 2 — differs
+    val q2 = startQuery(); try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out.toString)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L),
+      s"restored sketch state must suppress the rescaled re-embedding: $got")
+  }
+
   test("minhashPairsStream restart restores the bucket ledger and re-emits nothing") {
     val src = tmpDir("mpr_src"); val out = tmpDir("mpr_out"); val ckpt = tmpDir("mpr_ckpt")
     val schema = StructType.fromDDL("ts TIMESTAMP, doc_id BIGINT, text STRING")
