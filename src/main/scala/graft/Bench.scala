@@ -154,10 +154,12 @@ object Bench {
   /** Former weak rows re-measured cold with variance each round. */
   val ColdFitEvidence = Seq("q51_ann_ivf", "q127_dsir_weight")
 
-  /** One timed sample: wall seconds plus the GC ms and process-CPU
-    * seconds that elapsed inside it.
+  /** One timed sample: wall seconds plus the GC ms, process-CPU
+    * seconds, and 1-min system load observed at the sample's end (the
+    * external contention witness — -1 when unavailable).
     */
-  final case class Sample(sec: Double, gcMs: Long, cpuS: Double)
+  final case class Sample(sec: Double, gcMs: Long, cpuS: Double,
+                          load: Double = -1.0)
 
   /** Self-adjudication of the q127/q135 phantom class (round-16
     * verdict #1): a sample whose WALL is >2x the entry's fastest
@@ -166,15 +168,26 @@ object Bench {
     * contention, not an engine regression. The entry is annotated
     * contended=true (and re-measured, same budget as the spread
     * trigger) so a slow median in the artifact carries its own
-    * adjudication instead of needing a judge re-measure. Object-level
+    * adjudication instead of needing a judge re-measure.
+    *
+    * Round-17 advice hardening: flat-cpu alone is NOT sufficient — a
+    * genuine wait-bound regression (added spill, disk I/O, a lock, a
+    * driver-side wait) has exactly the wall-grows/cpu-flat signature
+    * and would self-acquit. The classifier therefore also requires an
+    * EXTERNAL witness on the slow sample: its 1-min system load must
+    * be at or above `loadQuietMax` (the same cpus/4 bar the quiet
+    * protocol and IngestLatencySpec use). No witness (load below the
+    * bar, or the counter unavailable) → the slow sample stands as a
+    * potential regression and is NOT annotated contended. Object-level
     * (not a local def) so BenchStatSpec can pin the classifier.
     */
-  def contendedIn(samples: Seq[Sample]): Boolean = {
+  def contendedIn(samples: Seq[Sample], loadQuietMax: Double): Boolean = {
     val valid = samples.filter(s => s.sec > 0 && s.cpuS >= 0)
     valid.nonEmpty && {
       val base = valid.minBy(_.sec)
       valid.exists(s =>
-        s.sec > 2.0 * base.sec && s.cpuS <= 1.25 * base.cpuS + 0.05)
+        s.sec > 2.0 * base.sec && s.cpuS <= 1.25 * base.cpuS + 0.05 &&
+          s.load >= loadQuietMax)
     }
   }
 
@@ -208,6 +221,10 @@ object Bench {
     val (steal0, jiffies0) = cpuJiffies()
     val loadBefore = loadAvg()
     val competingBefore = competingPids()
+    // quiet-start bar AND the contended-witness bar (round-15 verdict
+    // prescription: cpus/4); hoisted here because the per-sample
+    // classifier needs it
+    val loadQuietMax = cpus.toDouble / 4.0
 
     def run(name: String): Double = {
       // build() INSIDE the timed window: fit-carrying queries (q51/
@@ -259,13 +276,17 @@ object Bench {
     // one-off spike is attributable to its sample
     final case class Stat(min: Double, median: Double, max: Double,
                           gcMs: Seq[Long], cpuS: Seq[Double],
-                          contended: Boolean) {
+                          loads: Seq[Double], contended: Boolean) {
       def json: String =
         s"""{"min":$min,"median":$median,"max":$max,""" +
           s""""gc_ms":${gcMs.mkString("[", ",", "]")},""" +
           // Double.toString, not %.2f: the f-interpolator is
           // locale-sensitive (comma decimals would corrupt the JSON)
           s""""cpu_s":${cpuS.map(c => (math.round(c * 100) / 100.0).toString)
+            .mkString("[", ",", "]")},""" +
+          // the per-sample external contention witness the contended
+          // annotation is corroborated against (round-17 advice)
+          s""""load":${loads.map(l => (math.round(l * 100) / 100.0).toString)
             .mkString("[", ",", "]")},""" +
           s""""contended":$contended}"""
       def spread: Double =
@@ -276,14 +297,16 @@ object Bench {
     def stat(samples: Seq[Sample]): Stat = {
       val xs = samples.map(_.sec).sorted
       Stat(xs.head, xs(xs.size / 2), xs.last,
-        samples.map(_.gcMs), samples.map(_.cpuS), contendedIn(samples))
+        samples.map(_.gcMs), samples.map(_.cpuS), samples.map(_.load),
+        contendedIn(samples, loadQuietMax))
     }
     def withMeters(f: => Double): Sample = {
       val g0 = gcMsNow()
       val c0 = processCpuSeconds()
       val s = f
       Sample(s, gcMsNow() - g0,
-        if (c0 < 0) -1.0 else processCpuSeconds() - c0)
+        if (c0 < 0) -1.0 else processCpuSeconds() - c0,
+        loadAvg())
     }
     // spread-triggered re-measure (round-13 verdict item 1): a stat
     // whose max/min exceeds SpreadLimit is re-sampled up to MaxReruns
@@ -342,7 +365,8 @@ object Bench {
           stat(Seq.fill(SampleCount)(withMeters(runThunk(thunk)))))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name probe prepare failed: ${e.getMessage}")
-        Stat(-1.0, -1.0, -1.0, Seq.empty, Seq.empty, contended = false)
+        Stat(-1.0, -1.0, -1.0, Seq.empty, Seq.empty, Seq.empty,
+          contended = false)
       } finally {
         graft.Caches.release(spark)
         spark.sharedState.cacheManager.clearCache()
@@ -388,8 +412,8 @@ object Bench {
     // on 32 CPUs (steal and competing checks can't see load that drains
     // during the run) and carried a phantom 2.3x regression on an
     // unchanged entry that re-measured at 1.07 s in isolation. The
-    // threshold is cpus/4 per the round-15 verdict prescription.
-    val loadQuietMax = cpus.toDouble / 4.0
+    // threshold (loadQuietMax, hoisted above the samplers) is cpus/4
+    // per the round-15 verdict prescription.
     val quiet = stealPct < 0.05 && competingBefore == 0 &&
       competingAfter == 0 && loadBefore < loadQuietMax
 
@@ -408,13 +432,25 @@ object Bench {
       s""""load_quiet_max":$loadQuietMax,""" +
       s""""steal_pct":$stealPct,"competing_before":$competingBefore,""" +
       s""""competing_after":$competingAfter}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mode":$modes,"variance":$variance,"probes":$ps,"probe_variance":$pvar,"cold_fits":$cf,"samples":$SampleCount,"quiet":$quiet,"machine":$machine,"reruns":$reruns,"sf":"$sfDir"}"""
-    // Also write the object to a file (unambiguous regardless of how
-    // the scraper reads stdout) ...
+    // Run stamp (round-17 verdict #3: every invocation overwrote
+    // out/bench.json, so a judge re-run clobbered the driver's round
+    // record): each run carries its identity INSIDE the JSON and lands
+    // in its own timestamped file; bench.json stays the latest-run
+    // convenience copy, no longer the only record.
+    val tsMs = System.currentTimeMillis()
+    val runner = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNNER", "unspecified")
+    val runId = s"bench_$tsMs"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mode":$modes,"variance":$variance,"probes":$ps,"probe_variance":$pvar,"cold_fits":$cf,"samples":$SampleCount,"quiet":$quiet,"machine":$machine,"reruns":$reruns,"run_id":"$runId","runner":"$runner","ts_ms":$tsMs,"sf":"$sfDir"}"""
+    // Write the stamped per-run artifact (records accumulate) ...
+    val stamped = java.nio.file.Paths.get("out", s"$runId.json")
+    java.nio.file.Files.createDirectories(stamped.getParent)
+    java.nio.file.Files.write(stamped, json.getBytes("UTF-8"))
+    // ... and the latest-run copy (unambiguous regardless of how the
+    // scraper reads stdout).
     val outPath = java.nio.file.Paths.get("out", "bench.json")
-    java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
-    System.err.println(s"[bench] json written to ${outPath.toAbsolutePath}")
+    System.err.println(s"[bench] json written to ${stamped.toAbsolutePath} " +
+      s"(latest copy: ${outPath.toAbsolutePath})")
     // ... and print the JSON as the LAST stdout line this process emits.
     // run/outputStrategy = StdoutOutput passes it through un-prefixed
     // (sbt's default LoggedOutput wraps forked stdout in "[info]", which

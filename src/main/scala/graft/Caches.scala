@@ -30,17 +30,39 @@ import org.apache.spark.storage.StorageLevel
   * lock (builders may run from concurrent test suites).
   */
 object Caches {
-  // WeakHashMap on the session key: a stopped-and-dropped session's
-  // ledger must not pin its DataFrames for the JVM lifetime
+  // Plain strong map, purged of STOPPED sessions on every ledger touch
+  // (round-17 advice: the previous WeakHashMap's weak-key design was
+  // self-defeating — each tracked Dataset strongly references its
+  // SparkSession, so the values pinned the key and no entry was ever
+  // collectable. Weak VALUES would be worse: the downstream frames a
+  // builder returns hold logical plans, not the persisted Dataset
+  // object, so a live session's tracked frame could be collected
+  // before release() and its cache entry leak un-unpersistable).
+  // Lifecycle contract: for a LIVE session, release() is the mandatory
+  // teardown. A session stopped WITHOUT release() is swept here on the
+  // next persist/release/trackedCount call from any session — its
+  // executor-side cache died with the session; the sweep just drops
+  // the driver-side ledger refs so they don't outlive it.
   private val tracked =
-    scala.collection.mutable.WeakHashMap
+    scala.collection.mutable.HashMap
       .empty[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+
+  private def sweepStopped(): Unit = sweep(_.sparkContext.isStopped)
+
+  /** Drop every ledger entry whose session `stopped` reads as dead.
+    * The production predicate is `sparkContext.isStopped`; the
+    * predicate is a parameter only so CachesSpec can pin the sweep
+    * without stopping the suite's shared context.
+    */
+  private[graft] def sweep(stopped: SparkSession => Boolean): Unit =
+    synchronized { tracked.filterInPlace((s, _) => !stopped(s)) }
 
   /** Persist `df` at MEMORY_AND_DISK exactly once per canonical plan
     * per session, tracking it for [[release]]; a no-op (no warning) if
     * an equivalent plan is already cached.
     */
   def persist(df: DataFrame): DataFrame = synchronized {
+    sweepStopped()
     if (df.storageLevel == StorageLevel.NONE) {
       df.persist(StorageLevel.MEMORY_AND_DISK)
       tracked.getOrElseUpdate(df.sparkSession,
@@ -51,6 +73,7 @@ object Caches {
 
   /** Number of frames currently tracked for `spark` (spec hook). */
   def trackedCount(spark: SparkSession): Int = synchronized {
+    sweepStopped()
     tracked.get(spark).map(_.size).getOrElse(0)
   }
 
@@ -59,7 +82,10 @@ object Caches {
     * result. Non-blocking; safe to call twice.
     */
   def release(spark: SparkSession): Unit = synchronized {
-    tracked.remove(spark).foreach(_.foreach(_.unpersist(blocking = false)))
+    val frames = tracked.remove(spark)
+    if (!spark.sparkContext.isStopped)
+      frames.foreach(_.foreach(_.unpersist(blocking = false)))
+    sweepStopped()
   }
 
   /** `df.persistTracked` sugar so builder call sites stay postfix. */

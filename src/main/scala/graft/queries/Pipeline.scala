@@ -1876,12 +1876,14 @@ object Pipeline {
     //      count, so the oracle checks the bound, not the exact n.)
     "q246_corpus_sink_roundtrip" -> Q(
       (s, d) => {
-        val outDir = s"/tmp/graft_q246_sink/${d.replace('/', '_')}"
-        graft.sinks.CorpusSink.write(
-          Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang")),
-          outDir, Seq("lang"), "doc_id",
-          shards = SinkShards, maxRecordsPerFile = SinkMaxRows)
-        s.read.parquet(outDir)
+        val outDir = q246SinkDir(s, d)
+        // EXPLICIT read schema (round-17 advice): lang is a partition
+        // DIRECTORY column on the way back, and partition-column type
+        // inference would coerce a numeric-looking value ('01' -> 1),
+        // silently diverging the group key from the oracle's string
+        // lang. A supplied schema pins the partition column's type.
+        s.read.schema("doc_id BIGINT, text STRING, lang STRING")
+          .parquet(outDir)
           .select(col("lang"), col("doc_id"), col("text"),
             input_file_name().as("__f"))
           .groupBy(col("lang"))
@@ -2169,6 +2171,33 @@ object Pipeline {
     df.withColumn("clean_text", array_join(kept, ". "))
       .withColumn("n_scrubbed", (size(sents) - size(kept)).cast("long"))
   }
+
+  // q246's round-trip fixture dirs, one per (JVM, dataset dir): the
+  // CorpusSink write is a real side effect, and before round 18 every
+  // build() re-ran it into a FIXED /tmp path — so each iteration of a
+  // plan-only consumer (PlanSpec's catalog loop, PlanDump's two
+  // passes) paid a full write job, and two concurrent builders could
+  // interleave under mode(overwrite) on the shared path (round-17
+  // advice). Now the write runs once per dataset per JVM into a
+  // JVM-salted temp dir (computeIfAbsent serializes in-JVM racers;
+  // separate JVMs get separate dirs) — the input table is immutable,
+  // so reuse is sound, and CorpusSinkSpec keeps exercising fresh
+  // writes directly.
+  private val q246Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q246SinkDir(s: org.apache.spark.sql.SparkSession,
+                          d: String): String =
+    q246Dirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q246_sink_").toString
+      graft.sinks.CorpusSink.write(
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang")),
+        dir, Seq("lang"), "doc_id",
+        shards = SinkShards, maxRecordsPerFile = SinkMaxRows)
+      dir
+    })
 
   /** q247's boilerplate threshold: a line is scrubbed when it appears
     * verbatim in MORE than this many documents. 3 splits the fixture's

@@ -1312,14 +1312,23 @@ object StatefulOps {
     * the stream pays zero shuffles and holds zero state; exactly-once
     * per batch comes from foreachBatch + the checkpoint, pinned like
     * fuzzyGate's.
+    *
+    * `boiler` is a SUPPLIER, not a frozen list — the refresh seam
+    * (round-17 verdict #4): production re-fits the artifact on the
+    * batch cadence and swaps it in, and the gate reads the supplier
+    * once per microbatch, so a swap is atomic at a batch boundary —
+    * every row of one microbatch is scrubbed against exactly one fit,
+    * no row is dropped or scrubbed twice across the swap, and batches
+    * after the swap match a one-shot run with the new fit
+    * (StatefulOpsSpec's refresh-lifecycle pin).
     */
   def boilerplateGate(incoming: DataFrame, textCol: String,
-      boiler: Seq[Long], checkpointDir: String)(
+      boiler: () => Seq[Long], checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.Pipeline.scrubLines(batch, textCol, boiler), id)
+        sink(graft.queries.Pipeline.scrubLines(batch, textCol, boiler()), id)
         ()
       }
       .start()

@@ -43,6 +43,25 @@ class CachesSpec extends SparkSuite {
     Caches.release(spark)
   }
 
+  test("a stopped session's ledger entry is swept on the next touch (round-17 advice)") {
+    spark.sharedState.cacheManager.clearCache()
+    Caches.release(spark)
+    Caches.persist(Seq(1, 2).toDF("x"))
+    assert(Caches.trackedCount(spark) == 1)
+    // simulate this session's context reading as stopped (the real
+    // predicate is sparkContext.isStopped — stopping the suite's
+    // shared context here would kill every later suite in the JVM):
+    // the entry must drop from the ledger instead of being pinned for
+    // the JVM lifetime, which the old WeakHashMap design never did
+    // (its Buffer[DataFrame] values strongly referenced the key)
+    Caches.sweep(_ => true)
+    assert(Caches.trackedCount(spark) == 0,
+      "stopped session's ledger entry survived the sweep")
+    // the sweep drops driver-side refs only; this session is really
+    // live, so clean its cache for the next test
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("a catalog build's caches are fully releasable without clearCache") {
     spark.sharedState.cacheManager.clearCache()
     Caches.release(spark)

@@ -1315,7 +1315,7 @@ class StatefulOpsSpec extends SparkSuite {
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
     val q = StatefulOps.boilerplateGate(
-        in.toDF().toDF("doc_id", "text"), "text", boiler,
+        in.toDF().toDF("doc_id", "text"), "text", () => boiler,
         tmpDir("bpgate").toString) { (scrubbed, _) =>
       got ++= scrubbed.select(col("doc_id"), col("clean_text"), col("n_scrubbed"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -1332,6 +1332,70 @@ class StatefulOpsSpec extends SparkSuite {
         s"stream ${got.sortBy(_._1)} vs batch ${batch.sortBy(_._1)}")
       assert(got.find(_._1 == 1L).get == ((1L, "unique alpha text", 2L)))
       assert(got.find(_._1 == 3L).get == ((3L, "no boilerplate at all", 0L)))
+    } finally q.stop()
+  }
+
+  test("boilerplateGate: a re-fit artifact swaps atomically between microbatches " +
+      "(refresh lifecycle)") {
+    // Round-17 verdict #4: production refreshes the boilerplate fit on
+    // the batch cadence and swaps it into the standing gate. Pins:
+    // (a) across the swap no row is dropped or double-scrubbed — every
+    //     doc_id fed in comes out exactly once;
+    // (b) batches BEFORE the swap match a one-shot scrub with the old
+    //     fit, batches AFTER it match a one-shot scrub with the NEW fit
+    //     (the swap is atomic at the microbatch boundary — no batch
+    //     sees a mix).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def h60(t: String) = graft.functions.TextKernels.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    val fitOld = Seq(h60("shared banner"))
+    val fitNew = Seq(h60("shared banner"), h60("footer line"))
+    @volatile var fit = fitOld
+    val batch1 = Seq(
+      (1L, "shared banner. alpha body. footer line"),
+      (2L, "beta body. footer line"))
+    val batch2 = Seq(
+      (3L, "shared banner. gamma body. footer line"),
+      (4L, "delta body. footer line"),
+      (5L, "shared banner"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    val q = StatefulOps.boilerplateGate(
+        in.toDF().toDF("doc_id", "text"), "text", () => fit,
+        tmpDir("bpgate_refresh").toString) { (scrubbed, _) =>
+      got ++= scrubbed.select(col("doc_id"), col("clean_text"), col("n_scrubbed"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      ()
+    }
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      val afterB1 = got.toList
+      fit = fitNew // the batch-cadence re-fit, swapped between batches
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+
+      // (a) exactly-once across the swap: 5 in, 5 out, ids unique
+      assert(got.size == 5 && got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L),
+        s"rows dropped or double-scrubbed across the swap: $got")
+
+      def oneShot(rows: Seq[(Long, String)], f: Seq[Long]) =
+        queries.Pipeline.scrubLines(rows.toDF("doc_id", "text"), "text", f)
+          .select(col("doc_id"), col("clean_text"), col("n_scrubbed"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1).toList
+      // (b) pre-swap batch == one-shot with the OLD fit (footer kept)
+      assert(afterB1.sortBy(_._1) == oneShot(batch1, fitOld),
+        s"pre-swap scrub diverged from one-shot(old fit): $afterB1")
+      assert(afterB1.find(_._1 == 1L).get._2 == "alpha body. footer line")
+      // post-swap batch == one-shot with the NEW fit (footer scrubbed)
+      val afterB2 = got.toList.filter(_._1 >= 3L).sortBy(_._1)
+      assert(afterB2 == oneShot(batch2, fitNew),
+        s"post-swap scrub diverged from one-shot(new fit): $afterB2")
+      assert(afterB2.find(_._1 == 3L).get == ((3L, "gamma body", 2L)))
+      // the all-boilerplate degenerate survives the swap as an empty doc
+      assert(afterB2.find(_._1 == 5L).get == ((5L, "", 1L)))
     } finally q.stop()
   }
 
