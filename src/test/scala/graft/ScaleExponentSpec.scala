@@ -66,7 +66,12 @@ class ScaleExponentSpec extends SparkSuite {
     // MinDeltaSec with >= 2x margin, so every pin in this table asserts
     // on every run.
     ("q01_agg", "lineitem", "l_orderkey", 64, 4, 1.45),
-    ("q41_dedup_minhash", "documents", "doc_id", 4, 4, 1.45),
+    // q41 runs at 16/64/256 — not because its data term is small (it
+    // is the heaviest linear entry here) but because its FIRST point
+    // must dwarf cold-JVM fixed-cost wobble (~±0.5 s observed on the
+    // first timed point of a fresh suite JVM): at 4/16/64 the first
+    // delta is ~0.5 s and flaked under the floor roughly 1 run in 3
+    ("q41_dedup_minhash", "documents", "doc_id", 16, 4, 1.45),
     ("q43_ngram_jaccard", "documents", "doc_id", 8, 4, 1.5),
     ("q45_simhash_hamming", "documents", "doc_id", 4, 4, 1.45),
     ("q123_span_dup", "documents", "doc_id", 16, 4, 1.55),
@@ -77,6 +82,10 @@ class ScaleExponentSpec extends SparkSuite {
     ("q97_incremental_dedup", "documents", "doc_id", 256, 4, 1.45),
     ("q125_bm25", "documents", "doc_id", 64, 4, 1.45),
     ("q139_semantic_clusters", "embeddings", "vec_id", 2, 2, 2.6),
+    // q124 stays at 8/16/32 deliberately: at 16/32/64 its capped
+    // candidate stage saturates and it measures ~1.4 — the points
+    // below are where the Σ|c|² term is visible (~1.9-2.3), which is
+    // what makes this row the harness's superlinearity self-test
     ("q124_semdedup", "embeddings", "vec_id", 8, 2, 2.6),
     // Round-17 verdict #2 — the next heavy tier, each pin named for
     // the failure mode it would catch:
@@ -168,7 +177,12 @@ class ScaleExponentSpec extends SparkSuite {
     val scales = Seq(k, k * b, k * b * b)
     test(s"$name wall-time growth exponent <= $ceiling over ${scales.mkString("/")}x $table") {
       val dirs = scales.map(s => scaledDir(table, idCol, s))
-      buildOnce(name, dirs.head) // warm-up, untimed
+      // TWO untimed warm-ups: one absorbs parquet-footer caching and
+      // most JIT, but on a cold suite JVM the first TIMED build still
+      // carried ~0.5 s of residual compile/GC wobble — enough to sink
+      // a small first delta under the floor (q41's flake mode)
+      buildOnce(name, dirs.head)
+      buildOnce(name, dirs.head)
       val ts = dirs.map(minOf(name, _))
       val (d1, d2) = (ts(1) - ts(0), ts(2) - ts(1))
       val exp = math.log(d2 / d1) / math.log(b.toDouble)
