@@ -350,14 +350,29 @@ object StatefulOps {
     * STATIC trained index ([[graft.queries.Similarity.trainCentroids]]).
     * Stateless per microbatch — the broadcast argmax aggregation runs
     * inside the batch; verdicts depend only on the shipped index.
+    *
+    * REFRESH SEAM (uniform across every fitted-artifact gate below —
+    * annAssign/annSearch/fuzzyGate/bm25Search/hybridSearch/spanGate/
+    * nbGate/keywordTag/surprisalGate, the boilerplateGate pattern
+    * generalized): the artifact argument is a SUPPLIER, read once per
+    * microbatch, because production re-fits these models/indexes on
+    * the batch cadence and must swap them into a standing stream
+    * without a restart. A swap is atomic at the microbatch boundary —
+    * every row of one batch is judged under exactly one artifact
+    * (StatefulOpsSpec pins the lifecycle for one representative of
+    * each artifact kind: map-literal model, DataFrame index, and the
+    * boilerplate line-hash set). Multi-part fits ship as ONE supplier
+    * of the whole tuple (keywordTag/surprisalGate) so a refresh can
+    * never tear between a model and its sibling scalar.
     */
-  def annAssign(vectors: DataFrame, cents: DataFrame, checkpointDir: String)(
+  def annAssign(vectors: DataFrame, cents: () => DataFrame,
+      checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(graft.queries.Similarity.assignToCentroids(
-          batch.sparkSession, batch, cents), id); ()
+          batch.sparkSession, batch, cents()), id); ()
       }
       .start()
 
@@ -369,13 +384,14 @@ object StatefulOps {
     * one corpus scan regardless of query count, the serving trade that
     * makes micro-batched ANN amortize.
     */
-  def annSearch(queries: DataFrame, corpus: DataFrame, k: Int, checkpointDir: String)(
+  def annSearch(queries: DataFrame, corpus: () => DataFrame, k: Int,
+      checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(graft.queries.Similarity.searchTopK(
-          batch.sparkSession, corpus, batch, k), id); ()
+          batch.sparkSession, corpus(), batch, k), id); ()
       }
       .start()
 
@@ -390,12 +406,13 @@ object StatefulOps {
     * grow; the index join is stream-static and the per-doc aggregates
     * run inside the batch.
     */
-  def fuzzyGate(incoming: DataFrame, idx: DataFrame, checkpointDir: String)(
+  def fuzzyGate(incoming: DataFrame, idx: () => DataFrame,
+      checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.Dedup.fuzzyProbe(batch.sparkSession, batch, idx), id); ()
+        sink(graft.queries.Dedup.fuzzyProbe(batch.sparkSession, batch, idx()), id); ()
       }
       .start()
 
@@ -415,13 +432,14 @@ object StatefulOps {
     * batch's terms, never the corpus; scores are the exact fixed-point
     * values q125 emits, so stream ≡ batch is pinnable to equality.
     */
-  def bm25Search(queries: DataFrame, idx: graft.queries.TextAnalysis.Bm25Index,
+  def bm25Search(queries: DataFrame,
+      idx: () => graft.queries.TextAnalysis.Bm25Index,
       k: Int, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.TextAnalysis.bm25Probe(batch, idx, k), id); ()
+        sink(graft.queries.TextAnalysis.bm25Probe(batch, idx(), k), id); ()
       }
       .start()
 
@@ -434,13 +452,14 @@ object StatefulOps {
     * [[annSearch]]), so per-batch cost is matched postings + one corpus
     * scan, and stream ≡ batch is pinnable to equality.
     */
-  def hybridSearch(queries: DataFrame, idx: graft.queries.TextAnalysis.Bm25Index,
-      corpus: DataFrame, k: Int, checkpointDir: String)(
+  def hybridSearch(queries: DataFrame,
+      idx: () => graft.queries.TextAnalysis.Bm25Index,
+      corpus: () => DataFrame, k: Int, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.TextAnalysis.hybridProbe(batch, idx, corpus, k), id); ()
+        sink(graft.queries.TextAnalysis.hybridProbe(batch, idx(), corpus(), k), id); ()
       }
       .start()
 
@@ -455,12 +474,13 @@ object StatefulOps {
     * alignment-invariant: a quote lifted into an incoming doc at ANY
     * offset selects the same interior anchors the corpus copy did.
     */
-  def spanGate(incoming: DataFrame, idx: DataFrame, checkpointDir: String)(
+  def spanGate(incoming: DataFrame, idx: () => DataFrame,
+      checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.Pipeline.spanProbe(batch, idx), id); ()
+        sink(graft.queries.Pipeline.spanProbe(batch, idx()), id); ()
       }
       .start()
 
@@ -771,12 +791,13 @@ object StatefulOps {
     * stream ≡ batch). Route on `pred_source`/`margin_bits` downstream.
     */
   def nbGate(incoming: DataFrame,
-      classes: Seq[graft.queries.TextAnalysis.NbClass], checkpointDir: String)(
+      classes: () => Seq[graft.queries.TextAnalysis.NbClass],
+      checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.TextAnalysis.nbScore(batch, classes), id); ()
+        sink(graft.queries.TextAnalysis.nbScore(batch, classes()), id); ()
       }
       .start()
 
@@ -1280,22 +1301,24 @@ object StatefulOps {
     * cost ∝ batch tokens, never the corpus; verdicts are
     * batch-independent and `StatefulOpsSpec` pins stream ≡ batch.
     */
-  def keywordTag(incoming: DataFrame, df: Map[String, Long], nDocs: Long,
+  def keywordTag(incoming: DataFrame, fit: () => (Map[String, Long], Long),
       k: Int, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (df, nDocs) = fit()
         sink(graft.queries.TextAnalysis.keywordProbe(batch, df, nDocs, k), id); ()
       }
       .start()
 
-  def surprisalGate(incoming: DataFrame, vocab: Map[String, Long], oovBits: Long,
+  def surprisalGate(incoming: DataFrame, fit: () => (Map[String, Long], Long),
       maxBits: Double, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (vocab, oovBits) = fit()
         sink(graft.queries.TextAnalysis.surprisalScore(batch, vocab, oovBits)
           .withColumn("keep", org.apache.spark.sql.functions.col("bits_per_tok") <= maxBits), id)
         ()

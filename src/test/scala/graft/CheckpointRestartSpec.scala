@@ -854,7 +854,7 @@ class CheckpointRestartSpec extends SparkSuite {
       Files.writeString(src.resolve(name), body)
     }
     def startQuery() = graft.streaming.StatefulOps.fuzzyGate(
-      spark.readStream.schema(schema).json(src.toString), idx, ckpt.toString)(
+      spark.readStream.schema(schema).json(src.toString), () => idx, ckpt.toString)(
       (df, _) => df.write.mode("append").parquet(out.toString))
 
     // phase 1: one exact corpus copy (gated) + one unrelated doc (kept)

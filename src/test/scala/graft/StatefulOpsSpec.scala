@@ -400,7 +400,7 @@ class StatefulOpsSpec extends SparkSuite {
     val deduped = StatefulOps.simhashDedup(stream, "text", "ts", "10 seconds")
     val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
     // stage 3: gate survivors against the static corpus index
-    val q = StatefulOps.fuzzyGate(deduped, idx, tmpDir("intake").toString) {
+    val q = StatefulOps.fuzzyGate(deduped, () => idx, tmpDir("intake").toString) {
       (verdicts, _) =>
         verdicts.collect().foreach(r =>
           got(r.getLong(0)) = (r.getInt(1), r.getBoolean(2)))
@@ -430,7 +430,7 @@ class StatefulOpsSpec extends SparkSuite {
       .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
     val in = MemoryStream[(Long, Seq[Double])]
     val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
-    val q = StatefulOps.annSearch(in.toDF().toDF("q_id", "qv"), corpus, 5,
+    val q = StatefulOps.annSearch(in.toDF().toDF("q_id", "qv"), () => corpus, 5,
       tmpDir("annsearch").toString) { (top, _) =>
       got ++= top.select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect()
     }
@@ -458,7 +458,7 @@ class StatefulOpsSpec extends SparkSuite {
       .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
     val in = MemoryStream[(Long, Seq[Double])]
     val got = scala.collection.concurrent.TrieMap.empty[Long, Long]
-    val q = StatefulOps.annAssign(in.toDF().toDF("vec_id", "v"), cents,
+    val q = StatefulOps.annAssign(in.toDF().toDF("vec_id", "v"), () => cents,
       tmpDir("annassign").toString) { (assigned, _) =>
       assigned.select("vec_id", "c_id").collect()
         .foreach(r => got(r.getLong(0)) = r.getLong(1))
@@ -485,7 +485,7 @@ class StatefulOpsSpec extends SparkSuite {
       graft.queries.Dedup.BucketCap)
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
-    val q = StatefulOps.fuzzyGate(in.toDF().toDF("doc_id", "text"), idx,
+    val q = StatefulOps.fuzzyGate(in.toDF().toDF("doc_id", "text"), () => idx,
       tmpDir("fuzzygate").toString) { (verdicts, _) =>
       verdicts.collect().foreach(r =>
         got(r.getLong(0)) = (r.getInt(1), r.getBoolean(2)))
@@ -502,6 +502,48 @@ class StatefulOpsSpec extends SparkSuite {
       q.processAllAvailable()
       assert(got(28L) == ((0, true)), s"batch independence violated: $got")
       assert(got(38L) == ((1, false)), s"$got")
+    } finally q.stop()
+  }
+
+  test("fuzzyGate: a re-fit INDEX swaps atomically between microbatches " +
+      "(refresh lifecycle, DataFrame-artifact kind)") {
+    // The boilerplateGate refresh pin for the DataFrame-index artifact
+    // kind: production rebuilds the corpus band index on the batch
+    // cadence (new docs ingested into the corpus), and the standing
+    // gate must pick the rebuilt index up at the next microbatch —
+    // a doc that was CLEAN under the old corpus is gated once the
+    // corpus contains its near-dup, without restarting the stream.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpusA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val corpusB = (1 to 40).map(i => s"b$i").mkString(" ")
+    def indexOf(rows: Seq[(Long, String)]) = graft.queries.Dedup.bandIndex(
+      spark, rows.toDF("doc_id", "text"), graft.queries.Dedup.BucketCap)
+    val idxOld = indexOf(Seq(1L -> corpusA))
+    val idxNew = indexOf(Seq(1L -> corpusA, 2L -> corpusB))
+    @volatile var idx = idxOld
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
+    val q = StatefulOps.fuzzyGate(in.toDF().toDF("doc_id", "text"), () => idx,
+      tmpDir("fuzzygate_refresh").toString) { (verdicts, _) =>
+      verdicts.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getInt(1), r.getBoolean(2)))
+    }
+    try {
+      // pre-swap: corpusB's copy is CLEAN (old index doesn't know it)
+      in.addData(10L -> corpusB, 11L -> corpusA)
+      q.processAllAvailable()
+      assert(got(10L) == ((0, true)) && got(11L) == ((1, false)),
+        s"pre-swap verdicts wrong: $got")
+      idx = idxNew // the batch-cadence corpus re-index
+      // post-swap: the SAME text is now gated; exactly-once holds (4
+      // docs in, 4 verdicts out, each judged under exactly one index)
+      in.addData(20L -> corpusB, 21L -> (1 to 30).map(i => s"y$i").mkString(" "))
+      q.processAllAvailable()
+      assert(got(20L) == ((1, false)),
+        s"post-swap batch did not see the re-fit index: $got")
+      assert(got(21L) == ((0, true)), s"$got")
+      assert(got.size == 4, s"rows dropped or double-judged across the swap: $got")
     } finally q.stop()
   }
 
@@ -533,7 +575,7 @@ class StatefulOpsSpec extends SparkSuite {
     // stream over two batches — results must equal the batch probe
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.Set.empty[(Long, Long, Int, Double)]
-    val q = StatefulOps.bm25Search(in.toDF().toDF("q_id", "text"), idx, 3,
+    val q = StatefulOps.bm25Search(in.toDF().toDF("q_id", "text"), () => idx, 3,
       tmpDir("bm25search").toString) { (top, _) =>
       got ++= top.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     }
@@ -568,7 +610,7 @@ class StatefulOpsSpec extends SparkSuite {
     val in = MemoryStream[(Long, String, Seq[Double])]
     val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Int)]
     val q = StatefulOps.hybridSearch(in.toDF().toDF("q_id", "text", "qv"),
-      idx, corpus, 5, tmpDir("hybridsearch").toString) { (top, _) =>
+      () => idx, () => corpus, 5, tmpDir("hybridsearch").toString) { (top, _) =>
       got ++= top.select("q_id", "n_id", "rrf_fp", "rk")
         .as[(Long, Long, Long, Int)].collect()
     }
@@ -601,7 +643,7 @@ class StatefulOpsSpec extends SparkSuite {
     val idx = graft.queries.Pipeline.spanIndex(corpus)
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.concurrent.TrieMap.empty[Long, (Int, Boolean)]
-    val q = StatefulOps.spanGate(in.toDF().toDF("doc_id", "text"), idx,
+    val q = StatefulOps.spanGate(in.toDF().toDF("doc_id", "text"), () => idx,
       tmpDir("spangate").toString) { (verdicts, _) =>
       verdicts.collect().foreach(r =>
         got(r.getLong(0)) = (r.getInt(2), r.getBoolean(3)))
@@ -640,7 +682,7 @@ class StatefulOpsSpec extends SparkSuite {
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Double, Boolean)]
     val q = StatefulOps.surprisalGate(in.toDF().toDF("doc_id", "text"),
-        vocab, oov, maxBits, tmpDir("surp").toString) { (scored, _) =>
+        () => (vocab, oov), maxBits, tmpDir("surp").toString) { (scored, _) =>
       scored.select("doc_id", "surp_bits", "bits_per_tok", "keep").collect()
         .foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     }
@@ -656,6 +698,56 @@ class StatefulOpsSpec extends SparkSuite {
       assert(got.toMap == batch, s"stream $got vs batch $batch")
       assert(!got(200L)._3, "pure-OOV doc must be flagged")
       assert(got(100L)._3 && got(300L)._3)
+    } finally q.stop()
+  }
+
+  test("surprisal gate: a re-fit MODEL swaps atomically between microbatches " +
+      "(refresh lifecycle, map-literal-artifact kind)") {
+    // The boilerplateGate refresh pin for the map-literal model kind:
+    // production re-fits the unigram model on the batch cadence as the
+    // corpus grows; the standing gate reads the supplier per
+    // microbatch, so a doc that scored all-OOV under the old model is
+    // admitted once the model has learned its tokens — no restart.
+    // The (vocab, oovBits) pair ships as ONE supplier value, so a
+    // refresh can never tear between the map and its OOV floor.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // hand-built fits: old knows tokens {t1 t2}, new also knows {n1 n2}
+    def fitOf(docs: Seq[String]): (Map[String, Long], Long) = {
+      val counts = docs.flatMap(_.split(" "))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (counts, 20L) // oov floor fixed; only the vocab moves
+    }
+    val fitOld = fitOf(Seq("t1 t2 t1 t2 t1 t2 t1 t2"))
+    val fitNew = fitOf(Seq("t1 t2 t1 t2 t1 t2 t1 t2", "n1 n2 n1 n2 n1 n2"))
+    @volatile var fit = fitOld
+    val maxBits = 19.0 // under the OOV floor: pure-OOV docs are dropped
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    val q = StatefulOps.surprisalGate(in.toDF().toDF("doc_id", "text"),
+        () => fit, maxBits, tmpDir("surp_refresh").toString) { (scored, _) =>
+      scored.select("doc_id", "keep").collect()
+        .foreach(r => got(r.getLong(0)) = r.getBoolean(1))
+    }
+    try {
+      in.addData(1L -> "t1 t2 t1 t2", 2L -> "n1 n2 n1 n2")
+      q.processAllAvailable()
+      assert(got(1L) && !got(2L), s"pre-swap verdicts wrong: $got")
+      fit = fitNew // the batch-cadence re-fit
+      in.addData(3L -> "n1 n2 n1 n2", 4L -> "x1 x2 x3 x4")
+      q.processAllAvailable()
+      assert(got(3L), s"post-swap batch did not see the re-fit model: $got")
+      assert(!got(4L), s"$got")
+      // post-swap verdicts equal a one-shot batch run under the new fit
+      val oneShot = graft.queries.TextAnalysis.surprisalScore(
+          Seq(3L -> "n1 n2 n1 n2", 4L -> "x1 x2 x3 x4").toDF("doc_id", "text"),
+          fitNew._1, fitNew._2)
+        .withColumn("keep", col("bits_per_tok") <= maxBits)
+        .select("doc_id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(Map(3L -> got(3L), 4L -> got(4L)) == oneShot,
+        s"post-swap != one-shot(new fit): $got vs $oneShot")
+      assert(got.size == 4, s"rows dropped or double-scored across the swap: $got")
     } finally q.stop()
   }
 
@@ -677,7 +769,7 @@ class StatefulOpsSpec extends SparkSuite {
     val in = MemoryStream[(Long, String, String)]
     val got = scala.collection.concurrent.TrieMap.empty[Long, (String, Long, Long)]
     val q = StatefulOps.nbGate(in.toDF().toDF("doc_id", "source", "text"),
-        classes, tmpDir("nbgate").toString) { (scored, _) =>
+        () => classes, tmpDir("nbgate").toString) { (scored, _) =>
       scored.select("doc_id", "pred_source", "bits", "margin_bits").collect()
         .foreach(r => got(r.getLong(0)) = (r.getString(1), r.getLong(2), r.getLong(3)))
     }
@@ -1119,7 +1211,7 @@ class StatefulOpsSpec extends SparkSuite {
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.concurrent.TrieMap.empty[(Long, Int), (String, Long)]
     val q = StatefulOps.keywordTag(in.toDF().toDF("doc_id", "text"),
-        df, nDocs, 3, tmpDir("kwtag").toString) { (tagged, _) =>
+        () => (df, nDocs), 3, tmpDir("kwtag").toString) { (tagged, _) =>
       tagged.select("doc_id", "rank", "term", "score").collect()
         .foreach(r => got((r.getLong(0), r.getInt(1))) = (r.getString(2), r.getLong(3)))
     }
