@@ -606,6 +606,98 @@ object Pipeline {
               |FROM w CROSS JOIN tot""".stripMargin),
       headline = true),
 
+    // ---- token-budget SELECTION: keep each source's best documents
+    //      (by q119's quality signal) until a hard per-source token
+    //      budget is spent — the deterministic mixture-EXECUTION step
+    //      the family lacked: q107 plans per-source RATES, q121
+    //      materializes a Bernoulli rate sample (every doc has the same
+    //      keep probability), q119 phases the corpus — none of them
+    //      answers "give me this source's best 40% of tokens". Rule:
+    //      rank a source's docs by (quality DESC, doc_id), keep while
+    //      the tokens accumulated BEFORE the doc are under the budget
+    //      (so the doc that crosses the line is kept and a non-empty
+    //      source always contributes >= 1 doc when its budget > 0).
+    //      100 TB shape — the naive form is a per-source global sort
+    //      (one hot source = one giant sort partition). This builder
+    //      instead pre-cuts on the q119 quality-bucket HISTOGRAM
+    //      ((source x <=1024 buckets) grain, broadcastable): a bucket
+    //      whose tokens fit entirely under the remaining budget is
+    //      selected WHOLESALE, a bucket past the budget is rejected
+    //      wholesale, and only the ONE boundary bucket per source pays
+    //      the exact ranked running-sum window — at any corpus size
+    //      the sort touches ~1/1024th of a source, not the source.
+    //      The DuckDB oracle runs the NAIVE global-window rule, so the
+    //      hash match IS the proof the bucket pre-cut is exact
+    //      (bucket = floor(quality*1024) is monotone in quality; ties
+    //      cannot straddle buckets).
+    "q248_token_budget_select" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val nStop = size(filter(toks, t => t === "the" || t === "a"))
+        val quality = least(lit(1.0), nTok / lit(100.0)) *
+          (lit(1.0) - nStop.cast("double") / nTok)
+        // doc-grain projection persists ONCE: the budget aggregate, the
+        // histogram, and the doc-grain tag join all read it
+        val docs = Tables.spread(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("source"),
+            nTok.cast("long").as("n_tok"), quality.as("q"),
+            floor(quality * 1024).cast("int").as("bucket"))
+          .persistTracked
+        // hard budget: 40% of the source's own tokens, exact integers
+        val budgets = docs.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("src_toks"))
+          .select(col("source"), expr("src_toks * 2 div 5").as("budget"))
+        // (source, bucket) histogram + tokens in STRICTLY BETTER buckets
+        val wAbove = Window.partitionBy(col("source"))
+          .orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cls = docs.groupBy(col("source"), col("bucket"))
+          .agg(sum(col("n_tok")).as("btok"))
+          .withColumn("cum_above",
+            coalesce(sum(col("btok")).over(wAbove), lit(0L)))
+          .join(broadcast(budgets), Seq("source"))
+          // all: every doc fits (worst doc's cum_before < budget);
+          // none: even the bucket's best doc starts at/past the budget;
+          // edge: the ONE bucket per source the budget line crosses
+          .select(col("source"), col("bucket"), col("cum_above"), col("budget"),
+            when(col("cum_above") + col("btok") <= col("budget"), lit("all"))
+              .when(col("cum_above") < col("budget"), lit("edge"))
+              .otherwise(lit("none")).as("cls"))
+        val tagged = docs.join(broadcast(cls), Seq("source", "bucket"))
+        val interior = tagged.filter(col("cls") =!= "edge")
+          .select(col("source"), col("doc_id"), col("n_tok"),
+            (col("cls") === "all").as("selected"))
+        // exact ranked running sum INSIDE the boundary bucket only
+        // (edge rows are one bucket per source, so the partition key
+        // is just source), offset by the better buckets' tokens
+        val wEdge = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val edge = tagged.filter(col("cls") === "edge")
+          .withColumn("cum_in", coalesce(sum(col("n_tok")).over(wEdge), lit(0L)))
+          .select(col("source"), col("doc_id"), col("n_tok"),
+            (col("cum_above") + col("cum_in") < col("budget")).as("selected"))
+        interior.unionByName(edge)
+      },
+      Some("""WITH f AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+             |  FROM documents),
+             |q AS (SELECT doc_id, source, n_tok,
+             |    least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+             |      * (1.0 - CAST(n_stop AS DOUBLE) / n_tok) AS q FROM f),
+             |b AS (SELECT source, CAST(sum(n_tok) AS BIGINT) * 2 // 5 AS budget
+             |  FROM q GROUP BY source),
+             |r AS (SELECT q.*, CAST(coalesce(sum(n_tok) OVER (
+             |      PARTITION BY source ORDER BY q DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS cum_before FROM q)
+             |SELECT r.source, r.doc_id, r.n_tok,
+             |  (r.cum_before < b.budget) AS selected
+             |FROM r JOIN b USING (source)""".stripMargin)),
+
     // ---- sequence packing: assign docs to fixed-token-budget training
     //      bins — greedy by cumulative token count in a deterministic
     //      hash order (the common "concat then cut" pretraining

@@ -388,6 +388,41 @@ class PipelineSpec extends SparkSuite {
     assert(!keep(3L))                  // under the length floor
   }
 
+  test("q248 selects best-first under the budget; crossing doc kept; " +
+      "zero-budget and tie edges pinned") {
+    import spark.implicits._
+    // quality = least(1, n/100) * (1 - stop/n): stopword-free docs rank
+    // purely by token count, so selection order is hand-predictable.
+    def doc(id: Long, src: String, n: Int) =
+      (id, (1 to n).map(i => s"w$i").mkString(" "), src)
+    val dir = tmpDir("q248").toString
+    (Seq(
+      // src0: 50+40+30+20 = 140 tokens, budget = 140*2 div 5 = 56.
+      // rank 50,40,30,20: cum_before 0,50,90,110 → selected {1,2}
+      // (doc 2 CROSSES the budget at cum_before 50 < 56 and is kept)
+      doc(1L, "src0", 50), doc(2L, "src0", 40),
+      doc(3L, "src0", 30), doc(4L, "src0", 20),
+      // src1: one giant doc, budget = 80*2 div 5 = 32 < 80 tokens —
+      // cum_before 0 < 32, the doc is kept (>=1 doc per funded source)
+      doc(5L, "src1", 80),
+      // src2: 2 tokens total → budget = 0 → nothing selected
+      doc(6L, "src2", 2),
+      // src3: three IDENTICAL docs (same quality, same n_tok = 30;
+      // budget = 90*2 div 5 = 36): doc_id breaks the tie — 7 (cum 0)
+      // and 8 (cum 30 < 36) kept, 9 (cum 60) rejected
+      doc(7L, "src3", 30), doc(8L, "src3", 30), doc(9L, "src3", 30))
+      : Seq[(Long, String, String)])
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Catalog.all("q248_token_budget_select").build(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true, 8L -> true, 9L -> false),
+      s"selection: $got")
+  }
+
   test("q97 admits only batch-new texts, first doc_id wins in-batch") {
     val dir = corpus(Seq(
       1L  -> "existing corpus text one",
