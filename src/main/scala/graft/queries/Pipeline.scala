@@ -2217,6 +2217,72 @@ object Pipeline {
           col("text"),
           lit(". copyright footer all rights reserved")).as("text"))
 
+  /** The doc-quality signal shared by q119/q248 and the budget-gate
+    * serving path: least(1, n_tok/100) · (1 − stopword_ratio) — raw
+    * IEEE ops only, bit-identical across engines.
+    */
+  private[graft] def docQuality(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t === "the" || t === "a"))
+    least(lit(1.0), nTok / lit(100.0)) *
+      (lit(1.0) - nStop.cast("double") / nTok)
+  }
+
+  /** [[docQuality]] at the 2⁻²⁰ fixed-point grain the budget-gate
+    * artifact is expressed in.
+    */
+  private[graft] def qualityFp(textCol: Column): Column =
+    floor(docQuality(textCol) *
+      lit(graft.queries.Similarity.FixedPointScale.toDouble)).cast("long")
+
+  /** The OFFLINE half of q248 as a serving artifact: per source, the
+    * fixed-point floor(q·2²⁰) quality of the WORST document the batch
+    * budget rule selected — i.e. the admission threshold a standing
+    * intake must apply to honor "only this source's best tokens". An
+    * intake gate cannot rank a doc against arrivals it hasn't seen, so
+    * a threshold IS the serving semantics of budget selection; the
+    * batch rule re-runs on the batch cadence and re-fits the cutoffs.
+    * A source that selected nothing (zero budget) maps to Long.MaxValue
+    * — the gate admits none of its docs. Bounded artifact: one row per
+    * source (the q51-centroid / boilerplateFit precedent).
+    *
+    * Fixed-point, not raw doubles: the cutoff crosses a process
+    * boundary in production (fit job → serving config), and floor to
+    * 2⁻²⁰ makes the threshold representation-stable while keeping the
+    * one-sided guarantee — floor is monotone, so every batch-SELECTED
+    * doc still clears its source's cutoff at fp grain (the containment
+    * the spec pins); boundary ties at the same fp value are admitted
+    * (over-admission by < 2⁻²⁰ of quality, never under-admission).
+    */
+  def budgetFit(s: org.apache.spark.sql.SparkSession, d: String): Map[String, Long] = {
+    val selected = graft.queries.Catalog.all("q248_token_budget_select")
+      .build(s, d)
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), qualityFp(col("text")).as("q_fp"))
+    val cuts = selected.filter(col("selected"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("source")).agg(min(col("q_fp")).as("cut"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unfunded sources (nothing selected) admit nothing
+    val all = Tables(s, d, "documents").select(col("source")).distinct()
+      .collect().map(_.getString(0))
+    all.map(src => src -> cuts.getOrElse(src, Long.MaxValue)).toMap
+  }
+
+  /** The SERVING half: admit a doc iff its fixed-point quality clears
+    * its source's fitted cutoff. One stateless per-row projection —
+    * the cutoff table rides the plan as a map literal (#sources
+    * entries), zero shuffles at any intake rate. A source absent from
+    * the fit admits nothing (no fitted budget = not funded).
+    */
+  def budgetProbe(batch: DataFrame, cutoffs: Map[String, Long]): DataFrame =
+    batch
+      .withColumn("q_fp", qualityFp(col("text")))
+      .withColumn("cut", element_at(typedLit(cutoffs), col("source")))
+      .withColumn("keep", coalesce(col("q_fp") >= col("cut"), lit(false)))
+      .drop("cut")
+
   /** The OFFLINE half of the q247 rule as a serving artifact: the
     * hash60s of every line whose document frequency exceeds `cap`,
     * df-descending, truncated at `maxLines` — a bounded model artifact

@@ -1345,6 +1345,32 @@ object StatefulOps {
     * after the swap match a one-shot run with the new fit
     * (StatefulOpsSpec's refresh-lifecycle pin).
     */
+  /** q248's intake sibling — per-source quality-budget admission on
+    * the stream: every incoming (doc_id, source, text) is admitted iff
+    * its fixed-point quality clears its source's OFFLINE-fitted cutoff
+    * ([[graft.queries.Pipeline.budgetFit]] — the batch budget rule
+    * re-runs on the batch cadence; the artifact is one cutoff per
+    * source). A threshold is the only coherent serving semantics of
+    * budget selection: an intake gate cannot rank a doc against
+    * arrivals it hasn't seen, so it applies the quality bar the LAST
+    * batch fit implied, and re-fits move the bar (the supplier refresh
+    * seam). One stateless per-row projection against a #sources map
+    * literal — zero shuffles, zero state; sources absent from the fit
+    * admit nothing. Containment pin in StatefulOpsSpec: every doc the
+    * batch rule selects clears the gate; the gate over-admits only
+    * boundary ties within 2⁻²⁰ of quality, never under-admits.
+    */
+  def budgetGate(incoming: DataFrame, fit: () => Map[String, Long],
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.Pipeline.budgetProbe(batch, fit()), id)
+        ()
+      }
+      .start()
+
   def boilerplateGate(incoming: DataFrame, textCol: String,
       boiler: () => Seq[Long], checkpointDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =

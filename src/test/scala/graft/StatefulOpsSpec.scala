@@ -1378,6 +1378,59 @@ class StatefulOpsSpec extends SparkSuite {
     }
   }
 
+  test("budgetGate: fitted cutoffs contain q248's batch selection; stream admits " +
+      "exactly the threshold rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    // fit offline from the fixture corpus (the batch-cadence artifact)
+    val cuts = queries.Pipeline.budgetFit(spark, d)
+    assert(cuts.nonEmpty && cuts.valuesIterator.exists(_ < Long.MaxValue),
+      "fixture must fund at least one source")
+    // containment (the serving guarantee): every batch-SELECTED doc
+    // clears its source's cutoff; every batch-REJECTED doc that the
+    // gate admits is a boundary tie AT the cutoff (within 2^-20 of
+    // quality), never a clear miss
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        queries.Pipeline.qualityFp(col("text")).as("q_fp"))
+    val sel = queries.Catalog.all("q248_token_budget_select").build(spark, d)
+      .select(col("doc_id"), col("selected"))
+    val joined = docs.join(sel, Seq("doc_id")).collect()
+    joined.foreach { r =>
+      val (src, qfp, selected) = (r.getString(1), r.getLong(3), r.getBoolean(4))
+      if (selected)
+        assert(qfp >= cuts(src),
+          s"batch-selected doc ${r.getLong(0)} under its source cutoff")
+      else if (qfp >= cuts(src))
+        assert(qfp == cuts(src),
+          s"gate would admit a clear batch-reject: doc ${r.getLong(0)} " +
+            s"q_fp $qfp > cut ${cuts(src)}")
+    }
+    // stream: verdicts equal the threshold rule row-for-row
+    import spark.implicits._
+    val rows = joined.take(40).map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq :+
+      ((77777L, "no_such_source", "some unfunded text here"))
+    val in = MemoryStream[(Long, String, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    val q = StatefulOps.budgetGate(
+        in.toDF().toDF("doc_id", "source", "text"), () => cuts,
+        tmpDir("budgetgate").toString) { (admitted, _) =>
+      admitted.select(col("doc_id"), col("keep")).collect()
+        .foreach(r => got(r.getLong(0)) = r.getBoolean(1))
+    }
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val expect = queries.Pipeline.budgetProbe(
+          rows.toDF("doc_id", "source", "text"), cuts)
+        .select(col("doc_id"), col("keep")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got.toMap == expect, s"stream $got vs batch probe $expect")
+      assert(!got(77777L), "a source absent from the fit must admit nothing")
+    } finally q.stop()
+  }
+
   test("boilerplateGate: fitted set + stateless scrub reproduce q247's batch rule") {
     val d = sf()
     val framed = queries.Pipeline.framedDocs(spark, d)
