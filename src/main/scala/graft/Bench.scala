@@ -41,6 +41,22 @@ object Bench {
   /** Re-measures allowed per entry before publishing the best stat. */
   val MaxReruns = 2
 
+  /** Busy jiffies (user+nice+system+irq+softirq+steal — idle and
+    * iowait excluded; Linux folds guest into user) from /proc/stat's
+    * aggregate cpu line, summed across all CPUs. Sampled around each
+    * timed run: the delta minus this process's own jiffies is CPU the
+    * host spent on OTHER work during exactly the sample window — the
+    * sample-granularity external contention witness (round-18 advice:
+    * the 1-min loadavg is exponentially damped on a minutes scale, so
+    * a transient burst competing with a sub-second sample barely moves
+    * it and the witness never fires). -1 when /proc is unavailable.
+    */
+  private def hostBusyJiffies(): Long = try {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    Seq(0, 1, 2, 5, 6, 7).filter(_ < f.length).map(f).sum
+  } catch { case _: Throwable => -1L }
+
   /** (stealJiffies, totalJiffies) from /proc/stat's aggregate cpu line.
     * Hypervisor CPU steal is the failure mode `ps` cannot see — the
     * round-13 spreads happened with nothing else runnable in the
@@ -155,11 +171,16 @@ object Bench {
   val ColdFitEvidence = Seq("q51_ann_ivf", "q127_dsir_weight")
 
   /** One timed sample: wall seconds plus the GC ms, process-CPU
-    * seconds, and 1-min system load observed at the sample's end (the
-    * external contention witness — -1 when unavailable).
+    * seconds, the 1-min system load at the sample's end (context), and
+    * `otherCores` — average CPU cores the host spent on work OUTSIDE
+    * this process during exactly the sample window (non-self busy
+    * jiffies / wall; steal counts as non-self). `otherCores` is the
+    * external contention witness (round-18 advice: it moves at sample
+    * granularity where loadavg's minutes-scale damping cannot); -1
+    * when a counter was unavailable.
     */
   final case class Sample(sec: Double, gcMs: Long, cpuS: Double,
-                          load: Double = -1.0)
+                          load: Double = -1.0, otherCores: Double = -1.0)
 
   /** Self-adjudication of the q127/q135 phantom class (round-16
     * verdict #1): a sample whose WALL is >2x the entry's fastest
@@ -174,20 +195,26 @@ object Bench {
     * genuine wait-bound regression (added spill, disk I/O, a lock, a
     * driver-side wait) has exactly the wall-grows/cpu-flat signature
     * and would self-acquit. The classifier therefore also requires an
-    * EXTERNAL witness on the slow sample: its 1-min system load must
-    * be at or above `loadQuietMax` (the same cpus/4 bar the quiet
-    * protocol and IngestLatencySpec use). No witness (load below the
-    * bar, or the counter unavailable) → the slow sample stands as a
-    * potential regression and is NOT annotated contended. Object-level
-    * (not a local def) so BenchStatSpec can pin the classifier.
+    * EXTERNAL witness on the slow sample. Round-18 advice moved the
+    * witness from the 1-min loadavg (minutes-scale damping — a burst
+    * competing with a sub-second sample barely moves it, so the
+    * witness was usually absent and the phantom class reverted to
+    * reading as a regression) to `otherCores`: non-self busy CPU
+    * cores measured from /proc/stat across exactly the sample window.
+    * The slow sample must show at least `witnessBarCores` external
+    * cores (cpus/4 — the same competition level the quiet protocol's
+    * load bar encodes). No witness (external CPU below the bar, or
+    * the counter unavailable) → the slow sample stands as a potential
+    * regression and is NOT annotated contended. Object-level (not a
+    * local def) so BenchStatSpec can pin the classifier.
     */
-  def contendedIn(samples: Seq[Sample], loadQuietMax: Double): Boolean = {
+  def contendedIn(samples: Seq[Sample], witnessBarCores: Double): Boolean = {
     val valid = samples.filter(s => s.sec > 0 && s.cpuS >= 0)
     valid.nonEmpty && {
       val base = valid.minBy(_.sec)
       valid.exists(s =>
         s.sec > 2.0 * base.sec && s.cpuS <= 1.25 * base.cpuS + 0.05 &&
-          s.load >= loadQuietMax)
+          s.otherCores >= witnessBarCores)
     }
   }
 
@@ -214,6 +241,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // quiet-start bar (round-15 verdict prescription: cpus/4) and the
+    // per-sample contended-witness bar in external-core units (same
+    // competition level, sample-granularity counter)
+    val loadQuietMax = cpus.toDouble / 4.0
+    // RECORD-run admission bar (round-18 verdict #1): the r18 stamped
+    // record ran at load_before 7.42 under the quiet bar of 8.0 while
+    // identical code measured 22.15 s vs 27.92 s on an actually-quiet
+    // host — same-code spread ±13%, so round-over-round deltas were
+    // host noise. The run that becomes the round's record must start
+    // materially quieter: load_before ≤ cpus/16 (2.0 on 32 cpus).
+    // Quiet-by-construction: rather than hoping the host is idle,
+    // WAIT for it — poll the 1-min load until it drains under the
+    // record bar (cap: SPARK_GRAFT_QUIET_WAIT_S, default 900 s;
+    // loadavg decays with a ~1-min time constant, so a post-compile
+    // or post-verify spike drains well inside the cap). If the cap
+    // expires the run proceeds and stamps record_quiet=false — an
+    // honest busy-host artifact, never silently admitted as a record.
+    val recordQuietMax = cpus.toDouble / 16.0
+    val quietWaitCapS =
+      sys.env.get("SPARK_GRAFT_QUIET_WAIT_S").flatMap(s =>
+        scala.util.Try(s.toLong).toOption).getOrElse(900L)
+    val waitT0 = System.nanoTime()
+    while (loadAvg() > recordQuietMax &&
+        (System.nanoTime() - waitT0) / 1e9 < quietWaitCapS) {
+      System.err.println(f"[bench] waiting for quiet host: 1-min load " +
+        f"${loadAvg()}%.2f > record bar $recordQuietMax%.2f")
+      Thread.sleep(10000)
+    }
+    val quietWaitS = (System.nanoTime() - waitT0) / 1e9
+
     // Quiet-machine checkpoint, taken before warm-up and again after the
     // last timed sample. quiet=true asserts: no hypervisor steal over
     // the bench window (< 5% of elapsed jiffies) and no guest-local
@@ -221,10 +278,6 @@ object Bench {
     val (steal0, jiffies0) = cpuJiffies()
     val loadBefore = loadAvg()
     val competingBefore = competingPids()
-    // quiet-start bar AND the contended-witness bar (round-15 verdict
-    // prescription: cpus/4); hoisted here because the per-sample
-    // classifier needs it
-    val loadQuietMax = cpus.toDouble / 4.0
 
     def run(name: String): Double = {
       // build() INSIDE the timed window: fit-carrying queries (q51/
@@ -276,7 +329,8 @@ object Bench {
     // one-off spike is attributable to its sample
     final case class Stat(min: Double, median: Double, max: Double,
                           gcMs: Seq[Long], cpuS: Seq[Double],
-                          loads: Seq[Double], contended: Boolean) {
+                          loads: Seq[Double], otherCores: Seq[Double],
+                          contended: Boolean) {
       def json: String =
         s"""{"min":$min,"median":$median,"max":$max,""" +
           s""""gc_ms":${gcMs.mkString("[", ",", "]")},""" +
@@ -284,9 +338,14 @@ object Bench {
           // locale-sensitive (comma decimals would corrupt the JSON)
           s""""cpu_s":${cpuS.map(c => (math.round(c * 100) / 100.0).toString)
             .mkString("[", ",", "]")},""" +
-          // the per-sample external contention witness the contended
-          // annotation is corroborated against (round-17 advice)
+          // 1-min load at each sample's end (context only since r19)
           s""""load":${loads.map(l => (math.round(l * 100) / 100.0).toString)
+            .mkString("[", ",", "]")},""" +
+          // the per-sample external contention witness the contended
+          // annotation is corroborated against (round-18 advice:
+          // non-self busy cores over exactly the sample window)
+          s""""other_cores":${otherCores
+            .map(l => (math.round(l * 100) / 100.0).toString)
             .mkString("[", ",", "]")},""" +
           s""""contended":$contended}"""
       def spread: Double =
@@ -298,15 +357,25 @@ object Bench {
       val xs = samples.map(_.sec).sorted
       Stat(xs.head, xs(xs.size / 2), xs.last,
         samples.map(_.gcMs), samples.map(_.cpuS), samples.map(_.load),
-        contendedIn(samples, loadQuietMax))
+        samples.map(_.otherCores), contendedIn(samples, loadQuietMax))
     }
     def withMeters(f: => Double): Sample = {
       val g0 = gcMsNow()
       val c0 = processCpuSeconds()
+      val h0 = hostBusyJiffies()
+      val t0 = System.nanoTime()
       val s = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      val h1 = hostBusyJiffies()
+      val c1 = processCpuSeconds()
+      // external CPU over exactly this sample's window: host busy
+      // cores minus our own, clamped at 0 (jiffy-vs-ns rounding)
+      val other =
+        if (h0 < 0 || h1 < 0 || c0 < 0 || c1 < 0 || wall <= 0) -1.0
+        else math.max(0.0, ((h1 - h0) / 100.0 - (c1 - c0)) / wall)
       Sample(s, gcMsNow() - g0,
-        if (c0 < 0) -1.0 else processCpuSeconds() - c0,
-        loadAvg())
+        if (c0 < 0 || c1 < 0) -1.0 else c1 - c0,
+        loadAvg(), other)
     }
     // spread-triggered re-measure (round-13 verdict item 1): a stat
     // whose max/min exceeds SpreadLimit is re-sampled up to MaxReruns
@@ -366,7 +435,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name probe prepare failed: ${e.getMessage}")
         Stat(-1.0, -1.0, -1.0, Seq.empty, Seq.empty, Seq.empty,
-          contended = false)
+          Seq.empty, contended = false)
       } finally {
         graft.Caches.release(spark)
         spark.sharedState.cacheManager.clearCache()
@@ -416,6 +485,11 @@ object Bench {
     // per the round-15 verdict prescription.
     val quiet = stealPct < 0.05 && competingBefore == 0 &&
       competingAfter == 0 && loadBefore < loadQuietMax
+    // record_quiet is the stricter admission the round RECORD requires
+    // (round-18 verdict #1): everything `quiet` asserts PLUS a start
+    // load under cpus/16. A false here says "this artifact is not a
+    // valid round-over-round data point", not "the run failed".
+    val recordQuiet = quiet && loadBefore <= recordQuietMax
 
     def objOf(pairs: Seq[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -430,6 +504,8 @@ object Bench {
       n -> s"""{"n":$c,"converged":$conv}""" })
     val machine = s"""{"load_before":$loadBefore,"load_after":$loadAfter,""" +
       s""""load_quiet_max":$loadQuietMax,""" +
+      s""""record_quiet_max":$recordQuietMax,""" +
+      s""""quiet_wait_s":${(math.round(quietWaitS * 10) / 10.0)},""" +
       s""""steal_pct":$stealPct,"competing_before":$competingBefore,""" +
       s""""competing_after":$competingAfter}"""
     // Run stamp (round-17 verdict #3: every invocation overwrote
@@ -440,7 +516,7 @@ object Bench {
     val tsMs = System.currentTimeMillis()
     val runner = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNNER", "unspecified")
     val runId = s"bench_$tsMs"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mode":$modes,"variance":$variance,"probes":$ps,"probe_variance":$pvar,"cold_fits":$cf,"samples":$SampleCount,"quiet":$quiet,"machine":$machine,"reruns":$reruns,"run_id":"$runId","runner":"$runner","ts_ms":$tsMs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mode":$modes,"variance":$variance,"probes":$ps,"probe_variance":$pvar,"cold_fits":$cf,"samples":$SampleCount,"quiet":$quiet,"record_quiet":$recordQuiet,"machine":$machine,"reruns":$reruns,"run_id":"$runId","runner":"$runner","ts_ms":$tsMs,"sf":"$sfDir"}"""
     // Write the stamped per-run artifact (records accumulate) ...
     val stamped = java.nio.file.Paths.get("out", s"$runId.json")
     java.nio.file.Files.createDirectories(stamped.getParent)

@@ -101,6 +101,56 @@ case class Hash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → array<long> of distinct word 3-shingles hashed to
+  * their 60-bit md5 prefix — [[Shingles3]] ∘ [[Hash60]] fused so the
+  * dedup hot path (q41/q43/q143/q106) never materializes shingle
+  * STRINGS into the exploded stream and digests each shingle exactly
+  * once (round-18 verdict #5). Dedup is on the string (denominator
+  * parity), hashing after — see TextKernels.shingles3H60.
+  */
+case class Shingles3H60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles3_h60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles3H60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.TextKernels.shingles3H60($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3H60 =
+    copy(child = newChild)
+}
+
+/** hashed shingles array<long> ([[Shingles3H60]] output) → array<long>
+  * MinHash signature (32 perms) — [[MinHashSig]] over pre-hashed
+  * shingles, so signature and verification set share one md5 pass.
+  */
+case class MinHashSigH60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_h60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSigH60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.TextKernels.minhashSigH60($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigH60 =
+    copy(child = newChild)
+}
+
 /** shingles array<string> → array<long> MinHash signature (32 perms). */
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

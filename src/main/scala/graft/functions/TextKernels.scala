@@ -117,6 +117,71 @@ object TextKernels {
     v >>> 4
   }
 
+  /** Distinct word 3-shingles hashed to their 60-bit md5 prefix, in
+    * first-occurrence order — [[shingles3]] ∘ [[hash60]] fused
+    * (round-18 verdict #5, the q43/q41 constant factor): the separate
+    * formulation materializes every distinct shingle as a UTF8String
+    * array element, explodes the STRING stream, and md5-hashes each
+    * row in a second expression pass; fused, the shingle string lives
+    * only as a transient JVM String feeding the digest and the
+    * exploded stream is pure longs. DEDUP IS ON THE STRING, not the
+    * hash — the Jaccard/containment denominators are distinct-STRING
+    * counts (both engines compute them before hashing), so a 2⁻⁶⁰
+    * collision inside one doc must still contribute two array slots.
+    * Result is bit-identical to `transform(shingles3(t), hash60)` by
+    * construction (same tokenizer, same dedup, same digest bytes).
+    */
+  def shingles3H60(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val d = md5.get()
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      d.reset()
+      val h = d.digest(it.next()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      out(j) = v >>> 4
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature folded over PRE-HASHED shingles (the
+    * [[shingles3H60]] output): hashModP(s) ≡ hash60(s) % P, so the 32
+    * permutation minima over `h60 % P` equal [[minhashSig]] over the
+    * corresponding strings — one md5 pass per shingle feeds BOTH the
+    * signature and the verification set, where the string formulation
+    * digested every shingle twice (once in graft_minhash, once in the
+    * hs transform).
+    */
+  def minhashSigH60(h60s: ArrayData): ArrayData = {
+    val n = h60s.numElements()
+    val mins = Array.fill[Long](NumHashes)(P)
+    var i = 0
+    while (i < n) {
+      val h = h60s.getLong(i) % P
+      var j = 0
+      while (j < NumHashes) {
+        val v = (seedA(j) * h + seedB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Binary-search membership in a SORTED-ascending long array (caller
     * contract — violations return garbage, not errors, exactly like
     * java.util.Arrays.binarySearch). The probe for bounded fitted sets

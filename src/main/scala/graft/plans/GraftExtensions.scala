@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MisraGriesTopK, Shingles3, ShinglesK, SimHash, SortedContains, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MinHashSigH60, MisraGriesTopK, Shingles3, Shingles3H60, ShinglesK, SimHash, SortedContains, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "graft_minhash",
       "graft_minhash(shingles) - 32-permutation MinHash signature", 1)(
       c => MinHashSig(c.head))
+    register(e, "graft_shingles3_h60",
+      "graft_shingles3_h60(text) - distinct word 3-shingles as 60-bit md5-prefix hashes", 1)(
+      c => Shingles3H60(c.head))
+    register(e, "graft_minhash_h60",
+      "graft_minhash_h60(h60s) - 32-permutation MinHash signature over pre-hashed shingles", 1)(
+      c => MinHashSigH60(c.head))
     register(e, "graft_hash60",
       "graft_hash60(text) - 60-bit md5-prefix parity hash", 1)(
       c => Hash60(c.head))

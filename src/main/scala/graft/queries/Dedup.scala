@@ -106,17 +106,32 @@ object Dedup {
         first(size(split(col("text"), " ")) >= 3).as("eligible"))
       .select(col("ids").getItem(0).as("doc_id"), col("ids"), col("text"),
         col("eligible"))
+      // materialized ONCE (round-18 verdict #5): every consumer
+      // (q41/q43/q45/q143/q235 and the closure chains) reads this frame
+      // from TWO legs — the shingle/fingerprint path and expandPairs'
+      // membership — and without the persist each leg re-ran the full
+      // corpus scan + sha2 collapse shuffle (PLANS.md recorded
+      // documents=2 for the whole family). At 100 TB a MEMORY_AND_DISK
+      // spill of (rep, ids, text) is strictly cheaper than a second
+      // full-text scan-and-shuffle of the corpus.
+      .persistTracked
 
-  /** distinct-text groups → (doc_id = rep, sh: distinct word 3-shingles),
-    * groups whose text has <3 tokens dropped (no shingles ⇒ can't
-    * participate). Native kernel when registered; bit-identical HOF
-    * fallback otherwise.
+  /** distinct-text groups → (doc_id = rep, hs: the doc's distinct word
+    * 3-shingles as 60-bit md5-prefix hashes — ONE array slot per
+    * distinct shingle STRING, so size(hs) is the exact Jaccard/
+    * containment denominator), groups whose text has <3 tokens dropped
+    * (no shingles ⇒ can't participate). Since round 19 the hot path
+    * ships shingles PRE-HASHED (fused graft_shingles3_h60 kernel): the
+    * string formulation materialized every shingle as a UTF8String,
+    * exploded the string stream, and md5-digested each shingle once
+    * per consumer (twice in q41: signature + verification set).
+    * Bit-identical HOF fallback when the extensions aren't registered.
     */
   private def shingledReps(s: SparkSession, groups: DataFrame): DataFrame = {
-    val sh = if (native(s)) call_function("graft_shingles3", col("text"))
-             else shingles3(col("text"))
-    groups.select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
+    val hs = if (native(s)) call_function("graft_shingles3_h60", col("text"))
+             else transform(shingles3(col("text")), x => hash60(x))
+    groups.select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
   }
 
   /** Expand rep-level near-dup pairs (doc_a, doc_b, score) to member
@@ -503,10 +518,8 @@ object Dedup {
       (s, d) => {
         val docs = shingledReps(s, textGroups(s, d))
         val sig = withSig(s, docs)
-        val h60 = (x: Column) =>
-          if (native(s)) call_function("graft_hash60", x) else hash60(x)
         val bands = sig
-          .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
+          .select(col("doc_id"), array_distinct(col("hs")).as("hs"),
             col("sig"), posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
         bands
           .groupBy(col("band"), col("bsig"))
@@ -667,9 +680,11 @@ object Dedup {
     */
   private def withSig(s: SparkSession, docs: DataFrame): DataFrame =
     if (native(s))
-      docs.withColumn("sig", call_function("graft_minhash", col("sh")))
+      docs.withColumn("sig", call_function("graft_minhash_h60", col("hs")))
     else {
-      val hv = docs.withColumn("hv", transform(col("sh"), x => hashModP(x)))
+      // hashModP(shingle) ≡ hash60(shingle) % P, and `hs` carries the
+      // hash60s — the fold is unchanged, its input just arrives hashed
+      val hv = docs.withColumn("hv", transform(col("hs"), x => x % lit(P)))
       hv.withColumn("sig", array(seeds.map { case (a, b) =>
         aggregate(col("hv"), lit(P),
           (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(P)))
@@ -698,10 +713,8 @@ object Dedup {
     // equals string jaccard up to a 2^-60-per-pair collision, and the
     // oracle hashes IDENTICALLY (md5-prefix), so engine/oracle parity
     // is unconditional regardless.
-    val h60 = (x: Column) =>
-      if (native(s)) call_function("graft_hash60", x) else hash60(x)
     val bands = sig
-      .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
     val buckets = bands
       .groupBy(col("band"), col("bsig"))
@@ -804,13 +817,11 @@ object Dedup {
     * (<3 tokens) carry no row — they can never verify at jaccard ≥ 0.7.
     */
   def docBands(s: SparkSession, docs: DataFrame): DataFrame = {
-    val sh = if (native(s)) call_function("graft_shingles3", col("text"))
-             else shingles3(col("text"))
-    val h60 = (x: Column) =>
-      if (native(s)) call_function("graft_hash60", x) else hash60(x)
-    val base = docs.select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val hs = if (native(s)) call_function("graft_shingles3_h60", col("text"))
+             else transform(shingles3(col("text")), x => hash60(x))
+    val base = docs.select(col("doc_id"), hs.as("hs")).filter(size(col("hs")) > 0)
     withSig(s, base)
-      .select(col("doc_id"), array_distinct(transform(col("sh"), h60)).as("hs"),
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"),
         posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
   }
 
@@ -1059,11 +1070,11 @@ object Dedup {
                               dfCap: Int): (DataFrame, DataFrame) = {
     val groups = textGroups(s, d)
     val docs = shingledReps(s, groups)
-    val hs = if (native(s)) call_function("graft_hash60", col("s0"))
-             else hash60(col("s0"))
-    val e = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-        explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n"), hs.as("s"))
+    // `hs` arrives pre-hashed (one slot per distinct shingle STRING),
+    // so size(hs) is the exact denominator and the posting explode
+    // emits bare longs — no string stream, no second hash pass
+    val e = docs.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("s"))
     // collect at dfCap+1: a posting list longer than dfCap is DROPPED by
     // the filter below, so truncating its collection at dfCap+1 members
     // (just enough to witness the overflow) is result-identical while the

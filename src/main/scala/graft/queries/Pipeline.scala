@@ -294,15 +294,7 @@ object Pipeline {
 
     "q90_pipeline" -> Q(
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks)
-        val nStop = TextAnalysis.markerCount(toks, TextAnalysis.StopWords)
-        val stopRatio = nStop.cast("double") / nTok
-        val quality = least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio)
-        val isEnglish = TextAnalysis.predictedLang(toks) === "en"
-        val gated = Tables.spread(Tables(s, d, "documents"))
-          .withColumn("quality", quality)
-          .filter(isEnglish && col("quality") >= MinQuality)
+        val gated = q90Gated(s, d)
         // exact dedup among survivors: canonical = min doc_id per text
         // hash; n_dups records how many exact copies collapsed
         val canon = gated
@@ -631,55 +623,8 @@ object Pipeline {
     //      (bucket = floor(quality*1024) is monotone in quality; ties
     //      cannot straddle buckets).
     "q248_token_budget_select" -> Q(
-      (s, d) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks)
-        val nStop = size(filter(toks, t => t === "the" || t === "a"))
-        val quality = least(lit(1.0), nTok / lit(100.0)) *
-          (lit(1.0) - nStop.cast("double") / nTok)
-        // doc-grain projection persists ONCE: the budget aggregate, the
-        // histogram, and the doc-grain tag join all read it
-        val docs = Tables.spread(Tables(s, d, "documents"))
-          .select(col("doc_id"), col("source"),
-            nTok.cast("long").as("n_tok"), quality.as("q"),
-            floor(quality * 1024).cast("int").as("bucket"))
-          .persistTracked
-        // hard budget: 40% of the source's own tokens, exact integers
-        val budgets = docs.groupBy(col("source"))
-          .agg(sum(col("n_tok")).as("src_toks"))
-          .select(col("source"), expr("src_toks * 2 div 5").as("budget"))
-        // (source, bucket) histogram + tokens in STRICTLY BETTER buckets
-        val wAbove = Window.partitionBy(col("source"))
-          .orderBy(col("bucket").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val cls = docs.groupBy(col("source"), col("bucket"))
-          .agg(sum(col("n_tok")).as("btok"))
-          .withColumn("cum_above",
-            coalesce(sum(col("btok")).over(wAbove), lit(0L)))
-          .join(broadcast(budgets), Seq("source"))
-          // all: every doc fits (worst doc's cum_before < budget);
-          // none: even the bucket's best doc starts at/past the budget;
-          // edge: the ONE bucket per source the budget line crosses
-          .select(col("source"), col("bucket"), col("cum_above"), col("budget"),
-            when(col("cum_above") + col("btok") <= col("budget"), lit("all"))
-              .when(col("cum_above") < col("budget"), lit("edge"))
-              .otherwise(lit("none")).as("cls"))
-        val tagged = docs.join(broadcast(cls), Seq("source", "bucket"))
-        val interior = tagged.filter(col("cls") =!= "edge")
-          .select(col("source"), col("doc_id"), col("n_tok"),
-            (col("cls") === "all").as("selected"))
-        // exact ranked running sum INSIDE the boundary bucket only
-        // (edge rows are one bucket per source, so the partition key
-        // is just source), offset by the better buckets' tokens
-        val wEdge = Window.partitionBy(col("source"))
-          .orderBy(col("q").desc, col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val edge = tagged.filter(col("cls") === "edge")
-          .withColumn("cum_in", coalesce(sum(col("n_tok")).over(wEdge), lit(0L)))
-          .select(col("source"), col("doc_id"), col("n_tok"),
-            (col("cum_above") + col("cum_in") < col("budget")).as("selected"))
-        interior.unionByName(edge)
-      },
+      (s, d) => q248Tagged(s, d)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("selected")),
       Some("""WITH f AS (SELECT doc_id, source,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
              |    CAST(len(list_filter(string_split(text, ' '),
@@ -1998,6 +1943,70 @@ object Pipeline {
              |  TRUE AS files_ok
              |FROM d GROUP BY lang""".stripMargin)),
 
+    // ---- the END-TO-END corpus-ship path (round-18 verdict #3): the
+    //      user journey is build → write → read back → profile, and
+    //      until now the catalog pinned the pieces separately (q90
+    //      builds, q246 round-trips the sink, q91 profiles). This entry
+    //      chains them against ONE oracle: q90's survivor frame (gate +
+    //      exact-dup collapse) ships through CorpusSink.write
+    //      (lang-partitioned, shard-salted, file-rolled), comes back
+    //      through an EXPLICIT-schema parquet read (q246's
+    //      partition-column-type discipline), and a q91-shape stats
+    //      aggregate profiles the read-back rows — while DuckDB
+    //      computes the same stats from the ORIGINAL documents table
+    //      filtered by the q90 rule. A hash match therefore proves the
+    //      whole write/read seam loses nothing: row set, dedup
+    //      accounting (n_dups survives the files), lang routing
+    //      (partition dirs group exactly like the source column), and
+    //      the text payload byte-for-byte (n_tok re-tokenizes the
+    //      READ-BACK text). All-exact outputs: integer counts/sums and
+    //      quartiles at binary-exact fractions (the q91 determinism
+    //      discipline).
+    "q249_corpus_ship" -> Q(
+      (s, d) => {
+        val shipped = s.read
+          .schema("doc_id BIGINT, n_dups BIGINT, text STRING, lang STRING")
+          .parquet(q249ShipDir(s, d))
+        shipped
+          .select(col("lang"), col("n_dups"),
+            size(split(col("text"), " ")).as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_dups")).as("n_source_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            min(col("n_tok")).cast("long").as("min_tok"),
+            max(col("n_tok")).cast("long").as("max_tok"),
+            expr("percentile(n_tok, array(0.25D, 0.5D, 0.75D))").as("qs"))
+          .select(col("lang"), col("n_docs"), col("n_source_docs"),
+            col("total_tokens"), col("min_tok"), col("max_tok"),
+            element_at(col("qs"), 1).as("p25"),
+            element_at(col("qs"), 2).as("p50"),
+            element_at(col("qs"), 3).as("p75"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, lang, text,
+              |    len(string_split(text, ' ')) AS n_tokens,
+              |    len(list_filter(string_split(text, ' '), t -> ${TextAnalysis.orCondSql("t", TextAnalysis.StopWords)})) AS n_stop,
+              |    ${TextAnalysis.markers.map { case (l, ws) => s"len(list_filter(string_split(text, ' '), t -> ${TextAnalysis.orCondSql("t", ws)})) AS s_$l" }.mkString(",\n    ")}
+              |  FROM documents),
+              |gated AS (SELECT doc_id, lang, text FROM f
+              |  WHERE s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+              |    AND least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
+              |      * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) >= $MinQuality),
+              |canon AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+              |  FROM gated GROUP BY sha256(text)),
+              |k AS (SELECT c.n_dups, g.lang,
+              |    len(string_split(g.text, ' ')) AS n_tok
+              |  FROM canon c JOIN gated g ON g.doc_id = c.doc_id)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_dups) AS BIGINT) AS n_source_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+              |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+              |  quantile_cont(n_tok, 0.25) AS p25,
+              |  quantile_cont(n_tok, 0.5) AS p50,
+              |  quantile_cont(n_tok, 0.75) AS p75
+              |FROM k GROUP BY lang""".stripMargin)),
+
     // ---- duplicate-LINE (boilerplate) scrub — the C4/RefinedWeb rule
     //      the span family doesn't cover: drop every LINE whose
     //      document frequency exceeds LineDfCap (site navigation,
@@ -2236,6 +2245,87 @@ object Pipeline {
     floor(docQuality(textCol) *
       lit(graft.queries.Similarity.FixedPointScale.toDouble)).cast("long")
 
+  /** q248's doc-grain selection frame WITH the fixed-point quality
+    * carried through — the ONE builder the catalog entry and
+    * [[budgetFit]] both consume (round-18 verdict #6: the fit used to
+    * recompute doc quality and join back by doc_id to recover what the
+    * entry had already materialized; sharing the tagged projection
+    * makes the fit path a single quality-projection job,
+    * PipelineSpec-pinned at documents=1).
+    *
+    * Columns: (source, doc_id, n_tok, q_fp, selected). The selection
+    * rule and its 100 TB shape are documented on the catalog entry:
+    * rank a source's docs by (quality DESC, doc_id), keep while the
+    * tokens accumulated BEFORE the doc are under the hard 40% budget —
+    * computed via the (source × ≤1024 quality-bucket) histogram
+    * pre-cut so only the ONE boundary bucket per source pays the exact
+    * ranked window.
+    */
+  private[graft] def q248Tagged(s: org.apache.spark.sql.SparkSession,
+                                d: String): DataFrame = {
+    val quality = docQuality(col("text"))
+    // doc-grain projection persists ONCE: the budget aggregate, the
+    // histogram, the doc-grain tag join — and budgetFit — all read it
+    val docs = Tables.spread(Tables(s, d, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        quality.as("q"),
+        floor(quality * 1024).cast("int").as("bucket"),
+        // the same double, floored at the artifact's 2⁻²⁰ fp grain —
+        // identical to qualityFp(text), one projection instead of two
+        floor(quality *
+          lit(graft.queries.Similarity.FixedPointScale.toDouble))
+          .cast("long").as("q_fp"))
+      .persistTracked
+    // hard budget: 40% of the source's own tokens, exact integers
+    val budgets = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_toks"))
+      .select(col("source"), expr("src_toks * 2 div 5").as("budget"))
+    // (source, bucket) histogram + tokens in STRICTLY BETTER buckets
+    val wAbove = Window.partitionBy(col("source"))
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cls = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("cum_above",
+        coalesce(sum(col("btok")).over(wAbove), lit(0L)))
+      .join(broadcast(budgets), Seq("source"))
+      // all: every doc fits (worst doc's cum_before < budget);
+      // none: even the bucket's best doc starts at/past the budget;
+      // edge: the ONE bucket per source the budget line crosses
+      .select(col("source"), col("bucket"), col("cum_above"), col("budget"),
+        when(col("cum_above") + col("btok") <= col("budget"), lit("all"))
+          .when(col("cum_above") < col("budget"), lit("edge"))
+          .otherwise(lit("none")).as("cls"))
+    val tagged = docs.join(broadcast(cls), Seq("source", "bucket"))
+    val interior = tagged.filter(col("cls") =!= "edge")
+      .select(col("source"), col("doc_id"), col("n_tok"), col("q_fp"),
+        (col("cls") === "all").as("selected"))
+    // exact ranked running sum INSIDE the boundary bucket only
+    // (edge rows are one bucket per source, so the partition key
+    // is just source), offset by the better buckets' tokens
+    val wEdge = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edge = tagged.filter(col("cls") === "edge")
+      .withColumn("cum_in", coalesce(sum(col("n_tok")).over(wEdge), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("q_fp"),
+        (col("cum_above") + col("cum_in") < col("budget")).as("selected"))
+    interior.unionByName(edge)
+  }
+
+  /** The fitted-cutoff frame [[budgetFit]] collects: per source, the
+    * min fixed-point quality among SELECTED docs (null when the source
+    * selected nothing). Exposed at DataFrame grain so PipelineSpec can
+    * pin that the fit path is ONE quality-projection job —
+    * factScanCounts == documents=1 (round-18 verdict #6).
+    */
+  private[graft] def budgetCuts(s: org.apache.spark.sql.SparkSession,
+                                d: String): DataFrame =
+    q248Tagged(s, d)
+      .groupBy(col("source"))
+      .agg(min(when(col("selected"), col("q_fp"))).as("cut"))
+
   /** The OFFLINE half of q248 as a serving artifact: per source, the
     * fixed-point floor(q·2²⁰) quality of the WORST document the batch
     * budget rule selected — i.e. the admission threshold a standing
@@ -2255,20 +2345,12 @@ object Pipeline {
     * the spec pins); boundary ties at the same fp value are admitted
     * (over-admission by < 2⁻²⁰ of quality, never under-admission).
     */
-  def budgetFit(s: org.apache.spark.sql.SparkSession, d: String): Map[String, Long] = {
-    val selected = graft.queries.Catalog.all("q248_token_budget_select")
-      .build(s, d)
-    val docs = Tables(s, d, "documents")
-      .select(col("doc_id"), qualityFp(col("text")).as("q_fp"))
-    val cuts = selected.filter(col("selected"))
-      .join(docs, Seq("doc_id"))
-      .groupBy(col("source")).agg(min(col("q_fp")).as("cut"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // unfunded sources (nothing selected) admit nothing
-    val all = Tables(s, d, "documents").select(col("source")).distinct()
-      .collect().map(_.getString(0))
-    all.map(src => src -> cuts.getOrElse(src, Long.MaxValue)).toMap
-  }
+  def budgetFit(s: org.apache.spark.sql.SparkSession, d: String): Map[String, Long] =
+    budgetCuts(s, d).collect().map { r =>
+      // unfunded sources (nothing selected) admit nothing; every corpus
+      // source appears — the tagged frame covers selected AND rejected
+      r.getString(0) -> (if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
+    }.toMap
 
   /** The SERVING half: admit a doc iff its fixed-point quality clears
     * its source's fitted cutoff. One stateless per-row projection —
@@ -2349,11 +2431,87 @@ object Pipeline {
     q246Dirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_q246_sink_").toString
+      // JVM-exit cleanup (round-18 advice): without it, every JVM that
+      // builds q246 leaves a shard tree in /tmp forever. deleteOnExit
+      // can't remove non-empty dirs, so walk-and-delete in a shutdown
+      // hook (deepest first). NOTE for timing consumers: the FIRST
+      // build() in a JVM pays the full CorpusSink write inside any
+      // timed window; later builds pay only the read — q246 is not a
+      // headline bench entry for exactly this bimodality.
+      val p = java.nio.file.Paths.get(dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }))
       graft.sinks.CorpusSink.write(
         Tables(s, d, "documents")
           .select(col("doc_id"), col("text"), col("lang")),
         dir, Seq("lang"), "doc_id",
         shards = SinkShards, maxRecordsPerFile = SinkMaxRows)
+      dir
+    })
+
+  /** q90's gate, extracted so the corpus-SHIP path (q249) applies the
+    * exact same survivor rule the build entry does: predicted-English
+    * docs whose quality signal clears [[MinQuality]], quality column
+    * attached.
+    */
+  private[graft] def q90Gated(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = TextAnalysis.markerCount(toks, TextAnalysis.StopWords)
+    val stopRatio = nStop.cast("double") / nTok
+    val quality = least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio)
+    val isEnglish = TextAnalysis.predictedLang(toks) === "en"
+    Tables.spread(Tables(s, d, "documents"))
+      .withColumn("quality", quality)
+      .filter(isEnglish && col("quality") >= MinQuality)
+  }
+
+  /** q90's survivor corpus at SHIP grain — gate + exact-dup collapse
+    * (canonical keeper = min doc_id per distinct text, n_dups = copies
+    * collapsed), carrying the payload columns a downstream trainer
+    * needs (lang partition key, full text). This is the frame q249
+    * writes through [[graft.sinks.CorpusSink.write]].
+    */
+  private[graft] def q90Survivors(s: org.apache.spark.sql.SparkSession,
+                                  d: String): DataFrame = {
+    val gated = q90Gated(s, d)
+    val canon = gated
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+    // re-join payload by canonical id instead of dragging text through
+    // the dedup shuffle (q90's own discipline)
+    canon.join(gated.select(col("doc_id"), col("lang"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_dups"), col("lang"), col("text"))
+  }
+
+  // q249's ship fixture dirs — the q246 once-per-(JVM, dataset)
+  // memoization (the write is a real side effect; PlanSpec/PlanDump
+  // build every entry repeatedly) with the same shutdown-hook cleanup.
+  private val q249Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q249ShipDir(s: org.apache.spark.sql.SparkSession,
+                          d: String): String =
+    q249Dirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q249_ship_").toString
+      val p = java.nio.file.Paths.get(dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }))
+      graft.sinks.CorpusSink.write(q90Survivors(s, d), dir, Seq("lang"),
+        "doc_id", shards = SinkShards, maxRecordsPerFile = SinkMaxRows)
       dir
     })
 

@@ -1345,6 +1345,17 @@ object StatefulOps {
     * after the swap match a one-shot run with the new fit
     * (StatefulOpsSpec's refresh-lifecycle pin).
     */
+  def boilerplateGate(incoming: DataFrame, textCol: String,
+      boiler: () => Seq[Long], checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.Pipeline.scrubLines(batch, textCol, boiler()), id)
+        ()
+      }
+      .start()
+
   /** q248's intake sibling — per-source quality-budget admission on
     * the stream: every incoming (doc_id, source, text) is admitted iff
     * its fixed-point quality clears its source's OFFLINE-fitted cutoff
@@ -1359,6 +1370,9 @@ object StatefulOps {
     * admit nothing. Containment pin in StatefulOpsSpec: every doc the
     * batch rule selects clears the gate; the gate over-admits only
     * boundary ties within 2⁻²⁰ of quality, never under-admits.
+    *
+    * For HARD-budget enforcement in arrival order (exact, stateful)
+    * see [[budgetLedger]] — the two are complementary serving modes.
     */
   def budgetGate(incoming: DataFrame, fit: () => Map[String, Long],
       checkpointDir: String)(
@@ -1371,14 +1385,80 @@ object StatefulOps {
       }
       .start()
 
-  def boilerplateGate(incoming: DataFrame, textCol: String,
-      boiler: () => Seq[Long], checkpointDir: String)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    incoming.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.Pipeline.scrubLines(batch, textCol, boiler()), id)
-        ()
+  final case class BudgetLedgerIn(seq: Long, doc_id: Long, source: String,
+                                  n_tok: Long)
+  final case class BudgetLedgerOut(doc_id: Long, source: String, n_tok: Long,
+                                   admitted: Boolean, spent_after: Long)
+
+  /** [[budgetLedger]]'s per-key fold: state is ONE long per source —
+    * the tokens spent on admitted docs so far. A doc is admitted iff
+    * the ledger is strictly under the budget BEFORE it (so the doc
+    * that crosses the line is kept — q248's crossing-doc rule — and
+    * admission is an arrival-order prefix: the ledger only grows on
+    * admission, so once it reaches the budget nothing ever admits
+    * again). Rows inside a microbatch fold in `seq` order — the
+    * caller-supplied arrival stamp — so replays are deterministic.
+    */
+  final class BudgetLedgerProcessor(budgets: Map[String, Long])
+      extends StatefulProcessor[String, BudgetLedgerIn, BudgetLedgerOut] {
+    @transient private var spent: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      spent = getHandle.getValueState[Long](
+        "spent", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[BudgetLedgerIn],
+        timers: TimerValues): Iterator[BudgetLedgerOut] = {
+      val budget = budgets.getOrElse(key, 0L)
+      var s = if (spent.exists()) spent.get() else 0L
+      val out = rows.toSeq.sortBy(_.seq).map { r =>
+        val admit = s < budget
+        if (admit) s += r.n_tok
+        BudgetLedgerOut(r.doc_id, key, r.n_tok, admit, s)
       }
-      .start()
+      spent.update(s)
+      out.iterator
+    }
+  }
+
+  /** EXACT streaming budget enforcement — the stateful complement of
+    * [[budgetGate]] (round-18 verdict #4). The gate applies a fitted
+    * QUALITY threshold and honestly over/under-shoots the token total
+    * as the stream drifts from the fit; this ledger enforces the hard
+    * per-source token budget EXACTLY in arrival order: state is one
+    * running long per source (`transformWithState`, the q146/q174
+    * cheapest-state discipline), a doc is admitted iff the tokens
+    * already admitted for its source are under the budget, and the
+    * crossing doc is kept (q248's rule, ranking replaced by arrival).
+    * The two compose: production gates on quality first, then the
+    * ledger caps the spend.
+    *
+    * Batch equivalence (spec-pinned): because admission is a prefix,
+    * the verdict equals `cum_before < budget` where cum_before is the
+    * running token sum over ALL prior arrivals — a plain per-source
+    * running-sum window in batch — so a stream replay in arrival order
+    * reproduces the batch frame row for row. Exactly-once across
+    * restart comes from the checkpointed state store version (a
+    * re-planned batch reprocesses against the LAST COMMITTED ledger,
+    * never a half-updated one — the no-double-spend pin). 100 TB
+    * shape: one shuffle to the source key, #sources longs of state,
+    * output grain = input grain. Requires the RocksDB state store
+    * provider (transformWithState's contract).
+    *
+    * Input columns: (seq, doc_id, source, text); `seq` is the
+    * deterministic arrival stamp the fold orders by within a batch.
+    */
+  def budgetLedger(incoming: DataFrame,
+                   budgets: Map[String, Long]): Dataset[BudgetLedgerOut] = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    incoming
+      .select(col("seq"), col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[BudgetLedgerIn]
+      .groupByKey(_.source)
+      .transformWithState(new BudgetLedgerProcessor(budgets),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

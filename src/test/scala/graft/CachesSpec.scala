@@ -48,13 +48,18 @@ class CachesSpec extends SparkSuite {
     Caches.release(spark)
     Caches.persist(Seq(1, 2).toDF("x"))
     assert(Caches.trackedCount(spark) == 1)
-    // simulate this session's context reading as stopped (the real
+    // simulate THIS session's context reading as stopped (the real
     // predicate is sparkContext.isStopped — stopping the suite's
     // shared context here would kill every later suite in the JVM):
     // the entry must drop from the ledger instead of being pinned for
     // the JVM lifetime, which the old WeakHashMap design never did
-    // (its Buffer[DataFrame] values strongly referenced the key)
-    Caches.sweep(_ => true)
+    // (its Buffer[DataFrame] values strongly referenced the key).
+    // The predicate matches this suite's session ONLY (round-18
+    // advice): sweep(_ => true) would also untrack every concurrent
+    // suite's frames mid-test — sbt runs suites in parallel in one
+    // JVM — turning their release() into a no-op and flaking their
+    // ledger assertions.
+    Caches.sweep(_ eq spark)
     assert(Caches.trackedCount(spark) == 0,
       "stopped session's ledger entry survived the sweep")
     // the sweep drops driver-side refs only; this session is really

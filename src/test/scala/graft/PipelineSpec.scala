@@ -423,6 +423,34 @@ class PipelineSpec extends SparkSuite {
       s"selection: $got")
   }
 
+  test("budgetFit's cut frame is ONE quality-projection job (round-18 verdict #6)") {
+    import org.apache.spark.sql.functions._
+    // the fit used to rebuild the q248 selection AND a second quality
+    // projection joined back by doc_id — two documents scans for a
+    // #sources-row artifact. Sharing q248Tagged makes the whole fit
+    // path one corpus scan; pin it so the recompute can't return.
+    spark.sharedState.cacheManager.clearCache()
+    Caches.release(spark)
+    try {
+      val cuts = queries.Pipeline.budgetCuts(spark, sf())
+      val scans = PlanLint.factScanCounts(cuts.queryExecution.optimizedPlan)
+      assert(scans == Map("documents" -> 1),
+        s"budgetFit path must scan documents exactly once, got $scans")
+      // and the collected artifact still matches the entry's selection
+      val fit = queries.Pipeline.budgetFit(spark, sf())
+      val sel = Catalog.all("q248_token_budget_select").build(spark, sf())
+        .filter(col("selected"))
+        .join(Tables(spark, sf(), "documents")
+          .select(col("doc_id"), queries.Pipeline.qualityFp(col("text")).as("q_fp")),
+          Seq("doc_id"))
+        .groupBy(col("source")).agg(min(col("q_fp")).as("cut"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      sel.foreach { case (src, cut) =>
+        assert(fit(src) == cut, s"fit cut for $src: ${fit(src)} != $cut")
+      }
+    } finally Caches.release(spark)
+  }
+
   test("q97 admits only batch-new texts, first doc_id wins in-batch") {
     val dir = corpus(Seq(
       1L  -> "existing corpus text one",

@@ -1592,6 +1592,107 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("budgetLedger: stream equals the arrival-order batch window rule; " +
+      "crossing doc kept; exhausted/unfunded sources admit nothing") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val budgets = Map("a" -> 10L, "b" -> 5L, "z" -> 0L)
+      def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+      // a: 4+4 spends 8; seq 5 is the CROSSING doc (8 < 10 → kept,
+      // spent 12); seq 7 must reject. b: one 7-token doc crosses its
+      // whole budget; the later 1-token doc must STILL reject (admission
+      // is a prefix — the ledger never "finds room" after crossing).
+      // z: zero budget. m: not in the fit at all.
+      val batch1 = Seq(
+        (1L, 101L, "a", txt(4)), (2L, 102L, "a", txt(4)),
+        (3L, 201L, "b", txt(7)), (4L, 301L, "z", txt(2)))
+      val batch2 = Seq(
+        (5L, 103L, "a", txt(4)), (6L, 202L, "b", txt(1)),
+        (7L, 104L, "a", txt(1)), (8L, 401L, "m", txt(3)))
+      val in = MemoryStream[(Long, Long, String, String)]
+      val q = StatefulOps.budgetLedger(
+          in.toDF().toDF("seq", "doc_id", "source", "text"), budgets)
+        .writeStream.format("memory").queryName("budget_ledger")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmpDir("bledger").toString).start()
+      try {
+        in.addData(batch1: _*)
+        q.processAllAvailable()
+        in.addData(batch2: _*)
+        q.processAllAvailable()
+        val got = spark.table("budget_ledger")
+          .select(col("doc_id"), col("admitted"), col("spent_after"))
+          .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+          .toMap
+        // stream ≡ batch: admission is a prefix, so the verdict equals
+        // cum_before < budget over ALL prior arrivals — a plain
+        // per-source running-sum window on the same rows
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("seq"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wantAdmitted = (batch1 ++ batch2)
+          .toDF("seq", "doc_id", "source", "text")
+          .select(col("seq"), col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("budget",
+            element_at(typedLit(budgets), col("source")))
+          .select(col("doc_id"),
+            coalesce(col("cum_before") < col("budget"), lit(false)).as("adm"))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(got.view.mapValues(_._1).toMap == wantAdmitted,
+          s"stream $got vs batch window $wantAdmitted")
+        // the hand pins the window equality could mask
+        assert(got(103L) == ((true, 12L)), s"crossing doc kept: ${got(103L)}")
+        assert(!got(104L)._1, "post-crossing doc must reject")
+        assert(!got(202L)._1,
+          "small doc after the crossing must STILL reject (prefix rule)")
+        assert(!got(301L)._1 && !got(401L)._1,
+          "zero-budget and unfitted sources admit nothing")
+      } finally q.stop()
+    }
+  }
+
+  test("budgetLedger: restart from checkpoint does not double-spend " +
+      "(re-planned batches fold against the last COMMITTED ledger)") {
+    withRocksDb {
+      import java.nio.file.Files
+      val src = tmpDir("bl_src"); val out = tmpDir("bl_out")
+      val ckpt = tmpDir("bl_ckpt")
+      val budgets = Map("a" -> 10L)
+      def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+      def writeRows(name: String, rows: Seq[(Long, Long, Int)]): Unit =
+        Files.writeString(src.resolve(name), rows.map { case (seq, id, n) =>
+          s"""{"seq":$seq,"doc_id":$id,"source":"a","text":"${txt(n)}"}"""
+        }.mkString("\n"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "seq BIGINT, doc_id BIGINT, source STRING, text STRING")
+      def startQuery() = StatefulOps.budgetLedger(
+          spark.readStream.schema(schema).json(src.toString), budgets)
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      // phase 1 spends 8 of 10. If a restart re-spent it (ledger 16),
+      // phase 2's crossing doc (cum_before 8 < 10) would flip to
+      // reject — the double-spend this pin exists to catch.
+      writeRows("f1.json", Seq((1L, 101L, 4), (2L, 102L, 4)))
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+      writeRows("f2.json", Seq((3L, 103L, 4), (4L, 104L, 1)))
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(out.toString)
+        .select(col("doc_id"), col("admitted"), col("spent_after"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      // exactly-once: each doc appears ONCE with the one-pass verdicts
+      assert(got == Seq((101L, true, 4L), (102L, true, 8L),
+        (103L, true, 12L), (104L, false, 12L)),
+        s"restart double-spent or dropped rows: $got")
+    }
+  }
+
   test("activeUsersMonitor batch kernel matches q162 on event-bearing days") {
     // the monitor at win = 1 day, roll = 7 IS q162's dau/wau/stickiness
     // on every day that has events (q162's inner join drops the

@@ -65,6 +65,34 @@ class TextKernelSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("fused shingles3_h60 equals shingles3 ∘ hash60, order and multiplicity included") {
+    import spark.implicits._
+    // the fused kernel dedups on the STRING then hashes (denominator
+    // parity contract) — so it must equal hashing the string kernel's
+    // output slot for slot, on the corpus AND the split-semantics edges
+    val edge = Seq("", " ", "a b c", " a b c ", "a a a a", "x y z x y z")
+      .toDF("text").union(spark.sql("SELECT CAST(NULL AS STRING) AS text"))
+    val diff = Tables(spark, sf(), "documents").select("text").union(edge)
+      .select(
+        call_function("graft_shingles3_h60", col("text")).as("fused"),
+        transform(call_function("graft_shingles3", col("text")),
+          x => call_function("graft_hash60", x)).as("composed"))
+      .filter(!(col("fused") <=> col("composed")))
+    assert(diff.count() == 0)
+  }
+
+  test("minhash_h60 over pre-hashed shingles equals graft_minhash over the strings") {
+    val diff = Tables(spark, sf(), "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        call_function("graft_minhash_h60",
+          call_function("graft_shingles3_h60", col("text"))).as("fused"),
+        call_function("graft_minhash",
+          call_function("graft_shingles3", col("text"))).as("strings"))
+      .filter(col("fused") =!= col("strings"))
+    assert(diff.count() == 0)
+  }
+
   test("native minhash signature equals the 32-aggregate HOF fold") {
     import spark.implicits._
     val base = Tables(spark, sf(), "documents")
