@@ -1032,7 +1032,7 @@ object Dedup {
     * (computed before hashing, both engines).
     */
   def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    val (cnts, groups) = shinglePairCore(s, d, dfCap)
+    val (cnts, groups) = shinglePairCore(s, d, dfCap, minJac = Some(0.5))
     val repPairs = cnts
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.5)
@@ -1065,9 +1065,18 @@ object Dedup {
     * 8×-duplicated 40k-doc corpus: 91 s → 5 s, identical output, see
     * NOTES.md), then the hashed inverted index with capped posting
     * lists, returning rep-grain ((doc_a, doc_b, na, nb, c), groups).
+    *
+    * `minJac` enables the standard Jaccard LENGTH FILTER at pair-GEN
+    * time: jac = c/(na+nb−c) with c ≤ min(na,nb) can only reach τ when
+    * min(na,nb) ≥ τ/(1+τ)·(na+nb), so a pair failing that inequality is
+    * dropped BEFORE the pair-count shuffle instead of after it —
+    * result-identical to the post-count τ filter (which still runs),
+    * and the pruned pairs never pay shuffle bytes. Containment (q143)
+    * passes None: c/min(na,nb) can reach 1 at ANY length ratio, so no
+    * length prune is sound there.
     */
-  private def shinglePairCore(s: SparkSession, d: String,
-                              dfCap: Int): (DataFrame, DataFrame) = {
+  private def shinglePairCore(s: SparkSession, d: String, dfCap: Int,
+                              minJac: Option[Double] = None): (DataFrame, DataFrame) = {
     val groups = textGroups(s, d)
     val docs = shingledReps(s, groups)
     // `hs` arrives pre-hashed (one slot per distinct shingle STRING),
@@ -1080,11 +1089,24 @@ object Dedup {
     // (just enough to witness the overflow) is result-identical while the
     // buffer for a stopword-run shingle stays O(dfCap), not O(df).
     val witnessCap = if (dfCap == Int.MaxValue) dfCap else dfCap + 1
-    val cnts = observeCap(e.groupBy(col("s"))
+    val pairs = observeCap(e.groupBy(col("s"))
       .agg(collectCapped(s, struct(col("doc_id"), col("n")), witnessCap).as("ids")),
       "ngram_df_caps", "ids", dfCap, truncate = false)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
       .select(explode(sortedPairs(col("ids"))).as("p"))
+    val feasible = minJac match {
+      case Some(tau) =>
+        // min ≥ τ/(1+τ)·(na+nb) ⟺ (1+τ)·min ≥ τ·(na+nb). For the
+        // τ=0.5 call site both sides are exactly-representable doubles
+        // (1.5·min and 0.5·(na+nb) on integer counts < 2^51), so the
+        // boundary pair (jac exactly τ) always survives to the exact
+        // post-count filter — this is the classic 2·min ≥ max rule
+        pairs.filter(
+          least(col("p.a.n"), col("p.b.n")) * (lit(1.0) + lit(tau)) >=
+            lit(tau) * (col("p.a.n") + col("p.b.n")))
+      case None => pairs
+    }
+    val cnts = feasible
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("c"))

