@@ -120,11 +120,13 @@ class ScaleExponentSpec extends SparkSuite {
     // noisy draw fitted 1.63 on a linear plan (prior draws 1.18-1.31);
     // at 16/64/256 the first delta is ~2 s and the estimator is stable
     Pin("q43_ngram_jaccard", "documents", "doc_id", 16, 4, 1.5),
-    // 8/32/128 since round 19: at 4/16/64 the first delta drew 0.32 s
-    // in the r18 judge run — 2.1x the floor, under the table's own
-    // >= 2x-with-margin claim once host spread is priced in; doubling
-    // the base doubles both deltas (round-18 verdict #2)
-    Pin("q45_simhash_hamming", "documents", "doc_id", 8, 4, 1.45),
+    // 16/64/256 since round 19 (the q43 discipline): at 4/16/64 the
+    // first delta drew 0.32 s in the r18 judge run — 2.1x the floor,
+    // under the table's own >= 2x-with-margin claim — and at 8/32/128
+    // the ±0.1 s wobble of its small early points once fitted 1.65 on
+    // a linear plan (d1 0.18). Quadrupling the base puts d1 ~0.7 s
+    // where the wobble is estimator noise again (round-18 verdict #2)
+    Pin("q45_simhash_hamming", "documents", "doc_id", 16, 4, 1.45),
     Pin("q123_span_dup", "documents", "doc_id", 16, 4, 1.55),
     // 32/128/512 since round 19 — the q45 reasoning (r18 judge first
     // delta 0.32 s); events copies are cheap rows, 512x = 5M
@@ -257,19 +259,27 @@ class ScaleExponentSpec extends SparkSuite {
       buildOnce(name, dirs.head)
       buildOnce(name, dirs.head)
       var ts = dirs.map(minOf(name, _, samples))
-      // one retry-on-floor-miss (round-18 verdict #2): host contention
-      // only ever ADDS time, so a re-measure merged by min tightens
-      // every point toward its true value — a delta that was sunk by
-      // one slow window recovers; a delta that is GENUINELY under the
-      // floor stays there and the hard failure below stands
-      if (ts(1) - ts(0) < MinDeltaSec || ts(2) - ts(1) < MinDeltaSec) {
-        info(f"$name: delta under floor on first draw " +
-          f"(${ts(1) - ts(0)}%.2f/${ts(2) - ts(1)}%.2f) — re-measuring once")
+      def fit(xs: Seq[Double]): (Double, Double, Double) = {
+        val (d1, d2) = (xs(1) - xs(0), xs(2) - xs(1))
+        (d1, d2, math.log(d2 / d1) / math.log(b.toDouble))
+      }
+      // one retry on a floor miss OR a ceiling breach (round-18
+      // verdict #2): host contention only ever ADDS time, so a
+      // re-measure merged by min tightens every point toward its true
+      // value — a delta sunk (or an exponent inflated) by one slow
+      // window recovers, while a delta GENUINELY under the floor or a
+      // TRULY superlinear entry stays put and the hard failure below
+      // stands. One retry only: a pin that needs repeated rescue is
+      // mis-sized, and the failure should say so.
+      if ({ val (d1, d2, e) = fit(ts)
+            d1 < MinDeltaSec || d2 < MinDeltaSec || e > ceiling }) {
+        val (d1, d2, e) = fit(ts)
+        info(f"$name: first draw deltas $d1%.2f/$d2%.2f exponent $e%.2f " +
+          "(floor miss or ceiling breach) — re-measuring once")
         val ts2 = dirs.map(minOf(name, _, samples))
         ts = ts.lazyZip(ts2).map(math.min)
       }
-      val (d1, d2) = (ts(1) - ts(0), ts(2) - ts(1))
-      val exp = math.log(d2 / d1) / math.log(b.toDouble)
+      val (d1, d2, exp) = fit(ts)
       val pts = scales.zip(ts)
         .map { case (s, t) => f"t$s=$t%.2fs" }.mkString(" ")
       info(f"$name: $pts deltas=$d1%.2f/$d2%.2f exponent=$exp%.2f " +
