@@ -487,15 +487,18 @@ object Bench {
       competingAfter == 0 && loadBefore < loadQuietMax
     // record_quiet is the stricter admission the round RECORD requires
     // (round-18 verdict #1): everything `quiet` asserts PLUS a start
-    // load under cpus/16 PLUS hypervisor steal under 2% of the bench
-    // window (the plain quiet bar admits up to 5%; a round-19 run at
-    // 4.5% steal measured 29.9 s where the same code measured 24.4 s
-    // at 0.9% — steal is the one contaminant the startup wait cannot
-    // foresee, so the record admission checks it after the fact). A
-    // false here says "this artifact is not a valid round-over-round
-    // data point", not "the run failed".
+    // load under cpus/16 PLUS hypervisor steal under 1% of the bench
+    // window — steal is the one contaminant the startup wait cannot
+    // foresee, so the record admission checks it after the fact. The
+    // bar is set from five same-code round-19 runs: 24.4 s at 0.9%
+    // steal and 24.0 s at 0.4% (within 1.5% of each other), but
+    // 27.2 s at 1.7%, 29.9 s at 4.5%, 34.1 s at 8.2% — on this VM
+    // even 1–2% average steal (bursty, so minutes of saturation)
+    // drifts the total ~11%, while sub-1% windows reproduce. A false
+    // here says "this artifact is not a valid round-over-round data
+    // point", not "the run failed".
     val recordQuiet = quiet && loadBefore <= recordQuietMax &&
-      stealPct < 0.02
+      stealPct < 0.01
 
     def objOf(pairs: Seq[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
