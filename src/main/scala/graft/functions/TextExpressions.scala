@@ -151,6 +151,46 @@ case class MinHashSigH60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<T> (a sorted dedup bucket) → array<struct<a: T, b: T>> of all
+  * ordered pairs (i < j, row-major) — [[TextKernels.sortedPairs]] as a
+  * codegen'd expression. Replaces the flatten∘transform∘slice HOF chain
+  * in the dedup family's pair generator: HigherOrderFunctions are
+  * CodegenFallback, so the bucket→pairs stage (the family's dominant
+  * compute — k(k−1)/2 rows per bucket) paid interpreted lambda dispatch
+  * and per-element slice allocations per posting. Output is
+  * bit-identical by construction (same pair set, order, and element
+  * values).
+  */
+case class SortedPairsExpr(child: Expression) extends UnaryExpression {
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", elemType, elemNullable),
+    StructField("b", elemType, elemNullable))), containsNull = false)
+  override def prettyName: String = "graft_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.sortedPairs(input.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elemType)
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.TextKernels.sortedPairs($in, $et)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairsExpr =
+    copy(child = newChild)
+}
+
 /** shingles array<string> → array<long> MinHash signature (32 perms). */
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

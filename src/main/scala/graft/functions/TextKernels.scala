@@ -2,7 +2,10 @@ package graft.functions
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.DataType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels behind the native text-dedup expressions. Each is the
@@ -180,6 +183,40 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** All ordered pairs (out[idx] = struct(a = in[i], b = in[j]), i < j,
+    * row-major) of an array — the in-bucket candidate generator, fused.
+    * Bit-identical to the HOF formulation it replaces
+    * (flatten(transform(ids, (x, i) => transform(slice(ids, i + 2,
+    * size(ids)), y => struct(x, y))))): same pair set, same order, same
+    * element references. The HOF chain is CodegenFallback in Spark
+    * (every HigherOrderFunction is), so the dedup family's hottest
+    * stage — bucket → k(k−1)/2 candidate pairs — paid per-posting
+    * interpreted lambda dispatch plus O(k) intermediate slice/struct
+    * array allocations; this kernel is one straight-line pass into one
+    * exactly-sized output array. `elemType` makes it element-agnostic
+    * (structs in the band buckets, bare longs in the membership legs).
+    */
+  def sortedPairs(ids: ArrayData, elemType: DataType): ArrayData = {
+    val k = ids.numElements()
+    if (k < 2) return new GenericArrayData(Array.empty[Any])
+    val elems = new Array[Any](k)
+    var i = 0
+    while (i < k) { elems(i) = ids.get(i, elemType); i += 1 }
+    val out = new Array[Any](k * (k - 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        out(idx) = new GenericInternalRow(Array[Any](elems(i), elems(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Binary-search membership in a SORTED-ascending long array (caller

@@ -146,14 +146,18 @@ object Dedup {
   private def expandPairs(repPairs: DataFrame, groups: DataFrame,
                           selfScore: Column = lit(1.0),
                           intraEligible: Column = col("eligible")): DataFrame = {
-    // materialized ONCE: the ids_a leg, ids_b leg, and intra-pair leg all
+    // evaluated ONCE: the ids_a leg, ids_b leg, and intra-pair leg all
     // re-evaluated the collapse aggregate before round 16 (the lint's
     // q41/q43/q44/q45/q143/q173 findings) — three corpus scans for one
-    // (rep, ids, eligible) map whose size is ids-only (no text). At
-    // 100 TB the cache is the cheap side by orders of magnitude.
+    // (rep, ids, eligible) map whose size is ids-only (no text).
+    // Since round 19 `groups` (the textGroups frame) is ITSELF
+    // persisted, so this projection is a narrow read of that cache —
+    // a second persist here only re-materialized the same rows minus
+    // the text column (one extra cache-build job per query, and the
+    // InMemoryRelation's columnar cache already prunes `text` from
+    // reads that don't ask for it).
     val membership = groups.select(col("doc_id").as("rep"), col("ids"),
       intraEligible.as("eligible"))
-      .persistTracked
     val inter = repPairs
       .join(membership.select(col("rep"), col("ids").as("ids_a")),
         col("doc_a") === col("rep")).drop("rep")
@@ -164,7 +168,7 @@ object Dedup {
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("score"))
     val intra = membership.filter(size(col("ids")) > 1 && col("eligible"))
-      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(explode(sortedPairs(groups.sparkSession, col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
         selfScore.as("score"))
     inter.unionByName(intra)
@@ -179,7 +183,14 @@ object Dedup {
     * Elements may be structs (doc_id first so the sort orders by id);
     * carrying the shingle payload through lets verification run join-free.
     */
-  private[queries] def sortedPairs(ids: Column): Column =
+  private[queries] def sortedPairs(s: SparkSession, ids: Column): Column =
+    if (native(s)) call_function("graft_pairs", ids) else sortedPairsHof(ids)
+
+  /** Bit-identical HOF fallback for sessions without the extensions
+    * (HigherOrderFunctions are CodegenFallback — interpreted lambda
+    * dispatch per posting; the native kernel is the hot path).
+    */
+  private[graft] def sortedPairsHof(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("a"), y.as("b")))))
@@ -301,7 +312,7 @@ object Dedup {
             .as("ids")),
           "hamming_bucket_caps", "ids", BucketCap)
           .filter(size(col("ids")) > 1)
-          .select(explode(sortedPairs(col("ids"))).as("p"))
+          .select(explode(sortedPairs(s, col("ids"))).as("p"))
           .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
             expr("bit_count(p.a.simhash ^ p.b.simhash)").as("ham"))
           .filter(col("ham") <= 3)
@@ -527,7 +538,7 @@ object Dedup {
             witness(BucketCap)).as("ids"))
           .withColumn("ids", slice(col("ids"), 1, BucketCap))
           .filter(size(col("ids")) > 1)
-          .select(explode(sortedPairs(col("ids"))).as("p"))
+          .select(explode(sortedPairs(s, col("ids"))).as("p"))
           .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
             expr("size(filter(zip_with(p.a.sig, p.b.sig, (x, y) -> x = y), v -> v))")
               .cast("long").as("e32"),
@@ -723,7 +734,7 @@ object Dedup {
         observeCap(buckets, "minhash_bucket_caps", "ids", cap)
       else buckets.withColumn("ids", slice(col("ids"), 1, cap)))
       .filter(size(col("ids")) > 1)
-      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(explode(sortedPairs(s, col("ids"))).as("p"))
       // Verify BEFORE the pair-dedup shuffle: jaccard is computed
       // map-side per band occurrence (recomputed ≤ NumBands times for a
       // pair matching several bands — pure CPU), so the dedup groupBy
@@ -942,6 +953,10 @@ object Dedup {
         // zero vectors have undefined cosine; decide here so the
         // expansion side never carries v (see textGroups)
         exists(col("v"), x => x =!= 0.0).as("eligible"))
+      // persisted like textGroups: the signature leg and expandPairs'
+      // three membership legs all read this collapse (expandPairs no
+      // longer re-persists its own projection — r19)
+      .persistTracked
     val e = groups.select(col("doc_id").as("vec_id"), col("v"))
     // planes are corpus vectors ADDRESSED BY ID — always from the full
     // corpus, not the reps (a plane's id may not be its group's rep)
@@ -960,7 +975,7 @@ object Dedup {
       .agg(collectCapped(s, struct(col("vec_id"), col("v")), witness(cap)).as("ids")),
       "embed_bucket_caps", "ids", cap)
       .filter(size(col("ids")) > 1)
-      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(explode(sortedPairs(s, col("ids"))).as("p"))
       // verify map-side per band occurrence (q41's payload-free-dedup
       // shape): the pair-dedup shuffle carries (ids, cos), not vectors
       .select(col("p.a.vec_id").as("doc_a"), col("p.b.vec_id").as("doc_b"),
@@ -1093,7 +1108,7 @@ object Dedup {
       .agg(collectCapped(s, struct(col("doc_id"), col("n")), witnessCap).as("ids")),
       "ngram_df_caps", "ids", dfCap, truncate = false)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
-      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(explode(sortedPairs(s, col("ids"))).as("p"))
     val feasible = minJac match {
       case Some(tau) =>
         // min ≥ τ/(1+τ)·(na+nb) ⟺ (1+τ)·min ≥ τ·(na+nb). For the

@@ -56,6 +56,15 @@ object TextAnalysis {
   val BpeMerges = 32
   val BpeBatch = 64
 
+  /** Accepted-batches between localCheckpoints of the merge loop's
+    * vocab frame: between checkpoints `cur` is a short narrow
+    * replace-chain over the last checkpoint (re-evaluated per trip at
+    * vocab grain), so materialization jobs are paid 1/[[BpeCkptEvery]]
+    * as often while the plan stays bounded (never an InMemoryRelation
+    * chain — see [[bpeFitBatched]]).
+    */
+  val BpeCkptEvery = 4
+
   /** q150: keywords kept per document; q154: minimum bigram count for a
     * collocation candidate and the global top-K emitted.
     */
@@ -2111,15 +2120,27 @@ object TextAnalysis {
     */
   private[graft] def bpeFitBatched(s: SparkSession, d: String, m: Int,
       batch: Int): (List[(String, String, Long)], Int) = {
-    // localCheckpoint (eager), NOT persist: it materializes the round's
-    // vocab AND truncates lineage. A persist chain keeps every prior
-    // round in the analyzed plan — and a chain of InMemoryRelations
-    // prints its children through both the logical and cached-physical
-    // representations, so the plan-description string Spark builds per
-    // job grows exponentially in rounds (measured: OOM at M=32).
-    // Checkpoint blocks are vocab-grain and freed by the context
-    // cleaner when the previous round's RDD is GC'd.
+    // The merge loop is ~20 sequential DRIVER round-trips over a
+    // vocab-grain frame; at that grain the per-trip cost is Spark fixed
+    // overhead (query planning + job scheduling), not data. r19 measure
+    // against that overhead (bench q130 cold — see OPTIMIZATION_r19.md):
+    // the replace fold localCheckpoints every [[BpeCkptEvery]] accepted
+    // batches, not every batch. Between checkpoints `cur` is a
+    // ≤ ~BpeCkptEvery·batch-deep chain of narrow replaces over the last
+    // checkpoint's LogicalRDD, which each pair-count trip re-evaluates
+    // from in-memory blocks (vocab-grain string replaces — cheap),
+    // while checkpointing every trip paid a full materialization job +
+    // plan per trip. (Tried and rejected: running the loop AQE-off on
+    // an isolated newSession() — fewer jobs per trip, but the
+    // un-coalesced 32-reduce-task shuffles ×20 trips tripled process
+    // CPU and the isolated bench median went 3.1 s → 4.6 s. AQE's
+    // partition coalescing earns its per-stage job overhead here.)
+    // The original checkpoint hazard stands and is unchanged: NEVER a
+    // persist chain (chained InMemoryRelations print exponentially —
+    // measured OOM at M=32); the replace chain is bounded and always
+    // ends in a LogicalRDD.
     var cur = bpeVocab(s, d).select(col("w"), col("wn")).localCheckpoint()
+    var sinceCkpt = 0
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
     var trips = 0
     var exhausted = false
@@ -2175,7 +2196,9 @@ object TextAnalysis {
         cur = accepted.foldLeft(cur) { case (c, (a, b, _)) =>
           c.select(replace(col("w"), lit(s" $a $b "), lit(s" $a$b ")).as("w"),
             col("wn"))
-        }.localCheckpoint()
+        }
+        sinceCkpt += 1
+        if (sinceCkpt >= BpeCkptEvery) { cur = cur.localCheckpoint(); sinceCkpt = 0 }
       }
     }
     (merges.toList, trips)

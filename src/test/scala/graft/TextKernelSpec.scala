@@ -571,6 +571,38 @@ class TextKernelSpec extends SparkSuite {
     assert(ex.getMessage != null)
   }
 
+  test("graft_pairs ≡ the flatten∘transform∘slice HOF pair generator " +
+    "(struct and long elements, k = 0/1/2/n, order and values)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // struct elements (the band-bucket shape: (doc_id, payload))
+    val structArrs = Seq(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      Seq((7L, 70L), (8L, 80L)),
+      Seq((5L, 50L)),
+      Seq.empty[(Long, Long)])
+      .toDF("raw")
+      .select(expr("transform(raw, x -> struct(x._1 AS doc_id, x._2 AS n))").as("ids"))
+    val nat = structArrs.select(call_function("graft_pairs", col("ids")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.toString))
+    val hof = structArrs.select(
+        graft.queries.Dedup.sortedPairsHof(col("ids")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.toString))
+    assert(nat.toSeq == hof.toSeq)
+    assert(nat.head.length == 6) // k=4 → 6 pairs, row-major
+    // bare long elements (the membership intra-leg shape)
+    val longArrs = Seq(Seq(3L, 1L, 2L), Seq(9L)).toDF("ids")
+    val natL = longArrs.select(call_function("graft_pairs", col("ids")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.toString))
+    val hofL = longArrs.select(
+        graft.queries.Dedup.sortedPairsHof(col("ids")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.toString))
+    assert(natL.toSeq == hofL.toSeq)
+    // pair ORDER is part of the contract (downstream first()/collect
+    // consumers): (3,1),(3,2),(1,2) — input order, NOT sorted values
+    assert(natL.head == Seq("[3,1]", "[3,2]", "[1,2]"))
+  }
+
   test("q128 on the fixture: full depth, contiguous ranks, fused order") {
     import graft.queries.TextAnalysis.{Bm25Queries, Bm25TopK}
     val rows = graft.queries.Catalog.all("q128_hybrid_rrf").build(spark, sf())
