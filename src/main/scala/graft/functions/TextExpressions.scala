@@ -57,6 +57,30 @@ case class ShinglesK(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → array<long> of distinct word k-shingles hashed to
+  * their 60-bit md5 prefix — [[ShinglesK]] ∘ [[Hash60]] fused (see
+  * [[TextKernels.shinglesKH60]]; the [[Shingles3H60]] design at
+  * arbitrary k, for q110's source-overlap index).
+  */
+case class ShinglesKH60(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles_h60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, k > 0), got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shinglesKH60(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.TextKernels.shinglesKH60($in, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesKH60 =
+    copy(child = newChild)
+}
+
 /** text STRING → BIGINT SimHash fingerprint (zero-shuffle form of the
   * token/bit group-by formulation).
   */

@@ -185,6 +185,49 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** Distinct word k-shingles hashed to their 60-bit md5 prefix, in
+    * first-occurrence order — [[shinglesK]] ∘ [[hash60]] fused, the
+    * k-gram generalization of [[shingles3H60]] (q110's source-overlap
+    * index: the per-shingle shuffle key drops from a ~k·word-length
+    * string to 8 bytes, and the shingle string lives only as a
+    * transient feeding the digest). DEDUP IS ON THE STRING (distinct
+    * counts are distinct-STRING counts; a 2⁻⁶⁰ collision still
+    * contributes two slots), and the consumer's oracle hashes
+    * IDENTICALLY, so engine/oracle parity is unconditional.
+    */
+  def shinglesKH60(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (k <= 0 || toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + k - 1 < toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val d = md5.get()
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      d.reset()
+      val h = d.digest(it.next()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      out(j) = v >>> 4
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All ordered pairs (out[idx] = struct(a = in[i], b = in[j]), i < j,
     * row-major) of an array — the in-bucket candidate generator, fused.
     * Bit-identical to the HOF formulation it replaces

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MinHashSigH60, MisraGriesTopK, Shingles3, Shingles3H60, ShinglesK, SimHash, SortedContains, SortedPairsExpr, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MinHashSigH60, MisraGriesTopK, Shingles3, Shingles3H60, ShinglesK, ShinglesKH60, SimHash, SortedContains, SortedPairsExpr, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "graft_shingles3_h60",
       "graft_shingles3_h60(text) - distinct word 3-shingles as 60-bit md5-prefix hashes", 1)(
       c => Shingles3H60(c.head))
+    register(e, "graft_shingles_h60",
+      "graft_shingles_h60(text, k) - distinct word k-shingles as 60-bit md5-prefix hashes", 2)(
+      c => ShinglesKH60(c.head, intLit("graft_shingles_h60", "k", c(1))))
     register(e, "graft_pairs",
       "graft_pairs(ids) - all ordered pairs struct(a, b) (i < j, row-major) of an array", 1)(
       c => SortedPairsExpr(c.head))

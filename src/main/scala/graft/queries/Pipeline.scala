@@ -227,6 +227,18 @@ object Pipeline {
     // spec pins)
     else when(text.isNotNull, array_distinct(shingles(split(text, " "), k)))
 
+  /** [[distinctShingles]] hashed to 60-bit md5 prefixes — the q110
+    * index key (8-byte shuffle keys instead of k-word strings; the
+    * q41/q43 shuffle-key design). Dedup is on the STRING; the consumer
+    * oracle hashes identically, so parity is unconditional.
+    */
+  private def distinctShinglesH60(s: SparkSession, text: Column, k: Int): Column =
+    if (s.catalog.functionExists("graft_shingles_h60"))
+      call_function("graft_shingles_h60", text, lit(k))
+    else when(text.isNotNull, transform(
+      array_distinct(shingles(split(text, " "), k)),
+      x => graft.functions.ParityFns.hash60(x)))
+
   /** q123's window derivation, shared with the span index + streaming
     * gate: the (doc_id, h) winnowing-anchored SpanTokens-token window
     * hashes of a (doc_id, text, …) frame. Anchor selection and window
@@ -1036,9 +1048,13 @@ object Pipeline {
     //      the shingle table (which would shuffle it twice).
     "q110_source_overlap" -> Q(
       (s, d) => {
+        // shingles ship PRE-HASHED (60-bit md5 prefix, r19): the heavy
+        // pass below shuffles 8-byte keys instead of OverlapGram-word
+        // strings, and the oracle hashes identically (see
+        // distinctShinglesH60) so the hash match is unconditional
         val sh = Tables.spread(Tables(s, d, "documents"))
           .select(col("source"),
-            explode(distinctShingles(s, col("text"), OverlapGram)).as("sh"))
+            explode(distinctShinglesH60(s, col("text"), OverlapGram)).as("sh"))
         // ONE heavy pass: per-shingle source sets. collect_set dedups
         // map-side, so no separate distinct shuffle precedes it (probe:
         // the extra exchange cost ~40% on the all-shared corpus). The
@@ -1072,7 +1088,8 @@ object Pipeline {
               least(col("n_a"), col("n_b")).cast("double")).as("containment"))
       },
       Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
-              |sh AS (SELECT DISTINCT source, s FROM (
+              |sh AS (SELECT DISTINCT source,
+              |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
               |  SELECT source, unnest(list_transform(range(1, len(t) - ${OverlapGram - 2}),
               |    i -> ${(0 until OverlapGram).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})) AS s
               |  FROM t)),
