@@ -81,6 +81,39 @@ case class ShinglesKH60(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** toks array<string> → BIGINT Σ vocab.getOrElse(token, dflt) — the
+  * bounded-vocab fold (see [[TextKernels.vocabSum]]). keys/vals/dflt
+  * are extracted from foldable literals by the registry builder at
+  * plan build (the intLit pattern), so each row pays only the fold.
+  * Array-typed fields compare by reference, so two structurally-equal
+  * instances miss subexpression elimination — harmless (distinct vocab
+  * maps anyway) but worth knowing.
+  */
+case class VocabSum(child: Expression, keys: Array[UTF8String],
+                    vals: Array[Long], dflt: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_vocab_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.vocabSum(input.asInstanceOf[ArrayData], keys, vals, dflt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("keys", keys)
+    val v = ctx.addReferenceObj("vals", vals)
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.TextKernels.vocabSum($in, $k, $v, ${dflt}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VocabSum =
+    copy(child = newChild)
+}
+
 /** text STRING → BIGINT SimHash fingerprint (zero-shuffle form of the
   * token/bit group-by formulation).
   */

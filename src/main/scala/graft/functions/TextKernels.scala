@@ -262,6 +262,41 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Σ over a doc's tokens of vocab.getOrElse(token, dflt) — the
+    * bounded-vocab fold behind surprisal (q118), DSIR weighting (q127)
+    * and marker counting (vals = 1, dflt = 0: q60/q90/q113/q135 lang
+    * and stopword gates), fused. The HOF formulation
+    * (aggregate(toks, 0, (acc, t) -> acc + coalesce(element_at(m, t),
+    * dflt))) is doubly interpreted: `aggregate` is CodegenFallback AND
+    * element_at on a map literal is a LINEAR scan of ArrayBasedMapData
+    * per token. Here: one codegen'd call, binary search per token.
+    * CALLER CONTRACT: `keys` sorted ascending by UTF8String byte order
+    * (the registry builder verifies once at plan build), `vals`
+    * aligned with `keys`.
+    */
+  def vocabSum(toks: ArrayData, keys: Array[UTF8String],
+               vals: Array[Long], dflt: Long): Long = {
+    val n = toks.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var lo = 0
+      var hi = keys.length - 1
+      var hit = -1
+      while (lo <= hi && hit < 0) {
+        val mid = (lo + hi) >>> 1
+        val c = keys(mid).compareTo(t)
+        if (c == 0) hit = mid
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      acc += (if (hit >= 0) vals(hit) else dflt)
+      i += 1
+    }
+    acc
+  }
+
   /** Binary-search membership in a SORTED-ascending long array (caller
     * contract — violations return garbage, not errors, exactly like
     * java.util.Arrays.binarySearch). The probe for bounded fitted sets

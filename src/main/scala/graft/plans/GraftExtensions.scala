@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MinHashSigH60, MisraGriesTopK, Shingles3, Shingles3H60, ShinglesK, ShinglesKH60, SimHash, SortedContains, SortedPairsExpr, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MinHashSigH60, MisraGriesTopK, Shingles3, Shingles3H60, ShinglesK, ShinglesKH60, SimHash, SortedContains, SortedPairsExpr, VocabSum, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -55,6 +55,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "graft_shingles3_h60",
       "graft_shingles3_h60(text) - distinct word 3-shingles as 60-bit md5-prefix hashes", 1)(
       c => Shingles3H60(c.head))
+    register(e, "graft_vocab_sum",
+      "graft_vocab_sum(toks, keys, vals, dflt) - sum of vocab.getOrElse(token, dflt) " +
+        "over tokens; keys a SORTED array<string> literal, vals aligned array<bigint>", 4)(
+      { c =>
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+        import org.apache.spark.unsafe.types.UTF8String
+        def arr(what: String, x: Expression): ArrayData = x match {
+          case Literal(a: ArrayData, _: ArrayType) => a
+          case other => throw new IllegalArgumentException(
+            s"graft_vocab_sum $what must be an array literal, got $other")
+        }
+        val keys = arr("keys", c(1)).toArray[UTF8String](StringType)
+        val vals = arr("vals", c(2)).toLongArray()
+        val dflt = c(3) match {
+          case Literal(v: Long, LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_vocab_sum dflt must be a bigint literal, got $other")
+        }
+        require(keys.length == vals.length,
+          s"graft_vocab_sum keys/vals length mismatch: ${keys.length} vs ${vals.length}")
+        // the kernel binary-searches: a misordered literal would return
+        // garbage silently — verify the caller contract once per plan
+        require(keys.zip(keys.drop(1)).forall { case (a, b) => a.compareTo(b) < 0 },
+          "graft_vocab_sum keys must be strictly ascending in UTF8 byte order")
+        VocabSum(c.head, keys, vals, dflt)
+      })
     register(e, "graft_shingles_h60",
       "graft_shingles_h60(text, k) - distinct word k-shingles as 60-bit md5-prefix hashes", 2)(
       c => ShinglesKH60(c.head, intLit("graft_shingles_h60", "k", c(1))))

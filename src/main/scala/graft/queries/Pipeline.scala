@@ -191,13 +191,13 @@ object Pipeline {
     * ([[graft.streaming.StatefulOps.funnelMonitor]]). Pure per-row HOF
     * arithmetic — streams verbatim.
     */
-  def gateFlags(text: Column): Column = {
+  def gateFlags(s: SparkSession, text: Column): Column = {
     val t = split(text, " ")
     val n = size(t)
-    val nStop = TextAnalysis.markerCount(t, TextAnalysis.StopWords)
+    val nStop = TextAnalysis.markerCount(s, t, TextAnalysis.StopWords)
     // predicted-English ⟺ the en marker count >= every other language's
     // (the argmax chain's first branch) — ONE copy of the rule
-    val gLang = TextAnalysis.predictedLang(t) === "en"
+    val gLang = TextAnalysis.predictedLang(s, t) === "en"
     val gQ = least(lit(1.0), n / lit(100.0)) *
       (lit(1.0) - nStop.cast("double") / n) >= MinQuality
     val g2 = shingles(t, 2)
@@ -1119,7 +1119,7 @@ object Pipeline {
     //      construction; retention = distinct survivors / intake.
     "q113_gate_funnel" -> Q(
       (s, d) => {
-        val g = gateFlags(col("text"))
+        val g = gateFlags(s, col("text"))
         val gLang = g.getField("g_lang")
         val gQ = g.getField("g_q")
         val all = gLang && gQ && g.getField("g_rep")
@@ -2480,10 +2480,10 @@ object Pipeline {
                               d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
-    val nStop = TextAnalysis.markerCount(toks, TextAnalysis.StopWords)
+    val nStop = TextAnalysis.markerCount(s, toks, TextAnalysis.StopWords)
     val stopRatio = nStop.cast("double") / nTok
     val quality = least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio)
-    val isEnglish = TextAnalysis.predictedLang(toks) === "en"
+    val isEnglish = TextAnalysis.predictedLang(s, toks) === "en"
     Tables.spread(Tables(s, d, "documents"))
       .withColumn("quality", quality)
       .filter(isEnglish && col("quality") >= MinQuality)

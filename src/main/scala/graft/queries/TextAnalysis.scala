@@ -108,19 +108,42 @@ object TextAnalysis {
        |    ORDER BY fsc DESC, n_id) AS rk FROM sc)
        |WHERE rk <= $Bm25TopK""".stripMargin
 
-  def markerCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+  /** Native bounded-vocab fold (Σ vocab.getOrElse(token, dflt)) when
+    * the extensions are registered; callers keep their bit-identical
+    * HOF fallbacks for extension-less sessions. Keys ship SORTED in
+    * UTF8 byte order (the kernel binary-searches; the registry builder
+    * re-verifies the order at plan build).
+    */
+  private[graft] def vocabSumNative(toks: Column, m: Map[String, Long],
+                                    dflt: Long): Column = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val kv = m.toSeq.sortWith((a, b) =>
+      UTF8String.fromString(a._1).compareTo(UTF8String.fromString(b._1)) < 0)
+    call_function("graft_vocab_sum", toks,
+      typedLit(kv.map(_._1)), typedLit(kv.map(_._2)), lit(dflt))
+  }
+
+  private[graft] def nativeVocab(s: SparkSession): Boolean =
+    s.catalog.functionExists("graft_vocab_sum")
+
+  def markerCount(s: SparkSession, toks: Column, words: Seq[String]): Column =
+    // the kernel fold (vals = 1, dflt = 0) replaces an interpreted
+    // filter(toks, OR-chain) per row — the q90/q113/q135 gates' lang
+    // and stopword counts run this over every corpus token
+    if (nativeVocab(s))
+      vocabSumNative(toks, words.map(_ -> 1L).toMap, 0L).cast("int")
+    else size(filter(toks, t => words.map(t === _).reduce(_ || _)))
 
   /** q60's marker-argmax prediction with fixed precedence
     * en > es > fr > de on ties — shared by q60, q115, and (via
     * `=== "en"`) the q90/q113 language gate. One copy of the rule; the
     * oracle SQL mirrors build their word lists from [[markers]].
     */
-  def predictedLang(toks: Column): Column = {
-    val s = markers.map { case (l, ws) => l -> markerCount(toks, ws) }.toMap
-    when(s("en") >= s("es") && s("en") >= s("fr") && s("en") >= s("de"), "en")
-      .when(s("es") >= s("fr") && s("es") >= s("de"), "es")
-      .when(s("fr") >= s("de"), "fr")
+  def predictedLang(s: SparkSession, toks: Column): Column = {
+    val sc = markers.map { case (l, ws) => l -> markerCount(s, toks, ws) }.toMap
+    when(sc("en") >= sc("es") && sc("en") >= sc("fr") && sc("en") >= sc("de"), "en")
+      .when(sc("es") >= sc("fr") && sc("es") >= sc("de"), "es")
+      .when(sc("fr") >= sc("de"), "fr")
       .otherwise("de")
   }
 
@@ -137,7 +160,7 @@ object TextAnalysis {
     //      fixed precedence (en > es > fr > de) on ties.
     "q60_langid" -> Q(
       (s, d) => {
-        val pred = predictedLang(split(col("text"), " "))
+        val pred = predictedLang(s, split(col("text"), " "))
         Tables.spread(Tables(s, d, "documents"))
           .select(col("doc_id"), pred.as("pred_lang"),
             (pred === col("lang")).as("is_match"))
@@ -452,7 +475,7 @@ object TextAnalysis {
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
         Tables.spread(Tables(s, d, "documents"))
           .select(col("lang"),
-            predictedLang(split(col("text"), " ")).as("pred_lang"))
+            predictedLang(s, split(col("text"), " ")).as("pred_lang"))
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n_docs"))
           .select(col("lang"), col("pred_lang"), col("n_docs"),
@@ -1951,10 +1974,17 @@ object TextAnalysis {
   }
 
   def surprisalScore(df: DataFrame, vocab: Map[String, Long], oovBits: Long): DataFrame = {
-    val surpMap = typedLit(vocab)
     val toks = split(col("text"), " ")
-    val surp = aggregate(toks, lit(0L),
-      (acc, t) => acc + coalesce(element_at(surpMap, t), lit(oovBits)))
+    // native: one codegen'd binary-search fold; HOF fallback is doubly
+    // interpreted (aggregate is CodegenFallback, element_at on a map
+    // literal is a linear scan per token)
+    val surp = if (nativeVocab(df.sparkSession))
+      vocabSumNative(toks, vocab, oovBits)
+    else {
+      val surpMap = typedLit(vocab)
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + coalesce(element_at(surpMap, t), lit(oovBits)))
+    }
     df.withColumn("surp_bits", surp)
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("bits_per_tok", col("surp_bits").cast("double") / size(toks))
@@ -2264,10 +2294,15 @@ object TextAnalysis {
     * stage; streams verbatim — see `StatefulOps.dsirGate`.
     */
   def dsirScore(df: DataFrame, delta: Map[String, Long], deltaOov: Long): DataFrame = {
-    val dm = typedLit(delta)
     val toks = split(col("text"), " ")
-    val w = aggregate(toks, lit(0L),
-      (acc, t) => acc + coalesce(element_at(dm, t), lit(deltaOov)))
+    // native kernel fold / interpreted-HOF fallback — see surprisalScore
+    val w = if (nativeVocab(df.sparkSession))
+      vocabSumNative(toks, delta, deltaOov)
+    else {
+      val dm = typedLit(delta)
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + coalesce(element_at(dm, t), lit(deltaOov)))
+    }
     df.withColumn("n_tok", size(toks).cast("long"))
       .withColumn("w_bits", w)
       .withColumn("w_per_tok", col("w_bits").cast("double") / size(toks))

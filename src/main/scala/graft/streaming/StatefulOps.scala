@@ -160,7 +160,7 @@ object StatefulOps {
     val gq = g.getField("g_q")
     val all = gl && gq && g.getField("g_rep")
     docs
-      .withColumn("__g", graft.queries.Pipeline.gateFlags(col(textCol)))
+      .withColumn("__g", graft.queries.Pipeline.gateFlags(docs.sparkSession, col(textCol)))
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), win), col(keyCol))
       .agg(count(lit(1)).as("n_docs"),

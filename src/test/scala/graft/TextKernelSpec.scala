@@ -603,6 +603,44 @@ class TextKernelSpec extends SparkSuite {
     assert(natL.head == Seq("[3,1]", "[3,2]", "[1,2]"))
   }
 
+  test("graft_vocab_sum ≡ the aggregate/element_at HOF fold " +
+    "(hits, misses, empty text, null text, unsorted-literal rejection)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vocab = Map("the" -> 3L, "a" -> 5L, "zebra" -> 7L, "änder" -> 11L)
+    val oov = 99L
+    val docs = Seq(
+      Some("the a zebra the"), Some("nope only misses"), Some(""),
+      Some("änder the"), None).toDF("text")
+    val toks = split(col("text"), " ")
+    val native = docs.select(
+      graft.queries.TextAnalysis.vocabSumNative(toks, vocab, oov).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val m = typedLit(vocab)
+    val hof = docs.select(aggregate(toks, lit(0L),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(oov))).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(native.toSeq == hof.toSeq)
+    // spot-check the semantics: "" splits to one "" token → one oov
+    assert(native(2).contains(oov))
+    // markerCount's kernel path ≡ its filter/OR-chain fallback
+    val words = Seq("the", "a")
+    val nm = docs.select(graft.queries.TextAnalysis
+        .markerCount(spark, toks, words).as("c")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    val hm = docs.select(size(filter(toks,
+        t => words.map(t === _).reduce(_ || _))).as("c")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(nm.toSeq == hm.toSeq)
+    // a misordered keys literal is rejected at plan build, not silently
+    // mis-searched (the kernel binary-searches a caller-sorted array)
+    val ex = intercept[Exception] {
+      docs.select(call_function("graft_vocab_sum", toks,
+        typedLit(Seq("zebra", "a")), typedLit(Seq(1L, 2L)), lit(0L))).collect()
+    }
+    assert(ex.getMessage.contains("ascending"))
+  }
+
   test("q128 on the fixture: full depth, contiguous ranks, fused order") {
     import graft.queries.TextAnalysis.{Bm25Queries, Bm25TopK}
     val rows = graft.queries.Catalog.all("q128_hybrid_rrf").build(spark, sf())
