@@ -1239,12 +1239,16 @@ object TextAnalysis {
           .groupBy(col("t")).agg(count(lit(1)).as("c"))
           .persistTracked
         val nTok = uni.agg(sum(col("c")).as("n_tok"))
+        // adjacent bigrams via arrays_zip of two codegen'd slices: the
+        // transform(sequence(...)) form is a CodegenFallback HOF —
+        // interpreted per-element struct construction on a corpus-grain
+        // scan stage. Same rows (slice lengths are equal, so zip never
+        // pads), zip fields are positional ("0"/"1")
         val pairs = toks.filter(size(col("toks")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> " +
-              "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
-            .as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .select(explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+          .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= PmiMinPair)
         pairs
@@ -2025,15 +2029,21 @@ object TextAnalysis {
     * phantom pair without it.
     */
   def bpePairCounts(vocab: DataFrame): DataFrame =
+    // adjacent symbol pairs via arrays_zip of two codegen'd slices
+    // (equal lengths — zip never pads); the transform(sequence(...))
+    // form was a CodegenFallback HOF paid once per merge TRIP. The
+    // size<2 guard matters doubly: Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]) in the old form, and slice(s, 2, -1) throws here —
+    // single-symbol words must emit no pair either way.
     vocab.select(split(trim(col("w")), " ").as("s"), col("wn"))
       .select(explode(when(size(col("s")) < 2,
-          expr("CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"))
-        .otherwise(expr(
-          """transform(sequence(1, size(s) - 1),
-            |  i -> struct(element_at(s, i) AS a,
-            |              element_at(s, i + 1) AS b))""".stripMargin)))
+          expr("CAST(array() AS ARRAY<STRUCT<`0`: STRING, `1`: STRING>>)"))
+        .otherwise(arrays_zip(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1))))
         .as("p"), col("wn"))
-      .groupBy(col("p.a"), col("p.b")).agg(sum(col("wn")).as("cnt"))
+      .groupBy(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+      .agg(sum(col("wn")).as("cnt"))
 
   /** The corpus word vocabulary in q130's space-joined symbol form:
     * (word, w = ' c h a r s ', wn). ONE corpus scan; vocab grain after.
