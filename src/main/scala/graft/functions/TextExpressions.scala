@@ -81,6 +81,36 @@ case class ShinglesKH60(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text STRING → array<struct<i: int, h: bigint>> of winnowing-anchored
+  * span windows (see [[TextKernels.spanWindows]]): anchor positions and
+  * 60-bit window hashes in one codegen'd pass, replacing an interpreted
+  * per-token-position md5 filter HOF.
+  */
+case class SpanWindowsExpr(child: Expression, spanTokens: Int, anchorMod: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_span_windows"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && spanTokens > 0 && anchorMod > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, spanTokens > 0, anchorMod > 0), " +
+        s"got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.spanWindows(input.asInstanceOf[UTF8String], spanTokens, anchorMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.TextKernels.spanWindows($in, $spanTokens, $anchorMod)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanWindowsExpr =
+    copy(child = newChild)
+}
+
 /** toks array<string> → BIGINT Σ vocab.getOrElse(token, dflt) — the
   * bounded-vocab fold (see [[TextKernels.vocabSum]]). keys/vals/dflt
   * are extracted from foldable literals by the registry builder at

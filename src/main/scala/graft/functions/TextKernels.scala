@@ -228,6 +228,52 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing-anchored span windows of a doc, fused: for each 0-based
+    * token position i in [0, n−spanTokens], if the anchor token's
+    * 16-bit md5-prefix hash ≡ 0 (mod anchorMod), emit
+    * struct(i, h = 60-bit md5-prefix hash of the spanTokens-token
+    * window joined with ' '). Bit-identical to the HOF formulation in
+    * Pipeline.spanWindowsPos (filter over sequence + per-anchor
+    * md5(array_join(slice))), which paid an INTERPRETED md5 eval per
+    * token position (filter is CodegenFallback) on a corpus-grain scan
+    * stage (q123/q126/q247 span index + spanGate). Docs with fewer
+    * than spanTokens tokens return the empty array — exactly the rows
+    * the HOF path's n ≥ spanTokens filter dropped.
+    */
+  def spanWindows(text: UTF8String, spanTokens: Int, anchorMod: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < spanTokens) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](8)
+    val d = md5.get()
+    var i = 0
+    while (i <= n - spanTokens) {
+      d.reset()
+      val ah = d.digest(toks(i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 4 hex chars = first 2 digest bytes, as an unsigned int
+      val h16 = ((ah(0) & 0xffL) << 8) | (ah(1) & 0xffL)
+      if (h16 % anchorMod == 0) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < spanTokens) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        d.reset()
+        val wh = d.digest(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (wh(b) & 0xffL); b += 1 }
+        out.add(new GenericInternalRow(Array[Any](i, v >>> 4)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** All ordered pairs (out[idx] = struct(a = in[i], b = in[j]), i < j,
     * row-major) of an array — the in-bucket candidate generator, fused.
     * Bit-identical to the HOF formulation it replaces

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MinHashSigH60, MisraGriesTopK, Shingles3, Shingles3H60, ShinglesK, ShinglesKH60, SimHash, SortedContains, SortedPairsExpr, VocabSum, SrpSignature, TopKByScore}
+import graft.functions.{CollectCapped, CosineSimilarity, DotProduct, GramMatrix, HammingDistance, Hash60, MinHashSig, MinHashSigH60, MisraGriesTopK, Shingles3, Shingles3H60, ShinglesK, ShinglesKH60, SimHash, SortedContains, SortedPairsExpr, SpanWindowsExpr, VocabSum, SrpSignature, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -55,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "graft_shingles3_h60",
       "graft_shingles3_h60(text) - distinct word 3-shingles as 60-bit md5-prefix hashes", 1)(
       c => Shingles3H60(c.head))
+    register(e, "graft_span_windows",
+      "graft_span_windows(text, span_tokens, anchor_mod) - winnowing-anchored " +
+        "span windows as struct(i, h) with 60-bit window hashes", 3)(
+      c => SpanWindowsExpr(c.head,
+        intLit("graft_span_windows", "span_tokens", c(1)),
+        intLit("graft_span_windows", "anchor_mod", c(2))))
     register(e, "graft_vocab_sum",
       "graft_vocab_sum(toks, keys, vals, dflt) - sum of vocab.getOrElse(token, dflt) " +
         "over tokens; keys a SORTED array<string> literal, vals aligned array<bigint>", 4)(

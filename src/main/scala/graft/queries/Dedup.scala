@@ -1227,12 +1227,23 @@ object Dedup {
         val nbrMin = e.join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
           .groupBy(col("v")).agg(min(col("ul")).as("nbr"))
         // eager truncation: materializes this round AND cuts the plan,
-        // so the convergence count below and every later round start
-        // from round-k data, never the rounds-1..k−1 join chain
-        val next = truncate(labels.join(nbrMin, Seq("v"), "left")
+        // so the convergence check and every later round start from
+        // round-k data, never the rounds-1..k−1 join chain. The
+        // convergence witness rides the SAME materialization as an
+        // observe() metric (its accumulators fill during the
+        // checkpoint's internal pass), where a separate
+        // filter(changed).limit(1).count() paid one extra job + plan
+        // per round (r19; ProfJobs measured the loop at 3 jobs/round)
+        val obsName = s"graft_cc_changed_$round"
+        val pre = labels.join(nbrMin, Seq("v"), "left")
           .select(col("v"), least(col("l"), coalesce(col("nbr"), col("l"))).as("l"),
-            (col("nbr") < col("l")).as("changed")))
-        converged = next.filter(col("changed")).limit(1).count() == 0
+            (col("nbr") < col("l")).as("changed"))
+          .observe(obsName, max(col("changed")).as("any_changed"))
+        val next = truncate(pre)
+        // empty frame → max over no rows → null → not changed (the
+        // count formulation's 0 == 0), same fixpoint
+        converged = !pre.queryExecution.observedMetrics.get(obsName)
+          .exists(r => !r.isNullAt(0) && r.getBoolean(0))
         // round k is materialized and round k−1 is no longer referenced:
         // rotate its reliable checkpoint files off storage now
         val nextCkpt = checkpointPathOf(next)

@@ -256,21 +256,31 @@ object Pipeline {
     * column pruning drops `i` before any shuffle there, so the narrower
     * consumers pay nothing for the shared derivation.
     */
-  def spanWindowsPos(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    def anchorHash(c: Column) =
-      conv(substring(md5(c), 1, 4), 16, 10).cast("long")
-    val anchors = filter(
-      sequence(lit(0), col("n") - SpanTokens),
-      i => anchorHash(element_at(col("toks"), i + 1)) % SpanAnchorMod === 0)
-    docs.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
-      .filter(col("n") >= SpanTokens)
-      .select(col("doc_id"), col("toks"), explode(anchors).as("i"))
-      .select(col("doc_id"), col("i"),
-        conv(substring(md5(array_join(
-          slice(col("toks"), col("i") + 1, lit(SpanTokens)), " ")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-  }
+  def spanWindowsPos(docs: DataFrame): DataFrame =
+    if (docs.sparkSession.catalog.functionExists("graft_span_windows"))
+      // fused kernel: anchor selection + window hashing in one codegen'd
+      // pass (short docs yield the empty array — exactly the rows the
+      // HOF path's n >= SpanTokens filter dropped)
+      docs.select(col("doc_id"),
+          explode(call_function("graft_span_windows", col("text"),
+            lit(SpanTokens), lit(SpanAnchorMod))).as("p"))
+        .select(col("doc_id"), col("p").getField("i").as("i"),
+          col("p").getField("h").as("h"))
+    else {
+      val toks = split(col("text"), " ")
+      def anchorHash(c: Column) =
+        conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+      val anchors = filter(
+        sequence(lit(0), col("n") - SpanTokens),
+        i => anchorHash(element_at(col("toks"), i + 1)) % SpanAnchorMod === 0)
+      docs.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .filter(col("n") >= SpanTokens)
+        .select(col("doc_id"), col("toks"), explode(anchors).as("i"))
+        .select(col("doc_id"), col("i"),
+          conv(substring(md5(array_join(
+            slice(col("toks"), col("i") + 1, lit(SpanTokens)), " ")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+    }
 
   /** The static span-index artifact: the corpus's DISTINCT window
     * hashes — 8 bytes per ~SpanAnchorMod corpus tokens, the precomputed

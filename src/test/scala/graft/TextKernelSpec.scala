@@ -641,6 +641,34 @@ class TextKernelSpec extends SparkSuite {
     assert(ex.getMessage.contains("ascending"))
   }
 
+  test("graft_span_windows ≡ the filter/sequence/md5 HOF span derivation " +
+    "(anchors, window hashes, positions, short-doc drop) on fixture docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val native = graft.queries.Pipeline.spanWindowsPos(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the HOF formulation, inlined (spanWindowsPos dispatches on the
+    // native function's presence, so the fallback is reproduced here)
+    import graft.queries.Pipeline.{SpanAnchorMod, SpanTokens}
+    val toks = split(col("text"), " ")
+    def anchorHash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+    val anchors = filter(
+      sequence(lit(0), col("n") - SpanTokens),
+      i => anchorHash(element_at(col("toks"), i + 1)) % SpanAnchorMod === 0)
+    val hof = docs.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") >= SpanTokens)
+      .select(col("doc_id"), col("toks"), explode(anchors).as("i"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(array_join(
+          slice(col("toks"), col("i") + 1, lit(SpanTokens)), " ")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native == hof)
+    assert(native.nonEmpty) // fixture has anchored windows — not vacuous
+  }
+
   test("q128 on the fixture: full depth, contiguous ranks, fused order") {
     import graft.queries.TextAnalysis.{Bm25Queries, Bm25TopK}
     val rows = graft.queries.Catalog.all("q128_hybrid_rrf").build(spark, sf())
